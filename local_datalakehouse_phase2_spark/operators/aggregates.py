@@ -1,0 +1,244 @@
+"""Aggregation operators: global, grouped, conditional, multi-dimensional.
+
+Covers SURVEY.md §2.4 (A1-A6) plus the DISTINCT / rollup / cube /
+grouping-sets surface scheduled in §2.11/§7 Phase 3. Reference
+evidence: /root/reference/SPARK_ICEBERG_GUIDE.md:166,175-176,205
+(global COUNT/SUM/AVG), :287-289 (GROUP BY hash aggregate), :336-340
+(conditional pivot-style aggregate).
+
+Scale notes: every groupBy here is a hash aggregate with map-side
+partial aggregation (Catalyst default), so the shuffle carries one row
+per (partition, group), not per input row. Doubles are ROUNDed at the
+end for oracle stability (order-independent comparison); the rounding
+is part of the query contract, not the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+    doc="Flagship: TPC-H Q1 pricing summary — filter → grouped multi-agg → sort "
+    "(the guide's diagnostic shape, :287-289 + :336-340, at fact-table scale).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_change",
+    oracle="""
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("agg", "filter"),
+    doc="TPC-H Q6 shape: tight filter + single global SUM (A2/A6). All four "
+    "predicates push into the parquet scan.",
+)
+def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@register(
+    "group_agg_stats",
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               ROUND(AVG(o_totalprice), 6) AS avg_price,
+               ROUND(MIN(o_totalprice), 2) AS min_price,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+    doc="A1-A4/A6: grouped count/sum/avg/min/max over a filtered scan "
+    "(guide :175-176,:205,:287-289).",
+)
+def group_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@register(
+    "conditional_agg",
+    oracle="""
+        SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS flag_a,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS flag_n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS flag_r,
+               COUNT(*) AS total
+        FROM lineitem
+    """,
+    tags=("agg",),
+    doc="A5 conditional pivot-style aggregate, the guide's delete-file census "
+    "shape (SPARK_ICEBERG_GUIDE.md:336-340) applied to returnflag.",
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    def flag(v: str):  # noqa: ANN202
+        return F.sum(F.when(F.col("l_returnflag") == v, 1).otherwise(0))
+    return li.agg(
+        flag("A").alias("flag_a"),
+        flag("N").alias("flag_n"),
+        flag("R").alias("flag_r"),
+        F.count("*").alias("total"),
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+        SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT l_returnflag) AS n_flags
+        FROM lineitem
+    """,
+    tags=("agg", "distinct"),
+    doc="COUNT(DISTINCT) surface (§2.4 note): Catalyst expands to a two-phase "
+    "aggregate; at scale approx_count_distinct (see approx_distinct_counts) avoids the expand.",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@register(
+    "approx_distinct_counts",
+    oracle=None,  # HLL sketches are engine-specific; driver does rows-only. Accuracy asserted in tests/test_aggregates.py.
+    tags=("agg", "distinct", "approx"),
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale substitute for "
+    "exact distinct — single pass, fixed memory, no expand.",
+)
+def approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+    doc="ROLLUP hierarchy totals (§2.4 gap noted in SURVEY; built-in Catalyst Expand).",
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+    doc="CUBE over two dimensions — all 4 grouping sets in one pass.",
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    tags=("agg", "grouping-sets"),
+    doc="Explicit GROUPING SETS: two independent group-bys answered in one shuffle.",
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )

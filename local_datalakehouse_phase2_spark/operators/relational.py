@@ -1,0 +1,232 @@
+"""Scans, projections, filters, sorts, scalar functions, row sources.
+
+Covers SURVEY.md §2.1 (S1 scan, S4 RANGE source, S5 VALUES source),
+§2.2 (P1-P6 projections/filters), §2.6 (O1-O3 sorts/top-k), §2.8
+(F1-F5 scalar functions). Reference evidence:
+/root/reference/SPARK_ICEBERG_GUIDE.md:129 (scan+sort), :152,160
+(CONCAT/CAST computed projection), :153,161 (RANGE source), :124-127
+(VALUES), :178 (equality predicate), :181-185 (top-k), :336-340
+(CASE WHEN conditional expression).
+
+All expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Filters and projections are
+written so Catalyst pushes them into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+
+@register(
+    "scan_sort",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("scan", "sort"),
+    doc="S1+O1: full table scan with ascending sort (guide :129).",
+)
+def scan_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+
+
+@register(
+    "filter_project",
+    oracle="""
+        SELECT l_orderkey,
+               CONCAT('item_', CAST(l_linenumber AS VARCHAR)) AS item_tag,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_returned,
+               l_extendedprice * (1 - l_discount) AS net_price
+        FROM lineitem
+        WHERE l_quantity > 45.0 AND l_linestatus = 'F'
+    """,
+    tags=("filter", "project"),
+    doc="P1/P4/P5/P6: predicate + computed CONCAT/CAST + CASE WHEN (guide :152,:178,:337).",
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 45.0) & (F.col("l_linestatus") == "F"))
+        .select(
+            "l_orderkey",
+            F.concat(F.lit("item_"), F.col("l_linenumber").cast("string")).alias("item_tag"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_returned"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice AS total_price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    tags=("sort", "limit"),
+    doc="O2/O3 top-k: ORDER BY ... LIMIT (guide :181-185); Catalyst plans TakeOrderedAndProject.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("total_price"))
+        .limit(25)
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_brand) AS brand_upper,
+               SUBSTRING(p_name, 1, 8) AS name_prefix,
+               LENGTH(p_name) AS name_len,
+               CONCAT(p_type, '/', p_brand) AS type_brand,
+               REPLACE(LOWER(p_type), 'promo', 'PROMOTION') AS type_rewritten
+        FROM part
+        WHERE p_size >= 25
+    """,
+    tags=("functions",),
+    doc="F1/F2 + string function surface (upper/substr/length/replace).",
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") >= 25).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.lower(F.col("p_type")), F.lit("promo"), F.lit("PROMOTION")).alias("type_rewritten"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(month(o_orderdate) AS INT) AS order_month,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month_start,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    tags=("functions", "temporal"),
+    doc="F3 timestamp surface: year/month/date_trunc/interval arithmetic (UTC semantics, guide :42-44,:266).",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).cast("date").alias("due_date"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_extendedprice - 1000.0) AS abs_delta,
+               CAST(l_quantity AS BIGINT) % 7 AS qty_mod,
+               SQRT(l_extendedprice) AS price_sqrt,
+               CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(CEIL(l_tax * 100) AS BIGINT) AS tax_pct
+        FROM lineitem
+        WHERE l_linenumber = 1 AND l_orderkey % 100 = 0
+    """,
+    tags=("functions",),
+    doc="F5 arithmetic surface: abs/mod/sqrt/floor/ceil over doubles and bigints.",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 100 == 0))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_delta"),
+            (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            F.floor(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+            F.ceil(F.col("l_tax") * 100).cast("bigint").alias("tax_pct"),
+        )
+    )
+
+
+@register(
+    "range_source",
+    oracle="""
+        WITH r AS (SELECT * FROM range(200, 1000) t(id))
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(id) AS BIGINT) AS id_sum,
+               MIN(CONCAT('bulk_', CAST(id AS VARCHAR))) AS first_name
+        FROM r
+    """,
+    tags=("source",),
+    doc="S4 row-generator source, mirroring the runbook's RANGE(200,1000) bulk insert (guide :159-161).",
+)
+def range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.range(200, 1000)
+    return r.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("id").alias("id_sum"),
+        F.min(F.concat(F.lit("bulk_"), F.col("id").cast("string"))).alias("first_name"),
+    )
+
+
+@register(
+    "values_source",
+    oracle="""
+        SELECT v.id, v.name, r.r_name
+        FROM (VALUES (1, 'alice', 0), (2, 'bob', 2), (3, 'charlie', 4)) AS v(id, name, rkey)
+        JOIN region r ON v.rkey = r.r_regionkey
+        ORDER BY v.id
+    """,
+    tags=("source", "join"),
+    doc="S5 inline VALUES source joined to a table (guide :124-127 literal batches).",
+)
+def values_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = spark.createDataFrame(
+        [(1, "alice", 0), (2, "bob", 2), (3, "charlie", 4)], "id INT, name STRING, rkey INT"
+    )
+    r = load_table(spark, sf_dir, "region")
+    return (
+        v.join(r, v.rkey == r.r_regionkey)
+        .select("id", "name", "r_name")
+        .orderBy("id")
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+    doc="JSON-in-string column parsed at query time with from_json (FIXTURES.md events.props).",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Table sources: load the driver's parquet fixtures as DataFrames.
+
+Maps the reference's scan operators (SURVEY.md S1 table scan, S7
+parquet binding — /root/reference/SPARK_ICEBERG_GUIDE.md:129,137) onto
+`spark.read.parquet`. Paths stay abstract (any filesystem URI Spark
+supports) so the same loader works against `file://`, `s3a://`, etc.;
+only configuration changes at cluster scale (SURVEY.md S8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan => Catalyst gets predicate
+    pushdown, column pruning, and row-group skipping for free.
+
+    `events.ts` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false);
+    Spark reads it as a nanosecond long (session config
+    `spark.sql.legacy.parquet.nanosAsLong`) and we convert to
+    TIMESTAMP_NTZ (microsecond truncation) to match the naive-timestamp
+    semantics of the other fixture tables and of DuckDB.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every table and register it as a temp view so both the
+    DataFrame API and spark.sql can see the same relations."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
