@@ -1,1 +1,143 @@
-"""Placeholder — filled in this round."""
+"""Multimodal column plumbing (north-star Phase 4).
+
+Images/audio/video are opaque `binary` columns with typed metadata
+structs; decode / feature-extract run as Arrow-batched pandas
+iterators via `mapInPandas`. The container has no image/audio codecs,
+so the decode kernel is a clearly-marked deterministic STUB — but the
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+real and is what matters at scale: binary payloads never pass through
+Python row-at-a-time, only as Arrow buffers per batch.
+
+Scale notes: binary columns make wide rows — the session would set
+`spark.sql.files.maxPartitionBytes` lower for such tables so a
+partition stays memory-resident; metadata-only queries prune the
+binary column at the parquet scan (column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, payload BINARY, "
+    "meta STRUCT<codec: STRING, n_bytes: BIGINT, sample_rate: INT>"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, media_type STRING, n_bytes BIGINT, "
+    "width INT, height INT, checksum STRING"
+)
+
+
+def synthesize_media(d: DataFrame) -> DataFrame:
+    """Deterministic fake media table: payload = repeated md5 bytes of
+    the text (stands in for an image/audio blob), typed metadata."""
+    payload = F.concat(
+        *[F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i))))) for i in range(4)]
+    )  # 4 x 16 md5 bytes = 64-byte deterministic blob
+    media_type = F.when(F.col("doc_id") % 3 == 0, "image").when(
+        F.col("doc_id") % 3 == 1, "audio"
+    ).otherwise("video")
+    return d.select(
+        "doc_id",
+        media_type.alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("stub").alias("codec"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.lit(16000).alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB decode: container has no codecs (Pillow/ffmpeg absent).
+    Derives deterministic fake (width, height) from the payload header.
+    A real deployment swaps this body for PIL.Image.open / libav —
+    the signature and the Arrow batching around it stay identical.
+    """
+    if not payload:
+        raise NotImplementedError("empty payload: nothing to decode")
+    return 16 + payload[0] % 64, 16 + payload[1] % 64
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: one pandas DataFrame per batch
+    in, one out — the mapInPandas shape a real decoder would use."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            dims = pdf["payload"].map(_decode_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "checksum": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # binary plumbing; schema/determinism asserted in tests/test_multimodal.py
+    tags=("multimodal", "pandas-udf"),
+    doc="Binary media columns -> mapInPandas feature extraction (stub decode): "
+    "per-media-type size and dimension stats.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(d))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+            F.round(F.avg("height"), 6).alias("avg_height"),
+            F.countDistinct("checksum").alias("n_distinct_payloads"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@register(
+    "multimodal_metadata_scan",
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               COUNT(*) AS n_media,
+               CAST(COUNT(*) * 64 AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY 1
+    """,
+    tags=("multimodal", "metadata"),
+    doc="Metadata-only scan of the media table: the binary payload column is "
+    "pruned at the source (never read) — verify with .explain ReadSchema.",
+)
+def multimodal_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d)
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.col("meta.n_bytes")).cast("bigint").alias("total_bytes"),
+        )
+    )

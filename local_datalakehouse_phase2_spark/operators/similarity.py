@@ -1,1 +1,217 @@
-"""Placeholder — filled in this round."""
+"""Similarity search over `embeddings.embedding` (array<float>, dim 64).
+
+North-star Phase 4 (SURVEY.md §2.11): brute-force cosine top-k as the
+correctness baseline, and a random-hyperplane LSH-bucketed variant as
+the scale path. Vector math is built-in array lambdas
+(zip_with/aggregate) in double precision — JVM-side, no UDFs.
+
+Scale design: brute-force is query-count x corpus — fine for a handful
+of probes against any corpus (broadcast the queries, one scan, top-k
+per query via window). For query sets that are themselves large, the
+LSH variant buckets both sides on hyperplane sign bits so the join is
+bucket-local; recall is tunable with bands/bits (verified in
+tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+QUERY_IDS = (0, 1, 2, 3, 4)  # probe vectors for the registry queries
+TOP_K = 10
+DIM = 64
+# LSH amplification (b sign bits AND'd per table, T tables OR'd).
+# Collision prob for cosine s is (1 - arccos(s)/pi)^b per table. The
+# fixture embeddings are near-uniform (true top-10 cosines ~0.25-0.4),
+# so b=4, T=8 gives ~0.6 recall; production corpora with real clusters
+# (neighbor cos >= 0.7) should raise b to 12-16 to shrink buckets —
+# both are tunable per call.
+N_PLANES = 4  # LSH sign bits per table
+N_TABLES = 8  # independent hash tables (OR-amplification)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = TOP_K
+) -> DataFrame:
+    """All-pairs cosine between a small broadcast query set and the
+    corpus, then top-k per query via ROW_NUMBER. One corpus scan."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = embeddings.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "vec_id",
+        "label",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=None,  # float-sum association differs across engines at the top-k
+    # boundary; exactness vs a numpy oracle is asserted in tests/test_similarity.py
+    tags=("similarity", "ann"),
+    doc=f"Brute-force cosine top-{TOP_K} for {len(QUERY_IDS)} probe vectors: "
+    "broadcast queries x one corpus scan, per-query ROW_NUMBER cut.",
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    return brute_force_topk(emb, queries).orderBy("query_id", "rk")
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm,
+               ROUND(AVG(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE)))), 6) AS avg_component_sum
+        FROM embeddings
+        GROUP BY label
+    """,
+    tags=("similarity", "array"),
+    doc="Vector statistics per cluster label: L2 norm and component sums via "
+    "array lambdas — the same fold pattern both engines run in double precision.",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp_sum = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg(_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        F.round(F.avg(comp_sum), 6).alias("avg_component_sum"),
+    )
+
+
+def _lsh_bucket(emb_col, table: int):
+    """Sign-bit bucket id for one hash table: pack N_PLANES sign bits of
+    deterministic pseudo-random hyperplane projections.
+
+    Hyperplane t,p component j = (xxhash64(j, p, t) scaled to [-1,1]) —
+    deterministic, computed inline, no stored model.
+    """
+    bits = []
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                emb_col,
+                F.expr(
+                    f"transform(sequence(0, {DIM - 1}),"
+                    f" j -> cast(xxhash64(j, {p}, {table}) as double) / 9.223372036854776e18)"
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # recall vs brute force asserted in tests/test_similarity.py
+    tags=("similarity", "ann", "lsh"),
+    doc=f"ANN via random-hyperplane LSH: {N_TABLES} tables x {N_PLANES} sign "
+    "bits; candidates = bucket collisions in any table; exact cosine + top-k "
+    "only on candidates. Join cost is bucket-local — the 100 TB path.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+
+    def bucketize(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), _lsh_bucket(F.col("embedding"), t).alias("bkt"))
+                for t in range(N_TABLES)
+            ]
+        )
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(emb_alias),
+            F.col("label").alias(f"{id_alias}_label"),
+            F.explode(tables).alias("tb"),
+        ).select(id_alias, emb_alias, f"{id_alias}_label", F.col("tb.t").alias("t"), F.col("tb.bkt").alias("bkt"))
+
+    corpus_b = bucketize(emb, "vec_id", "embedding")
+    query_b = bucketize(queries, "query_id", "q_emb")
+    cands = (
+        corpus_b.join(F.broadcast(query_b), ["t", "bkt"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding", F.col("vec_id_label").alias("label"))
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id", "vec_id", "label", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "label_centroid_similarity",
+    oracle=None,  # verified vs numpy in tests/test_similarity.py
+    tags=("similarity", "agg"),
+    doc="Cluster quality: average cosine of each vector to its label centroid. "
+    "Centroids via element-wise array aggregation (posexplode + groupBy) — the "
+    "distributed mean-vector pattern.",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        comps.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(centroids), "label")
+    return (
+        joined.select("label", cosine(F.col("embedding"), F.col("centroid")).alias("cs"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"), F.round(F.avg("cs"), 6).alias("avg_centroid_cos"))
+    )

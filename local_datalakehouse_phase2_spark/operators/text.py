@@ -1,1 +1,217 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis operators over the `documents` table (north-star Phase 4).
+
+Language-ID, quality scoring, token counting, and fingerprinting for an
+LLM-training-data pipeline (SURVEY.md §2.11 north-star extensions). All
+hot-path expressions are built-in Spark SQL functions — tokenization is
+`split`, fingerprints are `md5`/`xxhash64`, ratios are array lambdas —
+so everything stays in whole-stage codegen; no Python UDFs.
+
+Scale: every operator here is a single scan + narrow projection, or a
+scan + one hash-aggregate shuffle. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+# Tiny stopword list used for quality scoring (documents are lowercase,
+# single-space tokenized word salad — see FIXTURES.md).
+STOPWORDS = ("a", "the", "and", "of", "to", "in")
+
+
+def tokens_col(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "text_stats",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+               ROUND(AVG(n_chars), 6) AS avg_chars,
+               ROUND(AVG(CAST(n_chars AS DOUBLE) / len(string_split(text, ' '))), 6) AS avg_chars_per_token
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("text", "agg"),
+    doc="Token counting + length stats per language: the basic corpus census.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens_col())
+    return (
+        d.select("lang", "n_chars", ntok.alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("ntok"), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double") / F.col("ntok")), 6).alias(
+                "avg_chars_per_token"
+            ),
+        )
+    )
+
+
+@register(
+    "lang_distribution",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("text", "agg"),
+    doc="Corpus composition: document and character counts by (lang, source).",
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+@register(
+    "token_frequency",
+    oracle="""
+        SELECT token, COUNT(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY freq DESC, token
+        LIMIT 30
+    """,
+    tags=("text", "explode"),
+    doc="Global token frequency top-30 via explode + hash aggregate. At 100 TB "
+    "this is the canonical skew-prone explode→agg; partial aggregation keeps the "
+    "shuffle proportional to vocabulary, not corpus size.",
+)
+def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(30)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(text)) AS n_distinct_fp,
+               MIN(md5(text)) AS min_fp
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("text", "fingerprint"),
+    doc="Content fingerprinting with md5 (engine-portable): distinct-content "
+    "census per source — the first pass of any dedup pipeline.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_distinct_fp"),
+        F.min(fp).alias("min_fp"),
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+        SELECT doc_id,
+               ntok,
+               stop_ratio,
+               ttr,
+               CASE WHEN ntok BETWEEN 20 AND 120 THEN 1 ELSE 0 END
+                 + CASE WHEN stop_ratio BETWEEN 0.01 AND 0.3 THEN 1 ELSE 0 END
+                 + CASE WHEN ttr >= 0.35 THEN 1 ELSE 0 END AS quality_score
+        FROM (
+            SELECT doc_id,
+                   len(toks) AS ntok,
+                   ROUND(CAST(len(list_filter(toks, t -> t IN {STOPWORDS!r})) AS DOUBLE) / len(toks), 6) AS stop_ratio,
+                   ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS ttr
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        )
+        WHERE doc_id % 5 = 0
+    """,
+    tags=("text", "quality"),
+    doc="Per-document quality scoring: token count band, stopword ratio, "
+    "type-token ratio — three interpretable filters combined into a 0-3 score, "
+    "all computed with array lambdas in one projection.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = tokens_col()
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    ntok = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    ndistinct = F.size(F.array_distinct(toks))
+    stop_ratio = F.round(nstop.cast("double") / ntok, 6)
+    ttr = F.round(ndistinct.cast("double") / ntok, 6)
+    in_band = F.when((ntok >= 20) & (ntok <= 120), 1).otherwise(0)
+    stop_ok = F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.3), 1).otherwise(0)
+    ttr_ok = F.when(ttr >= 0.35, 1).otherwise(0)
+    return d.select(
+        "doc_id",
+        ntok.alias("ntok"),
+        stop_ratio.alias("stop_ratio"),
+        ttr.alias("ttr"),
+        (in_band + stop_ok + ttr_ok).alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id_ngram",
+    oracle=None,  # argmax-over-profile classifier; verified by tests/test_text.py accuracy bound
+    tags=("text", "lang-id"),
+    doc="Language identification by character-trigram profile: build per-lang "
+    "trigram profiles from the labeled corpus (distributed agg), score each doc "
+    "by profile overlap via a broadcast join, predict argmax. Self-contained "
+    "n-gram heuristic — no external model.",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # char 3-grams of the first 200 chars (cheap, stable)
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(substring(text,1,200))-2, 1)),"
+        " i -> substring(substring(text,1,200), i, 3))"
+    )
+    doc_grams = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    # per-lang profile: top-50 most frequent trigrams
+    from pyspark.sql import Window as W
+
+    prof_counts = doc_grams.groupBy("lang", "gram").agg(F.count("*").alias("freq"))
+    w = W.partitionBy("lang").orderBy(F.col("freq").desc(), "gram")
+    profile = (
+        prof_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(F.col("lang").alias("p_lang"), "gram")
+    )
+    # score: distinct doc-grams hitting each lang profile (broadcast: 5 langs * 50 grams)
+    scores = (
+        doc_grams.select("doc_id", "lang", "gram")
+        .distinct()
+        .join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w2 = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "p_lang")
+    pred = (
+        scores.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
+    )
+    return pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))

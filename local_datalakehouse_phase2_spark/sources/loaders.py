@@ -38,11 +38,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
+        # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
+        # exceeds double's 53-bit mantissa and lands ±hundreds of ns off.
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
 

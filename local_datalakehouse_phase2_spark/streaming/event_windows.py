@@ -1,1 +1,161 @@
-"""Placeholder — filled in this round."""
+"""Event-time windowed aggregations over `events` (Phase 5).
+
+The reference has zero streaming (SURVEY.md §2.11) — these implement
+the incremental-pipeline semantics the north star asks for, using the
+same `window()` / `session_window()` expressions that run under
+Structured Streaming. Batch and streaming share the expression, so the
+oracle-checked batch results ARE the streaming semantics; the
+stream-vs-batch equivalence itself is asserted in
+tests/test_streaming.py with an availableNow file stream + memory sink
+(plus watermark late-data handling).
+
+Scale: windowed aggs shuffle on (window, key) — time-bucketed keys are
+naturally balanced; watermarks bound state size in true streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+
+@register(
+    "tumbling_daily_counts",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+    doc="Tumbling 1-day event-time window per event_type — window('ts','1 day') "
+    "start equals the calendar day under UTC.",
+)
+def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_traffic",
+    oracle="""
+        SELECT CAST(date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS DATE) AS window_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+    doc="Sliding window (2-day length, 1-day slide): each event lands in two "
+    "windows. Oracle replicates Spark's window() bucketing by unioning the two "
+    "shifted day-truncations.",
+)
+def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(F.col("w.start").cast("date").alias("window_start"), "n_events", "n_users")
+    )
+
+
+@register(
+    "session_window_activity",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM numbered
+        WHERE user_id % 20 = 0
+        GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session"),
+    doc="Session windows (30-min gap) per user. Spark: native session_window(); "
+    "oracle: classic gaps-and-islands (lag + running sum). Session numbering is "
+    "per-user chronological so the two formulations align.",
+)
+def session_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("session_start")
+    return sessions.withColumn("session_no", F.row_number().over(w)).select(
+        "user_id",
+        F.col("session_no").cast("bigint").alias("session_no"),
+        "n_events",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "sum_value",
+    )
+
+
+@register(
+    "hourly_rollup_hypertable",
+    oracle="""
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(AVG(value), 6) AS avg_value,
+               ROUND(MAX(value), 2) AS max_value
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1, 2
+    """,
+    tags=("streaming", "rollup"),
+    doc="Continuous-aggregate-style hourly rollup (hypertable pattern): the "
+    "materialization query a streaming job would maintain incrementally.",
+)
+def hourly_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .select(
+            F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+            "max_value",
+        )
+    )

@@ -1,0 +1,86 @@
+"""Semantic checks for the near-dup operators (rows-only in the driver):
+LSH candidates + exact Jaccard vs a brute-force Python oracle at sf0.001.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from local_datalakehouse_phase2_spark.operators.dedup import (
+    SHINGLE,
+    minhash_lsh_pairs,
+    ngram_jaccard_dupes,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(sf_small=None):
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    return dict(rows)
+
+
+def shingle_set(text: str) -> set[str]:
+    toks = text.split(" ")
+    n = max(len(toks) - SHINGLE, 0)
+    return {" ".join(toks[i : i + SHINGLE]) for i in range(n + 1)}
+
+
+def brute_force_pairs(docs: dict[int, str], threshold: float) -> set[tuple[int, int]]:
+    ids = sorted(docs)
+    sets = {i: shingle_set(docs[i]) for i in ids}
+    out = set()
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, sf_small, docs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_dupes(spark, sf_small).collect()
+    }
+    want = brute_force_pairs(docs, 0.6)
+    # Exact-Jaccard-verified LSH output must be a SUBSET of truth (no false
+    # positives) and catch the vast majority (LSH can miss borderline pairs).
+    assert set(got) <= want, f"false positives: {set(got) - want}"
+    recall = len(got) / len(want) if want else 1.0
+    assert recall >= 0.9, f"recall {recall}: missed {want - set(got)}"
+    # reported jaccard values are the true ones
+    sets = {i: shingle_set(docs[i]) for i in docs}
+    for (a, b), j in got.items():
+        true_j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert abs(j - true_j) < 1e-6
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_small, docs):
+    rows = minhash_lsh_pairs(spark, sf_small).collect()
+    assert rows, "high-similarity pairs exist by construction"
+    sets = {i: shingle_set(docs[i]) for i in docs}
+    for r in rows:
+        true_j = len(sets[r.doc_a] & sets[r.doc_b]) / len(sets[r.doc_a] | sets[r.doc_b])
+        assert abs(r.est_jaccard - true_j) <= 0.35, (r.doc_a, r.doc_b, r.est_jaccard, true_j)
+
+
+def test_simhash_finds_near_identical_docs(spark, sf_small, docs):
+    rows = simhash_pairs(spark, sf_small).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    # hamming<=6 on 64-bit simhash is a tighter near-dup bar than J>=0.6;
+    # every simhash pair should be genuinely similar (J >= 0.3 at least)
+    sets = {i: shingle_set(docs[i]) for i in docs}
+    for a, b in pairs:
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert j >= 0.3, (a, b, j)
+    # and the planted near-identical cluster must be detected
+    want = brute_force_pairs(docs, 0.9)
+    found = len(want & pairs)
+    assert found / len(want) >= 0.8 if want else True

@@ -1,0 +1,79 @@
+"""Similarity-search semantics vs a numpy oracle at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from local_datalakehouse_phase2_spark.operators.similarity import (
+    QUERY_IDS,
+    TOP_K,
+    ann_lsh_topk,
+    cosine_topk_bruteforce,
+    label_centroid_similarity,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding, label FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    labels = np.array([r[2] for r in rows])
+    return ids, mat, labels
+
+
+def numpy_topk(ids, mat, qid, k=TOP_K):
+    qi = int(np.where(ids == qid)[0][0])
+    q = mat[qi]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+    return [(int(ids[i]), float(sims[i])) for i in order if ids[i] != qid][:k]
+
+
+def test_bruteforce_topk_matches_numpy(spark, sf_small, vecs):
+    ids, mat, _ = vecs
+    got = cosine_topk_bruteforce(spark, sf_small).collect()
+    by_query: dict[int, list] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid in QUERY_IDS:
+        rows = sorted(by_query[qid], key=lambda r: r.rk)
+        want = numpy_topk(ids, mat, qid)
+        assert [r.vec_id for r in rows] == [w[0] for w in want], f"query {qid}"
+        for r, (_, sim) in zip(rows, want):
+            assert abs(r.cos_sim - sim) < 1e-4
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_small, vecs):
+    ids, mat, _ = vecs
+    got = ann_lsh_topk(spark, sf_small).collect()
+    by_query: dict[int, set] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    for qid in QUERY_IDS:
+        want = {w[0] for w in numpy_topk(ids, mat, qid)}
+        found = by_query.get(qid, set())
+        recalls.append(len(want & found) / len(want))
+    mean_recall = sum(recalls) / len(recalls)
+    # 8 tables x 4 sign bits on near-uniform 64-dim data (true top-10
+    # cosines ~0.25-0.4 => ~0.13 collision prob per table, ~0.66 OR'd)
+    assert mean_recall >= 0.4, f"ANN mean recall {mean_recall}: {recalls}"
+
+
+def test_centroid_similarity_matches_numpy(spark, sf_small, vecs):
+    ids, mat, labels = vecs
+    got = {r.label: r.avg_centroid_cos for r in label_centroid_similarity(spark, sf_small).collect()}
+    for lbl in sorted(set(labels)):
+        sub = mat[labels == lbl]
+        centroid = sub.mean(axis=0)
+        sims = sub @ centroid / (np.linalg.norm(sub, axis=1) * np.linalg.norm(centroid))
+        assert abs(got[int(lbl)] - float(sims.mean())) < 1e-4
+        # fixture embeddings are near-uniform on the sphere; any sample
+        # mean still tilts positive toward its own centroid
+        assert got[int(lbl)] > 0.0
