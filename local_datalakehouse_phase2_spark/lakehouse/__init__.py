@@ -1,0 +1,33 @@
+"""Lakehouse table-format layer: catalog, multi-version tables,
+metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
+
+from .catalog import CatalogError, Lakehouse
+from .log import FileInfo, LogEntry, TransactionLog
+from .maintenance import (
+    MaintenanceError,
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_equality_deletes,
+    rewrite_manifests,
+    rewrite_position_deletes,
+    rollback_to_snapshot,
+)
+from .table import LakehouseTable
+
+__all__ = [
+    "CatalogError",
+    "FileInfo",
+    "Lakehouse",
+    "LakehouseTable",
+    "LogEntry",
+    "MaintenanceError",
+    "TransactionLog",
+    "expire_snapshots",
+    "remove_orphan_files",
+    "rewrite_data_files",
+    "rewrite_equality_deletes",
+    "rewrite_manifests",
+    "rewrite_position_deletes",
+    "rollback_to_snapshot",
+]

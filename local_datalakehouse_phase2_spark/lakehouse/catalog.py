@@ -1,0 +1,159 @@
+"""Catalog: namespaces + tables under a warehouse directory.
+
+Re-expresses the reference's Nessie-backed catalog surface
+(SURVEY.md §2.9) locally:
+
+- CREATE NAMESPACE ... WITH PROPERTIES   /root/reference/SPARK_ICEBERG_GUIDE.md:89-90
+- SHOW NAMESPACES / DESCRIBE NAMESPACE   :92-93
+- CREATE TABLE ... TBLPROPERTIES(...)    :102-110
+- SHOW TABLES / DESCRIBE TABLE           :114-115
+
+Layout mirrors the reference's object-store warehouse
+(`warehouse/<ns>/<table>_<uuid>/{data,metadata}` narrated at :117-118)
+minus the uuid suffix — a local path per table with `data/` and
+`metadata/` inside. Namespace properties live in a
+`.namespace.json` sidecar (namespaces are metadata-only, :95-96).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .log import LogEntry
+from .table import LakehouseTable
+
+_NS_FILE = ".namespace.json"
+
+
+class CatalogError(RuntimeError):
+    pass
+
+
+class Lakehouse:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        os.makedirs(warehouse_dir, exist_ok=True)
+
+    # ---- namespaces --------------------------------------------------
+
+    def create_namespace(
+        self,
+        name: str,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        ns_dir = os.path.join(self.warehouse_dir, name)
+        marker = os.path.join(ns_dir, _NS_FILE)
+        if os.path.exists(marker):
+            if if_not_exists:
+                return
+            raise CatalogError(f"namespace {name} already exists")
+        os.makedirs(ns_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"name": name, "properties": properties or {}, "created_at": time.time()}, f)
+
+    def namespaces(self) -> list[str]:
+        out = []
+        for name in sorted(os.listdir(self.warehouse_dir)):
+            if os.path.exists(os.path.join(self.warehouse_dir, name, _NS_FILE)):
+                out.append(name)
+        return out
+
+    def describe_namespace(self, name: str) -> dict:
+        marker = os.path.join(self.warehouse_dir, name, _NS_FILE)
+        if not os.path.exists(marker):
+            raise CatalogError(f"namespace {name} does not exist")
+        with open(marker) as f:
+            return json.load(f)
+
+    # ---- tables ------------------------------------------------------
+
+    def _split(self, identifier: str) -> tuple[str, str]:
+        if "." not in identifier:
+            raise CatalogError(f"expected <namespace>.<table>, got {identifier!r}")
+        ns, tbl = identifier.split(".", 1)
+        return ns, tbl
+
+    def _table_dir(self, identifier: str) -> str:
+        ns, tbl = self._split(identifier)
+        return os.path.join(self.warehouse_dir, ns, tbl)
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: T.StructType | str | None = None,
+        properties: dict[str, str] | None = None,
+        if_not_exists: bool = False,
+    ) -> LakehouseTable:
+        """CREATE TABLE ... USING <format> TBLPROPERTIES(...) analog
+        (guide :102-110). Commits an empty `create` snapshot carrying
+        the table properties."""
+        ns, _ = self._split(identifier)
+        if ns not in self.namespaces():
+            raise CatalogError(f"namespace {ns} does not exist")
+        table_dir = self._table_dir(identifier)
+        t = LakehouseTable(self.spark, identifier, table_dir)
+        if t.log.latest_version() is not None:
+            if if_not_exists:
+                return t
+            raise CatalogError(f"table {identifier} already exists")
+
+        props = {str(k): str(v) for k, v in (properties or {}).items()}
+        schema_ddl = None
+        if schema is not None:
+            st = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+            schema_ddl = st.simpleString()
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="create",
+                properties=props,
+                extra={"schema": schema_ddl} if schema_ddl else None,
+            )
+
+        t.log.append(make)
+        return t
+
+    def table(self, identifier: str) -> LakehouseTable:
+        table_dir = self._table_dir(identifier)
+        t = LakehouseTable(self.spark, identifier, table_dir)
+        if t.log.latest_version() is None:
+            raise CatalogError(f"table {identifier} does not exist")
+        return t
+
+    def tables(self, namespace: str) -> list[str]:
+        ns_dir = os.path.join(self.warehouse_dir, namespace)
+        if not os.path.exists(os.path.join(ns_dir, _NS_FILE)):
+            raise CatalogError(f"namespace {namespace} does not exist")
+        out = []
+        for name in sorted(os.listdir(ns_dir)):
+            if os.path.isdir(os.path.join(ns_dir, name)) and os.path.isdir(
+                os.path.join(ns_dir, name, "metadata")
+            ):
+                out.append(name)
+        return out
+
+    def drop_table(self, identifier: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._table_dir(identifier))
+
+    def describe_table(self, identifier: str) -> dict:
+        t = self.table(identifier)
+        entries = t.log.entries()
+        return {
+            "identifier": identifier,
+            "location": t.table_dir,
+            "properties": t.properties(),
+            "current_snapshot_id": entries[-1].snapshot_id if entries else None,
+            "snapshots": len(entries),
+        }

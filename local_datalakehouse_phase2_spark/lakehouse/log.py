@@ -1,0 +1,183 @@
+"""Transaction log: the table-format core.
+
+The reference stack gets multi-version table semantics from Apache
+Iceberg (snapshot-per-commit, metadata JSON + manifest Avro under
+`metadata/` — narrated at /root/reference/SPARK_ICEBERG_GUIDE.md:117-118,
+136-139). We re-express the same semantics as a minimal JSON
+commit log: one `metadata/<version>.json` entry per commit, where a
+commit is `{version, snapshot_id, committed_at, operation,
+added_files, removed_files, properties}` and the live file set of any
+version is the fold of add/remove over entries `<= version`.
+
+Atomicity on a POSIX filesystem: entries are created with O_EXCL
+(`open(..., "x")`), so two concurrent writers racing for the same
+version number cannot both win — the loser re-reads and retries with
+the next version. This is the same optimistic-concurrency shape
+Iceberg/Delta use against an atomic-swap primitive; on an object
+store you would swap the primitive for a conditional PUT. Single-node
+scope (and that swap point) is documented in SURVEY.md §4.
+
+Checkpoints (`metadata/checkpoint-<version>.json`) store the fully
+resolved state at a version so readers replay only the suffix —
+the role Iceberg's `rewrite_manifests` plays for manifest files
+(/root/reference/SPARK_ICEBERG_GUIDE.md:243-248).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import asdict, dataclass
+from typing import Any
+
+_ENTRY_RE = re.compile(r"^(\d{10})\.json$")
+_CHECKPOINT_RE = re.compile(r"^checkpoint-(\d{10})\.json$")
+
+
+@dataclass(frozen=True)
+class FileInfo:
+    """One immutable data file. `path` is relative to the table root so
+    the table directory can be relocated (or re-homed onto an object
+    store) without rewriting the log."""
+
+    path: str
+    size_bytes: int
+    row_count: int
+    content: int = 0  # 0=data; 1/2 (position/equality deletes) unused: copy-on-write
+
+
+@dataclass(frozen=True)
+class LogEntry:
+    version: int
+    snapshot_id: int
+    committed_at: float  # unix seconds, UTC
+    operation: str  # create | append | overwrite | replace | rollback | set_properties
+    added_files: tuple[FileInfo, ...] = ()
+    removed_files: tuple[str, ...] = ()  # relative paths
+    properties: dict[str, str] | None = None  # full property map after this commit
+    extra: dict[str, Any] | None = None  # e.g. rollback target snapshot
+
+
+class TransactionLog:
+    def __init__(self, metadata_dir: str):
+        self.metadata_dir = metadata_dir
+        os.makedirs(metadata_dir, exist_ok=True)
+
+    # ---- reading -----------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.metadata_dir):
+            m = _ENTRY_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def read_entry(self, version: int) -> LogEntry:
+        with open(os.path.join(self.metadata_dir, f"{version:010d}.json")) as f:
+            raw = json.load(f)
+        return LogEntry(
+            version=raw["version"],
+            snapshot_id=raw["snapshot_id"],
+            committed_at=raw["committed_at"],
+            operation=raw["operation"],
+            added_files=tuple(FileInfo(**fi) for fi in raw["added_files"]),
+            removed_files=tuple(raw["removed_files"]),
+            properties=raw.get("properties"),
+            extra=raw.get("extra"),
+        )
+
+    def entries(self, upto: int | None = None) -> list[LogEntry]:
+        vs = self.versions()
+        if upto is not None:
+            vs = [v for v in vs if v <= upto]
+        return [self.read_entry(v) for v in vs]
+
+    def latest_checkpoint_version(self, upto: int | None = None) -> int | None:
+        best = None
+        for name in os.listdir(self.metadata_dir):
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                v = int(m.group(1))
+                if (upto is None or v <= upto) and (best is None or v > best):
+                    best = v
+        return best
+
+    def state_at(self, version: int | None = None) -> dict[str, FileInfo]:
+        """Live file set (path -> FileInfo) at `version` (default: latest),
+        replaying from the newest checkpoint at or before it."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return {}
+        state: dict[str, FileInfo] = {}
+        start = 0
+        cp = self.latest_checkpoint_version(upto=version)
+        if cp is not None:
+            with open(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")) as f:
+                state = {fi["path"]: FileInfo(**fi) for fi in json.load(f)["files"]}
+            start = cp + 1
+        for entry in self.entries(upto=version):
+            if entry.version < start:
+                continue
+            for p in entry.removed_files:
+                state.pop(p, None)
+            for fi in entry.added_files:
+                state[fi.path] = fi
+        return state
+
+    def properties_at(self, version: int | None = None) -> dict[str, str]:
+        props: dict[str, str] = {}
+        for entry in self.entries(upto=version):
+            if entry.properties is not None:
+                props = dict(entry.properties)
+        return props
+
+    # ---- writing -----------------------------------------------------
+
+    def append(self, make_entry) -> LogEntry:
+        """Atomically commit the entry produced by `make_entry(version)`.
+
+        `make_entry` is re-invoked on version conflict so the caller can
+        re-resolve against the new latest state (optimistic concurrency).
+        """
+        while True:
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+            entry: LogEntry = make_entry(version)
+            raw = asdict(entry)
+            raw["added_files"] = [asdict(fi) for fi in entry.added_files]
+            raw["removed_files"] = list(entry.removed_files)
+            path = os.path.join(self.metadata_dir, f"{version:010d}.json")
+            try:
+                with open(path, "x") as f:
+                    json.dump(raw, f, indent=1)
+                return entry
+            except FileExistsError:
+                continue  # lost the race: recompute against new latest
+
+    def write_checkpoint(self, version: int | None = None) -> int:
+        """Materialize resolved state at `version` (default latest) —
+        our `rewrite_manifests` (SURVEY.md §2.10 M2)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError("cannot checkpoint an empty log")
+        state = self.state_at(version)
+        path = os.path.join(self.metadata_dir, f"checkpoint-{version:010d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "files": [asdict(fi) for fi in state.values()]}, f)
+        os.replace(tmp, path)
+        return version
+
+    def remove_entries(self, versions: list[int]) -> None:
+        for v in versions:
+            p = os.path.join(self.metadata_dir, f"{v:010d}.json")
+            if os.path.exists(p):
+                os.remove(p)

@@ -1,0 +1,220 @@
+"""Maintenance procedures — the reference's core domain (SURVEY.md §2.10).
+
+Each maps one `CALL nessie.system.<proc>(...)` from the runbook onto a
+plain PySpark job + transaction-log commit:
+
+- M1 rewrite_data_files    /root/reference/SPARK_ICEBERG_GUIDE.md:228-240
+- M2 rewrite_manifests     :243-248  (= log checkpointing here)
+- M3 expire_snapshots      :253-268  (retain_last / older_than, UTC)
+- M4 remove_orphan_files   :272-280  (>= 24 h safety floor at :274)
+- M5 rollback_to_snapshot  :304-316
+- M6 rewrite_position/equality_deletes (:17) are no-ops by design:
+  this table format is copy-on-write, so delete files never exist.
+
+Safety gates from the runbook: destructive ops honor
+`gc.enabled='false'` (:218-224) and the orphan sweep refuses cutoffs
+younger than 24 h (:274).
+
+Scale: the only data-sized work (compaction's read+rewrite) is a
+distributed Spark job whose output file count is computed from the
+EXACT byte total in the log — no sampling. Expiry/orphan/rollback
+touch metadata and do O(#files) filesystem ops, same as Iceberg's
+driver-side planning.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from .log import FileInfo, LogEntry
+from .table import (
+    DEFAULT_TARGET_FILE_SIZE,
+    PROP_GC_ENABLED,
+    LakehouseTable,
+)
+
+ORPHAN_SAFETY_SECONDS = 24 * 3600  # guide :274
+
+
+class MaintenanceError(RuntimeError):
+    pass
+
+
+def _check_gc_enabled(table: LakehouseTable, what: str) -> None:
+    if table.properties().get(PROP_GC_ENABLED, "true").lower() == "false":
+        raise MaintenanceError(
+            f"{what} blocked: table {table.identifier} has gc.enabled=false "
+            "(see reference guide :218-224)"
+        )
+
+
+def rewrite_data_files(
+    table: LakehouseTable,
+    target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
+    min_input_files: int = 1,
+) -> dict:
+    """M1: bin-pack small data files into ~target-size files.
+
+    Mirrors `CALL rewrite_data_files(table, options => map(
+    'target-file-size-bytes','134217728','min-input-files','1',...))`
+    (guide :231-239). One distributed read of the current snapshot,
+    one repartitioned write sized from exact logged bytes, one atomic
+    `replace` commit swapping the file set.
+    """
+    state = table.log.state_at()
+    if len(state) < min_input_files:
+        return {"rewritten_files": 0, "added_files": 0, "skipped": True}
+
+    total_bytes = sum(fi.size_bytes for fi in state.values())
+    n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
+    df = table.read()
+    files = table._write_files(df.repartition(n_files), input_bytes=total_bytes)
+
+    def make(version: int) -> LogEntry:
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="replace",
+            added_files=files,
+            removed_files=tuple(state.keys()),
+        )
+
+    table.log.append(make)
+    return {"rewritten_files": len(state), "added_files": len(files), "skipped": False}
+
+
+def rewrite_manifests(table: LakehouseTable) -> dict:
+    """M2: compact commit metadata — write a resolved checkpoint so
+    readers replay O(1) entries instead of the whole log (guide :243-248)."""
+    v = table.log.write_checkpoint()
+    return {"checkpoint_version": v}
+
+
+def expire_snapshots(
+    table: LakehouseTable,
+    retain_last: int | None = None,
+    older_than: float | None = None,
+) -> dict:
+    """M3: drop old snapshots and delete data files only they reference
+    (guide :253-268). The CURRENT snapshot is always retained — after a
+    rollback, "current" is the new head commit, so a rollback target can
+    never be expired out from under it.
+    """
+    _check_gc_enabled(table, "expire_snapshots")
+    entries = table.log.entries()
+    if not entries:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+    versions = [e.version for e in entries]
+    current = versions[-1]
+
+    keep = {current}
+    if retain_last is not None:
+        keep.update(versions[-retain_last:])
+    if older_than is not None:
+        keep.update(v for v, e in zip(versions, entries) if e.committed_at >= older_than)
+    if retain_last is None and older_than is None:
+        raise MaintenanceError("expire_snapshots needs retain_last and/or older_than")
+
+    expired = [v for v in versions if v not in keep]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    # files referenced by any surviving snapshot stay
+    live: set[str] = set()
+    for v in sorted(keep):
+        live.update(table.log.state_at(v).keys())
+    doomed: set[str] = set()
+    for v in expired:
+        doomed.update(table.log.state_at(v).keys())
+    doomed -= live
+
+    # checkpoint at the oldest surviving version FIRST so replay never
+    # needs the expired entries, then drop entries, then delete data
+    table.log.write_checkpoint(min(keep))
+    table.log.remove_entries(expired)
+    deleted = 0
+    for rel in doomed:
+        full = os.path.join(table.table_dir, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted += 1
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+def remove_orphan_files(
+    table: LakehouseTable,
+    older_than: float | None = None,
+) -> dict:
+    """M4: delete files under the table dir referenced by NO snapshot
+    (guide :272-280). Refuses cutoffs younger than 24 h (:274) — files
+    may belong to an in-flight commit.
+    """
+    _check_gc_enabled(table, "remove_orphan_files")
+    now = time.time()
+    if older_than is None:
+        older_than = now - ORPHAN_SAFETY_SECONDS
+    if older_than > now - ORPHAN_SAFETY_SECONDS:
+        raise MaintenanceError(
+            "remove_orphan_files: older_than must be >= 24h in the past (guide :274)"
+        )
+
+    referenced: set[str] = set()
+    for v in table.log.versions():
+        referenced.update(table.log.state_at(v).keys())
+
+    deleted = 0
+    for root, _dirs, names in os.walk(table.data_dir):
+        for name in names:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table.table_dir)
+            if rel in referenced:
+                continue
+            if os.path.getmtime(full) < older_than:
+                os.remove(full)
+                deleted += 1
+    # prune now-empty commit dirs
+    for root, dirs, names in list(os.walk(table.data_dir, topdown=False)):
+        if root != table.data_dir and not dirs and not names:
+            os.rmdir(root)
+    return {"deleted_files": deleted}
+
+
+def rollback_to_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
+    """M5: make the table's current state the given snapshot's state
+    (guide :304-316). Implemented as a NEW head commit whose file set
+    is the target's — history is never rewritten, so rolling forward
+    again is just another rollback.
+    """
+    try:
+        target_state = table.log.state_at(snapshot_id)
+        table.log.read_entry(snapshot_id)
+    except FileNotFoundError:
+        raise MaintenanceError(f"snapshot {snapshot_id} does not exist (expired?)")
+
+    def make(version: int) -> LogEntry:
+        current = table.log.state_at()
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="rollback",
+            added_files=tuple(fi for p, fi in target_state.items() if p not in current),
+            removed_files=tuple(p for p in current if p not in target_state),
+            extra={"rollback_to": snapshot_id},
+        )
+
+    e = table.log.append(make)
+    return {"rolled_back_to": snapshot_id, "new_snapshot_id": e.snapshot_id}
+
+
+def rewrite_position_deletes(table: LakehouseTable) -> dict:
+    """M6: no-op — copy-on-write format has no delete files (SURVEY.md §2.10)."""
+    return {"rewritten_delete_files": 0, "note": "copy-on-write: no delete files exist"}
+
+
+def rewrite_equality_deletes(table: LakehouseTable) -> dict:
+    """M6: no-op — copy-on-write format has no delete files (SURVEY.md §2.10)."""
+    return {"rewritten_delete_files": 0, "note": "copy-on-write: no delete files exist"}

@@ -1,0 +1,248 @@
+"""Managed multi-version table: reads, snapshot-committing writes,
+time travel, and the `snapshots`/`files` metadata views.
+
+Re-expresses, Spark-first, what the reference gets from Iceberg:
+
+- snapshot-per-INSERT commits (/root/reference/SPARK_ICEBERG_GUIDE.md:122)
+- metadata tables `<t>.snapshots` (`snapshot_id, committed_at,
+  operation` — :132-134) and `<t>.files` (`file_path,
+  file_size_in_bytes, content` — :175-185)
+- `write.target-file-size-bytes` and `write.distribution-mode`
+  TBLPROPERTIES honored by the writer (:108-109, :324-328)
+- time-travel reads (`VERSION AS OF` analog; rollback at :304-316)
+
+Scale notes: the data path is pure Spark — writers are distributed
+parquet jobs sized by `write.target-file-size-bytes`, readers are
+`spark.read.parquet(<live files>)` so Catalyst keeps predicate
+pushdown / column pruning / row-group skipping. Only the commit
+metadata (KBs of JSON) is handled on the driver, the same division of
+labor as Iceberg's driver-side commit. File listing/size checks use
+the local filesystem API; on an object store swap `os` calls for the
+Hadoop FileSystem API behind this same interface.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .log import FileInfo, LogEntry, TransactionLog
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
+
+PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
+PROP_DISTRIBUTION_MODE = "write.distribution-mode"  # none | hash
+PROP_HASH_COLUMNS = "write.hash-columns"  # comma list for hash mode
+PROP_GC_ENABLED = "gc.enabled"  # guide :218-224
+
+SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("committed_at", T.TimestampType(), False),
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("added_files", T.IntegerType(), False),
+        T.StructField("removed_files", T.IntegerType(), False),
+        T.StructField("total_files", T.IntegerType(), False),
+        T.StructField("total_records", T.LongType(), False),
+    ]
+)
+
+FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.IntegerType(), False),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("file_size_in_bytes", T.LongType(), False),
+        T.StructField("record_count", T.LongType(), False),
+    ]
+)
+
+
+class LakehouseTable:
+    def __init__(self, spark: SparkSession, identifier: str, table_dir: str):
+        self.spark = spark
+        self.identifier = identifier
+        self.table_dir = table_dir
+        self.data_dir = os.path.join(table_dir, "data")
+        self.log = TransactionLog(os.path.join(table_dir, "metadata"))
+
+    # ---- properties --------------------------------------------------
+
+    def properties(self) -> dict[str, str]:
+        return self.log.properties_at()
+
+    def set_properties(self, updates: dict[str, str]) -> LogEntry:
+        """ALTER TABLE ... SET TBLPROPERTIES (guide :220-224, :324-328)."""
+
+        def make(version: int) -> LogEntry:
+            props = self.log.properties_at()
+            props.update({k: str(v) for k, v in updates.items()})
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="set_properties",
+                properties=props,
+            )
+
+        return self.log.append(make)
+
+    # ---- reads -------------------------------------------------------
+
+    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+        """Current-snapshot scan, or time travel by snapshot id
+        (`VERSION AS OF`) or timestamp (`TIMESTAMP AS OF`)."""
+        if as_of is not None:
+            eligible = [e.version for e in self.log.entries() if e.committed_at <= as_of]
+            if not eligible:
+                raise ValueError(f"no snapshot at or before {as_of}")
+            version = max(eligible)
+        elif version is not None and version not in self.log.versions():
+            raise ValueError(f"snapshot {version} does not exist (expired?)")
+        state = self.log.state_at(version)
+        if not state:
+            return self.spark.createDataFrame([], self._schema())
+        paths = [os.path.join(self.table_dir, p) for p in state]
+        return self.spark.read.parquet(*paths)
+
+    def _schema(self) -> T.StructType:
+        # empty table: recover schema from any file ever written, else empty
+        for entry in self.log.entries():
+            for fi in entry.added_files:
+                return self.spark.read.parquet(os.path.join(self.table_dir, fi.path)).schema
+        return T.StructType([])
+
+    # ---- metadata views (SURVEY.md S2/S3) ----------------------------
+
+    def snapshots(self) -> DataFrame:
+        """The `<t>.snapshots` metadata relation (guide :132-134)."""
+        rows = []
+        for e in self.log.entries():
+            st = self.log.state_at(e.version)
+            rows.append(
+                (
+                    e.snapshot_id,
+                    # naive UTC timestamp (session TZ is UTC)
+                    _dt.datetime.fromtimestamp(e.committed_at, _dt.timezone.utc).replace(tzinfo=None),
+                    e.operation,
+                    len(e.added_files),
+                    len(e.removed_files),
+                    len(st),
+                    sum(fi.row_count for fi in st.values()),
+                )
+            )
+        return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
+
+    def files(self, version: int | None = None) -> DataFrame:
+        """The `<t>.files` metadata relation (guide :175-185)."""
+        rows = [
+            (fi.content, os.path.join(self.table_dir, fi.path), fi.size_bytes, fi.row_count)
+            for fi in self.log.state_at(version).values()
+        ]
+        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+
+    # ---- writes ------------------------------------------------------
+
+    def append(self, df: DataFrame) -> LogEntry:
+        return self._commit_write(df, operation="append", removed=())
+
+    def overwrite(self, df: DataFrame) -> LogEntry:
+        removed = tuple(self.log.state_at().keys())
+        return self._commit_write(df, operation="overwrite", removed=removed)
+
+    def _commit_write(
+        self,
+        df: DataFrame,
+        operation: str,
+        removed: tuple[str, ...],
+        input_bytes: int | None = None,
+    ) -> LogEntry:
+        files = self._write_files(df, input_bytes=input_bytes)
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation=operation,
+                added_files=files,
+                removed_files=removed,
+            )
+
+        return self.log.append(make)
+
+    def _write_files(
+        self, df: DataFrame, input_bytes: int | None = None
+    ) -> tuple[FileInfo, ...]:
+        """Write df as parquet honoring `write.target-file-size-bytes`
+        and `write.distribution-mode` (guide :108-109, :324-328).
+        Files land in a unique per-commit subdir (no renames; uncommitted
+        dirs are what `remove_orphan_files` sweeps).
+
+        Sizing semantics match Iceberg's rolling writers: the target is
+        a per-file CAP, not a bin-packing goal — an append never
+        coalesces below the input's natural partitioning (tiny inserts
+        produce tiny files; that small-file problem is precisely what
+        `rewrite_data_files` exists to fix, guide :142-163 vs :228-240).
+        We measure-then-shape: write naturally, and only if measured
+        compressed bytes say files exceed the cap, split by rewriting at
+        ceil(total/target). Catalyst's plan-size estimate is useless for
+        this (literal/unknown plans report 8 EiB). Compaction passes
+        exact logged bytes and skips staging entirely.
+        """
+        props = self.log.properties_at()
+        target = int(props.get(PROP_TARGET_FILE_SIZE, DEFAULT_TARGET_FILE_SIZE))
+        mode = props.get(PROP_DISTRIBUTION_MODE, "none")
+        hash_cols = [c.strip() for c in props.get(PROP_HASH_COLUMNS, "").split(",") if c.strip()]
+
+        def shape(frame: DataFrame, n: int) -> DataFrame:
+            if mode == "hash":
+                cols = hash_cols or frame.columns[:1]
+                return frame.repartition(n, *[F.col(c) for c in cols])
+            if n == 1:
+                return frame.coalesce(1)
+            return frame.repartition(n)
+
+        def write_dir(frame: DataFrame) -> str:
+            out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+            frame.write.mode("error").parquet(out)
+            return out
+
+        def scan(out_dir: str) -> tuple[FileInfo, ...]:
+            infos = []
+            for name in sorted(os.listdir(out_dir)):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(out_dir, name)
+                rel = os.path.relpath(full, self.table_dir)
+                # exact row count from the parquet footer — no Spark job
+                rows = pq.ParquetFile(full).metadata.num_rows
+                infos.append(
+                    FileInfo(path=rel, size_bytes=os.path.getsize(full), row_count=rows)
+                )
+            return tuple(infos)
+
+        if input_bytes is not None:
+            n_files = max(1, math.ceil(input_bytes / target))
+            return scan(write_dir(shape(df, n_files)))
+
+        staged_dir = write_dir(df if mode != "hash" else shape(df, df.rdd.getNumPartitions()))
+        staged = scan(staged_dir)
+        total = sum(fi.size_bytes for fi in staged)
+        n_split = math.ceil(total / target)
+        if n_split <= len(staged):
+            return staged  # every file is at/under the cap (modulo skew)
+        reshaped = shape(self.spark.read.parquet(staged_dir), n_split)
+        final = scan(write_dir(reshaped))
+        import shutil
+
+        shutil.rmtree(staged_dir)
+        return final

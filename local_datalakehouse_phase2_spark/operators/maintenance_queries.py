@@ -1,1 +1,184 @@
-"""Placeholder — filled in this round."""
+"""Driver-visible queries for the lakehouse/maintenance layer
+(SURVEY.md §2.9-§2.10) — the reference runbook's subject matter
+re-run as deterministic mini-lifecycles on fixture data.
+
+Each query builds a throwaway warehouse, drives the table through the
+runbook's steps (small-file explosion -> compaction -> expiry ->
+rollback, /root/reference/SPARK_ICEBERG_GUIDE.md:99-340), and returns
+the runbook's own verification quantities (file counts, row counts,
+snapshot operations — the guide's :171-191, :333-340 checks). Results
+are materialized eagerly into a local DataFrame so the temp warehouse
+can be deleted before the driver collects.
+
+Determinism: chunking is by key ranges and shaping by hash
+repartition on keys, so file/row counts are stable across runs —
+stable enough to pin as constant-VALUES DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..lakehouse import (
+    Lakehouse,
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_manifests,
+    rollback_to_snapshot,
+)
+from ..registry import register
+from ..sources.loaders import load_table
+
+
+def _with_lake(spark: SparkSession, fn) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="lakehouse_q_")
+    try:
+        lake = Lakehouse(spark, tmp)
+        lake.create_namespace("lab", properties={"comment": "lab namespace"})
+        rows, schema = fn(lake)
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "lakehouse_snapshot_lifecycle",
+    oracle="""
+        SELECT * FROM (VALUES
+            (0, 'create',  0,   CAST(0   AS BIGINT)),
+            (1, 'append',  4,   CAST(10  AS BIGINT)),
+            (2, 'append',  4,   CAST(25  AS BIGINT)),
+            (3, 'replace', 1,   CAST(25  AS BIGINT))
+        ) AS t(snapshot_id, operation, added_files, total_records)
+    """,
+    tags=("lakehouse", "metadata"),
+    doc="Runbook lifecycle in miniature: CREATE -> two appends -> compaction, "
+    "verified through the `snapshots` metadata view (guide :132-134). "
+    "Deterministic: chunks are key ranges, files are hash-partitioned by key.",
+)
+def lakehouse_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.nation_lc",
+            schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+            properties={"write.target-file-size-bytes": "65536"},
+        )
+        t.append(nation.filter(F.col("n_nationkey") < 10).repartition(4, "n_nationkey"))
+        t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(4, "n_nationkey"))
+        rewrite_data_files(t, target_file_size_bytes=134217728)
+        snaps = (
+            t.snapshots()
+            .orderBy("snapshot_id")
+            .select("snapshot_id", "operation", "added_files", "total_records")
+            .collect()
+        )
+        return [tuple(r) for r in snaps], "snapshot_id bigint, operation string, added_files int, total_records bigint"
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_compaction_files",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(8 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(25 AS BIGINT), CAST(25 AS BIGINT))
+        ) AS t(files_before, files_after, rows_before, rows_after)
+    """,
+    tags=("lakehouse", "maintenance"),
+    doc="M1 rewrite_data_files (guide :228-240): small-file explosion "
+    "(2 appends x 4 hash buckets) bin-packed to 1 file; row set preserved — "
+    "the guide's own post-check (:333-340).",
+)
+def lakehouse_compaction_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.nation_cf", properties={"write.target-file-size-bytes": "65536"})
+        t.append(nation.filter(F.col("n_nationkey") < 10).repartition(4, "n_nationkey"))
+        t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(4, "n_nationkey"))
+        files_before = t.files().count()
+        rows_before = t.read().count()
+        rewrite_data_files(t, target_file_size_bytes=134217728)
+        rewrite_manifests(t)
+        files_after = t.files().count()
+        rows_after = t.read().count()
+        return (
+            [(files_before, files_after, rows_before, rows_after)],
+            "files_before bigint, files_after bigint, rows_before bigint, rows_after bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_time_travel_rollback",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT))
+        ) AS t(rows_v1, rows_v2, rows_after_rollback, rows_time_travel_v1)
+    """,
+    tags=("lakehouse", "maintenance"),
+    doc="M5 rollback_to_snapshot + VERSION AS OF reads (guide :304-316): "
+    "append region (5 rows), append again (10), roll back to snapshot 1, and "
+    "time-travel read snapshot 1 — all four row counts pinned.",
+)
+def lakehouse_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.region_tt")
+        t.append(region)
+        rows_v1 = t.read().count()
+        t.append(region)
+        rows_v2 = t.read().count()
+        rollback_to_snapshot(t, 1)
+        rows_rb = t.read().count()
+        rows_tt = t.read(version=1).count()
+        return (
+            [(rows_v1, rows_v2, rows_rb, rows_tt)],
+            "rows_v1 bigint, rows_v2 bigint, rows_after_rollback bigint, rows_time_travel_v1 bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_expire_and_orphans",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(5 AS BIGINT))
+        ) AS t(snapshots_before, snapshots_after, orphans_deleted, rows_current)
+    """,
+    tags=("lakehouse", "maintenance"),
+    doc="M3 expire_snapshots(retain_last=2) + M4 remove_orphan_files with the "
+    "24h safety floor (guide :253-280): history shrinks, fresh files survive "
+    "the sweep, current data intact.",
+)
+def lakehouse_expire_and_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.region_exp")
+        t.append(region.filter(F.col("r_regionkey") < 2))
+        t.append(region.filter(F.col("r_regionkey") >= 2))
+        t.overwrite(region)
+        snapshots_before = t.snapshots().count()
+        expire_snapshots(t, retain_last=2)
+        snapshots_after = t.snapshots().count()
+        # a legal sweep never touches young files (24h floor, guide :274)
+        orphans = remove_orphan_files(t)["deleted_files"]
+        rows_current = t.read().count()
+        return (
+            [(snapshots_before, snapshots_after, orphans, rows_current)],
+            "snapshots_before bigint, snapshots_after bigint, orphans_deleted bigint, rows_current bigint",
+        )
+
+    return _with_lake(spark, run)

@@ -1,0 +1,208 @@
+"""Runbook-replay test (SURVEY.md §5.2): port of the reference guide's
+steps 3-8 (/root/reference/SPARK_ICEBERG_GUIDE.md:99-340) — create a
+table tuned to explode into small files, verify the explosion through
+the `files` metadata view, then compaction / snapshot expiry / orphan
+removal / rollback with the guide's documented post-conditions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    CatalogError,
+    Lakehouse,
+    MaintenanceError,
+    expire_snapshots,
+    remove_orphan_files,
+    rewrite_data_files,
+    rewrite_manifests,
+    rollback_to_snapshot,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _rows(t):
+    return {tuple(r) for r in t.read().collect()}
+
+
+def test_namespace_ddl(lake):
+    # guide :89-96 — namespaces are metadata-only, with properties
+    lake.create_namespace("lab", properties={"comment": "lab namespace"})
+    lake.create_namespace("lab", if_not_exists=True)
+    with pytest.raises(CatalogError):
+        lake.create_namespace("lab")
+    assert lake.namespaces() == ["lab"]
+    assert lake.describe_namespace("lab")["properties"] == {"comment": "lab namespace"}
+
+
+def test_runbook_small_files_lifecycle(spark, lake):
+    lake.create_namespace("lab")
+    # guide :102-110 — tiny target-file-size so appends explode into small files
+    t = lake.create_table(
+        "lab.small_files",
+        schema="id bigint, name string",
+        properties={
+            "write.target-file-size-bytes": "65536",
+            "write.distribution-mode": "none",
+            "format-version": "2",
+        },
+    )
+    assert lake.tables("lab") == ["small_files"]
+
+    # guide :124-127 — VALUES insert creates the first data snapshot
+    t.append(spark.createDataFrame([(1, "alice"), (2, "bob"), (3, "charlie")], "id bigint, name string"))
+    # guide :151-161 — RANGE inserts; repartition(8) mimics the guide's
+    # many-small-files outcome deterministically
+    mk = lambda lo, hi: (
+        spark.range(lo, hi).select(
+            F.col("id"), F.concat(F.lit("name_"), F.col("id").cast("string")).alias("name")
+        )
+    )
+    t.append(mk(0, 200).repartition(8))
+    t.append(mk(200, 1000).repartition(8))
+
+    # guide :166 — COUNT(*) over the table
+    assert t.read().count() == 1003
+    # guide :171-191 — file explosion visible in the `files` view
+    files = t.files().collect()
+    assert len(files) >= 17  # 1 + 8 + 8 at minimum
+    assert all(f.content == 0 for f in files)
+    # guide :132-134 — snapshots view: one commit per insert + create
+    snaps = t.snapshots().orderBy("snapshot_id").collect()
+    assert [s.operation for s in snaps] == ["create", "append", "append", "append"]
+
+    rows_before = _rows(t)
+    pre_compaction_snapshot = snaps[-1].snapshot_id
+
+    # guide :228-240 — compaction: fewer, larger files; same data
+    res = rewrite_data_files(t, target_file_size_bytes=134217728)
+    assert res["rewritten_files"] == len(files)
+    files_after = t.files().collect()
+    assert len(files_after) < len(files)
+    assert _rows(t) == rows_before
+    assert max(f.file_size_in_bytes for f in files_after) >= max(
+        f.file_size_in_bytes for f in files
+    )
+
+    # guide :243-248 — manifest rewrite = checkpoint
+    cp = rewrite_manifests(t)
+    assert cp["checkpoint_version"] == t.log.latest_version()
+
+    # time travel (VERSION AS OF analog) still sees the pre-compaction set
+    assert {tuple(r) for r in t.read(version=pre_compaction_snapshot).collect()} == rows_before
+
+    # guide :304-316 — rollback restores the pre-compaction file set
+    rollback_to_snapshot(t, pre_compaction_snapshot)
+    assert _rows(t) == rows_before
+    assert len(t.files().collect()) == len(files)
+    # roll forward again by rolling back to the compacted snapshot
+    compacted_snapshot = cp["checkpoint_version"]
+    rollback_to_snapshot(t, compacted_snapshot)
+    assert len(t.files().collect()) == len(files_after)
+
+    # guide :253-268 — expiry keeps the last N snapshots and the current one
+    n_before = t.snapshots().count()
+    res = expire_snapshots(t, retain_last=3)
+    assert res["expired_snapshots"] == n_before - 3
+    assert t.snapshots().count() == 3
+    assert _rows(t) == rows_before  # current state untouched
+    # expired snapshot ids are gone for time travel
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
+
+
+def test_expire_never_drops_rollback_target(spark, lake):
+    # the rollback commit carries the old file set forward, so expiring
+    # everything but the head keeps the data alive
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.r", schema="id bigint")
+    t.append(spark.range(0, 10).select("id"))
+    v1_rows = _rows(t)
+    t.overwrite(spark.range(100, 110).select("id"))
+    rollback_to_snapshot(t, 1)
+    expire_snapshots(t, retain_last=1)
+    assert _rows(t) == v1_rows
+
+
+def test_orphan_removal_gates(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.o", schema="id bigint")
+    t.append(spark.range(0, 5).select("id"))
+
+    # plant an orphan (e.g. files from a failed commit)
+    orphan_dir = os.path.join(t.data_dir, "vdeadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-dead.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+
+    # guide :274 — refuse young cutoffs
+    with pytest.raises(MaintenanceError):
+        remove_orphan_files(t, older_than=time.time())
+    # fresh orphan survives a legal sweep
+    assert remove_orphan_files(t)["deleted_files"] == 0
+    assert os.path.exists(orphan)
+
+    # age the orphan 25h and sweep again
+    old = time.time() - 25 * 3600
+    os.utime(orphan, (old, old))
+    assert remove_orphan_files(t)["deleted_files"] == 1
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(orphan_dir)  # empty commit dir pruned
+    # live data untouched
+    assert t.read().count() == 5
+
+    # guide :218-224 — gc.enabled=false blocks destructive maintenance
+    t.set_properties({"gc.enabled": "false"})
+    with pytest.raises(MaintenanceError):
+        remove_orphan_files(t)
+    with pytest.raises(MaintenanceError):
+        expire_snapshots(t, retain_last=1)
+
+
+def test_writer_honors_target_file_size_and_hash_mode(spark, lake):
+    lake.create_namespace("lab")
+    # ~800KB of data with a 64KB target => many files
+    t = lake.create_table(
+        "lab.sized",
+        schema="id bigint, pad string",
+        properties={"write.target-file-size-bytes": "65536"},
+    )
+    df = spark.range(0, 20000).select("id", F.lpad(F.col("id").cast("string"), 40, "x").alias("pad"))
+    t.append(df)
+    n_small = t.files().count()
+    assert n_small > 1
+
+    # hash distribution mode (guide :326) shuffles by the declared key
+    t2 = lake.create_table(
+        "lab.hashed",
+        schema="id bigint, pad string",
+        properties={
+            "write.distribution-mode": "hash",
+            "write.hash-columns": "id",
+        },
+    )
+    t2.append(df)
+    assert t2.read().count() == 20000
+
+
+def test_time_travel_by_timestamp(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.tt", schema="id bigint")
+    t.append(spark.range(0, 3).select("id"))
+    mid = time.time()
+    time.sleep(0.05)
+    t.append(spark.range(3, 6).select("id"))
+    assert t.read().count() == 6
+    assert t.read(as_of=mid).count() == 3
+    with pytest.raises(ValueError):
+        t.read(as_of=0.0)
