@@ -18,15 +18,30 @@ from local_datalakehouse_phase2_spark.registry import all_specs
 from local_datalakehouse_phase2_spark.session import get_spark
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_change",
     "broadcast_dim_join",
     "window_topk_per_group",
+    "window_running_sum",
     "rollup_agg",
     "distinct_counts",
     "json_extract",
+    # LLM-pipeline operators
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "text_stats",
+    "lang_id_ngram",
+    "token_frequency",
+    # streaming semantics (batch-evaluated windows)
+    "tumbling_daily_counts",
+    "session_window_activity",
+    # lakehouse lifecycle (write + compact + metadata views)
+    "lakehouse_compaction_files",
 ]
 
 

