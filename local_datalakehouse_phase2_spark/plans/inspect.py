@@ -1,0 +1,77 @@
+"""Physical-plan inspection: make plan quality testable.
+
+The optimizer work in this engine is Catalyst's (SURVEY.md §4) — our
+job is to express queries so Catalyst's free optimizations actually
+fire. These helpers turn `.explain("formatted")` into assertions so
+regressions in pushdown / pruning / join strategy / partial
+aggregation fail tests instead of silently burning a cluster:
+
+- predicate pushdown:   PushedFilters on the parquet scan
+- column pruning:       ReadSchema strictly narrower than the table
+- broadcast joins:      BroadcastHashJoin for dim joins (no shuffle of
+                        the big side)
+- partial aggregation:  HashAggregate partial -> final (map-side
+                        combine, shuffle carries group rows not input)
+- top-k:                TakeOrderedAndProject (never global sort)
+- whole-stage codegen:  hot expressions inside codegen spans
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (what df.explain(mode) prints)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filter lists pushed into each parquet scan, e.g. ['IsNotNull(x)', ...]."""
+    out = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan_string(df)):
+        out.append(m.group(1).strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings of each file scan (pruned column sets)."""
+    return [m.group(1) for m in re.finditer(r"ReadSchema: (struct<[^\n]*)", plan_string(df))]
+
+
+def scan_columns(df: DataFrame) -> list[set[str]]:
+    """Column-name sets actually read by each parquet scan."""
+    cols = []
+    for schema in read_schemas(df):
+        names = re.findall(r"(?:<|,)(\w+):", schema)
+        cols.append(set(names))
+    return cols
+
+
+def join_strategies(df: DataFrame) -> list[str]:
+    """Physical join node names in plan order."""
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+        plan_string(df),
+    )
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True when at least one HashAggregate pair does partial -> final
+    (map-side combine before the exchange)."""
+    p = plan_string(df)
+    return "partial_" in p or bool(re.search(r"Functions \[\d*partial", p))
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in plan_string(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans (wider spans = more of the
+    plan runs as generated JVM code)."""
+    ids = re.findall(r"WholeStageCodegen \((\d+)\)", plan_string(df, "simple"))
+    return len(set(ids))

@@ -1,0 +1,93 @@
+"""Plan-quality gates: the optimizations SURVEY.md §4 counts on must
+actually appear in the physical plans — at 100 TB a missing pushdown
+or a shuffled dim join is the difference between minutes and hours.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_datalakehouse_phase2_spark.plans.inspect import (
+    has_partial_aggregation,
+    has_take_ordered,
+    join_strategies,
+    plan_string,
+    pushed_filters,
+    scan_columns,
+)
+from local_datalakehouse_phase2_spark.registry import all_specs
+from local_datalakehouse_phase2_spark.sources.loaders import load_table
+
+SPECS = all_specs()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_small):
+    df = SPECS["q6_revenue_change"].fn(spark, sf_small)
+    pushed = pushed_filters(df)
+    assert pushed and any(p for p in pushed), f"no pushed filters: {pushed}"
+    assert any("l_quantity" in p or "l_discount" in p or "l_shipdate" in p for p in pushed)
+
+
+def test_column_pruning_projects_only_needed_columns(spark, sf_small):
+    # q1 touches 7 of lineitem's 16 columns; the scan must not read more
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_small)
+    (cols,) = scan_columns(df)
+    assert len(cols) <= 8, f"scan reads too many columns: {sorted(cols)}"
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+
+
+def test_dim_joins_broadcast(spark, sf_small):
+    for name in ("broadcast_dim_join", "q3_shipping_priority", "window_topk_per_group"):
+        strategies = join_strategies(SPECS[name].fn(spark, sf_small))
+        assert strategies, f"{name}: no join in plan"
+        assert all(s == "BroadcastHashJoin" for s in strategies), f"{name}: {strategies}"
+
+
+def test_no_cartesian_products_in_registry(spark, sf_small):
+    """Nothing in the registry may plan a CartesianProduct; the only
+    nested-loop join allowed is the brute-force scorer's deliberate
+    broadcast cross join."""
+    for name, spec in SPECS.items():
+        if name.startswith("lakehouse"):
+            continue  # lifecycle demos materialize eagerly; nothing to explain
+        strategies = join_strategies(spec.fn(spark, sf_small))
+        assert "CartesianProduct" not in strategies, f"{name}: {strategies}"
+        if "BroadcastNestedLoopJoin" in strategies:
+            # deliberate: brute-force scorer's broadcast cross join and
+            # the non-equi range join against a rows-small banding side
+            assert name in ("cosine_topk_bruteforce", "range_band_join"), (
+                f"{name}: unexpected NL join"
+            )
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_small):
+    for name in ("q1_pricing_summary", "token_frequency", "group_agg_stats"):
+        assert has_partial_aggregation(SPECS[name].fn(spark, sf_small)), name
+
+
+def test_topk_plans_take_ordered(spark, sf_small):
+    assert has_take_ordered(SPECS["topk_orders"].fn(spark, sf_small))
+    assert has_take_ordered(SPECS["token_frequency"].fn(spark, sf_small))
+
+
+def test_metadata_scan_prunes_binary_payload(spark, sf_small):
+    # the multimodal metadata query must not materialize the payload
+    # bytes from the scan: only doc_id/text feed the synthesized cols
+    df = SPECS["multimodal_metadata_scan"].fn(spark, sf_small)
+    for cols in scan_columns(df):
+        assert "payload" not in cols
+
+
+def test_aqe_enabled_in_session(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_lineitem_filter_prunes_via_stats(spark, sf_small):
+    """Row-group/file skipping needs min-max stats to survive into the
+    scan: an always-false predicate must still be pushed (Catalyst may
+    also fold it; either way no full-column filters remain)."""
+    li = load_table(spark, sf_small, "lineitem").filter(F.col("l_quantity") < -1)
+    p = plan_string(li)
+    assert "PushedFilters" in p or "LocalTableScan" in p
