@@ -327,3 +327,47 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "embedding_cosine_dupes",
+    oracle="""
+        -- DOUBLE[] casts: DuckDB computes list_cosine_similarity in
+        -- float32 for FLOAT[] inputs; Spark folds in float64
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 3 = 0 AND b.vec_id % 3 = 0
+          AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.32
+    """,
+    tags=("dedup", "embedding"),
+    doc="Embedding-cosine near-dup pairs (exact, oracle-checked): all pairs "
+    "with cosine >= 0.32 on a keyed subset. The exact form is the correctness "
+    "baseline; at corpus scale the SAME predicate runs on LSH candidates "
+    "(ann_lsh_topk's bucketing) instead of a cross join — the fixture "
+    "embeddings are near-uniform so the threshold sits at the top of the "
+    "similarity distribution.",
+)
+def embedding_cosine_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # sequential fold (zip_with + aggregate) matches DuckDB's sequential
+    # list fold bit-for-bit; a pairwise-summing BLAS path could differ in
+    # the last ulp right at the threshold boundary
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, v: acc + v))
+    cos = dot / (na * nb)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.32)
+        .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

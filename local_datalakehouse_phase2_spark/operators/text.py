@@ -215,3 +215,95 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
     )
     return pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "token_count_bpe",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+                   AS total_bpe_tokens,
+               ROUND(AVG(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                         / len(string_split(text, ' '))), 6) AS bpe_per_word
+        FROM documents
+        GROUP BY lang
+    """,
+    tags=("text", "tokenize"),
+    doc="BPE-ish token counting: a subword-style regex (letter runs, digit "
+    "runs, single punctuation — the GPT-2 pre-tokenizer shape) instead of "
+    "whitespace words. regexp_extract_all stays JVM-side; the pattern uses "
+    "only RE2-and-Java-common syntax so the DuckDB oracle tokenizes "
+    "identically.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # idx=0 => whole-match extraction (the default idx=1 wants a capture group)
+    bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    n_bpe = F.size(bpe)
+    n_words = F.size(tokens_col())
+    return (
+        d.select("lang", n_bpe.alias("nb"), n_words.alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").cast("bigint").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("nb").cast("double") / F.col("nw")), 6).alias("bpe_per_word"),
+        )
+    )
+
+
+WINNOW_K = 3  # k-gram size (words)
+WINNOW_W = 4  # winnowing window (Schleimer et al., SIGMOD'03)
+
+
+def winnowed_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, fp) pairs: the winnowing fingerprint set of each doc —
+    min hash of every WINNOW_W-window of k-gram hashes, deduplicated.
+
+    Classic rolling-hash document fingerprinting: guarantees any shared
+    run of >= WINNOW_K + WINNOW_W - 1 tokens between two docs shares a
+    fingerprint. Columnar shape: k-gram hash array -> sliding-window
+    min via transform over window starts -> explode distinct. (The
+    O(1)-per-step rolling update of a scalar loop has no meaning in a
+    vectorized plan; the window min is what defines the semantics.)
+    """
+    kh = F.expr(
+        f"transform(sequence(0, greatest(size(split(text, ' ')) - {WINNOW_K}, 0)),"
+        f" si -> xxhash64(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K}))))"
+    )
+    wins = F.expr(
+        f"array_distinct(transform(sequence(0, greatest(size(kh) - {WINNOW_W}, 0)),"
+        f" wi -> array_min(slice(kh, wi + 1, {WINNOW_W}))))"
+    )
+    return (
+        d.select("doc_id", kh.alias("kh"))
+        .select("doc_id", F.explode(wins).alias("fp"))
+    )
+
+
+@register(
+    "winnow_fingerprint_overlap",
+    oracle=None,  # semantics vs a Python winnowing oracle in tests/test_text.py
+    tags=("text", "fingerprint", "dedup"),
+    doc=f"Winnowing (rolling-hash) fingerprint overlap: docs sharing >= 2 "
+    f"window-min fingerprints (k={WINNOW_K}, w={WINNOW_W}) — the "
+    "plagiarism-detection primitive. Pairing is a fingerprint-bucket group "
+    "join (corpus-linear), never a doc cross join.",
+)
+def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fps = winnowed_fingerprints(d)
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 1000))
+    )
+    pairs = (
+        buckets.select(F.explode("ds").alias("doc_a"), "ds")
+        .select("doc_a", F.explode("ds").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+    )
+    return pairs.filter(F.col("shared_fps") >= 2).orderBy("doc_a", "doc_b")

@@ -54,11 +54,14 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
         strategies = join_strategies(spec.fn(spark, sf_small))
         assert "CartesianProduct" not in strategies, f"{name}: {strategies}"
         if "BroadcastNestedLoopJoin" in strategies:
-            # deliberate: brute-force scorer's broadcast cross join and
-            # the non-equi range join against a rows-small banding side
-            assert name in ("cosine_topk_bruteforce", "range_band_join"), (
-                f"{name}: unexpected NL join"
-            )
+            # deliberate: brute-force scorer's broadcast cross join, the
+            # non-equi range join against a rows-small banding side, and
+            # the exact all-pairs cosine baseline (LSH is its scale path)
+            assert name in (
+                "cosine_topk_bruteforce",
+                "range_band_join",
+                "embedding_cosine_dupes",
+            ), f"{name}: unexpected NL join"
 
 
 def test_partial_aggregation_before_shuffle(spark, sf_small):

@@ -16,3 +16,40 @@ def test_lang_id_confusion_is_deterministic_and_total(spark, sf_small):
     # is one of the 5 real ones
     langs = {"de", "en", "es", "fr", "zh"}
     assert {r.predicted_lang for r in rows} <= langs
+
+
+def test_winnow_fingerprints_match_python_oracle(spark, sf_small):
+    """Winnowed fingerprint sets must equal a direct Python
+    implementation of winnowing (k-gram min over sliding windows) for
+    every doc — up to the shared xxhash64, which we avoid re-deriving
+    by comparing SET STRUCTURE: counts and pairwise overlaps."""
+    import duckdb
+
+    from local_datalakehouse_phase2_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowed_fingerprints,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import load_table
+
+    d = load_table(spark, sf_small, "documents")
+    got = {}
+    for r in winnowed_fingerprints(d).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+
+    # Python oracle on the raw text, with Spark-computed k-gram hashes
+    # replaced by hash-free positions: winnowing selects window MINIMA,
+    # so the selected POSITIONS are identical for any injective hash.
+    # We therefore check per-doc fingerprint-set size against a Python
+    # winnow over the Spark k-gram hash sequence itself.
+    kh_rows = d.selectExpr(
+        "doc_id",
+        f"transform(sequence(0, greatest(size(split(text, ' ')) - {WINNOW_K}, 0),"
+        f" 1), si -> xxhash64(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K})))) AS kh",
+    ).collect()
+    for r in kh_rows:
+        kh = list(r.kh)
+        want = set()
+        for i in range(max(len(kh) - WINNOW_W, 0) + 1):
+            want.add(min(kh[i : i + WINNOW_W]))
+        assert got.get(r.doc_id, set()) == want, r.doc_id
