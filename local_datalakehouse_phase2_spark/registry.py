@@ -88,6 +88,7 @@ def _load_all() -> None:
         setops,
         similarity,
         text,
+        tpch_extended,
         windows,
     )
     from .streaming import event_windows  # noqa: F401
