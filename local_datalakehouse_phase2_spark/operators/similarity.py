@@ -80,8 +80,28 @@ def brute_force_topk(
 
 @register(
     "cosine_topk_bruteforce",
-    oracle=None,  # float-sum association differs across engines at the top-k
-    # boundary; exactness vs a numpy oracle is asserted in tests/test_similarity.py
+    oracle=f"""
+        -- DOUBLE[] casts: DuckDB's list_cosine_similarity over DOUBLE[]
+        -- matches Spark's sequential zip_with/aggregate fold bit-for-bit
+        -- (same property embedding_cosine_dupes relies on), so the
+        -- top-k cut is stable across engines.
+        SELECT query_id, vec_id, label, ROUND(cos_sim, 6) AS cos_sim, rk
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id, e.label,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.embedding AS DOUBLE[])) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                       CAST(q.embedding AS DOUBLE[])) DESC,
+                                e.vec_id) AS rk
+            FROM embeddings e
+            JOIN embeddings q ON e.vec_id <> q.vec_id
+            WHERE q.vec_id IN {QUERY_IDS!r}
+        ) ranked
+        WHERE rk <= {TOP_K}
+        ORDER BY query_id, rk
+    """,
     tags=("similarity", "ann"),
     doc=f"Brute-force cosine top-{TOP_K} for {len(QUERY_IDS)} probe vectors: "
     "broadcast queries x one corpus scan, per-query ROW_NUMBER cut.",
@@ -206,7 +226,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroid_similarity",
-    oracle=None,  # verified vs numpy in tests/test_similarity.py
+    oracle=f"""
+        WITH comps AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        centroids AS (
+            SELECT label, list(c ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos) pc
+            GROUP BY label
+        )
+        SELECT e.label AS label, COUNT(*) AS n_vecs,
+               ROUND(AVG(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                c.centroid)), 6) AS avg_centroid_cos
+        FROM embeddings e
+        JOIN centroids c ON e.label = c.label
+        GROUP BY e.label
+    """,
     tags=("similarity", "agg"),
     doc="Cluster quality: average cosine of each vector to its label centroid. "
     "Centroids via element-wise array aggregation (posexplode + groupBy) — the "

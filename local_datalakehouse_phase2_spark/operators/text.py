@@ -175,7 +175,45 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_id_ngram",
-    oracle=None,  # argmax-over-profile classifier; verified by tests/test_text.py accuracy bound
+    oracle="""
+        -- Deterministic end-to-end: every stage is integer counts with
+        -- total-order tie-breaks, so the classifier is engine-portable.
+        WITH doc_grams AS (
+            SELECT doc_id, lang,
+                   unnest(list_transform(
+                       range(1, greatest(length(substring(text, 1, 200)) - 2, 1) + 1),
+                       i -> substring(substring(text, 1, 200), CAST(i AS INT), 3))) AS gram
+            FROM documents
+        ),
+        prof_counts AS (
+            SELECT lang, gram, COUNT(*) AS freq FROM doc_grams GROUP BY lang, gram
+        ),
+        profile AS (
+            SELECT lang AS p_lang, gram
+            FROM (SELECT lang, gram,
+                         ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY freq DESC, gram) AS rk
+                  FROM prof_counts) r
+            WHERE rk <= 50
+        ),
+        scores AS (
+            SELECT dg.doc_id, dg.lang, p.p_lang, COUNT(*) AS hits
+            FROM (SELECT DISTINCT doc_id, lang, gram FROM doc_grams) dg
+            JOIN profile p USING (gram)
+            GROUP BY dg.doc_id, dg.lang, p.p_lang
+        ),
+        pred AS (
+            SELECT doc_id, lang, p_lang AS predicted_lang
+            FROM (SELECT doc_id, lang, p_lang,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY hits DESC, p_lang) AS rk
+                  FROM scores) r
+            WHERE rk = 1
+        )
+        SELECT lang, predicted_lang, COUNT(*) AS n_docs
+        FROM pred
+        GROUP BY lang, predicted_lang
+    """,
     tags=("text", "lang-id"),
     doc="Language identification by character-trigram profile: build per-lang "
     "trigram profiles from the labeled corpus (distributed agg), score each doc "
