@@ -224,6 +224,87 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 4  # IVF cells searched per query (of 10)
+
+
+def _fit_coarse_quantizer(emb: DataFrame) -> np.ndarray:
+    """(n_cells x DIM) centroid matrix: per-label mean vectors — a
+    converged coarse quantizer (fixture labels ARE cluster ids; a real
+    pipeline would run k-means iterations with the same per-cell mean
+    aggregate). The model is 10x64 doubles: collected ONCE driver-side
+    as model parameters (same category as the LSH hyperplane constants,
+    not a data collect) and shipped to executors inside the UDF closure."""
+    rows = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+        .orderBy("label")
+        .collect()
+    )
+    return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def _nearest_cells(emb_col, centroids: np.ndarray, n: int):
+    """Top-n nearest centroid ids (by cosine) per vector, as array<int>.
+    One (batch x DIM) @ (DIM x cells) matmul per Arrow batch."""
+    C = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def cells(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        S = X @ C.T  # batch x cells
+        top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    return cells(emb_col)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # recall vs brute force asserted in tests/test_similarity.py
+    tags=("similarity", "ann", "ivf"),
+    doc=f"ANN via IVF (inverted file): corpus vectors assigned to their "
+    f"nearest coarse-centroid cell, queries probe their {N_PROBE} nearest "
+    "cells, exact cosine + top-k only within probed cells. The centroid "
+    "model is tiny and driver-fit; the inverted index is a plain (cell -> "
+    "vectors) partitioning, so at 100 TB each probe touches ~n_probe/n_cells "
+    "of the corpus and the candidate join is cell-local.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _fit_coarse_quantizer(emb)
+    corpus = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.element_at(_nearest_cells(F.col("embedding"), centroids, 1), 1).alias("cell"),
+    )
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(_nearest_cells(F.col("embedding"), centroids, N_PROBE)).alias("cell"),
+    )
+    cands = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "vec_id", "embedding", "label")
+    )
+    scored = cands.select(
+        "query_id", "vec_id", "label", cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
 @register(
     "label_centroid_similarity",
     oracle=f"""

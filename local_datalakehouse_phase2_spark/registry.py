@@ -80,6 +80,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         aggregates,
+        asof,
         dedup,
         joins,
         maintenance_queries,

@@ -9,6 +9,7 @@ import pytest
 from local_datalakehouse_phase2_spark.operators.similarity import (
     QUERY_IDS,
     TOP_K,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_topk_bruteforce,
     label_centroid_similarity,
@@ -64,6 +65,34 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_small, vecs):
     # 8 tables x 4 sign bits on near-uniform 64-dim data (true top-10
     # cosines ~0.25-0.4 => ~0.13 collision prob per table, ~0.66 OR'd)
     assert mean_recall >= 0.4, f"ANN mean recall {mean_recall}: {recalls}"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_small, vecs):
+    ids, mat, _ = vecs
+    got = ann_ivf_topk(spark, sf_small).collect()
+    by_query: dict[int, set] = {}
+    for r in got:
+        by_query.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = []
+    for qid in QUERY_IDS:
+        want = {w[0] for w in numpy_topk(ids, mat, qid)}
+        found = by_query.get(qid, set())
+        recalls.append(len(want & found) / len(want))
+    mean_recall = sum(recalls) / len(recalls)
+    # probing 4 of 10 label-centroid cells on near-uniform embeddings:
+    # cosine neighbors still concentrate in the query's nearest cells
+    assert mean_recall >= 0.4, f"IVF mean recall {mean_recall}: {recalls}"
+
+
+def test_ann_ivf_results_are_true_cosines(spark, sf_small, vecs):
+    ids, mat, _ = vecs
+    got = ann_ivf_topk(spark, sf_small).collect()
+    for r in got:
+        qi = int(np.where(ids == r.query_id)[0][0])
+        vi = int(np.where(ids == r.vec_id)[0][0])
+        q, v = mat[qi], mat[vi]
+        true_cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert abs(r.cos_sim - true_cos) < 1e-4
 
 
 def test_centroid_similarity_matches_numpy(spark, sf_small, vecs):
