@@ -61,12 +61,42 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
                 "cosine_topk_bruteforce",
                 "range_band_join",
                 "embedding_cosine_dupes",
+                # scalar-subquery comparisons against a ONE-ROW broadcast
+                # side (avg balance) — NL over 1 row is a constant filter
+                "q22_global_sales_opportunity",
             ), f"{name}: unexpected NL join"
 
 
 def test_partial_aggregation_before_shuffle(spark, sf_small):
     for name in ("q1_pricing_summary", "token_frequency", "group_agg_stats"):
         assert has_partial_aggregation(SPECS[name].fn(spark, sf_small)), name
+
+
+def test_tpch_extended_dims_broadcast(spark, sf_small):
+    """The multi-way TPC-H shapes must broadcast every dimension side:
+    at most ONE shuffled join pair (the lineitem⋈orders fact-fact edge)
+    may appear; every other join must be broadcast-hash."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit",
+                 "q10_returned_items"):
+        strategies = join_strategies(SPECS[name].fn(spark, sf_small))
+        assert strategies, f"{name}: no join in plan"
+        non_broadcast = [s for s in strategies if s not in ("BroadcastHashJoin",)]
+        assert len(non_broadcast) <= 1, f"{name}: {strategies}"
+
+
+def test_tpch_extended_topk_take_ordered(spark, sf_small):
+    for name in ("q10_returned_items", "q18_large_volume_customer"):
+        assert has_take_ordered(SPECS[name].fn(spark, sf_small)), name
+
+
+def test_q4_exists_plans_semi_join(spark, sf_small):
+    plan = plan_string(SPECS["q4_order_priority"].fn(spark, sf_small))
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+
+
+def test_q22_not_exists_plans_anti_join(spark, sf_small):
+    plan = plan_string(SPECS["q22_global_sales_opportunity"].fn(spark, sf_small))
+    assert "LeftAnti" in plan or "Anti" in plan, plan
 
 
 def test_topk_plans_take_ordered(spark, sf_small):
