@@ -179,14 +179,21 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- Deterministic end-to-end: every stage is integer counts with
         -- total-order tie-breaks, so the classifier is engine-portable.
         WITH doc_grams AS (
+            -- list_distinct BEFORE unnest: per-doc dedup is an array op,
+            -- so no corpus-wide DISTINCT shuffle exists in either engine
             SELECT doc_id, lang,
-                   unnest(list_transform(
+                   unnest(list_distinct(list_transform(
                        range(1, greatest(length(substring(text, 1, 200)) - 2, 1) + 1),
-                       i -> substring(substring(text, 1, 200), CAST(i AS INT), 3))) AS gram
+                       i -> substring(substring(text, 1, 200), CAST(i AS INT), 3)))) AS gram
             FROM documents
         ),
         prof_counts AS (
-            SELECT lang, gram, COUNT(*) AS freq FROM doc_grams GROUP BY lang, gram
+            -- document frequency (docs containing the gram) over a
+            -- deterministic 10% sample — profiles are fit on a sample,
+            -- scoring touches the full corpus
+            SELECT lang, gram, COUNT(*) AS freq
+            FROM doc_grams WHERE doc_id % 10 = 0
+            GROUP BY lang, gram
         ),
         profile AS (
             SELECT lang AS p_lang, gram
@@ -198,7 +205,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scores AS (
             SELECT dg.doc_id, dg.lang, p.p_lang, COUNT(*) AS hits
-            FROM (SELECT DISTINCT doc_id, lang, gram FROM doc_grams) dg
+            FROM doc_grams dg
             JOIN profile p USING (gram)
             GROUP BY dg.doc_id, dg.lang, p.p_lang
         ),
@@ -222,27 +229,35 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # char 3-grams of the first 200 chars (cheap, stable)
+    # distinct char 3-grams of the first 200 chars: array_distinct runs
+    # per-doc INSIDE the projection, so the corpus-wide DISTINCT shuffle
+    # the naive formulation needs simply doesn't exist — at 100 TB that
+    # shuffle (rows = total gram occurrences) would dominate the job
     grams = F.expr(
-        "transform(sequence(1, greatest(length(substring(text,1,200))-2, 1)),"
-        " i -> substring(substring(text,1,200), i, 3))"
+        "array_distinct(transform(sequence(1, greatest(length(substring(text,1,200))-2, 1),"
+        " 1), i -> substring(substring(text,1,200), i, 3)))"
     )
     doc_grams = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
-    # per-lang profile: top-50 most frequent trigrams
+    # per-lang profile: top-50 trigrams by document frequency, fit on a
+    # deterministic 10% sample — the model branch reads 1/10th of the
+    # corpus while scoring still covers all of it (at 100 TB you fit
+    # profiles on a sample, never on the full corpus)
     from pyspark.sql import Window as W
 
-    prof_counts = doc_grams.groupBy("lang", "gram").agg(F.count("*").alias("freq"))
+    prof_counts = (
+        doc_grams.filter(F.col("doc_id") % 10 == 0)
+        .groupBy("lang", "gram")
+        .agg(F.count("*").alias("freq"))
+    )
     w = W.partitionBy("lang").orderBy(F.col("freq").desc(), "gram")
     profile = (
         prof_counts.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 50)
         .select(F.col("lang").alias("p_lang"), "gram")
     )
-    # score: distinct doc-grams hitting each lang profile (broadcast: 5 langs * 50 grams)
+    # score: doc-grams hitting each lang profile (broadcast: 5 langs * 50 grams)
     scores = (
-        doc_grams.select("doc_id", "lang", "gram")
-        .distinct()
-        .join(F.broadcast(profile), "gram")
+        doc_grams.join(F.broadcast(profile), "gram")
         .groupBy("doc_id", "lang", "p_lang")
         .agg(F.count("*").alias("hits"))
     )
