@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 from ..registry import register
 from ..sources.loaders import load_table
@@ -51,62 +51,86 @@ def _shingles(col: str = "text"):
     return F.expr(_shingles_sql(col))
 
 
-# type object, not a DDL string: string return types are parsed at
-# decoration time and require an active SparkSession (breaks import)
-@pandas_udf(LongType())
-def _simhash64(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over 3-word shingles, vectorized per Arrow batch.
+def _shingle_hashes(col: str = "text"):
+    """array<bigint>: xxhash64 of each shingle, hashed JVM-side inside
+    the projection (one hash per shingle, computed exactly once)."""
+    return F.expr(f"transform({_shingles_sql(col)}, s -> xxhash64(s))")
 
-    Deterministic hashing via blake2b-8 (stable across processes,
-    unlike Python's builtin hash). Majority vote per bit: bit b is set
-    iff more than half the shingle hashes have bit b set.
-    """
-    bit_idx = np.arange(64, dtype=np.uint64)
-    out = np.empty(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        toks = t.split(" ")
-        n = max(len(toks) - SHINGLE, 0)
-        hs = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(
-                        " ".join(toks[j : j + SHINGLE]).encode(), digest_size=8
-                    ).digest(),
-                    "little",
-                )
-                for j in range(n + 1)
-            ),
-            dtype=np.uint64,
-            count=n + 1,
-        )
-        ones = ((hs[:, None] >> bit_idx) & 1).sum(axis=0)
-        sim = int(((ones * 2 > len(hs)).astype(np.uint64) << bit_idx).sum())
-        out[i] = sim - (1 << 64) if sim >= 1 << 63 else sim
-    return pd.Series(out)
+
+# Deterministic 2-universal hash family over a 31-bit Mersenne prime:
+# a_i * h32 + b_i mod P fits 64-bit arithmetic (a,b < 2^31, h32 < 2^32).
+# Parameters come from a seeded SHA-256 counter stream — stable across
+# processes and executors, no RNG state.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _hash_params(n: int) -> tuple[np.ndarray, np.ndarray]:
+    a, b = [], []
+    i = 0
+    while len(a) < n:
+        h = hashlib.sha256(f"minhash:{i}".encode()).digest()
+        va = int.from_bytes(h[:8], "little") % (_MERSENNE31 - 1) + 1
+        vb = int.from_bytes(h[8:16], "little") % _MERSENNE31
+        a.append(va)
+        b.append(vb)
+        i += 1
+    return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
+
+
+# type objects, not DDL strings: string return types are parsed at
+# decoration time and require an active SparkSession (breaks import)
+@pandas_udf(ArrayType(LongType()))
+def _minhash_sigs(hs: pd.Series) -> pd.Series:
+    """Per-doc MinHash signature from its shingle-hash array, one Arrow
+    batch at a time: concatenate all docs' hashes into one flat vector,
+    apply each of the N_HASHES affine families vectorized, and take
+    per-doc minima with a single minimum.reduceat per family. Row-local
+    (no explode, no shuffle) — the signature job is a pure narrow map."""
+    arrs = hs.to_numpy()
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs]).astype(np.uint64)
+    h32 = flat >> np.uint64(32)  # top 32 bits of xxhash64
+    A, B = _hash_params(N_HASHES)
+    out = np.empty((len(arrs), N_HASHES), dtype=np.int64)
+    for i in range(N_HASHES):
+        m = (A[i] * h32 + B[i]) % np.uint64(_MERSENNE31)
+        out[:, i] = np.minimum.reduceat(m, offsets).astype(np.int64)
+    return pd.Series(list(out))
+
+
+@pandas_udf(LongType())
+def _simhash64(hs: pd.Series) -> pd.Series:
+    """64-bit SimHash from the same shingle-hash array: unpack each
+    xxhash64 into 64 bits (np.unpackbits on the raw bytes — no 64x
+    uint64 blow-up), sum per-doc with one add.reduceat, majority-vote,
+    repack. Fully vectorized per Arrow batch; zero Python-level hashing."""
+    arrs = hs.to_numpy()
+    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+    offsets = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs]).astype(np.uint64)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    ones = np.add.reduceat(bits.astype(np.int64), offsets, axis=0)  # docs x 64
+    maj = (ones * 2 > lens[:, None]).astype(np.uint64)
+    packed = np.packbits(maj.astype(np.uint8), axis=1, bitorder="little")
+    sim = packed.view(np.uint64).reshape(-1)
+    return pd.Series(sim.astype(np.int64))
 
 
 def with_minhash(d: DataFrame) -> DataFrame:
     """documents -> (doc_id, sig: array<bigint>).
 
-    i-th hash family = xxhash64(shingle_hash, i): a seeded re-hash,
-    which avoids 64-bit multiply overflow under ANSI mode.
-
-    Shape: explode shingles -> one base xxhash64 per shingle -> groupBy
-    doc_id with N_HASHES min-aggregates. A pure array-expression version
-    (array_min over transform, repeated per family) re-evaluates the
-    shingle string-building N_HASHES times per row after Catalyst's
-    projection collapse — measured ~6x slower. The explode shape hashes
-    each shingle once, and the min-agg combines map-side, so the shuffle
-    carries one 32-long row per (doc, partition), not the shingles.
-    """
-    sh = d.select("doc_id", F.explode(_shingles()).alias("s"))
-    hashed = sh.select("doc_id", F.xxhash64("s").alias("h"))
-    mins = hashed.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(N_HASHES)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_HASHES)]).alias("sig")
-    )
+    Shape history (measured at sf0.1, 50k docs): a pure array-expression
+    version (array_min over transform per family) re-evaluates the
+    shingle string-building N_HASHES times — ~6x slower. An explode +
+    32-min-aggregate plan hashes each shingle once but shuffles every
+    (doc, shingle-hash) pair. The current shape is row-local: shingles
+    are hashed JVM-side in the projection, then ONE Arrow-batched UDF
+    computes all 32 minima — no explode stage, no shuffle at all, and
+    at 100 TB the signature job stays a narrow map over the corpus."""
+    return d.select("doc_id", _minhash_sigs(_shingle_hashes()).alias("sig"))
 
 
 MAX_BUCKET = 1000  # cap pathological buckets (boilerplate text) — see doc below
@@ -283,14 +307,15 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse on a small shared vocabulary): bit b of simhash = 1 iff
     # the majority of shingle hashes set bit b.
     #
-    # Implementation choice, measured at sf0.1 (5k docs): a nested
+    # Implementation choice, measured at sf0.1 (50k docs): a nested
     # array-lambda expression runs interpreted per element (~5 s); an
     # explode + 64 conditional-SUM-aggregate plan is codegen'd but the
     # generated method is so large that compilation alone costs ~9 s on
-    # first run. The Arrow-batched UDF below — one (shingles x 64)
-    # numpy bit matrix per doc — keeps the plan tiny and the math
-    # vectorized, and is the fastest of the three cold AND warm.
-    sigs = d.select("doc_id", _simhash64(F.col("text")).alias("simhash"))
+    # first run. The shape below hashes shingles JVM-side (xxhash64 in
+    # the projection) and feeds the hash arrays to one Arrow-batched
+    # numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
+    # vectorized, zero Python-level hashing.
+    sigs = d.select("doc_id", _simhash64(_shingle_hashes()).alias("simhash"))
     # 8 bands of 8 bits: any pair with hamming <= 7 shares at least one
     # exact band (pigeonhole), so the <=6 threshold below loses nothing.
     # Same one-shuffle bucket-grouping shape as lsh_candidate_pairs: a
