@@ -90,6 +90,7 @@ def _load_all() -> None:
         similarity,
         text,
         tpch_extended,
+        tpch_extended2,
         windows,
     )
     from .streaming import event_windows  # noqa: F401

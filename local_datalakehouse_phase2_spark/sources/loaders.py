@@ -46,6 +46,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallel_scan(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
+    """load_table + fan-out for CPU-bound downstream stages.
+
+    A single-file, single-row-group parquet source arrives as ONE input
+    split, which serializes every expensive per-row stage (Arrow UDFs,
+    shingle hashing, wide regex projections) onto one core no matter how
+    many the cluster has. A round-robin repartition to defaultParallelism
+    costs one shuffle of the raw rows — tiny relative to the compute it
+    unblocks — and restores full fan-out. At warehouse scale the source
+    already has >= cores splits and this is a no-op, so the shape is
+    scale-safe in both directions.
+    """
+    df = load_table(spark, sf_dir, name)
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
