@@ -88,6 +88,7 @@ def _load_all() -> None:
         relational,
         setops,
         similarity,
+        skew,
         text,
         tpch_extended,
         tpch_extended2,

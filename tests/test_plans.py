@@ -62,8 +62,10 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
                 "range_band_join",
                 "embedding_cosine_dupes",
                 # scalar-subquery comparisons against a ONE-ROW broadcast
-                # side (avg balance) — NL over 1 row is a constant filter
+                # side (avg balance / stock-value threshold) — NL over 1
+                # row is a constant filter
                 "q22_global_sales_opportunity",
+                "q11_important_part_stock",
             ), f"{name}: unexpected NL join"
 
 
@@ -97,6 +99,29 @@ def test_q4_exists_plans_semi_join(spark, sf_small):
 def test_q22_not_exists_plans_anti_join(spark, sf_small):
     plan = plan_string(SPECS["q22_global_sales_opportunity"].fn(spark, sf_small))
     assert "LeftAnti" in plan or "Anti" in plan, plan
+
+
+def test_tpch_extended2_plan_shapes(spark, sf_small):
+    """q2/q16/q20/q21 must plan the join strategies their docstrings
+    promise: broadcast dims everywhere, semi/anti where EXISTS/NOT
+    IN/IN appear, TakeOrdered for the bounded outputs."""
+    # q2: every join broadcast (the only shuffles are the two aggregates)
+    q2 = SPECS["q2_min_cost_supplier"].fn(spark, sf_small)
+    assert all(s == "BroadcastHashJoin" for s in join_strategies(q2)), join_strategies(q2)
+    assert has_take_ordered(q2)
+    # q16: NOT IN plans as an anti join; COUNT(DISTINCT) two-phase
+    q16 = SPECS["q16_supplier_part_variety"].fn(spark, sf_small)
+    p16 = plan_string(q16)
+    assert "LeftAnti" in p16 or "Anti" in p16, p16
+    assert has_partial_aggregation(q16)
+    # q20: nested INs plan as semi joins
+    p20 = plan_string(SPECS["q20_excess_supplier_promotion"].fn(spark, sf_small))
+    assert "LeftSemi" in p20 or "Semi" in p20, p20
+    # q21: EXISTS -> semi AND NOT EXISTS -> anti in one plan
+    p21 = plan_string(SPECS["q21_waiting_suppliers"].fn(spark, sf_small))
+    assert ("LeftSemi" in p21 or "Semi" in p21) and ("LeftAnti" in p21 or "Anti" in p21), p21
+    # q12: map-side partial aggregation before the group-by shuffle
+    assert has_partial_aggregation(SPECS["q12_priority_shipping"].fn(spark, sf_small))
 
 
 def test_topk_plans_take_ordered(spark, sf_small):
