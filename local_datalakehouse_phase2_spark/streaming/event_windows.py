@@ -51,6 +51,38 @@ def tumbling_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_events",
+    oracle="""
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+        FROM (SELECT DISTINCT event_id, event_type
+              FROM (SELECT event_id, event_type FROM events
+                    UNION ALL
+                    SELECT event_id, event_type FROM events))
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    tags=("streaming", "dedup", "exact"),
+    doc="At-least-once-delivery dedup semantics, batch-checked: the event "
+    "feed unioned with itself (every row re-delivered once) collapses back "
+    "to unique event_ids before counting. The true streaming twin is "
+    "dedup_event_stream (dropDuplicatesWithinWatermark, state bounded by "
+    "the watermark horizon) — stream-equals-batch is asserted in "
+    "tests/test_streaming.py; this entry gives the semantics a DuckDB "
+    "oracle. Dedup-then-aggregate shuffles ids once; the re-aggregation "
+    "input is already unique per id.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    redelivered = ev.unionAll(ev)
+    return (
+        redelivered.dropDuplicates(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "sliding_window_traffic",
     oracle="""
         SELECT CAST(date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS DATE) AS window_start,

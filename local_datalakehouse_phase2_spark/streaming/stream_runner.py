@@ -99,6 +99,23 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+def dedup_event_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup for at-least-once sources (re-delivered
+    files, replayed Kafka offsets): keep the first arrival of each
+    event_id, drop re-arrivals within the watermark horizon.
+
+    dropDuplicatesWithinWatermark bounds the dedup state by event time
+    — ids older than the watermark are evicted — which is what makes
+    exact streaming dedup feasible at 100 TB/day: state is a rolling
+    window of ids, not the full history. (Plain dropDuplicates on a
+    stream keeps ALL ids forever and OOMs; batch dedup of the full
+    corpus is `dedup_exact` in operators/dedup.py.)
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # ---- custom stateful operator: applyInPandasWithState ----------------
 
 USER_STATS_SCHEMA = StructType(

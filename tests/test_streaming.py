@@ -119,3 +119,31 @@ def test_stateful_user_stats_matches_batch(spark, sf_small, events_dir):
         if prev is None or r.n_events >= prev[0]:
             latest[r.user_id] = (r.n_events, r.total_value_cents)
     assert latest == want
+
+
+def test_streaming_dedup_drops_redelivered_files(spark, sf_small, tmp_path):
+    """dropDuplicatesWithinWatermark: the same file delivered twice (at-
+    least-once source) must come out once per event_id."""
+    from local_datalakehouse_phase2_spark.streaming.stream_runner import (
+        dedup_event_stream,
+    )
+
+    src = str(tmp_path / "dup_src")
+    ev = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_id") < 500)
+        .withColumn("ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    # re-deliver: copy the parquet file under a new name => second batch
+    import glob
+
+    (part,) = glob.glob(os.path.join(src, "*.parquet"))
+    shutil.copy(part, os.path.join(src, "redelivered-" + os.path.basename(part)))
+
+    stream = dedup_event_stream(read_event_stream(spark, src))
+    got = run_stream_to_memory(spark, stream, "dedup_stream", output_mode="append")
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
