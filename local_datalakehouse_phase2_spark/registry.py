@@ -81,6 +81,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         asof,
+        bucketing,
         dedup,
         joins,
         maintenance_queries,

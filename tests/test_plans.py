@@ -124,6 +124,27 @@ def test_tpch_extended2_plan_shapes(spark, sf_small):
     assert has_partial_aggregation(SPECS["q12_priority_shipping"].fn(spark, sf_small))
 
 
+def test_bucketed_join_has_zero_exchanges(spark, sf_small):
+    """Both sides bucketed+sorted by the join key => the sort-merge join
+    must plan with NO Exchange (the point of bucketing: the shuffle was
+    paid once at write time). Broadcast is disabled for the check so the
+    tiny sf_small tables can't sidestep the property being proven."""
+    from local_datalakehouse_phase2_spark.operators.bucketing import (
+        colocated_join,
+        ensure_bucketed_tables,
+    )
+
+    li_tbl, o_tbl = ensure_bucketed_tables(spark, sf_small)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_string(colocated_join(spark, li_tbl, o_tbl))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_topk_plans_take_ordered(spark, sf_small):
     assert has_take_ordered(SPECS["topk_orders"].fn(spark, sf_small))
     assert has_take_ordered(SPECS["token_frequency"].fn(spark, sf_small))
