@@ -242,3 +242,70 @@ def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         """
     )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(MEDIAN(l_quantity), 6) AS med_qty,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 6) AS p95_price,
+               ROUND(QUANTILE_CONT(l_discount, 0.25), 6) AS p25_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    tags=("agg", "percentile", "median"),
+    doc="EXACT median / interpolated percentiles per group (Spark `median` "
+    "and `percentile` = SQL percentile_cont semantics, matching DuckDB's "
+    "MEDIAN/QUANTILE_CONT): both engines sort the group and apply the same "
+    "p*(n-1) linear interpolation, so results agree bit-for-bit on the "
+    "fixture's integer-valued doubles. Exact percentiles shuffle the full "
+    "value set per group; at 100 TB swap in approx_percentile (t-digest, "
+    "mergeable partials, bounded memory) and accept the documented error "
+    "bound — the approximate twin is exercised in approx_distinct_counts' "
+    "family of sketches.",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 6).alias("med_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95_price"),
+            F.round(F.percentile("l_discount", F.lit(0.25)), 6).alias("p25_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "dispersion_stats",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(STDDEV_SAMP(o_totalprice), 2) AS sd_price,
+               ROUND(VAR_SAMP(o_totalprice), 1) AS var_price,
+               ROUND(AVG(o_totalprice), 2) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("agg", "stddev", "variance"),
+    doc="Sample stddev/variance per group. Both engines merge partial "
+    "(count, mean, M2) states (Chan/Welford), but partial ORDER differs — "
+    "Spark merges 32 shuffled partials, DuckDB scans sequentially — so "
+    "agreement is only to float precision: ROUND absorbs the ~1e-9 "
+    "relative drift. Variance of ~1e5-scale prices is ~1e9, hence the "
+    "coarser 1-decimal round there.",
+)
+def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
