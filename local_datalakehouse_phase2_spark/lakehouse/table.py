@@ -158,6 +158,70 @@ class LakehouseTable:
         removed = tuple(self.log.state_at().keys())
         return self._commit_write(df, operation="overwrite", removed=removed)
 
+    # ---- row-level operations (copy-on-write; Iceberg v2 analog) -----
+
+    def _affected_files(self, match: DataFrame) -> list[str]:
+        """Relative paths of live data files containing >=1 row of
+        `match` (a filtered view of this table carrying a `__file`
+        column from input_file_name, captured BEFORE any join — the
+        function is per-source and can't be re-evaluated on a joined
+        plan). Only these rewrite — at scale deleting 0.1% of rows
+        touches 0.1%-ish of files, not the table."""
+        prefix_len = len(os.path.abspath(self.table_dir)) + 1
+        rows = match.select(F.col("__file").alias("src_file")).distinct().collect()
+        rels = []
+        for r in rows:
+            p = r.src_file
+            if p.startswith("file:"):
+                p = p[len("file:") :]
+                while p.startswith("//"):  # file:///abs -> /abs
+                    p = p[1:]
+            rels.append(os.path.abspath(p)[prefix_len:])
+        return sorted(rels)
+
+    def delete_where(self, condition) -> LogEntry:
+        """Row-level DELETE ... WHERE, copy-on-write: files containing
+        matches are rewritten without the matching rows; untouched files
+        carry over. The reference's stack expresses the same operation
+        as Iceberg v2 delete files (content classes 1/2,
+        SPARK_ICEBERG_GUIDE.md:336-340) that readers must merge and
+        `rewrite_position_deletes` (guide :17) later folds in; COW pays
+        the fold immediately, so scans stay plain parquet reads and the
+        rewrite procedures are structural no-ops."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        tagged = self.read().withColumn("__file", F.input_file_name())
+        affected = self._affected_files(tagged.filter(cond))
+        if not affected:  # nothing matched: no commit, table unchanged
+            return self.log.read_entry(self.log.latest_version())
+        paths = [os.path.join(self.table_dir, p) for p in affected]
+        survivors = self.spark.read.parquet(*paths).filter(~cond)
+        return self._commit_write(survivors, operation="delete", removed=tuple(affected))
+
+    def merge(self, source: DataFrame, key_cols: list[str]) -> LogEntry:
+        """MERGE (upsert, full-row): target rows whose key appears in
+        `source` are replaced by the source row; unmatched source rows
+        insert. Copy-on-write: only files containing a matched key
+        rewrite (their unmatched rows carry over), plus one write of
+        `source` itself. Keys are broadcast when small; the anti join
+        runs only over the affected files' rows."""
+        state = self.log.state_at()
+        if not state:
+            return self.append(source)
+        keys = source.select(*key_cols).distinct()
+        tagged = self.read().withColumn("__file", F.input_file_name())
+        matched = tagged.join(F.broadcast(keys), key_cols, "left_semi")
+        affected = self._affected_files(matched)
+        if affected:
+            paths = [os.path.join(self.table_dir, p) for p in affected]
+            carried = (
+                self.spark.read.parquet(*paths)
+                .join(F.broadcast(keys), key_cols, "left_anti")
+            )
+            new_data = carried.unionByName(source)
+        else:
+            new_data = source
+        return self._commit_write(new_data, operation="merge", removed=tuple(affected))
+
     def _commit_write(
         self,
         df: DataFrame,

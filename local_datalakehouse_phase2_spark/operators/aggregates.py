@@ -309,3 +309,62 @@ def dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "pivot_returnflag_revenue",
+    oracle="""
+        SELECT o_orderpriority,
+               ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                              THEN l_extendedprice * (1 - l_discount) END), 2) AS A,
+               ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                              THEN l_extendedprice * (1 - l_discount) END), 2) AS N,
+               ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                              THEN l_extendedprice * (1 - l_discount) END), 2) AS R
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+    doc="PIVOT: revenue matrix priority x returnflag. The pivot values are "
+    "DECLARED (['A','N','R']), not discovered — discovery costs an extra "
+    "distinct pass over the fact table and makes the output schema "
+    "data-dependent, both wrong at 100 TB. Catalyst rewrites declared "
+    "pivots into exactly the oracle's conditional aggregates: one shuffle, "
+    "partial aggregation intact.",
+)
+def pivot_returnflag_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(rev), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+        SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE)
+        FROM part
+    """,
+    tags=("agg", "unpivot", "setop"),
+    doc="UNPIVOT (melt): wide part measures to long (key, measure, value) "
+    "triples — the normalization step before per-measure windowing or "
+    "sketching. Narrow-side equivalent of the oracle's UNION ALL but "
+    "single-scan: Expand emits both rows per input row in one pass instead "
+    "of scanning part twice.",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
+    )
+    return p.unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")

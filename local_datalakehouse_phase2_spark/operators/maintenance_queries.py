@@ -182,3 +182,48 @@ def lakehouse_expire_and_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_delete_merge",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(25 AS BIGINT), CAST(20 AS BIGINT),
+             CAST(22 AS BIGINT), CAST(6 AS BIGINT))
+        ) AS t(rows_initial, rows_after_delete, rows_after_merge, upd_rows)
+    """,
+    tags=("lakehouse", "row-level", "delete", "merge"),
+    doc="Row-level DELETE + MERGE lifecycle (Iceberg v2 analog, guide "
+    ":17/:336-340 content classes — ours is copy-on-write so the delete is "
+    "folded immediately): nation (25 rows, 4 hash-bucket files) loses every "
+    "5th key (5 rows), then a MERGE replaces keys 1-4 with UPD_-renamed "
+    "rows and inserts keys 100/101 -> 22 rows, 6 of them UPD_-marked. All "
+    "four quantities pinned; only files containing matched keys rewrite.",
+)
+def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.nation_dm")
+        t.append(nation.repartition(4, "n_nationkey"))
+        rows_initial = t.read().count()
+        t.delete_where("n_nationkey % 5 = 0")
+        rows_after_delete = t.read().count()
+        source = nation.filter(F.col("n_nationkey").between(1, 4)).select(
+            "n_nationkey", F.concat(F.lit("UPD_"), F.col("n_name")).alias("n_name")
+        ).unionByName(
+            spark.createDataFrame(
+                [(100, "UPD_NEW_100"), (101, "UPD_NEW_101")],
+                "n_nationkey int, n_name string",
+            )
+        )
+        t.merge(source, key_cols=["n_nationkey"])
+        rows_after_merge = t.read().count()
+        upd = t.read().filter(F.col("n_name").startswith("UPD_")).count()
+        return (
+            [(rows_initial, rows_after_delete, rows_after_merge, upd)],
+            "rows_initial bigint, rows_after_delete bigint,"
+            " rows_after_merge bigint, upd_rows bigint",
+        )
+
+    return _with_lake(spark, run)

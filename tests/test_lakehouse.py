@@ -206,3 +206,67 @@ def test_time_travel_by_timestamp(spark, lake):
     assert t.read(as_of=mid).count() == 3
     with pytest.raises(ValueError):
         t.read(as_of=0.0)
+
+
+def test_delete_where_rewrites_only_affected_files(spark, lake):
+    """COW pruning: a delete touching one hash bucket must carry the
+    other buckets' files over untouched (same paths in the new state)."""
+    nation = (
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("v"))
+    )
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.del_prune")
+    t.append(nation.repartition(4, "k"))
+    before = set(t.log.state_at().keys())
+    assert len(before) == 4
+    # delete exactly one existing key: matches live in exactly one bucket file
+    t.delete_where("k = 7")
+    after = set(t.log.state_at().keys())
+    assert t.read().count() == 39
+    carried = before & after
+    assert len(carried) == 3, (before, after)  # 3 files untouched
+    assert len(after - before) >= 1  # rewritten survivor file(s)
+    # snapshots view records the operation
+    ops = [r.operation for r in t.snapshots().collect()]
+    assert ops[-1] == "delete"
+
+
+def test_delete_where_no_match_is_noop(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.del_noop")
+    t.append(spark.range(0, 10).select(F.col("id").alias("k")))
+    v_before = t.log.latest_version()
+    t.delete_where("k = 999")
+    assert t.log.latest_version() == v_before
+    assert t.read().count() == 10
+
+
+def test_merge_upserts_and_prunes(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.merge_t")
+    t.append(
+        spark.range(0, 20)
+        .select(F.col("id").alias("k"), F.lit("old").alias("v"))
+        .repartition(4, "k")
+    )
+    before = set(t.log.state_at().keys())
+    src = spark.createDataFrame(
+        [(3, "new"), (200, "new")], "k bigint, v string"
+    )
+    t.merge(src, key_cols=["k"])
+    assert t.read().count() == 21
+    got = {r.k: r.v for r in t.read().filter(F.col("k").isin(3, 200)).collect()}
+    assert got == {3: "new", 200: "new"}
+    assert t.read().filter(F.col("v") == "old").count() == 19
+    # only the file holding k=3 rewrote
+    after = set(t.log.state_at().keys())
+    assert len(before & after) == 3
+
+
+def test_merge_into_empty_table_appends(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.merge_empty")
+    src = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t.merge(src, key_cols=["k"])
+    assert t.read().count() == 1
