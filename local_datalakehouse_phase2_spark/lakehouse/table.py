@@ -113,6 +113,40 @@ class LakehouseTable:
         paths = [os.path.join(self.table_dir, p) for p in state]
         return self.spark.read.parquet(*paths)
 
+    def read_incremental(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Rows ADDED in snapshots (from_version, to_version] — the
+        incremental/CDC scan that lets a downstream pipeline process
+        only what changed since its last run instead of re-reading the
+        table (Iceberg's incremental append scan; changelog readers in
+        Delta). File-granular: valid only over append-only ranges —
+        data files are immutable, so appended files ARE the delta.
+        Ranges containing rewriting commits (overwrite/delete/merge/
+        replace/rollback) raise: their delta is row-level and needs a
+        changelog materialization, not a file scan. `replace`
+        (compaction) rewrites unchanged ROWS, so callers should consume
+        deltas promptly or snapshot-pin before maintenance windows."""
+        if to_version is None:
+            to_version = self.log.latest_version()
+        entries = [
+            e for e in self.log.entries() if from_version < e.version <= to_version
+        ]
+        rewriting = [e.operation for e in entries if e.operation not in ("append", "create", "set_properties")]
+        if rewriting:
+            raise ValueError(
+                f"incremental read over non-append operations {rewriting}: "
+                "file-granular deltas are only sound for append-only ranges"
+            )
+        paths = [
+            os.path.join(self.table_dir, fi.path)
+            for e in entries
+            for fi in e.added_files
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], self._schema())
+        return self.spark.read.parquet(*paths)
+
     def _schema(self) -> T.StructType:
         # empty table: recover schema from any file ever written, else empty
         for entry in self.log.entries():

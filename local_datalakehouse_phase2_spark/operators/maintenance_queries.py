@@ -227,3 +227,37 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_incremental_read",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(15 AS BIGINT), CAST(25 AS BIGINT))
+        ) AS t(rows_delta_v2, rows_delta_v2_v3, rows_full)
+    """,
+    tags=("lakehouse", "incremental", "cdc"),
+    doc="Incremental append scan between snapshots: nation loaded as three "
+    "appends (10+5+10 rows by key range); the (v1,v2] delta reads exactly "
+    "the second batch, (v1,v3] both later batches, while the full scan "
+    "still sees all 25 — a downstream pipeline consumes only new files, "
+    "never re-reading the table. All counts pinned.",
+)
+def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.nation_inc")
+        t.append(nation.filter(F.col("n_nationkey") < 10))          # v1
+        t.append(nation.filter(F.col("n_nationkey").between(10, 14)))  # v2
+        t.append(nation.filter(F.col("n_nationkey") >= 15))         # v3
+        v1 = t.log.latest_version() - 2
+        d2 = t.read_incremental(v1, v1 + 1).count()
+        d23 = t.read_incremental(v1).count()
+        full = t.read().count()
+        return (
+            [(d2, d23, full)],
+            "rows_delta_v2 bigint, rows_delta_v2_v3 bigint, rows_full bigint",
+        )
+
+    return _with_lake(spark, run)

@@ -270,3 +270,19 @@ def test_merge_into_empty_table_appends(spark, lake):
     src = spark.createDataFrame([(1, "a")], "k bigint, v string")
     t.merge(src, key_cols=["k"])
     assert t.read().count() == 1
+
+
+def test_incremental_read_append_only_and_guard(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.inc_t")
+    t.append(spark.range(0, 10).select(F.col("id").alias("k")))
+    v1 = t.log.latest_version()
+    t.append(spark.range(10, 13).select(F.col("id").alias("k")))
+    delta = t.read_incremental(v1)
+    assert sorted(r.k for r in delta.collect()) == [10, 11, 12]
+    # empty range -> empty frame with the table schema
+    assert t.read_incremental(t.log.latest_version()).count() == 0
+    # a rewriting commit poisons the range
+    t.delete_where("k = 0")
+    with pytest.raises(ValueError, match="append-only"):
+        t.read_incremental(v1)
