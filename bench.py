@@ -23,12 +23,18 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_change",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "broadcast_dim_join",
     "window_topk_per_group",
     "window_running_sum",
     "rollup_agg",
     "distinct_counts",
+    "percentile_stats",
     "json_extract",
+    # scale strategies (skew salting, write-time co-location)
+    "skew_salted_groupby",
+    "bucketed_colocated_join",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -40,8 +46,10 @@ HEADLINE = [
     # streaming semantics (batch-evaluated windows)
     "tumbling_daily_counts",
     "session_window_activity",
-    # lakehouse lifecycle (write + compact + metadata views)
+    "streaming_dedup_events",
+    # lakehouse lifecycle (write + compact + row-level ops + metadata views)
     "lakehouse_compaction_files",
+    "lakehouse_delete_merge",
 ]
 
 
