@@ -23,7 +23,9 @@ tests/test_plans.py.
 
 from __future__ import annotations
 
+import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -38,12 +40,26 @@ def _sf_tag(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
 
 
+def _clear_stale_location(spark: SparkSession, table: str) -> None:
+    """The in-memory catalog forgets tables across processes but their
+    warehouse directories persist; saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. The directory is a derived cache of the
+    fixtures, so a stale (catalog-unknown) one is safe to remove."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:") :]
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write lineitem + orders (join columns only) as bucketed, sorted
     warehouse tables — the one-time pre-shuffle. Idempotent per sf."""
     tag = _sf_tag(sf_dir)
     li_tbl, o_tbl = f"lineitem_bkt_{tag}", f"orders_bkt_{tag}"
     if not spark.catalog.tableExists(li_tbl):
+        _clear_stale_location(spark, li_tbl)
         (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -54,6 +70,7 @@ def ensure_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .saveAsTable(li_tbl)
         )
     if not spark.catalog.tableExists(o_tbl):
+        _clear_stale_location(spark, o_tbl)
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderpriority")
