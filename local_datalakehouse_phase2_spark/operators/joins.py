@@ -226,3 +226,38 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 6).alias("avg_price"))
     )
+
+
+@register(
+    "shuffle_hash_join_hint",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    tags=("join", "shuffle-hash", "hint"),
+    doc="Fact-fact join forced to SHUFFLED HASH via hint: when neither side "
+    "broadcasts, Spark defaults to sort-merge, but the downstream hash "
+    "aggregate doesn't benefit from sorted output — SHJ skips both sorts "
+    "and builds a hash map from the smaller (orders) side per partition. "
+    "Right choice when the build side's partitions fit executor memory and "
+    "output order is irrelevant; stay with SMJ when spill risk matters or "
+    "a sort is needed anyway. Strategy asserted in tests/test_plans.py; "
+    "result-preserving, oracle is the plain join.",
+)
+def shuffle_hash_join_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )

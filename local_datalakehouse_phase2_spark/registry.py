@@ -86,6 +86,7 @@ def _load_all() -> None:
         joins,
         maintenance_queries,
         multimodal,
+        partitioning,
         relational,
         setops,
         similarity,

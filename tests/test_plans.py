@@ -145,6 +145,28 @@ def test_bucketed_join_has_zero_exchanges(spark, sf_small):
     assert "Exchange" not in plan, plan
 
 
+def test_shuffle_hash_hint_plans_shj(spark, sf_small):
+    strategies = join_strategies(SPECS["shuffle_hash_join_hint"].fn(spark, sf_small))
+    assert "ShuffledHashJoin" in strategies, strategies
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_small):
+    """A filter on the partition column must bind as PartitionFilters
+    (planning-time directory pruning), not as a data filter."""
+    from local_datalakehouse_phase2_spark.operators.partitioning import (
+        ensure_partitioned_events,
+        partition_pruned_scan,
+    )
+
+    part_dir = ensure_partitioned_events(spark, sf_small)
+    plan = plan_string(partition_pruned_scan(spark, part_dir))
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    (pf,) = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert "event_type" in pf, plan
+
+
 def test_topk_plans_take_ordered(spark, sf_small):
     assert has_take_ordered(SPECS["topk_orders"].fn(spark, sf_small))
     assert has_take_ordered(SPECS["token_frequency"].fn(spark, sf_small))
