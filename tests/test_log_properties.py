@@ -1,0 +1,102 @@
+"""Property-based tests for the transaction log (pure Python, no
+Spark): the log is the custom table-format core (SURVEY.md §7 Phase 2),
+so its fold semantics get hypothesis coverage beyond the example-based
+runbook tests — random operation sequences must satisfy the invariants
+every reader depends on.
+"""
+
+from __future__ import annotations
+
+import time
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from local_datalakehouse_phase2_spark.lakehouse.log import (
+    FileInfo,
+    LogEntry,
+    TransactionLog,
+)
+
+# an operation is (files_to_add, indices_of_live_files_to_remove)
+OPS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # n files added
+        st.lists(st.integers(min_value=0, max_value=50), max_size=3),  # removal picks
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _apply_ops(tmp_path, ops):
+    """Drive the log through a random add/remove sequence, mirroring it
+    in a plain dict; returns (log, expected-state-per-version)."""
+    log = TransactionLog(str(tmp_path / "metadata"))
+    mirror: dict[str, FileInfo] = {}
+    states = {}
+    seq = 0
+    for n_add, removal_picks in ops:
+        added = []
+        for _ in range(n_add):
+            fi = FileInfo(path=f"data/f{seq}.parquet", size_bytes=10 + seq, row_count=seq)
+            seq += 1
+            added.append(fi)
+        live = sorted(mirror)
+        removed = tuple({live[i % len(live)] for i in removal_picks} if live else ())
+
+        def make(version, added=tuple(added), removed=removed):
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="append" if not removed else "replace",
+                added_files=added,
+                removed_files=removed,
+            )
+
+        e = log.append(make)
+        for p in removed:
+            del mirror[p]
+        for fi in added:
+            mirror[fi.path] = fi
+        states[e.version] = dict(mirror)
+    return log, states
+
+
+@settings(max_examples=30, deadline=None)
+@given(ops=OPS)
+def test_state_fold_matches_mirror_at_every_version(tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("log_prop")
+    log, states = _apply_ops(tmp, ops)
+    for version, expected in states.items():
+        assert log.state_at(version) == expected
+    # latest == state at latest version
+    assert log.state_at() == states[max(states)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(ops=OPS, cp_at=st.integers(min_value=0, max_value=11))
+def test_checkpoint_never_changes_any_visible_state(tmp_path_factory, ops, cp_at):
+    """A checkpoint is pure compaction: every state_at(v) — before or
+    after the checkpoint version — must be identical with and without it."""
+    tmp = tmp_path_factory.mktemp("log_cp")
+    log, states = _apply_ops(tmp, ops)
+    versions = sorted(states)
+    target = versions[cp_at % len(versions)]
+    log.write_checkpoint(target)
+    for version, expected in states.items():
+        assert log.state_at(version) == expected
+    assert log.state_at() == states[max(states)]
+
+
+@settings(max_examples=15, deadline=None)
+@given(ops=OPS)
+def test_versions_are_dense_and_entries_roundtrip(tmp_path_factory, ops):
+    tmp = tmp_path_factory.mktemp("log_rt")
+    log, states = _apply_ops(tmp, ops)
+    vs = log.versions()
+    assert vs == list(range(vs[0], vs[0] + len(vs)))  # dense, ordered
+    for e in log.entries():
+        again = log.read_entry(e.version)
+        assert again == e  # JSON round-trip is lossless
