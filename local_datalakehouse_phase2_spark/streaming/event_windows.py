@@ -83,6 +83,49 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_events",
+    oracle="""
+        SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM events c
+        JOIN events e
+          ON c.user_id = e.user_id
+         AND e.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+        WHERE c.event_type = 'click' AND e.event_type = 'error'
+        GROUP BY c.user_id
+        ORDER BY c.user_id
+    """,
+    tags=("streaming", "join", "interval"),
+    doc="Interval (stream-stream) join semantics, batch-checked: clicks "
+    "paired with same-user errors in the preceding 10 minutes. The "
+    "equi-key (user_id) carries the shuffle; the time bound is the "
+    "residual — exactly the condition that lets Structured Streaming "
+    "expire join state (a row older than the bound + watermark can never "
+    "match again). The true streaming twin is clicks_with_recent_errors "
+    "in stream_runner.py, asserted stream-equals-batch in "
+    "tests/test_streaming.py.",
+)
+def stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    return (
+        clicks.join(
+            errors,
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") <= F.col("c_ts")),
+        )
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@register(
     "sliding_window_traffic",
     oracle="""
         SELECT CAST(date_trunc('day', ts) - k.k * INTERVAL 1 DAY AS DATE) AS window_start,

@@ -99,6 +99,31 @@ def run_stream_to_memory(
     return spark.table(query_name)
 
 
+def clicks_with_recent_errors(
+    clicks: DataFrame, errors: DataFrame, horizon: str = "10 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with same-user
+    errors from the preceding `horizon`. Both inputs carry watermarks
+    and the join condition bounds event-time distance, so the engine
+    can expire buffered rows once they can no longer match — without
+    the time bound, stream-stream join state grows forever. Batch twin
+    (same expressions on static frames): stream_stream_join_events."""
+    c = (
+        clicks.withWatermark("ts", horizon)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    e = (
+        errors.withWatermark("ts", horizon)
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"))
+    )
+    return c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") <= F.col("c_ts")),
+    )
+
+
 def dedup_event_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup for at-least-once sources (re-delivered
     files, replayed Kafka offsets): keep the first arrival of each

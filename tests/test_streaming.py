@@ -147,3 +147,41 @@ def test_streaming_dedup_drops_redelivered_files(spark, sf_small, tmp_path):
     n_unique = ev.select("event_id").distinct().count()
     assert got.count() == n_unique
     assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_small, tmp_path):
+    """Stream-stream join (watermarked, time-bounded) over the file
+    stream must produce exactly the batch interval-join pairs."""
+    from local_datalakehouse_phase2_spark.streaming.stream_runner import (
+        clicks_with_recent_errors,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    want = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .join(
+            ev.filter(F.col("event_type") == "error").select(
+                F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+            ),
+            (F.col("c_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("e_ts") <= F.col("c_ts")),
+        )
+        .count()
+    )
+    # single-file source: the shared events_dir fixture splits files
+    # randomly, so event time regresses across micro-batches and the
+    # watermark (correctly) evicts/drops what a real time-ordered feed
+    # would keep. One file = one batch = a faithful in-order feed.
+    ordered = str(tmp_path / "ssjoin_src")
+    load_table(spark, sf_small, "events").withColumn(
+        "ts", F.expr("unix_micros(cast(ts as timestamp)) * 1000")
+    ).coalesce(1).write.parquet(ordered)
+    stream = clicks_with_recent_errors(
+        read_event_stream(spark, ordered).filter(F.col("event_type") == "click"),
+        read_event_stream(spark, ordered).filter(F.col("event_type") == "error"),
+    )
+    got_df = run_stream_to_memory(spark, stream, "ssjoin", output_mode="append")
+    assert got_df.count() == want
+    assert want > 0
