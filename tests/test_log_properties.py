@@ -100,3 +100,45 @@ def test_versions_are_dense_and_entries_roundtrip(tmp_path_factory, ops):
     for e in log.entries():
         again = log.read_entry(e.version)
         assert again == e  # JSON round-trip is lossless
+
+
+def test_concurrent_writers_never_lose_commits(tmp_path):
+    """The O_EXCL commit protocol: N threads racing to append must all
+    win distinct, dense versions with every payload present exactly once
+    — the optimistic-concurrency guarantee readers rely on (losers
+    re-resolve and retry, nobody overwrites)."""
+    import threading
+
+    log = TransactionLog(str(tmp_path / "metadata"))
+    n_threads, per_thread = 8, 10
+    errors = []
+
+    def writer(tid: int):
+        try:
+            for i in range(per_thread):
+                def make(version, tid=tid, i=i):
+                    return LogEntry(
+                        version=version,
+                        snapshot_id=version,
+                        committed_at=time.time(),
+                        operation="append",
+                        added_files=(
+                            FileInfo(path=f"data/t{tid}_{i}.parquet", size_bytes=1, row_count=1),
+                        ),
+                    )
+                log.append(make)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    vs = log.versions()
+    assert len(vs) == n_threads * per_thread
+    assert vs == list(range(len(vs)))  # dense: no gaps, no overwrites
+    paths = [fi.path for e in log.entries() for fi in e.added_files]
+    assert len(paths) == len(set(paths)) == n_threads * per_thread
+    assert len(log.state_at()) == n_threads * per_thread
