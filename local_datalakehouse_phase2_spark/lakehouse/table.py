@@ -99,7 +99,9 @@ class LakehouseTable:
 
     def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
         """Current-snapshot scan, or time travel by snapshot id
-        (`VERSION AS OF`) or timestamp (`TIMESTAMP AS OF`)."""
+        (`VERSION AS OF`) or timestamp (`TIMESTAMP AS OF`). Projects
+        through the schema recorded AS OF that version, so time travel
+        sees the table as it was — including pre-evolution columns."""
         if as_of is not None:
             eligible = [e.version for e in self.log.entries() if e.committed_at <= as_of]
             if not eligible:
@@ -109,9 +111,95 @@ class LakehouseTable:
             raise ValueError(f"snapshot {version} does not exist (expired?)")
         state = self.log.state_at(version)
         if not state:
-            return self.spark.createDataFrame([], self._schema())
+            return self.spark.createDataFrame([], self.schema(version) or self._schema())
         paths = [os.path.join(self.table_dir, p) for p in state]
-        return self.spark.read.parquet(*paths)
+        return self._read_paths(paths, version=version)
+
+    def _read_paths(self, paths: list[str], version: int | None = None) -> DataFrame:
+        """Scan data files through the log-recorded schema (Iceberg
+        keeps schema in table metadata the same way): files written
+        before an added column project it as null; no footer-merge pass
+        needed. Falls back to parquet self-description for tables that
+        never recorded a schema."""
+        st = self.schema(version)
+        reader = self.spark.read
+        if st is not None:
+            reader = reader.schema(st)
+        return reader.parquet(*paths)
+
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        """The schema recorded in the log as of `version` (default
+        latest), or None if this table predates schema tracking."""
+        for e in reversed(self.log.entries(upto=version)):
+            if e.extra and e.extra.get("schema"):
+                return T._parse_datatype_string(e.extra["schema"])
+        return None
+
+    # widening lattices per family (Iceberg's legal type promotions)
+    _PROMOTION_RANK = {
+        "tinyint": ("int", 0), "smallint": ("int", 1),
+        "int": ("int", 2), "bigint": ("int", 3),
+        "float": ("float", 0), "double": ("float", 1),
+    }
+
+    def _align_for_write(self, df: DataFrame) -> tuple[DataFrame, str | None]:
+        """Reconcile a write's schema with the table schema; returns the
+        (possibly cast) frame and the new schema DDL to record, or None
+        if the table schema is unchanged.
+
+        Evolution rules (the safe subset of Iceberg's):
+        - adding columns is allowed (appended after existing fields;
+          they read as null from older files)
+        - within a numeric family, the NARROWER side widens: narrower
+          data upcasts to the table type; wider data promotes the table
+          schema (int->bigint, float->double — Iceberg's legal
+          promotions, lossless so old files still read correctly)
+        - dropping/renaming is not expressible by a write (missing
+          columns raise); cross-family type changes raise
+        """
+        current = self.schema()
+        if current is None:
+            return df, df.schema.simpleString()
+        cur_by_name = {f.name: f for f in current.fields}
+        new_by_name = {f.name: f for f in df.schema.fields}
+        missing = [n for n in cur_by_name if n not in new_by_name]
+        if missing:
+            raise ValueError(f"write is missing table columns {missing}")
+        casts: dict[str, T.DataType] = {}  # df columns to upcast
+        widened: dict[str, T.DataType] = {}  # table columns to promote
+        for name, f in new_by_name.items():
+            if name not in cur_by_name or f.dataType == cur_by_name[name].dataType:
+                continue
+            t_s = cur_by_name[name].dataType.simpleString()
+            d_s = f.dataType.simpleString()
+            t_fam, t_rank = self._PROMOTION_RANK.get(t_s, (t_s, -1))
+            d_fam, d_rank = self._PROMOTION_RANK.get(d_s, (d_s, -1))
+            if t_fam != d_fam or t_rank < 0 or d_rank < 0:
+                raise ValueError(
+                    f"type change for column {name}: {t_s} -> {d_s} (not supported)"
+                )
+            if d_rank < t_rank:
+                casts[name] = cur_by_name[name].dataType
+            else:
+                widened[name] = f.dataType
+        if casts:
+            df = df.select(
+                *[
+                    F.col(c.name).cast(casts[c.name]) if c.name in casts else F.col(c.name)
+                    for c in df.schema.fields
+                ]
+            )
+        added = [f for f in df.schema.fields if f.name not in cur_by_name]
+        if not added and not widened:
+            return df, None
+        evolved = T.StructType(
+            [
+                T.StructField(f.name, widened.get(f.name, f.dataType), True)
+                for f in current.fields
+            ]
+            + added
+        )
+        return df, evolved.simpleString()
 
     def read_incremental(
         self, from_version: int, to_version: int | None = None
@@ -144,8 +232,8 @@ class LakehouseTable:
             for fi in e.added_files
         ]
         if not paths:
-            return self.spark.createDataFrame([], self._schema())
-        return self.spark.read.parquet(*paths)
+            return self.spark.createDataFrame([], self.schema(to_version) or self._schema())
+        return self._read_paths(paths, version=to_version)
 
     def _schema(self) -> T.StructType:
         # empty table: recover schema from any file ever written, else empty
@@ -186,11 +274,26 @@ class LakehouseTable:
     # ---- writes ------------------------------------------------------
 
     def append(self, df: DataFrame) -> LogEntry:
-        return self._commit_write(df, operation="append", removed=())
+        df, schema_ddl = self._align_for_write(df)
+        return self._commit_write(
+            df,
+            operation="append",
+            removed=(),
+            extra={"schema": schema_ddl} if schema_ddl else None,
+        )
 
     def overwrite(self, df: DataFrame) -> LogEntry:
+        # overwrite replaces the data wholesale, so the write schema
+        # BECOMES the table schema (no evolution constraints)
         removed = tuple(self.log.state_at().keys())
-        return self._commit_write(df, operation="overwrite", removed=removed)
+        cur = self.schema()
+        ddl = df.schema.simpleString()
+        return self._commit_write(
+            df,
+            operation="overwrite",
+            removed=removed,
+            extra={"schema": ddl} if cur is None or ddl != cur.simpleString() else None,
+        )
 
     # ---- row-level operations (copy-on-write; Iceberg v2 analog) -----
 
@@ -228,7 +331,7 @@ class LakehouseTable:
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
         paths = [os.path.join(self.table_dir, p) for p in affected]
-        survivors = self.spark.read.parquet(*paths).filter(~cond)
+        survivors = self._read_paths(paths).filter(~cond)
         return self._commit_write(survivors, operation="delete", removed=tuple(affected))
 
     def merge(self, source: DataFrame, key_cols: list[str]) -> LogEntry:
@@ -247,10 +350,9 @@ class LakehouseTable:
         affected = self._affected_files(matched)
         if affected:
             paths = [os.path.join(self.table_dir, p) for p in affected]
-            carried = (
-                self.spark.read.parquet(*paths)
-                .join(F.broadcast(keys), key_cols, "left_anti")
-            )
+            # schema-aware read: pre-evolution files project added
+            # columns as null, so carried rows union cleanly with source
+            carried = self._read_paths(paths).join(F.broadcast(keys), key_cols, "left_anti")
             new_data = carried.unionByName(source)
         else:
             new_data = source
@@ -262,6 +364,7 @@ class LakehouseTable:
         operation: str,
         removed: tuple[str, ...],
         input_bytes: int | None = None,
+        extra: dict | None = None,
     ) -> LogEntry:
         files = self._write_files(df, input_bytes=input_bytes)
 
@@ -273,6 +376,7 @@ class LakehouseTable:
                 operation=operation,
                 added_files=files,
                 removed_files=removed,
+                extra=extra,
             )
 
         return self.log.append(make)

@@ -261,3 +261,40 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_schema_evolution",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+             CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(9.5 AS DOUBLE))
+        ) AS t(cols_v1, cols_v2, null_scores, filled_scores, max_score)
+    """,
+    tags=("lakehouse", "schema-evolution"),
+    doc="Add-column schema evolution: the log records the schema per "
+    "commit (as Iceberg keeps it in table metadata), reads project "
+    "through the schema AS OF the version read, and pre-evolution files "
+    "surface the added column as null — no file rewrite, no footer-merge "
+    "pass. Time-travel column count, null/filled split, and the new "
+    "column's max all pinned.",
+)
+def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.evo_q")
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+        v1 = t.log.latest_version()
+        t.append(spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double"))
+        cols_v1 = len(t.read(version=v1).columns)
+        cur = t.read()
+        cols_v2 = len(cur.columns)
+        null_scores = cur.filter(F.col("score").isNull()).count()
+        filled = cur.filter(F.col("score").isNotNull()).count()
+        mx = cur.agg(F.max("score")).first()[0]
+        return (
+            [(cols_v1, cols_v2, null_scores, filled, float(mx))],
+            "cols_v1 bigint, cols_v2 bigint, null_scores bigint,"
+            " filled_scores bigint, max_score double",
+        )
+
+    return _with_lake(spark, run)

@@ -286,3 +286,62 @@ def test_incremental_read_append_only_and_guard(spark, lake):
     t.delete_where("k = 0")
     with pytest.raises(ValueError, match="append-only"):
         t.read_incremental(v1)
+
+
+def test_schema_evolution_add_column(spark, lake):
+    """Added columns read as null from pre-evolution files; time travel
+    sees the schema as of the version read."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.evo")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    v1 = t.log.latest_version()
+    t.append(
+        spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double")
+    )
+    cur = t.read()
+    assert set(cur.columns) == {"k", "v", "score"}
+    got = {r.k: r.score for r in cur.collect()}
+    assert got == {1: None, 2: None, 3: 9.5}
+    # time travel: v1 predates the column
+    assert set(t.read(version=v1).columns) == {"k", "v"}
+    # guards: missing columns and type changes raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing table columns"):
+        t.append(spark.createDataFrame([(4,)], "k bigint"))
+    with _pytest.raises(ValueError, match="type change"):
+        t.append(
+            spark.createDataFrame([(4, "d", "oops")], "k bigint, v string, score string")
+        )
+
+
+def test_schema_evolution_merge_across_old_files(spark, lake):
+    """MERGE whose source carries an added column must upsert cleanly
+    over pre-evolution files (carried rows project null)."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.evo_m")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.append(spark.createDataFrame([(3, "c", 1.0)], "k bigint, v string, score double"))
+    src = spark.createDataFrame([(2, "B", 2.0), (9, "Z", 3.0)], "k bigint, v string, score double")
+    t.merge(src, key_cols=["k"])
+    got = {r.k: (r.v, r.score) for r in t.read().collect()}
+    assert got == {1: ("a", None), 2: ("B", 2.0), 3: ("c", 1.0), 9: ("Z", 3.0)}
+
+
+def test_schema_evolution_type_promotion(spark, lake):
+    """Numeric widening both ways: narrower writes upcast to the table
+    type; wider writes promote the table schema (int->bigint), and old
+    narrower files still read correctly through the widened schema."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.evo_w")
+    t.append(spark.createDataFrame([(1, 1.5)], "k int, x float"))
+    # wider write promotes the table schema
+    t.append(spark.createDataFrame([(2**40, 2.5)], "k bigint, x double"))
+    st = {f.name: f.dataType.simpleString() for f in t.read().schema.fields}
+    assert st == {"k": "bigint", "x": "double"}
+    got = sorted((r.k, round(r.x, 1)) for r in t.read().collect())
+    assert got == [(1, 1.5), (2**40, 2.5)]
+    # narrower write upcasts into the (now wider) table type
+    t.append(spark.createDataFrame([(7, 3.5)], "k int, x float"))
+    assert t.read().count() == 3
+    assert {f.dataType.simpleString() for f in t.read().schema.fields} == {"bigint", "double"}
