@@ -127,6 +127,30 @@ class LakehouseTable:
             reader = reader.schema(st)
         return reader.parquet(*paths)
 
+    def add_column(self, name: str, data_type: str) -> LogEntry:
+        """ALTER TABLE ... ADD COLUMN analog: records the widened schema
+        as a metadata-only commit (no data files touched); existing rows
+        read the new column as null immediately."""
+        current = self.schema() or self._schema()
+        if any(f.name == name for f in current.fields):
+            raise ValueError(f"column {name} already exists")
+        evolved = T.StructType(
+            list(current.fields)
+            + [T.StructField(name, T._parse_datatype_string(data_type), True)]
+        )
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="add_column",
+                properties=self.log.properties_at() or None,
+                extra={"schema": evolved.simpleString()},
+            )
+
+        return self.log.append(make)
+
     def schema(self, version: int | None = None) -> T.StructType | None:
         """The schema recorded in the log as of `version` (default
         latest), or None if this table predates schema tracking."""
@@ -220,7 +244,11 @@ class LakehouseTable:
         entries = [
             e for e in self.log.entries() if from_version < e.version <= to_version
         ]
-        rewriting = [e.operation for e in entries if e.operation not in ("append", "create", "set_properties")]
+        rewriting = [
+            e.operation
+            for e in entries
+            if e.operation not in ("append", "create", "set_properties", "add_column")
+        ]
         if rewriting:
             raise ValueError(
                 f"incremental read over non-append operations {rewriting}: "

@@ -345,3 +345,19 @@ def test_schema_evolution_type_promotion(spark, lake):
     t.append(spark.createDataFrame([(7, 3.5)], "k int, x float"))
     assert t.read().count() == 3
     assert {f.dataType.simpleString() for f in t.read().schema.fields} == {"bigint", "double"}
+
+
+def test_add_column_is_metadata_only(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.addcol")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    files_before = set(t.log.state_at().keys())
+    t.add_column("score", "double")
+    assert set(t.log.state_at().keys()) == files_before  # no data rewritten
+    row = t.read().first()
+    assert row.score is None and set(t.read().columns) == {"k", "v", "score"}
+    # subsequent writes may fill it
+    t.append(spark.createDataFrame([(2, "b", 1.5)], "k bigint, v string, score double"))
+    assert t.read().filter(F.col("score").isNotNull()).count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("score", "double")
