@@ -88,6 +88,7 @@ def _load_all() -> None:
         multimodal,
         partitioning,
         relational,
+        sampling,
         setops,
         similarity,
         skew,

@@ -53,3 +53,27 @@ def test_winnow_fingerprints_match_python_oracle(spark, sf_small):
         for i in range(max(len(kh) - WINNOW_W, 0) + 1):
             want.add(min(kh[i : i + WINNOW_W]))
         assert got.get(r.doc_id, set()) == want, r.doc_id
+
+
+def test_deterministic_sampling_is_stable_and_stratified(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from local_datalakehouse_phase2_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_mix,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    s1 = deterministic_sample(docs, F.col("doc_id"), 0.2)
+    s2 = deterministic_sample(docs, F.col("doc_id"), 0.2)
+    ids1 = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert ids1 == sorted(r.doc_id for r in s2.select("doc_id").collect())
+    assert 0 < len(ids1) < docs.count()
+    # supersampling: a higher rate strictly contains the lower-rate set
+    ids_half = {r.doc_id for r in deterministic_sample(docs, F.col("doc_id"), 0.5).select("doc_id").collect()}
+    assert set(ids1) <= ids_half
+    mixed = stratified_mix(docs, "lang", F.col("doc_id"), {"en": 1.0})
+    langs = {r.lang for r in mixed.select("lang").distinct().collect()}
+    assert langs == {"en"}  # zero-rate strata dropped entirely
+    assert mixed.count() == docs.filter(F.col("lang") == "en").count()  # rate 1.0 keeps all
