@@ -230,3 +230,57 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+        SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+        UNION ALL
+        SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation
+    """,
+    tags=("functions", "map"),
+    doc="MAP constructor + traversal (SURVEY.md §2.8 F4 — the reference "
+    "uses map() for procedure options, guide :233-238): rows fold into a "
+    "map(create_map), then explode back to (key, value) pairs so the "
+    "oracle checks the VALUES without depending on either engine's map "
+    "rendering. Also the schema shape for options-style map<string,string> "
+    "columns (our maintenance API takes the same map as kwargs).",
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return n.select("n_nationkey", F.explode(m).alias("k", "v"))
+
+
+@register(
+    "array_agg_per_group",
+    oracle="""
+        SELECT n_regionkey,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               LIST(n_name ORDER BY n_name) AS nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+    tags=("agg", "array-agg", "collect"),
+    doc="Grouped array aggregation: collect_list + sort_array makes the "
+    "result DETERMINISTIC (collect order depends on partitioning; DuckDB's "
+    "LIST(... ORDER BY) sorts explicitly — unordered collects can never "
+    "hash-match across engines). collect_* concentrates a whole group on "
+    "one reducer: fine for bounded groups like dims; for unbounded groups "
+    "prefer top-k windows or sketches.",
+)
+def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+        )
+        .orderBy("n_regionkey")
+    )

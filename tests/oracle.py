@@ -39,8 +39,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _norm_value(v: Any) -> Any:
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_value(x) for x in v)
+    # ndarray cells (Spark array columns via toPandas) break pandas
+    # sort_values; stringify sequence cells the way the driver's value
+    # hash does (str() over normalized elements)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return str(tuple(_norm_value(x) for x in v))
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
