@@ -149,3 +149,38 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c_acctbal") / F.sum("c_acctbal").over(w), 6).alias("bal_share"),
         )
     )
+
+
+@register(
+    "window_trailing_range",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ), 2) AS trailing_30d
+        FROM orders
+        WHERE o_custkey < 200
+    """,
+    tags=("window", "range-frame", "temporal"),
+    doc="Time-RANGE window frame: per-customer trailing-30-day revenue at "
+    "each order. RANGE frames are PEER-INCLUSIVE (same-timestamp rows "
+    "always aggregate together), so the result is deterministic under "
+    "ties where a ROWS frame would not be. Spark expresses the interval "
+    "as rangeBetween over epoch seconds — same frame DuckDB's INTERVAL "
+    "RANGE computes. Window state is one partition's rows; keying by "
+    "customer keeps partitions bounded at any corpus size.",
+)
+def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
