@@ -184,3 +184,32 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
     )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume
+        FROM supplier
+        WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window", "rank", "distribution"),
+    doc="Distribution ranks per nation: NTILE quartiles, PERCENT_RANK, "
+    "CUME_DIST. The ORDER BY breaks acctbal ties with the unique suppkey — "
+    "without it NTILE assignment at tie boundaries is engine-dependent and "
+    "can never hash-match. One shuffle on the partition key; each "
+    "partition sorts locally.",
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
