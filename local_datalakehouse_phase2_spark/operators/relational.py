@@ -284,3 +284,32 @@ def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "scalar_null_funcs",
+    oracle="""
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+               LEAST(c_acctbal, 5000.0) AS capped_bal,
+               GREATEST(c_acctbal, 0.0) AS floored_bal,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 0) END AS pos_bal
+        FROM customer
+        WHERE c_custkey < 500
+    """,
+    tags=("functions", "null-handling"),
+    doc="Null-handling scalar surface: COALESCE / NULLIF / LEAST / "
+    "GREATEST / CASE-to-NULL — pure row-local expressions inside "
+    "whole-stage codegen, pushdown-compatible.",
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_or_other"
+        ),
+        F.least("c_acctbal", F.lit(5000.0)).alias("capped_bal"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("floored_bal"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.round("c_acctbal", 0)).alias("pos_bal"),
+    )

@@ -192,3 +192,20 @@ def test_lineitem_filter_prunes_via_stats(spark, sf_small):
     li = load_table(spark, sf_small, "lineitem").filter(F.col("l_quantity") < -1)
     p = plan_string(li)
     assert "PushedFilters" in p or "LocalTableScan" in p
+
+
+def test_bucketed_agg_has_no_exchange(spark, sf_small):
+    """Bucketing helps aggregations too: a groupBy on the bucket key
+    over the bucketed table must plan without any Exchange."""
+    from local_datalakehouse_phase2_spark.operators.bucketing import (
+        ensure_bucketed_tables,
+    )
+
+    li_tbl, _ = ensure_bucketed_tables(spark, sf_small)
+    agg = (
+        spark.table(li_tbl)
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    plan = plan_string(agg)
+    assert "Exchange" not in plan, plan
