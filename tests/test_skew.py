@@ -65,3 +65,35 @@ def test_two_stage_agg_spreads_hot_groups(spark, sf_small):
         F.sum("l_quantity").alias("total"), F.count("l_orderkey").alias("cnt")
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling must actually trigger: a join where one
+    key holds ~all left rows gets its oversized partition split at
+    runtime (skew=true in the final adaptive plan). This is the
+    automatic complement to the manual salting operators above."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "262144",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "262144",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 400_000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 1 ELSE id END AS k",  # ~90% on key 1
+            "id AS payload",
+        )
+        right = spark.range(0, 50_000).selectExpr("id AS k", "id AS r_payload")
+        joined = left.join(right, "k")
+        # materialize THIS frame's own QueryExecution (count() would build
+        # a new one and the inspected plan would never finalize)
+        joined.toPandas()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
