@@ -368,3 +368,29 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_retailprice", F.col("p_size").cast("double").alias("p_size")
     )
     return p.unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")
+
+
+@register(
+    "approx_percentile_stats",
+    oracle=None,  # t-digest results are engine-specific; bounded error vs
+    # the exact percentiles is asserted in tests/test_text.py's suite
+    # companion (tests/test_plans.py::test_approx_percentile_error_bound)
+    tags=("agg", "percentile", "approx", "sketch"),
+    doc="approx_percentile (t-digest-style sketch): the 100 TB path the "
+    "exact percentile_stats documents — mergeable partial sketches, "
+    "bounded memory, one pass, no full-value-set shuffle. accuracy=1000 "
+    "bounds rank error at ~1/1000; the dedicated test asserts the "
+    "estimates land within rank tolerance of the exact values. No SQL "
+    "oracle: sketch internals are engine-specific by design.",
+)
+def approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_price"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(1000)).alias("p95_price"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -209,3 +209,30 @@ def test_bucketed_agg_has_no_exchange(spark, sf_small):
     )
     plan = plan_string(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_approx_percentile_error_bound(spark, sf_small):
+    """The sketch path must land within rank tolerance of the exact
+    percentiles: with accuracy=1000 the rank error is ~1/1000, so on
+    the fixture the estimate must sit between the exact p90 and p99
+    for a p95 target (a loose but engine-independent band)."""
+    approx = {
+        r.l_returnflag: (r.p50_price, r.p95_price)
+        for r in SPECS["approx_percentile_stats"].fn(spark, sf_small).collect()
+    }
+    li = load_table(spark, sf_small, "lineitem")
+    exact = {
+        r.l_returnflag: (r.p40, r.p60, r.p90, r.p99)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.40)).alias("p40"),
+            F.percentile("l_extendedprice", F.lit(0.60)).alias("p60"),
+            F.percentile("l_extendedprice", F.lit(0.90)).alias("p90"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    for flag, (p50a, p95a) in approx.items():
+        p40, p60, p90, p99 = exact[flag]
+        assert p40 <= p50a <= p60, (flag, p50a, p40, p60)
+        assert p90 <= p95a <= p99, (flag, p95a, p90, p99)
