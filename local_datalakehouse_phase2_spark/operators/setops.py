@@ -79,3 +79,44 @@ def except_inactive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
     return p.exceptAll(li).distinct()
+
+
+@register(
+    "except_all_multiplicity",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus <> 'P'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey
+    """,
+    tags=("setop", "bag-semantics"),
+    doc="EXCEPT ALL (bag semantics): multiset difference of order "
+    "occurrences — a customer with 3 non-pending orders and 1 finalized "
+    "keeps 2 rows, where distinct EXCEPT would collapse to membership. "
+    "Planned as a count-and-replicate aggregate, one shuffle on the key.",
+)
+def except_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") != "P").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).orderBy("custkey")
+
+
+@register(
+    "intersect_all_multiplicity",
+    oracle="""
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        ORDER BY custkey
+    """,
+    tags=("setop", "bag-semantics"),
+    doc="INTERSECT ALL: per-key multiplicity is min(count_left, "
+    "count_right) — customers appear once per matched open/finalized "
+    "order pair, not once per membership.",
+)
+def intersect_all_multiplicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b).orderBy("custkey")
