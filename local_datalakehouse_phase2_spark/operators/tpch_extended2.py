@@ -388,3 +388,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@register(
+    "lateral_order_top_line",
+    oracle="""
+        SELECT o_orderkey, li.max_price, li.n_lines
+        FROM orders, LATERAL (
+            SELECT MAX(l_extendedprice) AS max_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_orderkey = o_orderkey
+        ) li
+        WHERE o_custkey < 100
+        ORDER BY o_orderkey
+    """,
+    tags=("join", "lateral", "correlated-subquery"),
+    doc="Correlated LATERAL subquery: a per-order aggregate over its own "
+    "lineitems, written as the SQL-standard lateral join. Catalyst "
+    "decorrelates it into aggregate-then-join — same plan the manual "
+    "rewrite would produce, so the per-row-subquery mental model costs "
+    "nothing at scale. (Inner lateral over an aggregate always yields a "
+    "row, so orders without lineitems still appear with n_lines=0 in "
+    "BOTH engines.)",
+)
+def lateral_order_top_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, li.max_price, li.n_lines
+        FROM orders, LATERAL (
+            SELECT MAX(l_extendedprice) AS max_price,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            WHERE l_orderkey = o_orderkey
+        ) li
+        WHERE o_custkey < 100
+        ORDER BY o_orderkey
+        """
+    )
