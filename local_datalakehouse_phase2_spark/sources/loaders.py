@@ -36,6 +36,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP_NTZ (microsecond truncation) to match the naive-timestamp
     semantics of the other fixture tables and of DuckDB.
     """
+    if name == "events":
+        # The conf is runtime-settable, so set it here rather than relying
+        # on session-build config: any foreign SparkSession (driver
+        # harness, notebook) that didn't go through session.py can still
+        # read the NANOS column. Without it the scan fails with
+        # PARQUET_TYPE_ILLEGAL.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
@@ -62,7 +69,10 @@ def parallel_scan(
     """
     df = load_table(spark, sf_dir, name)
     n = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    # len(df.inputFiles()) is a metadata-only lower bound on the number of
+    # input splits — it avoids the RDD conversion / plan compilation that
+    # df.rdd.getNumPartitions() forces just to count partitions.
+    if len(df.inputFiles()) < n:
         df = df.repartition(n)
     return df
 
