@@ -13,10 +13,13 @@ from .maintenance import (
     rewrite_position_deletes,
     rollback_to_snapshot,
 )
+from .sql import LakehouseSQL, SqlError
 from .table import LakehouseTable
 
 __all__ = [
     "CatalogError",
+    "LakehouseSQL",
+    "SqlError",
     "FileInfo",
     "Lakehouse",
     "LakehouseTable",

@@ -1,0 +1,501 @@
+"""SQL front-end for the lakehouse: the reference runbook's statement
+surface, executed against the local catalog + transaction log.
+
+The reference's PRIMARY user interface is a `spark-sql` shell driving
+Iceberg DDL, DML, metadata tables, and maintenance procedures
+(/root/reference/SPARK_ICEBERG_GUIDE.md:36-340). Round 1 exposed all
+of that as Python APIs only; this module closes the gap so a runbook
+user can type the guide's own statements:
+
+- CREATE NAMESPACE ... WITH PROPERTIES            (guide :88-93)
+- CREATE TABLE ... USING iceberg TBLPROPERTIES    (:101-115)
+- INSERT INTO ... VALUES / SELECT ... FROM RANGE  (:123-162)
+- SELECT ... FROM <ns>.<t>.snapshots / .files     (:132-134, :171-191)
+- SELECT ... FROM <ns>.<t> VERSION AS OF n        (:304-316 analog)
+- ALTER TABLE ... SET TBLPROPERTIES               (:218-224, :324-328)
+- CALL <cat>.system.<procedure>(arg => value,...) (:228-316)
+- DELETE FROM / DESCRIBE / SHOW / SET / DROP
+
+Architecture: this is a thin STATEMENT router, not a SQL engine.
+Anything query-shaped is handed to Spark SQL (Catalyst does the real
+work) after one rewrite pass that maps lakehouse table references to
+registered temp views of the correct snapshot read. Only the few
+statement forms Spark itself can't resolve against our log-backed
+tables (CALL, INSERT-with-commit, metadata suffixes, time travel) are
+parsed here, with regexes scoped to exactly the runbook grammar.
+
+Scale: the router adds driver-side string work measured in
+microseconds; every data-touching operation is the same distributed
+plan the Python API produces (reads are `spark.read.parquet(<live
+files>)`, writes are the sized snapshot-commit writer).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import maintenance
+from .catalog import CatalogError, Lakehouse
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+class SqlError(RuntimeError):
+    pass
+
+
+def _strip(statement: str) -> str:
+    """Drop line comments and the trailing semicolon."""
+    lines = []
+    for line in statement.splitlines():
+        # naive '--' strip is safe for the runbook grammar: string
+        # literals in it never contain '--'
+        idx = line.find("--")
+        if idx >= 0:
+            line = line[:idx]
+        lines.append(line)
+    return " ".join(" ".join(lines).split()).rstrip(";").strip()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not nested in parens or quotes."""
+    out, depth, start, i, q = [], 0, 0, 0, None
+    while i < len(s):
+        c = s[i]
+        if q:
+            if c == q:
+                q = None
+        elif c in "'\"":
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_props(body: str) -> dict[str, str]:
+    """'k'='v', 'k2'='v2'  ->  {k: v, ...}"""
+    props = {}
+    for part in _split_top_level(body):
+        m = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", part)
+        if not m:
+            raise SqlError(f"bad property clause: {part!r}")
+        props[m.group(1)] = m.group(2)
+    return props
+
+
+def _parse_value(raw: str):
+    """One procedure-argument value: string / int / float /
+    TIMESTAMP 'utc literal' (-> epoch seconds) / map('k','v',...)."""
+    raw = raw.strip()
+    m = re.fullmatch(r"(?is)TIMESTAMP\s*'([^']+)'", raw)
+    if m:
+        dt = _dt.datetime.fromisoformat(m.group(1))
+        # runbook timestamps are UTC (guide :42-44)
+        return dt.replace(tzinfo=_dt.timezone.utc).timestamp()
+    m = re.fullmatch(r"(?is)map\s*\((.*)\)", raw)
+    if m:
+        items = [_parse_value(p) for p in _split_top_level(m.group(1))]
+        if len(items) % 2:
+            raise SqlError(f"map() needs an even number of arguments: {raw!r}")
+        return dict(zip(items[0::2], items[1::2]))
+    if raw.startswith("'") and raw.endswith("'"):
+        return raw[1:-1]
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        raise SqlError(f"cannot parse procedure argument value: {raw!r}")
+
+
+class LakehouseSQL:
+    """Statement router over a :class:`Lakehouse` catalog.
+
+    `sql(statement)` accepts the runbook surface and always returns a
+    DataFrame (DDL/DML return small result frames, like Spark's own
+    `spark.sql` does for commands).
+    """
+
+    def __init__(self, lake: Lakehouse, catalog_name: str = "lakehouse"):
+        self.lake = lake
+        self.spark: SparkSession = lake.spark
+        self.catalog_name = catalog_name
+        self._view_n = 0
+
+    # ---- public entry point ------------------------------------------
+
+    def sql(self, statement: str) -> DataFrame:
+        s = _strip(statement)
+        if not s:
+            raise SqlError("empty statement")
+        head = s.split(None, 1)[0].upper()
+        if head == "CALL":
+            return self._call(s)
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "CREATE":
+            return self._create(s)
+        if head == "ALTER":
+            return self._alter(s)
+        if head == "DROP":
+            return self._drop(s)
+        if head in ("DESCRIBE", "DESC"):
+            return self._describe(s)
+        if head == "SHOW":
+            return self._show(s)
+        if head == "SET":
+            return self._set(s)
+        # query-shaped: rewrite lakehouse refs to temp views, let
+        # Catalyst take it from there
+        return self.spark.sql(self._rewrite_refs(s))
+
+    # ---- reference rewriting -----------------------------------------
+
+    def _fresh_view(self, df: DataFrame, hint: str) -> str:
+        self._view_n += 1
+        name = f"__lh_{hint}_{self._view_n}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _identifiers(self) -> list[str]:
+        out = []
+        for ns in self.lake.namespaces():
+            out.extend(f"{ns}.{t}" for t in self.lake.tables(ns))
+        return out
+
+    def _rewrite_refs(self, s: str) -> str:
+        """Map every `[catalog.]ns.table[.snapshots|.files]` and
+        time-travel suffix onto a temp view of the right DataFrame.
+
+        Longest-match first so `ns.t.files` never half-matches as
+        `ns.t`. Views are registered only for tables the statement
+        actually references.
+        """
+        for ident in self._identifiers():
+            ns, tbl = ident.split(".", 1)
+            base = rf"(?:{re.escape(self.catalog_name)}\.)?{re.escape(ns)}\.{re.escape(tbl)}"
+            if not re.search(rf"(?i)\b{base}\b", s):
+                continue
+            t = self.lake.table(ident)
+            # metadata suffixes
+            for suffix, frame in (("snapshots", t.snapshots), ("files", t.files)):
+                pat = rf"(?i)\b{base}\.{suffix}\b"
+                if re.search(pat, s):
+                    view = self._fresh_view(frame(), f"{ns}_{tbl}_{suffix}")
+                    s = re.sub(pat, view, s)
+            # time travel: VERSION AS OF n | TIMESTAMP AS OF TIMESTAMP? '...'
+            def _version_sub(m: re.Match) -> str:
+                return self._fresh_view(
+                    t.read(version=int(m.group(1))), f"{ns}_{tbl}_v"
+                )
+
+            def _tstamp_sub(m: re.Match) -> str:
+                epoch = _parse_value(f"TIMESTAMP '{m.group(1)}'")
+                return self._fresh_view(t.read(as_of=epoch), f"{ns}_{tbl}_ts")
+
+            s = re.sub(rf"(?i)\b{base}\s+VERSION\s+AS\s+OF\s+(\d+)\b", _version_sub, s)
+            s = re.sub(
+                rf"(?i)\b{base}\s+TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'",
+                _tstamp_sub,
+                s,
+            )
+            # plain current-snapshot reference
+            if re.search(rf"(?i)\b{base}\b", s):
+                view = self._fresh_view(t.read(), f"{ns}_{tbl}")
+                s = re.sub(rf"(?i)\b{base}\b", view, s)
+        return s
+
+    # ---- CALL procedures (guide :228-316) ----------------------------
+
+    def _call(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)CALL\s+(?:{_IDENT}\.)?system\.({_IDENT})\s*\((.*)\)",
+            s,
+        )
+        if not m:
+            raise SqlError(f"unsupported CALL syntax: {s!r}")
+        proc, body = m.group(1).lower(), m.group(2)
+        args: dict[str, object] = {}
+        for part in _split_top_level(body):
+            if not part:
+                continue
+            am = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=>\s*(.*)", part)
+            if not am:
+                raise SqlError(f"procedure arguments must be name => value: {part!r}")
+            args[am.group(1).lower()] = _parse_value(am.group(2))
+        if "table" not in args:
+            raise SqlError(f"CALL {proc}: missing table => argument")
+        table = self.lake.table(str(args.pop("table")))
+        options = args.pop("options", {})
+        if not isinstance(options, dict):
+            raise SqlError("options => must be a map(...)")
+
+        if proc == "rewrite_data_files":
+            # Iceberg option names (guide :234-238); unrecognized
+            # options are accepted and ignored, as Iceberg does for
+            # strategy-specific knobs we don't need locally.
+            result = maintenance.rewrite_data_files(
+                table,
+                target_file_size_bytes=int(
+                    options.get(
+                        "target-file-size-bytes", maintenance.DEFAULT_TARGET_FILE_SIZE
+                    )
+                ),
+                min_input_files=int(options.get("min-input-files", 1)),
+            )
+        elif proc == "rewrite_manifests":
+            result = maintenance.rewrite_manifests(table)
+        elif proc == "expire_snapshots":
+            result = maintenance.expire_snapshots(
+                table,
+                retain_last=_opt_int(args, "retain_last"),
+                older_than=_opt_float(args, "older_than"),
+            )
+        elif proc == "remove_orphan_files":
+            result = maintenance.remove_orphan_files(
+                table, older_than=_opt_float(args, "older_than")
+            )
+        elif proc == "rollback_to_snapshot":
+            if "snapshot_id" not in args:
+                raise SqlError("rollback_to_snapshot: missing snapshot_id =>")
+            result = maintenance.rollback_to_snapshot(table, int(args.pop("snapshot_id")))
+        elif proc == "rewrite_position_deletes":
+            result = maintenance.rewrite_position_deletes(table)
+        elif proc == "rewrite_equality_deletes":
+            result = maintenance.rewrite_equality_deletes(table)
+        else:
+            raise SqlError(f"unknown procedure: {proc}")
+        if args:
+            raise SqlError(f"CALL {proc}: unexpected arguments {sorted(args)}")
+        return self._result_frame(result)
+
+    def _result_frame(self, result: dict) -> DataFrame:
+        fields, row = [], []
+        for k, v in result.items():
+            if isinstance(v, bool):
+                fields.append(T.StructField(k, T.BooleanType()))
+            elif isinstance(v, int):
+                fields.append(T.StructField(k, T.LongType()))
+            elif isinstance(v, float):
+                fields.append(T.StructField(k, T.DoubleType()))
+            else:
+                fields.append(T.StructField(k, T.StringType()))
+                v = None if v is None else str(v)
+            row.append(v)
+        return self.spark.createDataFrame([tuple(row)], T.StructType(fields))
+
+    # ---- DML ----------------------------------------------------------
+
+    def _insert(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)INSERT\s+INTO\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+(VALUES\s+.*|SELECT\s+.*)",
+            s,
+        )
+        if not m:
+            raise SqlError(f"unsupported INSERT syntax: {s!r}")
+        t = self.lake.table(self._strip_catalog(m.group(1)))
+        body = m.group(2)
+        if body[:6].upper() == "VALUES":
+            src = self.spark.sql(f"SELECT * FROM ({body})")
+        else:
+            src = self.spark.sql(self._rewrite_refs(body))
+        # positional alignment to the table schema, like SQL INSERT
+        schema = t.schema() or t._schema()
+        if len(schema.fields) != len(src.columns):
+            raise SqlError(
+                f"INSERT has {len(src.columns)} columns, table has {len(schema.fields)}"
+            )
+        aligned = src.selectExpr(
+            *[
+                f"CAST(`{c}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+                for c, f in zip(src.columns, schema.fields)
+            ]
+        )
+        entry = t.append(aligned)
+        return self._result_frame(
+            {"snapshot_id": entry.snapshot_id, "added_files": len(entry.added_files)}
+        )
+
+    def _delete(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)DELETE\s+FROM\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+WHERE\s+(.*)",
+            s,
+        )
+        if not m:
+            raise SqlError(f"unsupported DELETE syntax: {s!r}")
+        t = self.lake.table(self._strip_catalog(m.group(1)))
+        entry = t.delete_where(m.group(2))
+        return self._result_frame(
+            {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
+        )
+
+    # ---- DDL ----------------------------------------------------------
+
+    def _strip_catalog(self, ident: str) -> str:
+        parts = ident.split(".")
+        if len(parts) == 3:
+            if parts[0] != self.catalog_name:
+                raise SqlError(
+                    f"unknown catalog {parts[0]!r} (this session serves {self.catalog_name!r})"
+                )
+            parts = parts[1:]
+        return ".".join(parts)
+
+    def _create(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+NAMESPACE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT})"
+            rf"(?:\s+WITH\s+(?:DB)?PROPERTIES\s*\((.*)\))?",
+            s,
+        )
+        if m:
+            name = self._strip_ns_catalog(m.group(2))
+            self.lake.create_namespace(
+                name,
+                properties=_parse_props(m.group(3)) if m.group(3) else None,
+                if_not_exists=bool(m.group(1)),
+            )
+            return self._result_frame({"namespace": name, "created": True})
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
+            rf"\s*\((.*?)\)(?:\s+USING\s+{_IDENT})?(?:\s+TBLPROPERTIES\s*\((.*)\))?",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(2))
+            cols = ", ".join(_split_top_level(m.group(3)))
+            t = self.lake.create_table(
+                ident,
+                schema=cols,
+                properties=_parse_props(m.group(4)) if m.group(4) else None,
+                if_not_exists=bool(m.group(1)),
+            )
+            return self._result_frame({"table": ident, "location": t.table_dir})
+        raise SqlError(f"unsupported CREATE syntax: {s!r}")
+
+    def _strip_ns_catalog(self, ident: str) -> str:
+        parts = ident.split(".")
+        if len(parts) == 2:
+            if parts[0] != self.catalog_name:
+                raise SqlError(f"unknown catalog {parts[0]!r}")
+            parts = parts[1:]
+        return parts[0]
+
+    def _alter(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+SET\s+TBLPROPERTIES\s*\((.*)\)",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            entry = t.set_properties(_parse_props(m.group(2)))
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+ADD\s+COLUMNS?\s*\(?\s*({_IDENT})\s+([A-Za-z0-9_()]+)\s*\)?",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            entry = t.add_column(m.group(2), m.group(3))
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
+        raise SqlError(f"unsupported ALTER syntax: {s!r}")
+
+    def _drop(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})", s
+        )
+        if not m:
+            raise SqlError(f"unsupported DROP syntax: {s!r}")
+        ident = self._strip_catalog(m.group(2))
+        try:
+            self.lake.table(ident)
+        except CatalogError:
+            if m.group(1):
+                return self._result_frame({"table": ident, "dropped": False})
+            raise
+        self.lake.drop_table(ident)
+        return self._result_frame({"table": ident, "dropped": True})
+
+    def _describe(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)DESC(?:RIBE)?\s+TABLE\s+(EXTENDED\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})",
+            s,
+        )
+        if m:
+            info = self.lake.describe_table(self._strip_catalog(m.group(2)))
+            t = self.lake.table(self._strip_catalog(m.group(2)))
+            schema = t.schema() or t._schema()
+            rows = [(f.name, f.dataType.simpleString(), "") for f in schema.fields]
+            if m.group(1):  # EXTENDED: Spark-style detail section
+                rows.append(("", "", ""))
+                rows.append(("# Detailed Table Information", "", ""))
+                rows.append(("Location", info["location"], ""))
+                rows.append(("Current Snapshot", str(info["current_snapshot_id"]), ""))
+                rows.append(("Snapshots", str(info["snapshots"]), ""))
+                for k, v in sorted(info["properties"].items()):
+                    rows.append((f"Property: {k}", v, ""))
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, comment string"
+            )
+        m = re.fullmatch(
+            rf"(?is)DESC(?:RIBE)?\s+NAMESPACE\s+(?:EXTENDED\s+)?((?:{_IDENT}\.)?{_IDENT})", s
+        )
+        if m:
+            info = self.lake.describe_namespace(self._strip_ns_catalog(m.group(1)))
+            rows = [("Namespace Name", info["name"])] + [
+                (f"Property: {k}", v) for k, v in sorted(info["properties"].items())
+            ]
+            return self.spark.createDataFrame(rows, "info_name string, info_value string")
+        raise SqlError(f"unsupported DESCRIBE syntax: {s!r}")
+
+    def _show(self, s: str) -> DataFrame:
+        if re.fullmatch(rf"(?is)SHOW\s+NAMESPACES(?:\s+IN\s+{_IDENT})?", s):
+            return self.spark.createDataFrame(
+                [(ns,) for ns in self.lake.namespaces()], "namespace string"
+            )
+        m = re.fullmatch(rf"(?is)SHOW\s+TABLES\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
+        if m:
+            ns = m.group(1)
+            return self.spark.createDataFrame(
+                [(ns, t) for t in self.lake.tables(ns)], "namespace string, tableName string"
+            )
+        if re.fullmatch(r"(?is)SHOW\s+CATALOGS", s):
+            return self.spark.createDataFrame(
+                [(self.catalog_name,), ("spark_catalog",)], "catalog string"
+            )
+        raise SqlError(f"unsupported SHOW syntax: {s!r}")
+
+    def _set(self, s: str) -> DataFrame:
+        m = re.fullmatch(r"(?is)SET\s+([\w.]+)\s*=\s*(\S+)", s)
+        if not m:
+            raise SqlError(f"unsupported SET syntax: {s!r}")
+        self.spark.conf.set(m.group(1), m.group(2))
+        return self.spark.createDataFrame(
+            [(m.group(1), m.group(2))], "key string, value string"
+        )
+
+
+def _opt_int(args: dict, key: str) -> int | None:
+    v = args.pop(key, None)
+    return None if v is None else int(v)
+
+
+def _opt_float(args: dict, key: str) -> float | None:
+    v = args.pop(key, None)
+    return None if v is None else float(v)

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..lakehouse import (
     Lakehouse,
+    LakehouseSQL,
     expire_snapshots,
     remove_orphan_files,
     rewrite_data_files,
@@ -224,6 +225,69 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(rows_initial, rows_after_delete, rows_after_merge, upd)],
             "rows_initial bigint, rows_after_delete bigint,"
             " rows_after_merge bigint, upd_rows bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_sql_runbook",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(203 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT),
+             CAST(2 AS BIGINT), CAST(203 AS BIGINT), CAST(204 AS BIGINT))
+        ) AS t(rows_total, files_after, snapshots_before_expire,
+               expired, rows_after_rollback, rows_time_travel)
+    """,
+    tags=("lakehouse", "sql", "maintenance"),
+    doc="The reference's PRIMARY interface — the spark-sql runbook "
+    "(guide :80-340) — replayed through the SQL front-end "
+    "(lakehouse/sql.py): DDL, INSERT VALUES / INSERT..SELECT FROM "
+    "RANGE, `.snapshots`/`.files` metadata tables, CALL "
+    "rewrite_data_files / expire_snapshots / rollback_to_snapshot, "
+    "and VERSION AS OF time travel, every statement in the guide's "
+    "own syntax. All six post-condition quantities pinned.",
+)
+def lakehouse_sql_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql(
+            "CREATE TABLE nessie.lab.rb (id BIGINT, name STRING) USING iceberg "
+            "TBLPROPERTIES ('write.target-file-size-bytes'='65536', 'gc.enabled'='true')"
+        )
+        q.sql("INSERT INTO nessie.lab.rb VALUES (1,'alice'), (2,'bob'), (3,'charlie')")
+        q.sql(
+            "INSERT INTO nessie.lab.rb "
+            "SELECT id, CONCAT('name_', CAST(id AS STRING)) FROM RANGE(0, 200)"
+        )
+        rows_total = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.rb").first().n
+        q.sql(
+            "CALL nessie.system.rewrite_data_files(table => 'lab.rb', "
+            "options => map('target-file-size-bytes','134217728','min-input-files','1'))"
+        )
+        files_after = q.sql(
+            "SELECT COUNT(*) AS n FROM nessie.lab.rb.files WHERE content = 0"
+        ).first().n
+        snaps_before = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.rb.snapshots").first().n
+        expired = q.sql(
+            "CALL nessie.system.expire_snapshots(table => 'lab.rb', retain_last => 2)"
+        ).first().expired_snapshots
+        head = q.sql(
+            "SELECT snapshot_id FROM nessie.lab.rb.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first().snapshot_id
+        q.sql("INSERT INTO nessie.lab.rb VALUES (9999,'extra')")
+        q.sql(
+            f"CALL nessie.system.rollback_to_snapshot(table => 'lab.rb', snapshot_id => {head})"
+        )
+        rows_rb = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.rb").first().n
+        rows_tt = q.sql(
+            f"SELECT COUNT(*) AS n FROM nessie.lab.rb VERSION AS OF {head + 1}"
+        ).first().n
+        return (
+            [(rows_total, files_after, snaps_before, expired, rows_rb, rows_tt)],
+            "rows_total bigint, files_after bigint, snapshots_before_expire bigint,"
+            " expired bigint, rows_after_rollback bigint, rows_time_travel bigint",
         )
 
     return _with_lake(spark, run)

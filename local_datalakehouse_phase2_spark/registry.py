@@ -86,6 +86,8 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
     "json_extract",
     "asof_click_attribution",
     "partitioned_write_prune",
+    # new this round: the runbook SQL surface
+    "lakehouse_sql_runbook",
     # events-based, never swept
     "window_topk_per_group",
     "window_running_sum",

@@ -1,0 +1,277 @@
+"""Runbook replay through the SQL surface (lakehouse/sql.py).
+
+Drives the reference guide's §3-§8 sequence with the guide's OWN
+statement text (/root/reference/SPARK_ICEBERG_GUIDE.md:80-340) —
+namespace/table DDL, small-file explosion, metadata-table checks,
+compaction, snapshot expiry, orphan sweep, rollback/time travel — and
+asserts the same post-conditions tests/test_lakehouse.py checks via
+the Python API.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from local_datalakehouse_phase2_spark.lakehouse import Lakehouse, LakehouseSQL, SqlError
+
+
+@pytest.fixture()
+def lsql(spark, tmp_path) -> LakehouseSQL:
+    return LakehouseSQL(Lakehouse(spark, str(tmp_path / "wh")), catalog_name="nessie")
+
+
+def test_runbook_replay(lsql):
+    # §3 namespace
+    lsql.sql(
+        "CREATE NAMESPACE IF NOT EXISTS nessie.lab WITH PROPERTIES ('comment'='lab namespace');"
+    )
+    assert [r.namespace for r in lsql.sql("SHOW NAMESPACES IN nessie").collect()] == ["lab"]
+    ns = lsql.sql("DESCRIBE NAMESPACE EXTENDED nessie.lab").collect()
+    assert ("Property: comment", "lab namespace") in [tuple(r) for r in ns]
+
+    # §4 table tuned for small files
+    lsql.sql(
+        """
+        CREATE TABLE IF NOT EXISTS nessie.lab.small_files (
+          id BIGINT,
+          name STRING
+        ) USING iceberg
+        TBLPROPERTIES (
+          'format-version'='2',
+          'write.target-file-size-bytes'='65536',  -- ~64KB target
+          'write.distribution-mode'='none'         -- minimal shuffling
+        );
+        """
+    )
+    assert [r.tableName for r in lsql.sql("SHOW TABLES IN nessie.lab").collect()] == [
+        "small_files"
+    ]
+
+    # §5 initial rows + snapshot inspection
+    lsql.sql("INSERT INTO nessie.lab.small_files VALUES (1,'alice'), (2,'bob'), (3,'charlie');")
+    rows = lsql.sql("SELECT * FROM nessie.lab.small_files ORDER BY id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alice"), (2, "bob"), (3, "charlie")]
+    snaps = lsql.sql(
+        """
+        SELECT snapshot_id, committed_at, operation
+        FROM nessie.lab.small_files.snapshots
+        ORDER BY committed_at DESC;
+        """
+    ).collect()
+    assert snaps[0].operation == "append"
+
+    # §6 small-file explosion: appends + generator + tiny partitions
+    lsql.sql("INSERT INTO nessie.lab.small_files VALUES (4,'d'),(5,'e'),(6,'f');")
+    lsql.sql(
+        """
+        INSERT INTO nessie.lab.small_files
+        SELECT id, CONCAT('name_', CAST(id AS STRING))
+        FROM RANGE(7, 200);
+        """
+    )
+    lsql.sql("SET spark.sql.shuffle.partitions=4;")
+    lsql.sql(
+        """
+        INSERT INTO nessie.lab.small_files
+        SELECT id, CONCAT('bulk_', CAST(id AS STRING))
+        FROM RANGE(200, 1000);
+        """
+    )
+    n_rows = lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files").first().n
+    assert n_rows == 999
+
+    # §7 verify explosion via the .files metadata table
+    files_before = lsql.sql(
+        """
+        SELECT COUNT(*) AS data_files,
+               CAST(SUM(file_size_in_bytes) AS BIGINT) AS total_bytes
+        FROM nessie.lab.small_files.files
+        WHERE content = 0;
+        """
+    ).first()
+    assert files_before.data_files >= 4
+    assert files_before.total_bytes > 0
+    tiniest = lsql.sql(
+        """
+        SELECT file_path, file_size_in_bytes
+        FROM nessie.lab.small_files.files
+        WHERE content = 0
+        ORDER BY file_size_in_bytes ASC
+        LIMIT 10;
+        """
+    ).collect()
+    assert len(tiniest) > 0
+
+    # §8.2 enable GC
+    lsql.sql("ALTER TABLE nessie.lab.small_files SET TBLPROPERTIES ('gc.enabled'='true');")
+
+    # §8.3 compaction
+    res = lsql.sql(
+        """
+        CALL nessie.system.rewrite_data_files(
+          table => 'lab.small_files',
+          options => map(
+            'target-file-size-bytes','134217728',
+            'min-input-files','1',
+            'max-concurrent-file-group-rewrites','4',
+            'partial-progress.enabled','true'
+          )
+        );
+        """
+    ).first()
+    assert res.rewritten_files == files_before.data_files
+    files_after = (
+        lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files.files WHERE content = 0")
+        .first()
+        .n
+    )
+    assert files_after < files_before.data_files
+    assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files").first().n == 999
+
+    # §8.4 manifest compaction
+    assert lsql.sql(
+        "CALL nessie.system.rewrite_manifests(table => 'lab.small_files');"
+    ).first().checkpoint_version is not None
+
+    # §8.5 expire old snapshots
+    before = lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files.snapshots").first().n
+    exp = lsql.sql(
+        "CALL nessie.system.expire_snapshots(table => 'lab.small_files', retain_last => 2);"
+    ).first()
+    assert exp.expired_snapshots == before - 2
+    assert (
+        lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files.snapshots").first().n == 2
+    )
+
+    # §8.6 orphan sweep: young files survive the 24h floor
+    orph = lsql.sql(
+        "CALL nessie.system.remove_orphan_files(table => 'lab.small_files');"
+    ).first()
+    assert orph.deleted_files == 0
+    # a cutoff younger than 24h must refuse (guide :274)
+    with pytest.raises(Exception, match="24h"):
+        ts = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(time.time() + 3600))
+        lsql.sql(
+            "CALL nessie.system.remove_orphan_files("
+            f"table => 'lab.small_files', older_than => TIMESTAMP '{ts}');"
+        )
+
+    # §8.7 diagnostics
+    by_content = lsql.sql(
+        """
+        SELECT content, COUNT(*) AS files
+        FROM nessie.lab.small_files.files
+        GROUP BY content;
+        """
+    ).collect()
+    assert [r.content for r in by_content] == [0]  # COW: data files only
+    desc = lsql.sql("DESCRIBE TABLE EXTENDED nessie.lab.small_files").collect()
+    props = {r.col_name: r.data_type for r in desc}
+    assert props.get("Property: gc.enabled") == "true"
+
+    # §8.8 rollback / time travel
+    head = lsql.sql(
+        "SELECT snapshot_id FROM nessie.lab.small_files.snapshots "
+        "ORDER BY committed_at DESC LIMIT 1"
+    ).first().snapshot_id
+    lsql.sql("INSERT INTO nessie.lab.small_files VALUES (9999,'extra');")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files").first().n == 1000
+    rb = lsql.sql(
+        "CALL nessie.system.rollback_to_snapshot("
+        f"table => 'lab.small_files', snapshot_id => {head});"
+    ).first()
+    assert rb.rolled_back_to == head
+    assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab.small_files").first().n == 999
+    # time travel still sees the pre-rollback row
+    n_tt = (
+        lsql.sql(
+            f"SELECT COUNT(*) AS n FROM nessie.lab.small_files VERSION AS OF {head + 1}"
+        )
+        .first()
+        .n
+    )
+    assert n_tt == 1000
+
+    # §8.9 recommended properties
+    lsql.sql(
+        """
+        ALTER TABLE nessie.lab.small_files SET TBLPROPERTIES (
+          'write.target-file-size-bytes'='134217728',
+          'write.distribution-mode'='hash',
+          'gc.enabled'='true'
+        );
+        """
+    )
+
+    # §8.10 post-maintenance sanity
+    sanity = lsql.sql(
+        """
+        SELECT
+          SUM(CASE WHEN content=0 THEN 1 ELSE 0 END) AS data_files,
+          SUM(CASE WHEN content=1 THEN 1 ELSE 0 END) AS pos_delete_files,
+          SUM(CASE WHEN content=2 THEN 1 ELSE 0 END) AS eq_delete_files
+        FROM nessie.lab.small_files.files;
+        """
+    ).first()
+    assert sanity.pos_delete_files == 0 and sanity.eq_delete_files == 0
+
+
+def test_timestamp_as_of_and_delete(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.lab2")
+    lsql.sql("CREATE TABLE nessie.lab2.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.lab2.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    # strftime floors to whole seconds, so pick a point strictly after
+    # the first insert's commit and strictly before the second's
+    mid = time.time() + 1.0
+    time.sleep(2.5)
+    lsql.sql("INSERT INTO nessie.lab2.t VALUES (4,'d')")
+    ts = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(mid))
+    n_then = (
+        lsql.sql(f"SELECT COUNT(*) AS n FROM nessie.lab2.t TIMESTAMP AS OF '{ts}'").first().n
+    )
+    assert n_then == 3
+    lsql.sql("DELETE FROM nessie.lab2.t WHERE k % 2 = 0")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.lab2.t").first().n == 2
+
+    # joins across a lakehouse table and an ordinary derived relation
+    joined = lsql.sql(
+        """
+        SELECT a.k, a.v, b.k2
+        FROM nessie.lab2.t a
+        JOIN (SELECT id AS k2 FROM RANGE(0, 10)) b ON a.k = b.k2
+        ORDER BY a.k
+        """
+    ).collect()
+    assert [r.k for r in joined] == [1, 3]
+
+
+def test_alter_add_column_and_describe(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.lab3")
+    lsql.sql("CREATE TABLE nessie.lab3.t (k BIGINT)")
+    lsql.sql("INSERT INTO nessie.lab3.t VALUES (1),(2)")
+    lsql.sql("ALTER TABLE nessie.lab3.t ADD COLUMN score DOUBLE")
+    rows = lsql.sql("SELECT k, score FROM nessie.lab3.t ORDER BY k").collect()
+    assert [(r.k, r.score) for r in rows] == [(1, None), (2, None)]
+    desc = lsql.sql("DESCRIBE TABLE nessie.lab3.t").collect()
+    assert [(r.col_name, r.data_type) for r in desc[:2]] == [
+        ("k", "bigint"),
+        ("score", "double"),
+    ]
+
+
+def test_errors(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.lab4")
+    lsql.sql("CREATE TABLE nessie.lab4.t (k BIGINT)")
+    with pytest.raises(SqlError, match="unknown catalog"):
+        lsql.sql("INSERT INTO other.lab4.t VALUES (1)")
+    with pytest.raises(SqlError, match="missing table"):
+        lsql.sql("CALL nessie.system.expire_snapshots(retain_last => 2)")
+    with pytest.raises(SqlError, match="unknown procedure"):
+        lsql.sql("CALL nessie.system.frobnicate(table => 'lab4.t')")
+    with pytest.raises(SqlError, match="columns"):
+        lsql.sql("INSERT INTO nessie.lab4.t VALUES (1, 'extra')")
+    # DROP honors IF EXISTS
+    assert lsql.sql("DROP TABLE IF EXISTS nessie.lab4.nope").first().dropped is False
+    assert lsql.sql("DROP TABLE nessie.lab4.t").first().dropped is True
