@@ -152,6 +152,14 @@ def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     they are boilerplate/degenerate text whose O(k^2) pairs would
     dominate the stage at corpus scale, and their members still pair up
     in the other, more selective bands.
+
+    Band keys are STATIC xxhash64 expressions over the band's signature
+    slots (band count is a compile-time constant, so the 8 structs
+    unroll into the projection): fixed-width long hashing, fully
+    codegen'd. The earlier transform()+concat_ws formulation built a
+    per-band string of 4 stringified longs just to hash it — measured
+    at sf0.1 that string building was ~30% of the query (2.4 s -> 1.4 s
+    warm, 7.1 s -> 6.1 s cold).
     """
     rows_per_band = N_HASHES // N_BANDS
     sigs = with_minhash(d)
@@ -159,11 +167,17 @@ def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
         "doc_id",
         "sig",
         F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}),"
-                f" b -> named_struct('band', b, 'bh',"
-                f" xxhash64(concat_ws(',', transform(slice(sig, b * {rows_per_band} + 1,"
-                f" {rows_per_band}), x -> cast(x as string))))))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                            F.lit(b),
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
