@@ -2,7 +2,7 @@
 metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
 
 from .catalog import CatalogError, Lakehouse
-from .log import FileInfo, LogEntry, TransactionLog
+from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
     expire_snapshots,
@@ -18,6 +18,7 @@ from .table import LakehouseTable
 
 __all__ = [
     "CatalogError",
+    "CommitConflictError",
     "LakehouseSQL",
     "SqlError",
     "FileInfo",

@@ -35,6 +35,14 @@ _ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d{10})\.json$")
 
 
+class CommitConflictError(RuntimeError):
+    """A commit's removed-file set no longer matches the live table
+    state — a concurrent commit (e.g. a compaction racing a delete)
+    replaced files this commit planned against. Iceberg raises a
+    ValidationException in the same situation; callers should re-plan
+    from the new state."""
+
+
 @dataclass(frozen=True)
 class FileInfo:
     """One immutable data file. `path` is relative to the table root so
@@ -131,12 +139,41 @@ class TransactionLog:
                 state[fi.path] = fi
         return state
 
+    def _read_checkpoint(self, version: int | None = None) -> dict | None:
+        cp = self.latest_checkpoint_version(upto=version)
+        if cp is None:
+            return None
+        with open(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")) as f:
+            return json.load(f)
+
     def properties_at(self, version: int | None = None) -> dict[str, str]:
-        props: dict[str, str] = {}
-        for entry in self.entries(upto=version):
+        """Property map at `version`: each property-bearing entry
+        carries the FULL map, so the newest one wins. When no surviving
+        entry carries properties (expiry removed them), the newest
+        checkpoint at or before `version` supplies them — checkpoints
+        snapshot properties exactly so expiry can't reset a table to
+        defaults."""
+        for entry in reversed(self.entries(upto=version)):
             if entry.properties is not None:
-                props = dict(entry.properties)
-        return props
+                return dict(entry.properties)
+        cp = self._read_checkpoint(version)
+        if cp is not None:
+            return dict(cp.get("properties") or {})
+        return {}
+
+    def schema_ddl_at(self, version: int | None = None) -> str | None:
+        """Schema DDL recorded at `version`: newest schema-bearing entry
+        wins; falls back to the newest checkpoint (which snapshots the
+        schema so expiring the commit that recorded it — a create /
+        add_column / evolving append — can't silently drop evolved
+        columns)."""
+        for entry in reversed(self.entries(upto=version)):
+            if entry.extra and entry.extra.get("schema"):
+                return entry.extra["schema"]
+        cp = self._read_checkpoint(version)
+        if cp is not None:
+            return cp.get("schema")
+        return None
 
     # ---- writing -----------------------------------------------------
 
@@ -172,7 +209,17 @@ class TransactionLog:
         path = os.path.join(self.metadata_dir, f"checkpoint-{version:010d}.json")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "files": [asdict(fi) for fi in state.values()]}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "files": [asdict(fi) for fi in state.values()],
+                    # schema + properties ride along so log entries can
+                    # be expired without losing table metadata
+                    "schema": self.schema_ddl_at(version),
+                    "properties": self.properties_at(version),
+                },
+                f,
+            )
         os.replace(tmp, path)
         return version
 

@@ -28,7 +28,7 @@ import math
 import os
 import time
 
-from .log import FileInfo, LogEntry
+from .log import CommitConflictError, FileInfo, LogEntry
 from .table import (
     DEFAULT_TARGET_FILE_SIZE,
     PROP_GC_ENABLED,
@@ -73,6 +73,17 @@ def rewrite_data_files(
     files = table._write_files(df.repartition(n_files), input_bytes=total_bytes)
 
     def make(version: int) -> LogEntry:
+        # commit validation (re-runs on each optimistic retry): the
+        # compacted output replaces exactly the files it read; if a
+        # racing commit already removed any of them, replacing would
+        # resurrect rows that commit deleted
+        live = table.log.state_at()
+        gone = [p for p in state if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"rewrite_data_files on {table.identifier}: {len(gone)} input "
+                f"file(s) no longer live (e.g. {gone[0]!r}) — re-plan compaction"
+            )
         return LogEntry(
             version=version,
             snapshot_id=version,

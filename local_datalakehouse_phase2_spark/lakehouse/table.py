@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .log import FileInfo, LogEntry, TransactionLog
+from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
@@ -153,11 +153,11 @@ class LakehouseTable:
 
     def schema(self, version: int | None = None) -> T.StructType | None:
         """The schema recorded in the log as of `version` (default
-        latest), or None if this table predates schema tracking."""
-        for e in reversed(self.log.entries(upto=version)):
-            if e.extra and e.extra.get("schema"):
-                return T._parse_datatype_string(e.extra["schema"])
-        return None
+        latest), or None if this table predates schema tracking.
+        Checkpoint-aware: survives snapshot expiry of the commit that
+        recorded it."""
+        ddl = self.log.schema_ddl_at(version)
+        return T._parse_datatype_string(ddl) if ddl else None
 
     # widening lattices per family (Iceberg's legal type promotions)
     _PROMOTION_RANK = {
@@ -422,6 +422,22 @@ class LakehouseTable:
         files = self._write_files(df, input_bytes=input_bytes)
 
         def make(version: int) -> LogEntry:
+            # Iceberg-style commit validation: `removed` was planned
+            # against the state BEFORE this commit loop; if a racing
+            # commit (compaction replace, another delete) already
+            # removed any of those files, committing stale removals
+            # would resurrect/duplicate rows. make() re-runs on every
+            # optimistic retry, so this check always sees the state the
+            # commit will actually apply to.
+            if removed:
+                live = self.log.state_at()
+                gone = [p for p in removed if p not in live]
+                if gone:
+                    raise CommitConflictError(
+                        f"{operation} on {self.identifier}: {len(gone)} planned "
+                        f"removed file(s) no longer live (e.g. {gone[0]!r}) — a "
+                        "concurrent commit replaced them; re-plan from the new state"
+                    )
             return LogEntry(
                 version=version,
                 snapshot_id=version,

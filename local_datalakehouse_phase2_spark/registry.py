@@ -76,11 +76,11 @@ _LOADED = False
 # and may stop after a fixed budget, so ordering is coverage policy, not
 # cosmetics. Entries named here are moved to the front of the registry
 # (in this order) after all modules load; everything else keeps its
-# import-order position behind them. Round-2 policy: first the queries
-# whose round-1 sweep erred (events nanos bug, now fixed), then every
-# family the round-1 sweep never reached (windows, streaming, set ops,
-# text, similarity, sampling, skew, TPC-H q4-q22), then the previously
-# green families.
+# import-order position behind them. On top of this static seed,
+# `_sweep_rank` reads every CORRECTNESS_r*.json the driver has written
+# and re-sorts so queries that erred or mismatched go first, then
+# never-swept ones, then rows-only, then already-green — the sweep
+# budget self-targets whatever still lacks an external verdict.
 _SWEEP_PRIORITY: tuple[str, ...] = (
     # round-1 errors — prove the events fix
     "json_extract",
@@ -150,6 +150,42 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _sweep_rank() -> dict[str, int]:
+    """Per-query sweep priority from the driver's own verdicts.
+
+    Merges every CORRECTNESS_r*.json at the repo root (newest round
+    wins per query) into a rank: 0 = erred or hash-mismatched last
+    time (must re-prove), 1 = never swept, 2 = swept rows-only
+    (no oracle), 3 = green. Files absent / unreadable => everything
+    ranks 1 and the static seed order applies unchanged."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("err") == "no_oracle":
+                status[name] = 2
+            elif row.get("err") is not None:
+                status[name] = 0
+            elif row.get("hash_match") and row.get("rows_match") and row.get("schema_match"):
+                status[name] = 3
+            else:
+                status[name] = 0
+    return status
+
+
 def _load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     global _LOADED
@@ -176,13 +212,26 @@ def _load_all() -> None:
     )
     from .streaming import event_windows  # noqa: F401
 
-    ordered: dict[str, QuerySpec] = {}
+    seeded: dict[str, QuerySpec] = {}
     for name in _SWEEP_PRIORITY:
         if name in _REGISTRY:
-            ordered[name] = _REGISTRY[name]
+            seeded[name] = _REGISTRY[name]
     for name, spec in _REGISTRY.items():
-        if name not in ordered:
-            ordered[name] = spec
+        if name not in seeded:
+            seeded[name] = spec
+
+    # stable re-sort by driver verdict: failures first, then unswept,
+    # then rows-only, then green; ties keep the seeded order above
+    rank = _sweep_rank()
+    ordered = dict(
+        sorted(
+            seeded.items(),
+            key=lambda kv, _pos={n: i for i, n in enumerate(seeded)}: (
+                rank.get(kv[0], 1),
+                _pos[kv[0]],
+            ),
+        )
+    )
     _REGISTRY.clear()
     _REGISTRY.update(ordered)
 

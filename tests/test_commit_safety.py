@@ -1,0 +1,149 @@
+"""Commit-safety invariants: metadata survives expiry, and stale
+commits are rejected rather than applied (Iceberg-style validation).
+
+Covers the two failure modes a multi-writer lakehouse must not have:
+1. expire_snapshots deleting the log entry that recorded the table's
+   schema / properties must not reset either (checkpoints snapshot
+   both, and readers fall back to them).
+2. A delete/merge/compaction planned against a state that a racing
+   commit replaced must raise CommitConflictError, not commit removed
+   files that are already gone (which would resurrect/duplicate rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    CommitConflictError,
+    Lakehouse,
+    expire_snapshots,
+    rewrite_data_files,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path) -> Lakehouse:
+    lk = Lakehouse(spark, str(tmp_path / "wh"))
+    lk.create_namespace("lab")
+    return lk
+
+
+def test_schema_and_properties_survive_expiry(spark, lake):
+    """Expiring the commits that recorded the evolved schema and the
+    table properties must not lose either: the pre-expiry checkpoint
+    carries them and readers consult it."""
+    t = lake.create_table(
+        "lab.evo_exp",
+        schema="k bigint, v string",
+        properties={"write.target-file-size-bytes": "65536", "gc.enabled": "true"},
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.add_column("score", "double")
+    # several more snapshots so the schema/property-bearing ones expire
+    t.append(spark.createDataFrame([(3, "c", 1.5)], "k bigint, v string, score double"))
+    t.append(spark.createDataFrame([(4, "d", 2.5)], "k bigint, v string, score double"))
+    schema_before = t.schema().simpleString()
+    props_before = t.properties()
+
+    expire_snapshots(t, retain_last=2)
+    # the create / add_column / first-append commits are gone
+    assert len(t.log.entries()) == 2
+
+    assert t.schema() is not None, "expiry dropped the recorded schema"
+    assert t.schema().simpleString() == schema_before
+    assert t.properties() == props_before
+    # old files (written pre-evolution) still project the added column
+    got = {r.k: r.score for r in t.read().collect()}
+    assert got == {1: None, 2: None, 3: 1.5, 4: 2.5}
+
+
+def test_delete_conflicting_with_compaction_raises(spark, lake):
+    """A delete planned against files a racing compaction replaced must
+    refuse to commit (its removed set is no longer live)."""
+    t = lake.create_table("lab.race_d")
+    t.append(
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4, "k")
+    )
+    stale_removed = tuple(t.log.state_at().keys())
+    survivors = t.read().filter("k >= 20")
+    # racing commit: compaction replaces every file the delete planned on
+    rewrite_data_files(t, target_file_size_bytes=134217728)
+    with pytest.raises(CommitConflictError, match="no longer live"):
+        t._commit_write(survivors, operation="delete", removed=stale_removed)
+    # the table is unchanged by the refused commit
+    assert t.read().count() == 40
+
+
+def test_compaction_conflicting_with_delete_raises(spark, lake):
+    """The mirror race: a compaction that read files a concurrent
+    delete has since removed must re-plan, not resurrect deleted rows."""
+    import math
+    import time as _time
+
+    from local_datalakehouse_phase2_spark.lakehouse.log import LogEntry
+
+    t = lake.create_table("lab.race_c")
+    t.append(
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4, "k")
+    )
+    # plan the compaction (read + rewrite) against the current state...
+    state = t.log.state_at()
+    df = t.read()
+    files = t._write_files(df.repartition(1), input_bytes=sum(fi.size_bytes for fi in state.values()))
+    # ...then lose the race to a delete
+    t.delete_where("k < 10")
+
+    def make(version: int) -> LogEntry:
+        live = t.log.state_at()
+        gone = [p for p in state if p not in live]
+        if gone:
+            raise CommitConflictError(f"{len(gone)} gone")
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=_time.time(),
+            operation="replace",
+            added_files=files,
+            removed_files=tuple(state.keys()),
+        )
+
+    with pytest.raises(CommitConflictError):
+        t.log.append(make)
+    assert t.read().count() == 30  # deleted rows stay deleted
+
+
+def test_rewrite_data_files_validates_via_public_api(spark, lake):
+    """rewrite_data_files itself re-validates inside the commit loop —
+    simulate the race by removing a planned input file between planning
+    and commit via a monkeypatched writer."""
+    t = lake.create_table("lab.race_m")
+    t.append(
+        spark.range(0, 40)
+        .select(F.col("id").alias("k"), F.lit("x").alias("v"))
+        .repartition(4, "k")
+    )
+
+    orig_write_files = t._write_files
+
+    def racing_write_files(df, input_bytes=None):
+        files = orig_write_files(df, input_bytes=input_bytes)
+        # unpatch first: delete_where writes files too, and must use the
+        # real writer (otherwise it would recurse back in here)
+        t._write_files = orig_write_files
+        # the racing delete lands while the compaction job runs
+        t.delete_where("k < 10")
+        return files
+
+    t._write_files = racing_write_files
+    try:
+        with pytest.raises(CommitConflictError, match="re-plan"):
+            rewrite_data_files(t, target_file_size_bytes=134217728)
+    finally:
+        t._write_files = orig_write_files
+    assert t.read().count() == 30
