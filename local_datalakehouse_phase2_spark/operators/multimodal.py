@@ -95,7 +95,36 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,  # binary plumbing; schema/determinism asserted in tests/test_multimodal.py
+    # The stub decode is fully deterministic (payload = 4x md5(text||i)
+    # unhexed; width/height from the first two payload bytes), so DuckDB
+    # can replicate every output value: bytes come back out of the hex
+    # digits of md5, and distinct-checksum count equals distinct-payload
+    # count (md5 is injective on this fixture). DuckDB's md5() is
+    # VARCHAR-only, so the oracle counts distinct payload hex instead of
+    # distinct md5(payload) — identical cardinality.
+    oracle="""
+        WITH f AS (
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   (strpos('0123456789abcdef', substr(md5(text || '0'), 1, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(text || '0'), 2, 1)) - 1 AS b0,
+                   (strpos('0123456789abcdef', substr(md5(text || '0'), 3, 1)) - 1) * 16
+                     + strpos('0123456789abcdef', substr(md5(text || '0'), 4, 1)) - 1 AS b1,
+                   md5(text || '0') || md5(text || '1')
+                     || md5(text || '2') || md5(text || '3') AS payload_hex
+            FROM documents
+        )
+        SELECT media_type,
+               COUNT(*) AS n_media,
+               CAST(COUNT(*) * 64 AS BIGINT) AS total_bytes,
+               ROUND(AVG(16 + b0 % 64), 6) AS avg_width,
+               ROUND(AVG(16 + b1 % 64), 6) AS avg_height,
+               COUNT(DISTINCT payload_hex) AS n_distinct_payloads
+        FROM f
+        GROUP BY media_type
+        ORDER BY media_type
+    """,
     tags=("multimodal", "pandas-udf"),
     doc="Binary media columns -> mapInPandas feature extraction (stub decode): "
     "per-media-type size and dimension stats.",

@@ -345,3 +345,62 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count("*").alias("n_vecs"), F.round(F.avg("cs"), 6).alias("avg_centroid_cos"))
     )
+
+
+def _recall_summary(ann: DataFrame, truth: DataFrame, min_mean_recall: float) -> DataFrame:
+    """Mean recall of an ANN result against the brute-force truth set,
+    reduced to engine-independent facts: the probe count and whether
+    mean recall clears the documented bound. The recall VALUE depends on
+    the (deterministic) LSH/IVF parameters, so only the bound claim is
+    exported; the exact per-query recalls are asserted in
+    tests/test_similarity.py."""
+    hits = ann.select("query_id", "vec_id").join(
+        truth.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    per_q = (
+        truth.groupBy("query_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .fillna(0, ["n_hit"])
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        (F.avg(F.col("n_hit") / F.col("n_true")) >= min_mean_recall).alias("mean_recall_ok"),
+    )
+
+
+_RECALL_ORACLE = f"""
+    SELECT CAST({len(QUERY_IDS)} AS BIGINT) AS n_queries, TRUE AS mean_recall_ok
+"""
+
+
+@register(
+    "ann_lsh_recall",
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "ann", "lsh", "quality"),
+    doc="External recall audit of the LSH ANN path: joins ann_lsh_topk's "
+    "candidates against the brute-force truth inside one plan and exports "
+    "the mean-recall>=0.4 claim (deterministic at fixed data + seeds) for "
+    "the oracle to pin — ANN quality gets a driver verdict, not just a "
+    "repo-side test.",
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    truth = brute_force_topk(emb, queries)
+    return _recall_summary(ann_lsh_topk(spark, sf_dir), truth, 0.4)
+
+
+@register(
+    "ann_ivf_recall",
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "ann", "ivf", "quality"),
+    doc="External recall audit of the IVF ANN path (same shape as "
+    "ann_lsh_recall): mean recall vs brute force >= 0.4, pinned by the "
+    "oracle at fixed data and a deterministic coarse quantizer.",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    truth = brute_force_topk(emb, queries)
+    return _recall_summary(ann_ivf_topk(spark, sf_dir), truth, 0.4)
