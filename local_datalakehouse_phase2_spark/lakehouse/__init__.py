@@ -2,6 +2,7 @@
 metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
 
 from .catalog import CatalogError, Lakehouse
+from .fs import FileIO, HadoopFileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
@@ -18,6 +19,9 @@ from .table import LakehouseTable
 
 __all__ = [
     "CatalogError",
+    "FileIO",
+    "HadoopFileIO",
+    "LocalFileIO",
     "CommitConflictError",
     "LakehouseSQL",
     "SqlError",

@@ -24,6 +24,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .fs import FileIO, LocalFileIO
 from .log import LogEntry
 from .table import LakehouseTable
 
@@ -35,10 +36,11 @@ class CatalogError(RuntimeError):
 
 
 class Lakehouse:
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(self, spark: SparkSession, warehouse_dir: str, io: FileIO | None = None):
         self.spark = spark
         self.warehouse_dir = warehouse_dir
-        os.makedirs(warehouse_dir, exist_ok=True)
+        self.io = io or LocalFileIO()
+        self.io.makedirs(warehouse_dir)
 
     # ---- namespaces --------------------------------------------------
 
@@ -50,27 +52,28 @@ class Lakehouse:
     ) -> None:
         ns_dir = os.path.join(self.warehouse_dir, name)
         marker = os.path.join(ns_dir, _NS_FILE)
-        if os.path.exists(marker):
+        if self.io.exists(marker):
             if if_not_exists:
                 return
             raise CatalogError(f"namespace {name} already exists")
-        os.makedirs(ns_dir, exist_ok=True)
-        with open(marker, "w") as f:
-            json.dump({"name": name, "properties": properties or {}, "created_at": time.time()}, f)
+        self.io.makedirs(ns_dir)
+        self.io.write_text_atomic(
+            marker,
+            json.dumps({"name": name, "properties": properties or {}, "created_at": time.time()}),
+        )
 
     def namespaces(self) -> list[str]:
         out = []
-        for name in sorted(os.listdir(self.warehouse_dir)):
-            if os.path.exists(os.path.join(self.warehouse_dir, name, _NS_FILE)):
+        for name in self.io.listdir(self.warehouse_dir):
+            if self.io.exists(os.path.join(self.warehouse_dir, name, _NS_FILE)):
                 out.append(name)
         return out
 
     def describe_namespace(self, name: str) -> dict:
         marker = os.path.join(self.warehouse_dir, name, _NS_FILE)
-        if not os.path.exists(marker):
+        if not self.io.exists(marker):
             raise CatalogError(f"namespace {name} does not exist")
-        with open(marker) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(marker))
 
     # ---- tables ------------------------------------------------------
 
@@ -98,7 +101,7 @@ class Lakehouse:
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
         table_dir = self._table_dir(identifier)
-        t = LakehouseTable(self.spark, identifier, table_dir)
+        t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
         if t.log.latest_version() is not None:
             if if_not_exists:
                 return t
@@ -125,27 +128,25 @@ class Lakehouse:
 
     def table(self, identifier: str) -> LakehouseTable:
         table_dir = self._table_dir(identifier)
-        t = LakehouseTable(self.spark, identifier, table_dir)
+        t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
         if t.log.latest_version() is None:
             raise CatalogError(f"table {identifier} does not exist")
         return t
 
     def tables(self, namespace: str) -> list[str]:
         ns_dir = os.path.join(self.warehouse_dir, namespace)
-        if not os.path.exists(os.path.join(ns_dir, _NS_FILE)):
+        if not self.io.exists(os.path.join(ns_dir, _NS_FILE)):
             raise CatalogError(f"namespace {namespace} does not exist")
         out = []
-        for name in sorted(os.listdir(ns_dir)):
-            if os.path.isdir(os.path.join(ns_dir, name)) and os.path.isdir(
+        for name in self.io.listdir(ns_dir):
+            if self.io.is_dir(os.path.join(ns_dir, name)) and self.io.is_dir(
                 os.path.join(ns_dir, name, "metadata")
             ):
                 out.append(name)
         return out
 
     def drop_table(self, identifier: str) -> None:
-        import shutil
-
-        shutil.rmtree(self._table_dir(identifier))
+        self.io.rmtree(self._table_dir(identifier))
 
     def describe_table(self, identifier: str) -> dict:
         t = self.table(identifier)

@@ -31,6 +31,8 @@ import re
 from dataclasses import asdict, dataclass
 from typing import Any
 
+from .fs import FileIO, LocalFileIO
+
 _ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d{10})\.json$")
 
@@ -68,15 +70,16 @@ class LogEntry:
 
 
 class TransactionLog:
-    def __init__(self, metadata_dir: str):
+    def __init__(self, metadata_dir: str, io: FileIO | None = None):
         self.metadata_dir = metadata_dir
-        os.makedirs(metadata_dir, exist_ok=True)
+        self.io = io or LocalFileIO()
+        self.io.makedirs(metadata_dir)
 
     # ---- reading -----------------------------------------------------
 
     def versions(self) -> list[int]:
         out = []
-        for name in os.listdir(self.metadata_dir):
+        for name in self.io.listdir(self.metadata_dir):
             m = _ENTRY_RE.match(name)
             if m:
                 out.append(int(m.group(1)))
@@ -87,8 +90,7 @@ class TransactionLog:
         return vs[-1] if vs else None
 
     def read_entry(self, version: int) -> LogEntry:
-        with open(os.path.join(self.metadata_dir, f"{version:010d}.json")) as f:
-            raw = json.load(f)
+        raw = json.loads(self.io.read_text(os.path.join(self.metadata_dir, f"{version:010d}.json")))
         return LogEntry(
             version=raw["version"],
             snapshot_id=raw["snapshot_id"],
@@ -108,7 +110,7 @@ class TransactionLog:
 
     def latest_checkpoint_version(self, upto: int | None = None) -> int | None:
         best = None
-        for name in os.listdir(self.metadata_dir):
+        for name in self.io.listdir(self.metadata_dir):
             m = _CHECKPOINT_RE.match(name)
             if m:
                 v = int(m.group(1))
@@ -127,8 +129,8 @@ class TransactionLog:
         start = 0
         cp = self.latest_checkpoint_version(upto=version)
         if cp is not None:
-            with open(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")) as f:
-                state = {fi["path"]: FileInfo(**fi) for fi in json.load(f)["files"]}
+            cp_raw = json.loads(self.io.read_text(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")))
+            state = {fi["path"]: FileInfo(**fi) for fi in cp_raw["files"]}
             start = cp + 1
         for entry in self.entries(upto=version):
             if entry.version < start:
@@ -143,8 +145,7 @@ class TransactionLog:
         cp = self.latest_checkpoint_version(upto=version)
         if cp is None:
             return None
-        with open(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")))
 
     def properties_at(self, version: int | None = None) -> dict[str, str]:
         """Property map at `version`: each property-bearing entry
@@ -191,12 +192,9 @@ class TransactionLog:
             raw["added_files"] = [asdict(fi) for fi in entry.added_files]
             raw["removed_files"] = list(entry.removed_files)
             path = os.path.join(self.metadata_dir, f"{version:010d}.json")
-            try:
-                with open(path, "x") as f:
-                    json.dump(raw, f, indent=1)
+            if self.io.create_exclusive(path, json.dumps(raw, indent=1)):
                 return entry
-            except FileExistsError:
-                continue  # lost the race: recompute against new latest
+            continue  # lost the race: recompute against new latest
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize resolved state at `version` (default latest) —
@@ -207,9 +205,9 @@ class TransactionLog:
             raise ValueError("cannot checkpoint an empty log")
         state = self.state_at(version)
         path = os.path.join(self.metadata_dir, f"checkpoint-{version:010d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(
+        self.io.write_text_atomic(
+            path,
+            json.dumps(
                 {
                     "version": version,
                     "files": [asdict(fi) for fi in state.values()],
@@ -217,14 +215,13 @@ class TransactionLog:
                     # be expired without losing table metadata
                     "schema": self.schema_ddl_at(version),
                     "properties": self.properties_at(version),
-                },
-                f,
-            )
-        os.replace(tmp, path)
+                }
+            ),
+        )
         return version
 
     def remove_entries(self, versions: list[int]) -> None:
         for v in versions:
             p = os.path.join(self.metadata_dir, f"{v:010d}.json")
-            if os.path.exists(p):
-                os.remove(p)
+            if self.io.exists(p):
+                self.io.remove(p)

@@ -149,8 +149,8 @@ def expire_snapshots(
     deleted = 0
     for rel in doomed:
         full = os.path.join(table.table_dir, rel)
-        if os.path.exists(full):
-            os.remove(full)
+        if table.io.exists(full):
+            table.io.remove(full)
             deleted += 1
     return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
@@ -177,19 +177,15 @@ def remove_orphan_files(
         referenced.update(table.log.state_at(v).keys())
 
     deleted = 0
-    for root, _dirs, names in os.walk(table.data_dir):
-        for name in names:
-            full = os.path.join(root, name)
-            rel = os.path.relpath(full, table.table_dir)
-            if rel in referenced:
-                continue
-            if os.path.getmtime(full) < older_than:
-                os.remove(full)
-                deleted += 1
+    for full in table.io.walk_files(table.data_dir):
+        rel = os.path.relpath(full, table.table_dir)
+        if rel in referenced:
+            continue
+        if table.io.mtime(full) < older_than:
+            table.io.remove(full)
+            deleted += 1
     # prune now-empty commit dirs
-    for root, dirs, names in list(os.walk(table.data_dir, topdown=False)):
-        if root != table.data_dir and not dirs and not names:
-            os.rmdir(root)
+    table.io.remove_empty_dirs(table.data_dir)
     return {"deleted_files": deleted}
 
 

@@ -16,9 +16,10 @@ parquet jobs sized by `write.target-file-size-bytes`, readers are
 `spark.read.parquet(<live files>)` so Catalyst keeps predicate
 pushdown / column pruning / row-group skipping. Only the commit
 metadata (KBs of JSON) is handled on the driver, the same division of
-labor as Iceberg's driver-side commit. File listing/size checks use
-the local filesystem API; on an object store swap `os` calls for the
-Hadoop FileSystem API behind this same interface.
+labor as Iceberg's driver-side commit. All file listing/size/delete
+goes through the injected `FileIO` (see fs.py) — `LocalFileIO` by
+default, `HadoopFileIO` for hdfs://`/`s3a://`/`file:` URIs via the
+JVM Hadoop FileSystem API, exercised in tests/test_fileio.py.
 """
 
 from __future__ import annotations
@@ -29,12 +30,11 @@ import os
 import time
 import uuid
 
-import pyarrow.parquet as pq
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
@@ -67,12 +67,19 @@ FILES_SCHEMA = T.StructType(
 
 
 class LakehouseTable:
-    def __init__(self, spark: SparkSession, identifier: str, table_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        identifier: str,
+        table_dir: str,
+        io: FileIO | None = None,
+    ):
         self.spark = spark
         self.identifier = identifier
         self.table_dir = table_dir
+        self.io = io or LocalFileIO()
         self.data_dir = os.path.join(table_dir, "data")
-        self.log = TransactionLog(os.path.join(table_dir, "metadata"))
+        self.log = TransactionLog(os.path.join(table_dir, "metadata"), io=self.io)
 
     # ---- properties --------------------------------------------------
 
@@ -493,15 +500,15 @@ class LakehouseTable:
 
         def scan(out_dir: str) -> tuple[FileInfo, ...]:
             infos = []
-            for name in sorted(os.listdir(out_dir)):
+            for name in self.io.listdir(out_dir):
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(out_dir, name)
                 rel = os.path.relpath(full, self.table_dir)
                 # exact row count from the parquet footer — no Spark job
-                rows = pq.ParquetFile(full).metadata.num_rows
+                rows = self.io.parquet_row_count(full)
                 infos.append(
-                    FileInfo(path=rel, size_bytes=os.path.getsize(full), row_count=rows)
+                    FileInfo(path=rel, size_bytes=self.io.size(full), row_count=rows)
                 )
             return tuple(infos)
 
@@ -517,7 +524,5 @@ class LakehouseTable:
             return staged  # every file is at/under the cap (modulo skew)
         reshaped = shape(self.spark.read.parquet(staged_dir), n_split)
         final = scan(write_dir(reshaped))
-        import shutil
-
-        shutil.rmtree(staged_dir)
+        self.io.rmtree(staged_dir)
         return final
