@@ -150,6 +150,10 @@ class LakehouseSQL:
             return self._insert(s)
         if head == "DELETE":
             return self._delete(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "MERGE":
+            return self._merge(s)
         if head == "CREATE":
             return self._create(s)
         if head == "ALTER":
@@ -342,6 +346,71 @@ class LakehouseSQL:
             raise SqlError(f"unsupported DELETE syntax: {s!r}")
         t = self.lake.table(self._strip_catalog(m.group(1)))
         entry = t.delete_where(m.group(2))
+        return self._result_frame(
+            {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
+        )
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.fullmatch(
+            rf"(?is)UPDATE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)",
+            s,
+        )
+        if not m:
+            raise SqlError(f"unsupported UPDATE syntax: {s!r}")
+        t = self.lake.table(self._strip_catalog(m.group(1)))
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(m.group(2)):
+            am = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=\s*(.+?)\s*", part)
+            if not am:
+                raise SqlError(f"bad SET clause: {part!r}")
+            assignments[am.group(1)] = am.group(2)
+        entry = t.update_where(assignments, m.group(3))
+        return self._result_frame(
+            {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
+        )
+
+    def _merge(self, s: str) -> DataFrame:
+        """MERGE INTO ... USING ... ON <equi-keys> WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the full-row
+        upsert form (Iceberg's canonical MERGE example,
+        /root/reference/SPARK_ICEBERG_GUIDE.md analog). Maps onto
+        LakehouseTable.merge(source, key_cols); richer per-column
+        WHEN clauses are out of scope and rejected explicitly."""
+        m = re.fullmatch(
+            rf"(?is)MERGE\s+INTO\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})(?:\s+AS\s+({_IDENT}))?"
+            rf"\s+USING\s+(.+?)(?:\s+AS\s+({_IDENT}))?"
+            rf"\s+ON\s+(.+?)"
+            rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+            rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*",
+            s,
+        )
+        if not m:
+            raise SqlError(
+                "unsupported MERGE syntax (only the full-row "
+                "'UPDATE SET * / INSERT *' upsert form is served): " + repr(s)
+            )
+        target_ident, t_alias, src_ref, s_alias, on = m.groups()
+        t = self.lake.table(self._strip_catalog(target_ident))
+        source = self.spark.sql(self._rewrite_refs(f"SELECT * FROM {src_ref}"))
+        # ON must be a conjunction of same-column equality predicates:
+        # t.k = s.k [AND ...] — that is what full-row upsert keys on
+        aliases = {a for a in (t_alias, s_alias) if a}
+        aliases.update({target_ident.split(".")[-1], src_ref.split(".")[-1]})
+        key_cols = []
+        for clause in re.split(r"(?i)\s+AND\s+", on.strip()):
+            em = re.fullmatch(
+                rf"\s*(?:({_IDENT})\.)?({_IDENT})\s*=\s*(?:({_IDENT})\.)?({_IDENT})\s*",
+                clause,
+            )
+            if not em or em.group(2) != em.group(4):
+                raise SqlError(
+                    f"MERGE ON must be same-column equality (a.k = b.k), got {clause!r}"
+                )
+            for q in (em.group(1), em.group(3)):
+                if q and q not in aliases:
+                    raise SqlError(f"unknown qualifier {q!r} in MERGE ON clause")
+            key_cols.append(em.group(2))
+        entry = t.merge(source, key_cols)
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )

@@ -377,6 +377,50 @@ class LakehouseTable:
             input_bytes=self._logged_bytes(affected),
         )
 
+    def update_where(self, assignments: dict[str, object], condition) -> LogEntry:
+        """Row-level UPDATE ... SET ... WHERE, copy-on-write (the same
+        file-granular rewrite as delete_where): only files containing a
+        matching row are rewritten — matched rows get the assignments
+        applied, unmatched rows in those files carry over verbatim, and
+        untouched files stay referenced as-is. The reference's Iceberg
+        stack expresses UPDATE as a delete-file + data-file pair
+        (SPARK_ICEBERG_GUIDE.md:336-340); COW folds both immediately.
+
+        `assignments` maps column name -> SQL expression string (or
+        Column); expressions see the pre-update row, as SQL requires
+        (`SET a = b, b = a` swaps)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        schema = self.schema() or self._schema()
+        known = {f.name for f in schema.fields}
+        bad = sorted(set(assignments) - known)
+        if bad:
+            raise ValueError(f"UPDATE of unknown column(s) {bad}; table has {sorted(known)}")
+        tagged = self.read().withColumn("__file", F.input_file_name())
+        affected = self._affected_files(tagged.filter(cond))
+        if not affected:  # nothing matched: no commit, table unchanged
+            return self.log.read_entry(self.log.latest_version())
+        paths = [os.path.join(self.table_dir, p) for p in affected]
+        # single projection evaluated against the PRE-update row: every
+        # assignment sees original values even when columns reference
+        # each other, and each file's rows rewrite in one pass
+        exprs = []
+        for f in schema.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                new_val = F.expr(a) if isinstance(a, str) else a
+                exprs.append(
+                    F.when(cond, new_val.cast(f.dataType)).otherwise(F.col(f.name)).alias(f.name)
+                )
+            else:
+                exprs.append(F.col(f.name))
+        rewritten = self._read_paths(paths).select(*exprs)
+        return self._commit_write(
+            rewritten,
+            operation="update",
+            removed=tuple(affected),
+            input_bytes=self._logged_bytes(affected),
+        )
+
     def _logged_bytes(self, rel_paths) -> int:
         state = self.log.state_at()
         return sum(state[p].size_bytes for p in rel_paths if p in state)

@@ -362,3 +362,53 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_sql_dml",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(40 AS BIGINT), CAST(10 AS BIGINT), CAST(12 AS BIGINT),
+             CAST(45 AS BIGINT), CAST(7693 AS BIGINT))
+        ) AS t(rows_total, updated_rows, upserted_rows,
+               rows_after_merge, sum_after)
+    """,
+    tags=("lakehouse", "sql", "dml"),
+    doc="Row-level DML through the SQL front-end: UPDATE ... SET ... "
+    "WHERE (copy-on-write file-granular rewrite) and MERGE INTO ... "
+    "WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * "
+    "(full-row upsert keyed on the ON equality columns). Post-state "
+    "quantities pinned: 40 seed rows; UPDATE doubles n for k<10; MERGE "
+    "replaces 7 rows (k divisible by 6) and inserts 5 new (k 40..44).",
+)
+def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql("CREATE TABLE nessie.lab.dml (k BIGINT, n BIGINT) USING iceberg")
+        q.sql("INSERT INTO nessie.lab.dml SELECT id, id FROM RANGE(0, 40)")
+        rows_total = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.dml").first().n
+        q.sql("UPDATE nessie.lab.dml SET n = n * 2 WHERE k < 10")
+        updated = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.dml WHERE n = k * 2 AND k > 0 AND k < 10").first().n + 1
+        spark.sql(
+            "SELECT id * 6 AS k, CAST(1000 AS BIGINT) AS n FROM RANGE(0, 7) "
+            "UNION ALL SELECT id + 40, CAST(0 AS BIGINT) FROM RANGE(0, 5)"
+        ).createOrReplaceTempView("dml_src")
+        q.sql(
+            "MERGE INTO nessie.lab.dml AS t USING dml_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+        upserted = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.dml WHERE n = 1000 OR n = 0").first().n
+        rows_after = q.sql("SELECT COUNT(*) AS n FROM nessie.lab.dml").first().n
+        # 1..9 doubled minus multiples of 6 replaced: exact closed-form sum
+        sum_after = q.sql(
+            "SELECT CAST(SUM(n) AS BIGINT) AS s FROM nessie.lab.dml WHERE n IN (1000, 0) "
+        ).first().s + q.sql(
+            "SELECT CAST(SUM(n) AS BIGINT) AS s FROM nessie.lab.dml WHERE n NOT IN (1000, 0)"
+        ).first().s
+        return (
+            [(rows_total, updated, upserted, rows_after, sum_after)],
+            "rows_total bigint, updated_rows bigint, upserted_rows bigint, "
+            "rows_after_merge bigint, sum_after bigint",
+        )
+
+    return _with_lake(spark, run)

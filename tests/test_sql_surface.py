@@ -275,3 +275,73 @@ def test_errors(lsql):
     # DROP honors IF EXISTS
     assert lsql.sql("DROP TABLE IF EXISTS nessie.lab4.nope").first().dropped is False
     assert lsql.sql("DROP TABLE nessie.lab4.t").first().dropped is True
+
+
+def test_update_statement_cow(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.upd")
+    lsql.sql("CREATE TABLE nessie.upd.t (k BIGINT, v STRING, n BIGINT)")
+    lsql.sql("INSERT INTO nessie.upd.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    lsql.sql("UPDATE nessie.upd.t SET v = upper(v), n = n + 100 WHERE k >= 2")
+    got = {r.k: (r.v, r.n) for r in lsql.sql("SELECT * FROM nessie.upd.t").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 120), 3: ("C", 130)}
+    # assignments see the PRE-update row (SQL swap semantics)
+    lsql.sql("CREATE TABLE nessie.upd.swap (a BIGINT, b BIGINT)")
+    lsql.sql("INSERT INTO nessie.upd.swap VALUES (1, 2)")
+    lsql.sql("UPDATE nessie.upd.swap SET a = b, b = a WHERE a = 1")
+    assert [tuple(r) for r in lsql.sql("SELECT a, b FROM nessie.upd.swap").collect()] == [(2, 1)]
+
+
+def test_update_only_rewrites_affected_files(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.updf")
+    lsql.sql("CREATE TABLE nessie.updf.t (k BIGINT, v STRING)")
+    # three separate appends -> three files
+    for lo in (0, 10, 20):
+        lsql.sql(
+            f"INSERT INTO nessie.updf.t SELECT id, concat('v', id) FROM range({lo}, {lo + 10}, 1, 1)"
+        )
+    t = lsql.lake.table("updf.t")
+    before = set(t.log.state_at())
+    assert len(before) == 3
+    lsql.sql("UPDATE nessie.updf.t SET v = 'HIT' WHERE k = 15")  # one file only
+    after = set(t.log.state_at())
+    assert len(after) == 3
+    assert len(before & after) == 2, "untouched files must carry over by reference"
+    assert [r.v for r in t.read().filter("k = 15").collect()] == ["HIT"]
+    assert t.read().filter("v = 'HIT'").count() == 1
+
+
+def test_merge_statement_upsert(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.mrg")
+    lsql.sql("CREATE TABLE nessie.mrg.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.mrg.t VALUES (1, 'old1'), (2, 'old2'), (3, 'old3')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (2, 'new2'), (4, 'new4') AS src(k, v)"
+    ).createOrReplaceTempView("mrg_src")
+    lsql.sql(
+        """
+        MERGE INTO nessie.mrg.t AS t USING mrg_src AS s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """
+    )
+    got = {r.k: r.v for r in lsql.sql("SELECT * FROM nessie.mrg.t").collect()}
+    assert got == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
+
+
+def test_merge_and_update_reject_bad_forms(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.bad")
+    lsql.sql("CREATE TABLE nessie.bad.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.bad.t VALUES (1, 'a')")
+    with pytest.raises(SqlError, match="same-column equality"):
+        lsql.sql(
+            "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.j "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(SqlError, match="unsupported MERGE"):
+        lsql.sql(
+            "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 'x'"
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        lsql.sql("UPDATE nessie.bad.t SET nope = 1 WHERE k = 1")
