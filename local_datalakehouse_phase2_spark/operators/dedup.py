@@ -420,3 +420,148 @@ def embedding_cosine_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.32)
         .select("vec_a", "vec_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# --- duplicate clusters: connected components over near-dup edges ----
+
+CC_JACCARD = 0.6  # cluster edge threshold (same bar as ngram_jaccard_dupes)
+CC_BUCKET_CAP = 1000  # ignore shingles shared by more docs (boilerplate)
+
+
+def exact_jaccard_pairs(d: DataFrame, threshold: float = CC_JACCARD) -> DataFrame:
+    """EXACT shingle-Jaccard pairs >= threshold via shingle-bucket
+    equi-join (no LSH, no cross join): explode distinct shingles,
+    join within shingle buckets (capped against boilerplate skew),
+    count shared shingles per pair, finish with inclusion-exclusion.
+    Work is sum over shingles of bucket^2 — corpus-linear while
+    buckets stay bounded, and deterministic (unlike LSH candidates),
+    which is what lets an external engine replicate the edge set."""
+    sh = d.select("doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    capped = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("bucket")).filter(F.col("bucket") <= CC_BUCKET_CAP),
+        "s",
+    ).select("doc_id", "s")
+    shared = (
+        capped.alias("x")
+        .join(capped.alias("y"), "s")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Min-label propagation connected components over an undirected
+    edge list (doc_a, doc_b) -> (doc_id, cluster) where cluster is the
+    smallest doc_id in the component.
+
+    Spark has no built-in CC (GraphFrames does the same propagation);
+    this is the DataFrame-only loop: each round every vertex takes the
+    min label among itself and its neighbors. Rounds needed = graph
+    diameter — near-dup clusters are near-cliques, so 2-3 rounds in
+    practice. Each round is one shuffle-join + one aggregate, with
+    localCheckpoint to truncate the growing lineage (the standard
+    iterative-algorithm pattern at scale; GraphX/GraphFrames CC uses
+    large-star/small-star for worst-case long paths — same idea,
+    fewer rounds on chains, unnecessary for clique-shaped dup graphs)."""
+    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("lbl").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.id2, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster"))
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                          i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3
+        ),
+        capped AS (
+            SELECT doc_id, s FROM sh
+            WHERE s IN (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= {CC_BUCKET_CAP})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+            FROM capped x JOIN capped y ON x.s = y.s AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        ),
+        edges AS (
+            SELECT a, b FROM pairs
+            JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+            WHERE inter >= {CC_JACCARD} * (sa.n + sb.n - inter)
+        ),
+        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        cc AS (
+            WITH RECURSIVE walk(id, lbl) AS (
+                SELECT a, a FROM sym
+                UNION
+                SELECT sym.a, walk.lbl FROM walk JOIN sym ON walk.id = sym.b
+            )
+            SELECT id, MIN(lbl) AS cluster FROM walk GROUP BY id
+        )
+        SELECT cluster, COUNT(*) AS cluster_size
+        FROM cc GROUP BY cluster
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster
+    """,
+    tags=("dedup", "clusters", "graph", "llm-pipeline"),
+    doc="Duplicate CLUSTERS, not just pairs: exact shingle-Jaccard "
+    f">= {CC_JACCARD} edges (deterministic shingle-bucket join, bucket "
+    f"cap {CC_BUCKET_CAP}), then DataFrame-only min-label-propagation "
+    "connected components — the step an LLM dedup pipeline needs after "
+    "pair generation, since keep-one-per-cluster requires components, "
+    "not pairwise matches. The DuckDB oracle rebuilds the same edges "
+    "and resolves components with a recursive CTE — an end-to-end "
+    "cross-engine check of an iterative graph algorithm.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallel_scan(spark, sf_dir, "documents")
+    comp = connected_components(exact_jaccard_pairs(d))
+    return (
+        comp.groupBy("cluster")
+        .agg(F.count("*").alias("cluster_size"))
+        .filter(F.col("cluster_size") >= 2)
+        .orderBy("cluster")
+    )

@@ -360,3 +360,191 @@ def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("shared_fps"))
     )
     return pairs.filter(F.col("shared_fps") >= 2).orderBy("doc_a", "doc_b")
+
+
+# --- benchmark-contamination check (LLM training-data hygiene) --------
+
+NGRAM_CONTAM = 8  # industry-typical 8..13-gram overlap window
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 marks the held-out "eval set"
+
+
+def _word_ngrams_sql(col: str, n: int) -> str:
+    """array<string> of word n-grams (guarded: empty below n tokens)."""
+    toks = f"split({col}, ' ')"
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {n}),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, {n}))) END"
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, source,
+                   list_transform(range(1, len(w) - {NGRAM_CONTAM - 2}),
+                                  i -> array_to_string(w[i:i+{NGRAM_CONTAM - 1}], ' ')) AS gs
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= {NGRAM_CONTAM}
+        ),
+        eval_grams AS (
+            SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        per_doc AS (
+            SELECT g.doc_id, g.source,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN eg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+            FROM (SELECT doc_id, source, unnest(gs) AS g FROM grams) g
+            LEFT JOIN eval_grams eg ON g.g = eg.g
+            GROUP BY g.doc_id, g.source
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_hit * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_contaminated,
+               ROUND(AVG(n_hit / n_grams), 6) AS avg_overlap
+        FROM per_doc
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "contamination", "llm-pipeline"),
+    doc=f"Benchmark-contamination audit: flags corpus documents whose "
+    f"{NGRAM_CONTAM}-gram overlap with a held-out eval set (doc_id % "
+    f"{EVAL_MOD} == 0) is >= 50% — the standard n-gram decontamination "
+    "check an LLM data pipeline runs before training. Eval grams are "
+    "DISTINCT-ed then broadcast (eval sets are small by construction); "
+    "the corpus side is one explode + broadcast semi-probe + per-doc "
+    "aggregate — corpus-linear, no pairwise comparison, the shape that "
+    "survives 100 TB. Eval docs stay in the scan and self-flag at "
+    "overlap 1.0, proving the detector fires.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.expr(_word_ngrams_sql("text", NGRAM_CONTAM)).alias("gs"),
+    ).filter(F.size("gs") > 0)
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        grams.select("doc_id", "source", F.explode("gs").alias("g"))
+        .join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_hit") * 2 >= F.col("n_grams")).cast("bigint")).alias(
+                "n_contaminated"
+            ),
+            F.round(F.avg(F.col("n_hit") / F.col("n_grams")), 6).alias("avg_overlap"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- PII scrubbing (LLM training-data hygiene) ------------------------
+
+# same regex dialect subset works in Java (Spark) and RE2 (DuckDB)
+EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+        WITH enriched AS (
+            SELECT source,
+                   text
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' contact user' || doc_id || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 13 = 0
+                           THEN ' or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS text
+            FROM documents
+        ),
+        scrubbed AS (
+            SELECT source,
+                   len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+                   len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+                   length(text) - length(
+                       regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{PHONE_RE}', '<PHONE>', 'g')) AS chars_delta
+            FROM enriched
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_email,
+               CAST(SUM(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_phone,
+               CAST(SUM(n_emails + n_phones) AS BIGINT) AS total_redactions,
+               CAST(SUM(chars_delta) AS BIGINT) AS chars_redacted_delta
+        FROM scrubbed
+        GROUP BY source
+        ORDER BY source
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+    doc="PII scrub pass: regexp_extract_all to census emails/phones and "
+    "a chained regexp_replace redaction, verified by per-source counts "
+    "and the exact character delta the replacements produce. The corpus "
+    "text is synthetic, so deterministic PII is injected in-plan (docs "
+    "with doc_id%11==0 get an email, %13==0 a phone) — the regex "
+    "operators under test are the real thing, JVM-side and codegen'd, "
+    "one scan, no UDFs. At 100 TB this is the same single-pass map "
+    "shape; patterns chosen in the dialect subset Java regex and RE2 "
+    "evaluate identically.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" or call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = enriched.select(
+        "source",
+        F.size(F.expr(f"regexp_extract_all(text, '{EMAIL_RE}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{PHONE_RE}', 0)")).alias("n_phones"),
+        (
+            F.length("text")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+                )
+            )
+        ).alias("chars_delta"),
+    )
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_emails") > 0).cast("bigint")).alias("docs_with_email"),
+            F.sum((F.col("n_phones") > 0).cast("bigint")).alias("docs_with_phone"),
+            F.sum(F.col("n_emails") + F.col("n_phones")).cast("bigint").alias("total_redactions"),
+            F.sum("chars_delta").cast("bigint").alias("chars_redacted_delta"),
+        )
+        .orderBy("source")
+    )

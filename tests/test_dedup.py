@@ -84,3 +84,49 @@ def test_simhash_finds_near_identical_docs(spark, sf_small, docs):
     want = brute_force_pairs(docs, 0.9)
     found = len(want & pairs)
     assert found / len(want) >= 0.8 if want else True
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must resolve a long chain (worst case for
+    propagation rounds) and keep disjoint components separate."""
+    from local_datalakehouse_phase2_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r.doc_id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_exact_jaccard_pairs_matches_bruteforce(spark, sf_small):
+    """The deterministic shingle-bucket edge generator must equal the
+    all-pairs brute force at the same threshold."""
+    from local_datalakehouse_phase2_spark.operators.dedup import (
+        CC_JACCARD,
+        _shingles,
+        exact_jaccard_pairs,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 200)
+    got = {(r.doc_a, r.doc_b) for r in exact_jaccard_pairs(d).collect()}
+
+    sh = d.select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+    brute = (
+        sh.alias("x")
+        .join(sh.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            (
+                F.size(F.array_intersect("x.sh", "y.sh"))
+                / F.size(F.array_union("x.sh", "y.sh"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= CC_JACCARD)
+    )
+    want = {(r.a, r.b) for r in brute.collect()}
+    assert got == want and len(want) > 0
