@@ -54,15 +54,30 @@ def rewrite_data_files(
     table: LakehouseTable,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
     min_input_files: int = 1,
+    strategy: str = "binpack",
+    sort_order: str | None = None,
 ) -> dict:
-    """M1: bin-pack small data files into ~target-size files.
+    """M1: compact small data files into ~target-size files.
 
-    Mirrors `CALL rewrite_data_files(table, options => map(
-    'target-file-size-bytes','134217728','min-input-files','1',...))`
-    (guide :231-239). One distributed read of the current snapshot,
-    one repartitioned write sized from exact logged bytes, one atomic
-    `replace` commit swapping the file set.
+    Mirrors `CALL rewrite_data_files(table, strategy => ...,
+    sort_order => ..., options => map('target-file-size-bytes',
+    '134217728','min-input-files','1',...))` (guide :231-239; sort
+    strategy per Iceberg's rewrite_data_files procedure). One
+    distributed read of the current snapshot, one shaped write sized
+    from exact logged bytes, one atomic `replace` commit swapping the
+    file set.
+
+    - binpack (default): plain repartition — cheapest, one round-robin
+      shuffle.
+    - sort: range-repartition + in-partition sort on `sort_order`
+      columns, so files hold disjoint key ranges and parquet min/max
+      footers make selective scans skip whole files/row groups — the
+      clustering half of what Z-ordering buys, in one shuffle.
     """
+    if strategy not in ("binpack", "sort"):
+        raise MaintenanceError(f"rewrite_data_files: unknown strategy {strategy!r}")
+    if strategy == "sort" and not sort_order:
+        raise MaintenanceError("rewrite_data_files: sort strategy requires sort_order")
     state = table.log.state_at()
     if len(state) < min_input_files:
         return {"rewritten_files": 0, "added_files": 0, "skipped": True}
@@ -70,7 +85,12 @@ def rewrite_data_files(
     total_bytes = sum(fi.size_bytes for fi in state.values())
     n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
     df = table.read()
-    files = table._write_files(df.repartition(n_files), input_bytes=total_bytes)
+    if strategy == "sort":
+        cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+        pre = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        files = table._write_files(pre, shaped=True)
+    else:
+        files = table._write_files(df.repartition(n_files), shaped=True)
 
     def make(version: int) -> LogEntry:
         # commit validation (re-runs on each optimistic retry): the

@@ -263,6 +263,11 @@ class LakehouseSQL:
                     )
                 ),
                 min_input_files=int(options.get("min-input-files", 1)),
+                # Iceberg top-level procedure args, not options-map keys
+                strategy=str(args.pop("strategy", "binpack")),
+                sort_order=(
+                    str(args.pop("sort_order")) if "sort_order" in args else None
+                ),
             )
         elif proc == "rewrite_manifests":
             result = maintenance.rewrite_manifests(table)

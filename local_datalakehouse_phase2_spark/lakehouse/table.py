@@ -502,7 +502,7 @@ class LakehouseTable:
         return self.log.append(make)
 
     def _write_files(
-        self, df: DataFrame, input_bytes: int | None = None
+        self, df: DataFrame, input_bytes: int | None = None, shaped: bool = False
     ) -> tuple[FileInfo, ...]:
         """Write df as parquet honoring `write.target-file-size-bytes`
         and `write.distribution-mode` (guide :108-109, :324-328).
@@ -555,6 +555,13 @@ class LakehouseTable:
                     FileInfo(path=rel, size_bytes=self.io.size(full), row_count=rows)
                 )
             return tuple(infos)
+
+        if shaped:
+            # caller already partitioned/sorted the frame (e.g. sort-
+            # strategy compaction via repartitionByRange): re-shaping
+            # here would collapse the caller's clustering back into a
+            # round-robin shuffle, so write it as-is
+            return scan(write_dir(df))
 
         if input_bytes is not None:
             n_files = max(1, math.ceil(input_bytes / target))

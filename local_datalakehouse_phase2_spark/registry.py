@@ -210,7 +210,7 @@ def _load_all() -> None:
         tpch_extended2,
         windows,
     )
-    from .streaming import event_windows  # noqa: F401
+    from .streaming import event_windows, ingest  # noqa: F401
 
     seeded: dict[str, QuerySpec] = {}
     for name in _SWEEP_PRIORITY:

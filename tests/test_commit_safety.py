@@ -131,8 +131,8 @@ def test_rewrite_data_files_validates_via_public_api(spark, lake):
 
     orig_write_files = t._write_files
 
-    def racing_write_files(df, input_bytes=None):
-        files = orig_write_files(df, input_bytes=input_bytes)
+    def racing_write_files(df, **kwargs):
+        files = orig_write_files(df, **kwargs)
         # unpatch first: delete_where writes files too, and must use the
         # real writer (otherwise it would recurse back in here)
         t._write_files = orig_write_files

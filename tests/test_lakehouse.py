@@ -361,3 +361,59 @@ def test_add_column_is_metadata_only(spark, lake):
     assert t.read().filter(F.col("score").isNotNull()).count() == 1
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("score", "double")
+
+
+def test_sort_strategy_compaction_clusters_key_ranges(spark, tmp_path):
+    """rewrite_data_files(strategy='sort') must produce files holding
+    DISJOINT key ranges (range-partitioned + sorted), so parquet
+    min/max footers let selective scans skip whole files — verified
+    straight from the footers."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        Lakehouse,
+        MaintenanceError,
+        rewrite_data_files,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.sorted",
+        schema="k bigint, v string",
+        properties={"write.target-file-size-bytes": "4096"},
+    )
+    # interleaved appends: every file initially spans the whole key range
+    for off in (0, 1, 2):
+        t.append(
+            spark.range(0, 3000, 3).select(
+                (F.col("id") + off).alias("k"),
+                F.concat(F.lit("val"), F.col("id")).alias("v"),
+            )
+        )
+    res = rewrite_data_files(t, target_file_size_bytes=8192, strategy="sort", sort_order="k")
+    assert not res["skipped"] and res["added_files"] >= 2
+
+    ranges = []
+    for fi in t.log.state_at().values():
+        md = pq.ParquetFile(f"{t.table_dir}/{fi.path}").metadata
+        stats = [md.row_group(i).column(0) for i in range(md.num_row_groups)]
+        assert all(s.path_in_schema == "k" for s in stats)
+        ranges.append(
+            (
+                min(s.statistics.min for s in stats),
+                max(s.statistics.max for s in stats),
+            )
+        )
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"file ranges overlap: {ranges}"
+    # data intact
+    assert t.read().count() == 3000
+    assert t.read().agg(F.sum("k")).first()[0] == sum(range(0, 3000, 3)) * 3 + 3000
+
+    with pytest.raises(MaintenanceError, match="sort_order"):
+        rewrite_data_files(t, strategy="sort")
+    with pytest.raises(MaintenanceError, match="strategy"):
+        rewrite_data_files(t, strategy="zorder")

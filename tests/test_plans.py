@@ -60,6 +60,10 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
             assert name in (
                 "cosine_topk_bruteforce",
                 "range_band_join",
+                # the ANN recall audits embed the brute-force truth set
+                # on purpose (same plan as cosine_topk_bruteforce)
+                "ann_lsh_recall",
+                "ann_ivf_recall",
                 "embedding_cosine_dupes",
                 # scalar-subquery comparisons against a ONE-ROW broadcast
                 # side (avg balance / stock-value threshold) — NL over 1
@@ -216,11 +220,19 @@ def test_approx_percentile_error_bound(spark, sf_small):
     percentiles: with accuracy=1000 the rank error is ~1/1000, so on
     the fixture the estimate must sit between the exact p90 and p99
     for a p95 target (a loose but engine-independent band)."""
-    approx = {
-        r.l_returnflag: (r.p50_price, r.p95_price)
-        for r in SPECS["approx_percentile_stats"].fn(spark, sf_small).collect()
-    }
+    rows = SPECS["approx_percentile_stats"].fn(spark, sf_small).collect()
+    assert rows and all(r.p50_rank_ok and r.p95_rank_ok for r in rows), rows
+
     li = load_table(spark, sf_small, "lineitem")
+    approx = {
+        r.l_returnflag: (r.p50_est, r.p95_est)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_est"),
+            F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(1000)).alias("p95_est"),
+        )
+        .collect()
+    }
     exact = {
         r.l_returnflag: (r.p40, r.p60, r.p90, r.p99)
         for r in li.groupBy("l_returnflag")
