@@ -94,6 +94,121 @@ class FileIO(abc.ABC):
     def parquet_row_count(self, path: str) -> int:
         """Exact row count from the parquet footer (no Spark job)."""
 
+    @abc.abstractmethod
+    def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
+        """(row_count, column stats) from the parquet footer — the same
+        per-file min/max/null-count metrics Iceberg records in manifests
+        so scan planning can skip files without opening them. See
+        `stats_from_footer` for the value encoding and safety rules."""
+
+
+# upper bound on recorded string min/max; longer values drop the column's
+# stats for that file (Iceberg instead truncates with increment — skipping
+# is simpler and equally safe, pruning stays advisory-only)
+_MAX_STR_STAT = 120
+
+
+def _canonical_stat(v):
+    """Map a footer statistics value to a JSON-safe, order-preserving
+    encoding, or raise ValueError when no safe encoding exists.
+
+    - bool/int: as-is (exact)
+    - float: as-is; NaN is unordered => unusable
+    - Decimal: float bounds WIDENED one ulp each way so the lossy
+      conversion can never tighten the range and mis-prune
+    - datetime/date: ISO-8601 string (lexicographic == chronological
+      for fixed-width ISO timestamps)
+    - str: as-is up to _MAX_STR_STAT chars
+    - bytes/everything else: unusable
+    """
+    import datetime as _dt
+    import math as _math
+    from decimal import Decimal
+
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        if _math.isnan(v):
+            raise ValueError("NaN stat")
+        return v
+    if isinstance(v, Decimal):
+        f = float(v)
+        if _math.isnan(f) or _math.isinf(f):
+            raise ValueError("non-finite decimal")
+        return f
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, str):
+        if len(v) > _MAX_STR_STAT:
+            raise ValueError("oversized string stat")
+        return v
+    raise ValueError(f"unsupported stat type {type(v).__name__}")
+
+
+def stats_from_footer(md) -> dict[str, list]:
+    """Column min/max/null-count map from a pyarrow FileMetaData.
+
+    Per column: `[min, max, null_count]` with the `_canonical_stat`
+    encoding; an all-null column records `[None, None, nulls]` (a
+    strong pruning signal: no comparison predicate can match). Columns
+    whose footer statistics are missing, non-encodable, or nested are
+    omitted — pruning treats missing as "must scan", so omission is
+    always safe, never wrong.
+    """
+    from decimal import Decimal
+
+    out: dict[str, list] = {}
+    ncols = md.num_columns
+    nested_roots = set()
+    per_col: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(ncols):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                nested_roots.add(name.split(".", 1)[0])
+                continue
+            per_col.setdefault(name, []).append(col)
+    for name, chunks in per_col.items():
+        if name in nested_roots:
+            continue
+        mins, maxs, nulls = [], [], 0
+        ok = True
+        for col in chunks:
+            st = col.statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            nulls += st.null_count
+            if st.num_values == 0:
+                continue  # all-null chunk: contributes no bounds
+            if not st.has_min_max:
+                ok = False
+                break
+            try:
+                lo, hi = st.min, st.max
+                widen = isinstance(lo, Decimal) or isinstance(hi, Decimal)
+                lo, hi = _canonical_stat(lo), _canonical_stat(hi)
+                if widen:
+                    import math as _math
+
+                    lo = _math.nextafter(lo, -_math.inf)
+                    hi = _math.nextafter(hi, _math.inf)
+            except ValueError:
+                ok = False
+                break
+            mins.append(lo)
+            maxs.append(hi)
+        if not ok:
+            continue
+        if mins:
+            out[name] = [min(mins), max(maxs), nulls]
+        else:
+            out[name] = [None, None, nulls]  # column entirely null
+    return out
+
 
 class LocalFileIO(FileIO):
     """Plain-`os` implementation — the local default."""
@@ -158,6 +273,10 @@ class LocalFileIO(FileIO):
 
     def parquet_row_count(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
+
+    def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
+        md = pq.ParquetFile(path).metadata
+        return md.num_rows, stats_from_footer(md)
 
 
 class HadoopFileIO(FileIO):
@@ -290,7 +409,7 @@ class HadoopFileIO(FileIO):
             out.close()
         return True
 
-    def parquet_row_count(self, path: str) -> int:
+    def _footer_metadata(self, path: str):
         import io
 
         n = self.size(path)
@@ -304,4 +423,11 @@ class HadoopFileIO(FileIO):
         # a footer-only "file" (magic + footer + length + magic) parses
         # fine for metadata purposes
         shim = b"PAR1" + footer + meta_len.to_bytes(4, "little") + b"PAR1"
-        return pq.ParquetFile(io.BytesIO(shim)).metadata.num_rows
+        return pq.ParquetFile(io.BytesIO(shim)).metadata
+
+    def parquet_row_count(self, path: str) -> int:
+        return self._footer_metadata(path).num_rows
+
+    def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
+        md = self._footer_metadata(path)
+        return md.num_rows, stats_from_footer(md)

@@ -55,6 +55,11 @@ class FileInfo:
     size_bytes: int
     row_count: int
     content: int = 0  # 0=data; 1/2 (position/equality deletes) unused: copy-on-write
+    # per-column [min, max, null_count] footer metrics (Iceberg's
+    # manifest lower_bounds/upper_bounds/null_value_counts analog);
+    # None on files logged before stats tracking — pruning must treat
+    # that as "scan it"
+    stats: dict[str, list] | None = None
 
 
 @dataclass(frozen=True)

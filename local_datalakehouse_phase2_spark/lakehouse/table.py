@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import pruning
 from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 
@@ -62,6 +63,13 @@ FILES_SCHEMA = T.StructType(
         T.StructField("file_path", T.StringType(), False),
         T.StructField("file_size_in_bytes", T.LongType(), False),
         T.StructField("record_count", T.LongType(), False),
+        # Iceberg files-table readable_metrics analog: per-column
+        # [min, max, null_count] rendered as strings for display
+        T.StructField(
+            "column_stats",
+            T.MapType(T.StringType(), T.ArrayType(T.StringType(), True)),
+            True,
+        ),
     ]
 )
 
@@ -104,11 +112,25 @@ class LakehouseTable:
 
     # ---- reads -------------------------------------------------------
 
-    def read(self, version: int | None = None, as_of: float | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        as_of: float | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         """Current-snapshot scan, or time travel by snapshot id
         (`VERSION AS OF`) or timestamp (`TIMESTAMP AS OF`). Projects
         through the schema recorded AS OF that version, so time travel
-        sees the table as it was — including pre-evolution columns."""
+        sees the table as it was — including pre-evolution columns.
+
+        `filters` — conjunctive `(column, op, value)` triples (see
+        `pruning.SUPPORTED_OPS`) — engage metadata-level scan planning:
+        files whose logged min/max ranges cannot satisfy the predicate
+        are dropped BEFORE the DataFrame is built (Iceberg manifest
+        pruning), and the exact predicate is re-applied to the scan so
+        results never depend on stats quality. On a table clustered by
+        `rewrite_data_files(strategy='sort')` a selective read touches
+        only the files whose key range overlaps the filter."""
         if as_of is not None:
             eligible = [e.version for e in self.log.entries() if e.committed_at <= as_of]
             if not eligible:
@@ -117,10 +139,30 @@ class LakehouseTable:
         elif version is not None and version not in self.log.versions():
             raise ValueError(f"snapshot {version} does not exist (expired?)")
         state = self.log.state_at(version)
+        if filters:
+            state, _ = pruning.prune_files(state, filters)
         if not state:
             return self.spark.createDataFrame([], self.schema(version) or self._schema())
         paths = [os.path.join(self.table_dir, p) for p in state]
-        return self._read_paths(paths, version=version)
+        df = self._read_paths(paths, version=version)
+        if filters:
+            df = df.filter(pruning.residual_expr(filters))
+        return df
+
+    def scan_plan(self, filters: list[tuple], version: int | None = None) -> dict:
+        """Planning-only view of what `read(filters=...)` will touch:
+        {files_total, files_scanned, files_pruned, rows_total,
+        rows_scanned_max}. Metadata-only — no Spark job — so tests and
+        operators can assert pruning without tracing the scan."""
+        state = self.log.state_at(version)
+        kept, pruned = pruning.prune_files(state, filters)
+        return {
+            "files_total": len(state),
+            "files_scanned": len(kept),
+            "files_pruned": pruned,
+            "rows_total": sum(fi.row_count for fi in state.values()),
+            "rows_scanned_max": sum(fi.row_count for fi in kept.values()),
+        }
 
     def _read_paths(self, paths: list[str], version: int | None = None) -> DataFrame:
         """Scan data files through the log-recorded schema (Iceberg
@@ -301,7 +343,20 @@ class LakehouseTable:
     def files(self, version: int | None = None) -> DataFrame:
         """The `<t>.files` metadata relation (guide :175-185)."""
         rows = [
-            (fi.content, os.path.join(self.table_dir, fi.path), fi.size_bytes, fi.row_count)
+            (
+                fi.content,
+                os.path.join(self.table_dir, fi.path),
+                fi.size_bytes,
+                fi.row_count,
+                (
+                    {
+                        c: [None if v is None else str(v) for v in bounds]
+                        for c, bounds in fi.stats.items()
+                    }
+                    if fi.stats
+                    else None
+                ),
+            )
             for fi in self.log.state_at(version).values()
         ]
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
@@ -549,10 +604,18 @@ class LakehouseTable:
                     continue
                 full = os.path.join(out_dir, name)
                 rel = os.path.relpath(full, self.table_dir)
-                # exact row count from the parquet footer — no Spark job
-                rows = self.io.parquet_row_count(full)
+                # exact row count + column min/max/null-count metrics
+                # from one parquet footer read — no Spark job; these are
+                # what scan planning prunes against (Iceberg manifests
+                # record the same metrics at write time)
+                rows, stats = self.io.parquet_file_stats(full)
                 infos.append(
-                    FileInfo(path=rel, size_bytes=self.io.size(full), row_count=rows)
+                    FileInfo(
+                        path=rel,
+                        size_bytes=self.io.size(full),
+                        row_count=rows,
+                        stats=stats or None,
+                    )
                 )
             return tuple(infos)
 

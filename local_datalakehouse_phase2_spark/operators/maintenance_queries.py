@@ -412,3 +412,77 @@ def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_stats_prune",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS march_orders,
+               ROUND(SUM(o_totalprice), 2) AS march_total,
+               TRUE AS files_pruned,
+               TRUE AS matches_full_scan
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+    """,
+    tags=("lakehouse", "metadata", "pruning"),
+    doc="Metadata-level scan planning (Iceberg manifest pruning "
+    "analog): orders land range-clustered on o_orderdate, every "
+    "commit records per-file min/max footer metrics, and a "
+    "one-month filtered read consults ONLY those logged bounds to "
+    "drop files before any Spark job runs (table.scan_plan / "
+    "read(filters=...), lakehouse/pruning.py). The month's count "
+    "and rounded revenue are oracle-checked against a full DuckDB "
+    "scan; `files_pruned` pins that planning really skipped files "
+    "and `matches_full_scan` pins exactness of the pruned read.",
+)
+def lakehouse_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.orders_sp",
+            schema="o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderdate timestamp_ntz",
+        )
+        # cluster by date at write time (what rewrite_data_files
+        # strategy='sort' maintains for an evolving table): disjoint
+        # per-file date ranges make the logged min/max maximally
+        # selective
+        t.append(
+            orders.repartitionByRange(8, "o_orderdate").sortWithinPartitions("o_orderdate")
+        )
+        flt = [
+            ("o_orderdate", ">=", _dt.datetime(1995, 3, 1)),
+            ("o_orderdate", "<", _dt.datetime(1995, 4, 1)),
+        ]
+        plan = t.scan_plan(flt)
+        pruned_read = t.read(filters=flt)
+        n_rows = pruned_read.count()
+        total = pruned_read.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+        full = (
+            t.read()
+            .filter(
+                (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+            )
+            .count()
+        )
+        return (
+            [
+                (
+                    n_rows,
+                    float(total),
+                    bool(0 < plan["files_scanned"] < plan["files_total"]),
+                    bool(n_rows == full),
+                )
+            ],
+            "march_orders bigint, march_total double, "
+            "files_pruned boolean, matches_full_scan boolean",
+        )
+
+    return _with_lake(spark, run)

@@ -54,7 +54,8 @@ def _wrap(method_name):
 
 for _m in (
     "makedirs listdir walk_files remove_empty_dirs rmtree exists is_dir size "
-    "mtime remove read_text write_text_atomic create_exclusive parquet_row_count"
+    "mtime remove read_text write_text_atomic create_exclusive parquet_row_count "
+    "parquet_file_stats"
 ).split():
     setattr(RecordingFileIO, _m, _wrap(_m))
 
@@ -91,7 +92,7 @@ def test_lifecycle_runs_entirely_through_injected_io(spark, tmp_path):
     # every operation class the lakehouse layer performs hit the shim
     for op in (
         "makedirs listdir exists read_text write_text_atomic create_exclusive "
-        "parquet_row_count size remove walk_files mtime"
+        "parquet_file_stats size remove walk_files mtime"
     ).split():
         assert io.calls.get(op, 0) > 0, f"{op} never routed through FileIO: {io.calls}"
 
@@ -146,6 +147,10 @@ def test_hadoop_fileio_parquet_footer_row_count(spark, hio, tmp_path):
     assert files
     assert sum(hio.parquet_row_count(f) for f in files) == 1234
     assert all(hio.parquet_row_count(f) == lio.parquet_row_count(f) for f in files)
+    # footer column stats identical through the Hadoop tail-read path
+    assert all(hio.parquet_file_stats(f) == lio.parquet_file_stats(f) for f in files)
+    rows, stats = lio.parquet_file_stats(files[0])
+    assert rows > 0 and "id" in stats and stats["id"][2] == 0
 
 
 def test_lifecycle_on_hadoop_fileio_matches_local(spark, tmp_path):
