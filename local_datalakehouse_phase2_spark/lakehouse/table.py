@@ -363,13 +363,16 @@ class LakehouseTable:
 
     # ---- writes ------------------------------------------------------
 
-    def append(self, df: DataFrame) -> LogEntry:
+    def append(self, df: DataFrame, extra: dict | None = None) -> LogEntry:
         df, schema_ddl = self._align_for_write(df)
+        merged = dict(extra or {})
+        if schema_ddl:
+            merged["schema"] = schema_ddl
         return self._commit_write(
             df,
             operation="append",
             removed=(),
-            extra={"schema": schema_ddl} if schema_ddl else None,
+            extra=merged or None,
         )
 
     def overwrite(self, df: DataFrame) -> LogEntry:
@@ -480,7 +483,9 @@ class LakehouseTable:
         state = self.log.state_at()
         return sum(state[p].size_bytes for p in rel_paths if p in state)
 
-    def merge(self, source: DataFrame, key_cols: list[str]) -> LogEntry:
+    def merge(
+        self, source: DataFrame, key_cols: list[str], extra: dict | None = None
+    ) -> LogEntry:
         """MERGE (upsert, full-row): target rows whose key appears in
         `source` are replaced by the source row; unmatched source rows
         insert. Copy-on-write: only files containing a matched key
@@ -489,7 +494,7 @@ class LakehouseTable:
         runs only over the affected files' rows."""
         state = self.log.state_at()
         if not state:
-            return self.append(source)
+            return self.append(source, extra=extra)
         keys = source.select(*key_cols).distinct()
         tagged = self.read().withColumn("__file", F.input_file_name())
         matched = tagged.join(F.broadcast(keys), key_cols, "left_semi")
@@ -514,7 +519,11 @@ class LakehouseTable:
         bpr = sum(fi.size_bytes for fi in all_files) / max(1, total_rows)
         input_bytes = affected_bytes + int(source.count() * bpr) + 1
         return self._commit_write(
-            new_data, operation="merge", removed=tuple(affected), input_bytes=input_bytes
+            new_data,
+            operation="merge",
+            removed=tuple(affected),
+            input_bytes=input_bytes,
+            extra=extra,
         )
 
     def _commit_write(

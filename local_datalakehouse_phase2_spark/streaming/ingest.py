@@ -55,11 +55,36 @@ def append_stream_batch(
     seen = last_committed_batch(table, query_id)
     if seen is not None and batch_id <= seen:
         return False
-    aligned, schema_ddl = table._align_for_write(batch_df)
-    extra = {STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id}
-    if schema_ddl:
-        extra["schema"] = schema_ddl
-    table._commit_write(aligned, operation="append", removed=(), extra=extra)
+    table.append(
+        batch_df, extra={STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id}
+    )
+    return True
+
+
+def merge_stream_batch(
+    table: LakehouseTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    query_id: str,
+    key_cols: list[str],
+) -> bool:
+    """Idempotently UPSERT one micro-batch (CDC-style): rows whose key
+    exists in the table replace the stored row, new keys insert — the
+    lakehouse MERGE under the same (query, batch-id) watermark as
+    `append_stream_batch`. A replayed batch is a no-op, which is what
+    makes foreachBatch+MERGE exactly-once: the merge itself is NOT
+    idempotent against double-application when the stream later writes
+    the same key again, but the watermark guarantees each epoch applies
+    at most once. The batch must carry one row per key (dedupe upstream
+    with dropDuplicates/last-wins before the sink)."""
+    seen = last_committed_batch(table, query_id)
+    if seen is not None and batch_id <= seen:
+        return False
+    table.merge(
+        batch_df,
+        key_cols,
+        extra={STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id},
+    )
     return True
 
 
@@ -79,6 +104,34 @@ def stream_into_table(
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         append_stream_batch(table, batch_df, batch_id, query_name)
+
+    writer = (
+        source.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_into_table(
+    source: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    query_name: str = "lakehouse-upsert",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire a streaming DataFrame into exactly-once MERGE upserts —
+    the foreachBatch+MERGE pattern the reference stack uses for CDC
+    into Iceberg. Each micro-batch is last-wins deduplicated on
+    `key_cols` (CDC sources can emit several changes for one key per
+    epoch), then merged under the batch-id watermark."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        deduped = batch_df.dropDuplicates(key_cols)
+        merge_stream_batch(table, deduped, batch_id, query_name, key_cols)
 
     writer = (
         source.writeStream.foreachBatch(_sink)
@@ -156,6 +209,62 @@ def _register_query() -> None:
                 [(rows, keys, replay_noop, watermarked)],
                 "rows_after_two_runs bigint, distinct_keys bigint, "
                 "replay_was_noop boolean, watermarks_recorded boolean",
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    @register(
+        "lakehouse_stream_upsert",
+        oracle="""
+            SELECT * FROM (VALUES
+                (CAST(60 AS BIGINT), CAST(40 AS BIGINT), CAST(20 AS BIGINT), TRUE)
+            ) AS t(rows_after, updated_rows, untouched_rows, replay_was_noop)
+        """,
+        tags=("streaming", "lakehouse", "ingest", "cdc"),
+        doc="CDC-style exactly-once streaming UPSERT (foreachBatch + "
+        "MERGE): a first drain inserts keys 0-39, a second drain "
+        "upserts keys 20-59 with new values — matched keys replace, "
+        "new keys insert, keys 0-19 untouched — and a replayed epoch "
+        "is a no-op under the per-commit (query, batch-id) watermark. "
+        "All post-state quantities pinned.",
+    )
+    def lakehouse_stream_upsert(spark: SparkSession, sf_dir: str):
+        tmp = tempfile.mkdtemp(prefix="stream_upsert_q_")
+        try:
+            lake = Lakehouse(spark, f"{tmp}/wh")
+            lake.create_namespace("lab")
+            t = lake.create_table("lab.cdc", schema="k bigint, v string")
+            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+
+            def feed(lo: int, hi: int, tag: str) -> None:
+                spark.range(lo, hi).select(
+                    F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("v")
+                ).coalesce(1).write.mode("append").parquet(src)
+
+            def drain() -> None:
+                q = stream_upsert_into_table(
+                    spark.readStream.schema("k bigint, v string").parquet(src),
+                    t,
+                    ckpt,
+                    key_cols=["k"],
+                    query_name="registry-upsert",
+                )
+                q.awaitTermination(120)
+
+            feed(0, 40, "v")
+            drain()
+            feed(20, 60, "u")
+            drain()
+            replay_noop = not merge_stream_batch(
+                t, t.read().limit(3), batch_id=0, query_id="registry-upsert", key_cols=["k"]
+            )
+            rows = t.read().count()
+            updated = t.read().filter(F.col("v").startswith("u")).count()
+            untouched = t.read().filter(F.col("v").startswith("v")).count()
+            return spark.createDataFrame(
+                [(rows, updated, untouched, replay_noop)],
+                "rows_after bigint, updated_rows bigint, "
+                "untouched_rows bigint, replay_was_noop boolean",
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

@@ -80,3 +80,57 @@ def test_replayed_batch_is_noop(spark, lake):
     # a different query id has its own watermark
     assert append_stream_batch(t, batch, 0, "q2") is True
     assert t.read().count() == 30
+
+
+def test_stream_upsert_merges_and_replays_safely(spark, lake, tmp_path):
+    from local_datalakehouse_phase2_spark.streaming.ingest import (
+        merge_stream_batch,
+        stream_upsert_into_table,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    t = lake.create_table("lab.cdc", schema="k bigint, v string")
+
+    def feed(lo, hi, tag):
+        spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = stream_upsert_into_table(
+            spark.readStream.schema("k bigint, v string").parquet(src),
+            t, ckpt, key_cols=["k"], query_name="cdc-test",
+        )
+        q.awaitTermination(120)
+
+    feed(0, 40, "v")
+    drain()
+    assert t.read().count() == 40
+    feed(20, 60, "u")
+    drain()
+    # matched keys replaced, new keys inserted, low keys untouched
+    assert t.read().count() == 60
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got[10] == "v10" and got[25] == "u25" and got[59] == "u59"
+    # replayed epoch: no-op even though the merge itself would mutate
+    batch = spark.createDataFrame([(10, "SHOULD_NOT_LAND")], "k bigint, v string")
+    assert merge_stream_batch(t, batch, 0, "cdc-test", ["k"]) is False
+    assert t.read().filter("k = 10").first().v == "v10"
+    # later epoch applies
+    assert merge_stream_batch(t, batch, 99, "cdc-test", ["k"]) is True
+    assert t.read().filter("k = 10").first().v == "SHOULD_NOT_LAND"
+    assert t.read().count() == 60
+
+
+def test_stream_upsert_dedupes_within_batch(spark, lake):
+    from local_datalakehouse_phase2_spark.streaming.ingest import merge_stream_batch
+
+    t = lake.create_table("lab.dd", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "old")], "k bigint, v string"))
+    # one key per batch is the sink contract; merge_stream_batch trusts
+    # its caller, stream_upsert_into_table enforces via dropDuplicates —
+    # simulate that path
+    dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k bigint, v string")
+    assert merge_stream_batch(t, dup.dropDuplicates(["k"]), 0, "q", ["k"]) is True
+    assert t.read().count() == 2
