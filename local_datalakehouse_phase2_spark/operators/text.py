@@ -548,3 +548,106 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 use char-mass
+# fractions on web text; these are occurrence-count analogs calibrated
+# to the synthetic corpus so each flag fires on a meaningful minority)
+TOP_WORD_FRAC = 0.10
+TOP_BIGRAM_FRAC = 0.07
+MIN_BIGRAM_DIVERSITY = 0.90
+
+
+@register(
+    "doc_repetition_flags",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        uni AS (
+            SELECT doc_id, lang,
+                   MAX(c) AS top_w, SUM(c) AS n_w
+            FROM (SELECT doc_id, lang, w, COUNT(*) AS c FROM w GROUP BY ALL)
+            GROUP BY doc_id, lang
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws)),
+                                         i -> ws[i] || ' ' || ws[i+1])) AS g
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            WHERE len(ws) >= 2
+        ),
+        bg AS (
+            SELECT doc_id, MAX(c) AS top_g, SUM(c) AS n_g, COUNT(*) AS d_g
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY ALL)
+            GROUP BY doc_id
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN CAST(top_w AS DOUBLE) / n_w > {TOP_WORD_FRAC}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS top_word_flagged,
+               CAST(SUM(CASE WHEN CAST(top_g AS DOUBLE) / n_g > {TOP_BIGRAM_FRAC}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS top_bigram_flagged,
+               CAST(SUM(CASE WHEN CAST(d_g AS DOUBLE) / n_g < {MIN_BIGRAM_DIVERSITY}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_diversity_flagged,
+               CAST(SUM(CASE WHEN CAST(top_w AS DOUBLE) / n_w > {TOP_WORD_FRAC}
+                         AND CAST(top_g AS DOUBLE) / n_g > {TOP_BIGRAM_FRAC}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS both_flagged
+        FROM uni JOIN bg USING (doc_id)
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+    doc="Gopher-style intra-document repetition audit (Rae et al. "
+    "2021's repetition rules, occurrence-count form): per doc, the "
+    "most-frequent-word fraction, most-frequent-bigram fraction, and "
+    "bigram diversity (distinct/total), thresholded into removal "
+    "flags and rolled up per language. Plan shape: two explode -> "
+    "partial-agg passes (unigrams, bigrams) joined on doc_id — "
+    "corpus-linear with map-side combine, no UDFs, no pairwise "
+    "work; the same shape as a token census, which is what survives "
+    "100 TB. Flags are integer-threshold deterministic, so counts "
+    "oracle-check exactly.",
+)
+def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", "lang", F.explode(tokens_col()).alias("w"))
+    uni = (
+        words.groupBy("doc_id", "lang", "w")
+        .count()
+        .groupBy("doc_id", "lang")
+        .agg(F.max("count").alias("top_w"), F.sum("count").alias("n_w"))
+    )
+    grams = d.select("doc_id", F.explode(F.expr(_word_ngrams_sql("text", 2))).alias("g"))
+    bg = (
+        grams.groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.max("count").alias("top_g"),
+            F.sum("count").alias("n_g"),
+            F.count("*").alias("d_g"),
+        )
+    )
+    per_doc = uni.join(bg, "doc_id")
+    top_w_frac = F.col("top_w").cast("double") / F.col("n_w")
+    top_g_frac = F.col("top_g").cast("double") / F.col("n_g")
+    diversity = F.col("d_g").cast("double") / F.col("n_g")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((top_w_frac > TOP_WORD_FRAC).cast("bigint")).alias("top_word_flagged"),
+            F.sum((top_g_frac > TOP_BIGRAM_FRAC).cast("bigint")).alias("top_bigram_flagged"),
+            F.sum((diversity < MIN_BIGRAM_DIVERSITY).cast("bigint")).alias(
+                "low_diversity_flagged"
+            ),
+            F.sum(
+                ((top_w_frac > TOP_WORD_FRAC) & (top_g_frac > TOP_BIGRAM_FRAC)).cast(
+                    "bigint"
+                )
+            ).alias("both_flagged"),
+        )
+        .orderBy("lang")
+    )
