@@ -50,6 +50,76 @@ def _check_gc_enabled(table: LakehouseTable, what: str) -> None:
         )
 
 
+_Z_BITS = 16  # per-column resolution: 2^16 buckets, plenty below ~64k files
+
+
+def _zvalue_column(df, cols: list[str]):
+    """Bit-interleaved Z-value over `cols`, built entirely from JVM-side
+    expressions (no UDF): each column is min/max-normalized into a
+    16-bit integer (one tiny agg job for the global bounds — the same
+    driver-side planning cost as Delta's OPTIMIZE ZORDER), then the
+    bits are interleaved round-robin so Z-proximity implies proximity
+    in EVERY listed dimension. Numeric, date, and timestamp columns
+    supported; nulls sort to bucket 0.
+
+    Min/max normalization is skew-sensitive (a heavy hitter squeezes
+    everyone else into few buckets) but cheap and deterministic;
+    Iceberg's zorder does the same. For skewed columns, cluster on a
+    derived uniform key instead.
+    """
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise MaintenanceError("zorder needs >= 2 sort_order columns (use sort for 1)")
+    dtypes = dict(df.dtypes)
+    norm_exprs = []
+    for c in cols:
+        if c not in dtypes:
+            raise MaintenanceError(f"zorder column {c!r} not in table schema")
+        t = dtypes[c]
+        if t == "date":
+            e = F.col(c).cast("timestamp").cast("double")
+        elif t.startswith("timestamp"):
+            e = F.col(c).cast("timestamp").cast("double")
+        elif t in ("tinyint", "smallint", "int", "bigint", "float", "double") or t.startswith(
+            "decimal"
+        ):
+            e = F.col(c).cast("double")
+        else:
+            raise MaintenanceError(
+                f"zorder column {c!r} has unsupported type {t} "
+                "(numeric/date/timestamp only)"
+            )
+        norm_exprs.append(e)
+
+    bounds = df.agg(
+        *[F.min(e).alias(f"mn{i}") for i, e in enumerate(norm_exprs)],
+        *[F.max(e).alias(f"mx{i}") for i, e in enumerate(norm_exprs)],
+    ).first()
+
+    top = (1 << _Z_BITS) - 1
+    n = len(cols)
+    z = F.lit(0).cast("bigint")
+    for j, e in enumerate(norm_exprs):
+        mn, mx = bounds[f"mn{j}"], bounds[f"mx{j}"]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/all-null column contributes nothing
+        scaled = F.coalesce(
+            F.least(
+                F.lit(top).cast("bigint"),
+                F.greatest(
+                    F.lit(0).cast("bigint"),
+                    ((e - F.lit(float(mn))) / F.lit(float(mx - mn)) * top).cast("bigint"),
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+        )
+        for i in range(_Z_BITS):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1).cast("bigint"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
 def rewrite_data_files(
     table: LakehouseTable,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
@@ -73,11 +143,17 @@ def rewrite_data_files(
       columns, so files hold disjoint key ranges and parquet min/max
       footers make selective scans skip whole files/row groups — the
       clustering half of what Z-ordering buys, in one shuffle.
+    - zorder: interleave the bits of all `sort_order` columns into one
+      Z-value and range-cluster on THAT (Iceberg/Delta OPTIMIZE
+      ZORDER): every listed column's range is narrow within each file,
+      so predicates on ANY of the columns prune — where `sort` only
+      prunes on the leading column. Costs the same single shuffle
+      plus one tiny min/max agg job for normalization bounds.
     """
-    if strategy not in ("binpack", "sort"):
+    if strategy not in ("binpack", "sort", "zorder"):
         raise MaintenanceError(f"rewrite_data_files: unknown strategy {strategy!r}")
-    if strategy == "sort" and not sort_order:
-        raise MaintenanceError("rewrite_data_files: sort strategy requires sort_order")
+    if strategy in ("sort", "zorder") and not sort_order:
+        raise MaintenanceError(f"rewrite_data_files: {strategy} strategy requires sort_order")
     state = table.log.state_at()
     if len(state) < min_input_files:
         return {"rewritten_files": 0, "added_files": 0, "skipped": True}
@@ -88,6 +164,16 @@ def rewrite_data_files(
     if strategy == "sort":
         cols = [c.strip() for c in sort_order.split(",") if c.strip()]
         pre = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+        files = table._write_files(pre, shaped=True)
+    elif strategy == "zorder":
+        cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+        z = _zvalue_column(df, cols)
+        pre = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
         files = table._write_files(pre, shaped=True)
     else:
         files = table._write_files(df.repartition(n_files), shaped=True)

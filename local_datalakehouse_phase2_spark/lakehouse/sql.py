@@ -96,6 +96,55 @@ def _parse_props(body: str) -> dict[str, str]:
     return props
 
 
+def _parse_filter_literal(raw: str):
+    """A literal inside a scan_plan filter: like `_parse_value` but
+    TIMESTAMP/DATE literals stay temporal (naive UTC) so they compare
+    against logged column stats in the stats' own ISO encoding instead
+    of collapsing to epoch floats."""
+    raw = raw.strip()
+    m = re.fullmatch(r"(?is)TIMESTAMP\s*'([^']+)'", raw)
+    if m:
+        return _dt.datetime.fromisoformat(m.group(1))
+    m = re.fullmatch(r"(?is)DATE\s*'([^']+)'", raw)
+    if m:
+        return _dt.date.fromisoformat(m.group(1))
+    return _parse_value(raw)
+
+
+def _parse_filter_conjuncts(s: str) -> list[tuple]:
+    """`col >= lit AND col2 = lit2 AND c3 IS NOT NULL AND c4 IN (...)`
+    -> pruning filter triples. Conjunction only — exactly the fragment
+    file-level stats can act on; anything richer belongs in the query
+    itself, where Catalyst takes over."""
+    out: list[tuple] = []
+    for part in re.split(r"(?i)\s+AND\s+", s.strip()):
+        part = part.strip()
+        if not part:
+            continue
+        m = re.fullmatch(rf"(?is)({_IDENT})\s+IS\s+NOT\s+NULL", part)
+        if m:
+            out.append((m.group(1), "not_null", None))
+            continue
+        m = re.fullmatch(rf"(?is)({_IDENT})\s+IS\s+NULL", part)
+        if m:
+            out.append((m.group(1), "is_null", None))
+            continue
+        m = re.fullmatch(rf"(?is)({_IDENT})\s+IN\s*\((.*)\)", part)
+        if m:
+            vals = [_parse_filter_literal(v) for v in _split_top_level(m.group(2))]
+            out.append((m.group(1), "in", vals))
+            continue
+        m = re.fullmatch(rf"(?s)\s*({_IDENT})\s*(>=|<=|!=|<>|=|<|>)\s*(.+)", part)
+        if m:
+            op = "!=" if m.group(2) == "<>" else m.group(2)
+            out.append((m.group(1), op, _parse_filter_literal(m.group(3))))
+            continue
+        raise SqlError(f"unsupported filter conjunct: {part!r}")
+    if not out:
+        raise SqlError("scan_plan: empty filter")
+    return out
+
+
 def _parse_value(raw: str):
     """One procedure-argument value: string / int / float /
     TIMESTAMP 'utc literal' (-> epoch seconds) / map('k','v',...)."""
@@ -285,6 +334,13 @@ class LakehouseSQL:
             if "snapshot_id" not in args:
                 raise SqlError("rollback_to_snapshot: missing snapshot_id =>")
             result = maintenance.rollback_to_snapshot(table, int(args.pop("snapshot_id")))
+        elif proc == "scan_plan":
+            # observability for stats-based scan planning: how many
+            # files would a filtered read open? (Iceberg exposes the
+            # same through its scan-report metrics)
+            if "filter" not in args:
+                raise SqlError("scan_plan: missing filter => argument")
+            result = table.scan_plan(_parse_filter_conjuncts(str(args.pop("filter"))))
         elif proc == "rewrite_position_deletes":
             result = maintenance.rewrite_position_deletes(table)
         elif proc == "rewrite_equality_deletes":

@@ -486,3 +486,74 @@ def lakehouse_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_zorder_prune",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM orders WHERE o_custkey <= 300)
+                AS BIGINT) AS cust_orders,
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1995-07-01')
+                AS BIGINT) AS h1_orders,
+            TRUE AS cust_pruned,
+            TRUE AS date_pruned
+    """,
+    tags=("lakehouse", "maintenance", "pruning"),
+    doc="Z-order clustering end to end through the runbook SQL "
+    "surface: CALL rewrite_data_files(strategy => 'zorder') "
+    "bit-interleaves (o_custkey, o_orderdate) so filtered reads on "
+    "EITHER dimension skip files via the logged min/max stats — "
+    "plain sort clustering can only serve its leading column. "
+    "CALL scan_plan(filter => ...) reports the planning decision; "
+    "both filtered counts are oracle-checked against full DuckDB "
+    "scans and both pruning booleans are pinned.",
+)
+def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.orders_z",
+            schema="o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderdate timestamp_ntz",
+        )
+        t.append(orders.repartition(8))
+        total = sum(fi.size_bytes for fi in t.log.state_at().values())
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql(
+            "CALL nessie.system.rewrite_data_files(table => 'lab.orders_z', "
+            "strategy => 'zorder', sort_order => 'o_custkey,o_orderdate', "
+            f"options => map('target-file-size-bytes','{max(1, total // 16)}'))"
+        )
+        cust_plan = q.sql(
+            "CALL nessie.system.scan_plan(table => 'lab.orders_z', "
+            "filter => 'o_custkey <= 300')"
+        ).first()
+        date_flt = [
+            ("o_orderdate", ">=", _dt.datetime(1995, 1, 1)),
+            ("o_orderdate", "<", _dt.datetime(1995, 7, 1)),
+        ]
+        date_plan = t.scan_plan(date_flt)
+        cust_orders = t.read(filters=[("o_custkey", "<=", 300)]).count()
+        h1_orders = t.read(filters=date_flt).count()
+        return (
+            [
+                (
+                    cust_orders,
+                    h1_orders,
+                    bool(0 < cust_plan.files_scanned < cust_plan.files_total),
+                    bool(0 < date_plan["files_scanned"] < date_plan["files_total"]),
+                )
+            ],
+            "cust_orders bigint, h1_orders bigint, "
+            "cust_pruned boolean, date_pruned boolean",
+        )
+
+    return _with_lake(spark, run)

@@ -417,3 +417,59 @@ def test_sort_strategy_compaction_clusters_key_ranges(spark, tmp_path):
         rewrite_data_files(t, strategy="sort")
     with pytest.raises(MaintenanceError, match="strategy"):
         rewrite_data_files(t, strategy="zorder")
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
+    """strategy='zorder' must cluster so that BOTH z-columns prune
+    files — the property plain sort cannot give the trailing column —
+    with row sets exactly preserved."""
+    from pyspark.sql import functions as F
+
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        Lakehouse,
+        MaintenanceError,
+        rewrite_data_files,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("lab")
+
+    def grid_table(name):
+        t = lake.create_table(name, schema="a bigint, b bigint, v string")
+        t.append(
+            spark.range(0, 4096).select(
+                (F.col("id") % 64).alias("a"),
+                (F.col("id") / 64).cast("bigint").alias("b"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            ).repartition(8)
+        )
+        return t
+
+    tz = grid_table("lab.z")
+    res = rewrite_data_files(tz, target_file_size_bytes=6000, strategy="zorder", sort_order="a,b")
+    assert not res["skipped"] and res["added_files"] >= 4
+
+    ts = grid_table("lab.s")
+    rewrite_data_files(ts, target_file_size_bytes=6000, strategy="sort", sort_order="a,b")
+
+    for col in ("a", "b"):
+        plan = tz.scan_plan([(col, "=", 10)])
+        assert plan["files_scanned"] < plan["files_total"], (col, plan)
+        assert tz.read(filters=[(col, "=", 10)]).count() == 64
+    # sort clusters the leading column only: b-filter scans everything
+    sort_b = ts.scan_plan([("b", "=", 10)])
+    assert sort_b["files_scanned"] == sort_b["files_total"]
+    z_b = tz.scan_plan([("b", "=", 10)])
+    assert z_b["files_scanned"] < z_b["files_total"]
+    # row set identical to pre-compaction content
+    assert tz.read().count() == 4096
+    assert tz.read().agg(F.sum("a"), F.sum("b")).first() == ts.read().agg(
+        F.sum("a"), F.sum("b")
+    ).first()
+
+    with pytest.raises(MaintenanceError, match=">= 2"):
+        rewrite_data_files(tz, strategy="zorder", sort_order="a")
+    with pytest.raises(MaintenanceError, match="unsupported type"):
+        rewrite_data_files(tz, strategy="zorder", sort_order="a,v")
+    with pytest.raises(MaintenanceError, match="not in table schema"):
+        rewrite_data_files(tz, strategy="zorder", sort_order="a,missing")
