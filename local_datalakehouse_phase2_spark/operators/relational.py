@@ -261,7 +261,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n_regionkey,
                CAST(COUNT(*) AS BIGINT) AS n_nations,
-               LIST(n_name ORDER BY n_name) AS nations
+               ARRAY_TO_STRING(LIST(n_name ORDER BY n_name), ',') AS nations
         FROM nation
         GROUP BY n_regionkey
         ORDER BY n_regionkey
@@ -270,7 +270,10 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Grouped array aggregation: collect_list + sort_array makes the "
     "result DETERMINISTIC (collect order depends on partitioning; DuckDB's "
     "LIST(... ORDER BY) sorts explicitly — unordered collects can never "
-    "hash-match across engines). collect_* concentrates a whole group on "
+    "hash-match across engines). The array is emitted as a canonical "
+    "comma-joined string (array_join / ARRAY_TO_STRING on both sides) so "
+    "the driver's pandas-based canonicalizer hashes scalars, never raw "
+    "Python lists (unhashable). collect_* concentrates a whole group on "
     "one reducer: fine for bounded groups like dims; for unbounded groups "
     "prefer top-k windows or sketches.",
 )
@@ -280,7 +283,9 @@ def array_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.groupBy("n_regionkey")
         .agg(
             F.count("*").alias("n_nations"),
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations"),
         )
         .orderBy("n_regionkey")
     )

@@ -30,26 +30,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Parquet scan => Catalyst gets predicate
     pushdown, column pruning, and row-group skipping for free.
 
-    `events.ts` is parquet TIMESTAMP(NANOS, isAdjustedToUTC=false);
-    Spark reads it as a nanosecond long (session config
-    `spark.sql.legacy.parquet.nanosAsLong`) and we convert to
-    TIMESTAMP_NTZ (microsecond truncation) to match the naive-timestamp
-    semantics of the other fixture tables and of DuckDB.
+    `events.ts` has shipped as either parquet TIMESTAMP(MICROS) or
+    TIMESTAMP(NANOS, isAdjustedToUTC=false) across fixture
+    generations, so the conversion is schema-adaptive: a LongType read
+    (nanos-as-long, session config
+    `spark.sql.legacy.parquet.nanosAsLong`) is divided down to micros;
+    a native timestamp read is just cast. Either way the column lands
+    as TIMESTAMP_NTZ to match the naive-timestamp semantics of the
+    other fixture tables and of DuckDB.
     """
     if name == "events":
         # The conf is runtime-settable, so set it here rather than relying
         # on session-build config: any foreign SparkSession (driver
         # harness, notebook) that didn't go through session.py can still
-        # read the NANOS column. Without it the scan fails with
-        # PARQUET_TYPE_ILLEGAL.
+        # read a NANOS column. Harmless for MICROS files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
-        # exceeds double's 53-bit mantissa and lands ±hundreds of ns off.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        from pyspark.sql.types import LongType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # integer `div`, NOT `/`: float division of epoch-nanos
+            # (~1.7e18) exceeds double's 53-bit mantissa and lands
+            # ±hundreds of ns off.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 

@@ -35,10 +35,13 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-# events.parquet carries TIMESTAMP(NANOS); under
-# spark.sql.legacy.parquet.nanosAsLong (set in session.py) the file
-# source reads it as a bigint we convert to a microsecond NTZ timestamp
-# (same convention as sources/loaders.py).
+# events parquet has shipped with ts as either TIMESTAMP(MICROS) or
+# TIMESTAMP(NANOS) (read as bigint under
+# spark.sql.legacy.parquet.nanosAsLong, set in session.py), and test
+# fixtures write epoch-nanos bigints directly. readStream requires an
+# explicit schema, so sniff it from the existing files with a batch
+# metadata read and convert adaptively (same convention as
+# sources/loaders.py).
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -54,14 +57,25 @@ EVENTS_FILE_SCHEMA = StructType(
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over event parquet files (one file = one
     micro-batch increment as files arrive)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        file_schema = spark.read.parquet(events_dir).schema
+    except Exception:
+        # Empty dir at stream definition time: assume the long-ts
+        # fixture layout new files will use.
+        file_schema = EVENTS_FILE_SCHEMA
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(events_dir)
     )
     # TIMESTAMP (not NTZ): withWatermark only accepts TIMESTAMP event
     # time; the session timezone is UTC so values match the NTZ batch path.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(file_schema["ts"].dataType, LongType):
+        # epoch-nanos long -> integer `div`, NOT `/`: float division of
+        # ~1.7e18 exceeds double's 53-bit mantissa.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_daily_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
