@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from .log import CommitConflictError, FileInfo, LogEntry
 from .table import (
@@ -120,87 +121,231 @@ def _zvalue_column(df, cols: list[str]):
     return z
 
 
+# Iceberg BinPackStrategy defaults: files inside the
+# [MIN_FILE_SIZE_DEFAULT_RATIO, MAX_FILE_SIZE_DEFAULT_RATIO] band
+# around the target are "well sized" and never rewritten.
+_MIN_FILE_SIZE_RATIO = 0.75
+_MAX_FILE_SIZE_RATIO = 1.80
+DEFAULT_MAX_FILE_GROUP_SIZE = 100 * 1024 * 1024 * 1024  # Iceberg's 100 GB
+
+
+def _plan_file_groups(
+    candidates: list[tuple[str, FileInfo]],
+    max_group_bytes: int,
+    min_input_files: int,
+    max_file_size_bytes: int,
+) -> list[list[tuple[str, FileInfo]]]:
+    """Bin-pack candidate files into rewrite groups of ~max_group_bytes.
+
+    A group is the unit of rewrite AND (under partial progress) of
+    commit — Iceberg's file group. Eligibility per group:
+    - >= min_input_files files, and
+    - more than one file, OR a single file so oversized it must split.
+    The second rule is what makes compaction idempotent: the one
+    well-under-target file a binpack produces is alone in its group and
+    never rewritten again (rewriting 1 small file into 1 small file
+    burns a full read+write for zero benefit).
+    """
+    groups: list[list[tuple[str, FileInfo]]] = []
+    cur: list[tuple[str, FileInfo]] = []
+    cur_bytes = 0
+    for p, fi in sorted(candidates):  # deterministic grouping
+        if cur and cur_bytes + fi.size_bytes > max_group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((p, fi))
+        cur_bytes += fi.size_bytes
+    if cur:
+        groups.append(cur)
+    return [
+        g
+        for g in groups
+        if len(g) >= min_input_files
+        and (len(g) > 1 or g[0][1].size_bytes > max_file_size_bytes)
+    ]
+
+
 def rewrite_data_files(
     table: LakehouseTable,
     target_file_size_bytes: int = DEFAULT_TARGET_FILE_SIZE,
     min_input_files: int = 1,
     strategy: str = "binpack",
     sort_order: str | None = None,
+    min_file_size_bytes: int | None = None,
+    max_file_size_bytes: int | None = None,
+    max_file_group_size_bytes: int = DEFAULT_MAX_FILE_GROUP_SIZE,
+    max_concurrent_file_group_rewrites: int = 1,
+    partial_progress_enabled: bool = False,
 ) -> dict:
-    """M1: compact small data files into ~target-size files.
+    """M1: compact data files into ~target-size files, by file group.
 
-    Mirrors `CALL rewrite_data_files(table, strategy => ...,
-    sort_order => ..., options => map('target-file-size-bytes',
-    '134217728','min-input-files','1',...))` (guide :231-239; sort
-    strategy per Iceberg's rewrite_data_files procedure). One
-    distributed read of the current snapshot, one shaped write sized
-    from exact logged bytes, one atomic `replace` commit swapping the
-    file set.
+    Mirrors `CALL rewrite_data_files(table, strategy => ..., sort_order
+    => ..., options => map('target-file-size-bytes','134217728',
+    'min-input-files','1','max-concurrent-file-group-rewrites','4',
+    'partial-progress.enabled','true'))` — the runbook's central
+    maintenance CALL (guide :228-240) with Iceberg's BinPackStrategy
+    semantics:
+
+    - **Selection**: only files OUTSIDE the well-sized band
+      [0.75x, 1.8x] of the target are rewrite candidates. Re-running
+      compaction on an already-compacted table rewrites nothing — at
+      100 TB this is the difference between touching the 1% of files a
+      recent ingest fragmented and rewriting the whole table.
+    - **File groups**: candidates bin-pack into groups of
+      `max_file_group_size_bytes` (Iceberg default 100 GB); each group
+      is an independent rewrite job — a bounded unit of work and of
+      commit-conflict blast radius.
+    - **Concurrency**: up to `max_concurrent_file_group_rewrites`
+      group rewrites run at once (thread-pooled job submission; Spark
+      schedules concurrent jobs across executors).
+    - **partial_progress_enabled=True**: each group commits as it
+      finishes, through the same conflict-validated optimistic retry as
+      every commit. A racing delete aborts only THAT group — earlier
+      group commits stand, and the failed group's files are swept up by
+      the next run. False (default): all groups stage first, then one
+      atomic `replace` commit swaps everything (a conflict anywhere
+      aborts the whole rewrite, Iceberg's default behavior).
+
+    Strategies (`sort`/`zorder` cluster globally, so they rewrite the
+    full table as ONE file group — the per-partition grouping Iceberg
+    applies collapses to one group on an unpartitioned table):
 
     - binpack (default): plain repartition — cheapest, one round-robin
-      shuffle.
+      shuffle per group.
     - sort: range-repartition + in-partition sort on `sort_order`
       columns, so files hold disjoint key ranges and parquet min/max
-      footers make selective scans skip whole files/row groups — the
-      clustering half of what Z-ordering buys, in one shuffle.
+      footers make selective scans skip whole files/row groups.
     - zorder: interleave the bits of all `sort_order` columns into one
       Z-value and range-cluster on THAT (Iceberg/Delta OPTIMIZE
-      ZORDER): every listed column's range is narrow within each file,
-      so predicates on ANY of the columns prune — where `sort` only
-      prunes on the leading column. Costs the same single shuffle
-      plus one tiny min/max agg job for normalization bounds.
+      ZORDER): predicates on ANY listed column prune, where `sort`
+      only prunes on the leading column. Same single shuffle plus one
+      tiny min/max agg for normalization bounds.
     """
     if strategy not in ("binpack", "sort", "zorder"):
         raise MaintenanceError(f"rewrite_data_files: unknown strategy {strategy!r}")
     if strategy in ("sort", "zorder") and not sort_order:
         raise MaintenanceError(f"rewrite_data_files: {strategy} strategy requires sort_order")
+    if max_concurrent_file_group_rewrites < 1:
+        raise MaintenanceError("max-concurrent-file-group-rewrites must be >= 1")
+    target = target_file_size_bytes
+    min_sz = int(target * _MIN_FILE_SIZE_RATIO) if min_file_size_bytes is None else min_file_size_bytes
+    max_sz = int(target * _MAX_FILE_SIZE_RATIO) if max_file_size_bytes is None else max_file_size_bytes
     state = table.log.state_at()
-    if len(state) < min_input_files:
-        return {"rewritten_files": 0, "added_files": 0, "skipped": True}
 
-    total_bytes = sum(fi.size_bytes for fi in state.values())
-    n_files = max(1, math.ceil(total_bytes / target_file_size_bytes))
-    df = table.read()
-    if strategy == "sort":
-        cols = [c.strip() for c in sort_order.split(",") if c.strip()]
-        pre = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
-        files = table._write_files(pre, shaped=True)
-    elif strategy == "zorder":
-        cols = [c.strip() for c in sort_order.split(",") if c.strip()]
-        z = _zvalue_column(df, cols)
-        pre = (
-            df.withColumn("__z", z)
-            .repartitionByRange(n_files, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
-        files = table._write_files(pre, shaped=True)
+    if strategy in ("sort", "zorder"):
+        # global clustering: the whole table is one file group
+        groups = [sorted(state.items())] if len(state) >= max(1, min_input_files) else []
     else:
-        files = table._write_files(df.repartition(n_files), shaped=True)
-
-    def make(version: int) -> LogEntry:
-        # commit validation (re-runs on each optimistic retry): the
-        # compacted output replaces exactly the files it read; if a
-        # racing commit already removed any of them, replacing would
-        # resurrect rows that commit deleted
-        live = table.log.state_at()
-        gone = [p for p in state if p not in live]
-        if gone:
-            raise CommitConflictError(
-                f"rewrite_data_files on {table.identifier}: {len(gone)} input "
-                f"file(s) no longer live (e.g. {gone[0]!r}) — re-plan compaction"
-            )
-        return LogEntry(
-            version=version,
-            snapshot_id=version,
-            committed_at=time.time(),
-            operation="replace",
-            added_files=files,
-            removed_files=tuple(state.keys()),
+        candidates = [
+            (p, fi)
+            for p, fi in state.items()
+            if fi.size_bytes < min_sz or fi.size_bytes > max_sz
+        ]
+        groups = _plan_file_groups(
+            candidates, max_file_group_size_bytes, min_input_files, max_sz
         )
+    if not groups:
+        return {
+            "rewritten_files": 0,
+            "added_files": 0,
+            "file_groups": 0,
+            "failed_groups": 0,
+            "skipped": True,
+        }
 
-    table.log.append(make)
-    return {"rewritten_files": len(state), "added_files": len(files), "skipped": False}
+    def rewrite_group(group: list[tuple[str, FileInfo]]) -> tuple:
+        """Read ONLY the group's files, reshape to ~target-size output.
+        Returns (group_paths, written FileInfos)."""
+        paths = [os.path.join(table.table_dir, p) for p, _ in group]
+        gbytes = sum(fi.size_bytes for _, fi in group)
+        n_out = max(1, math.ceil(gbytes / target))
+        df = table._read_paths(paths)
+        if strategy == "sort":
+            cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+            pre = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
+        elif strategy == "zorder":
+            cols = [c.strip() for c in sort_order.split(",") if c.strip()]
+            z = _zvalue_column(df, cols)
+            pre = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_out, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            pre = df.repartition(n_out)
+        return [p for p, _ in group], table._write_files(pre, shaped=True)
+
+    def commit_replace(removed_paths: list[str], added) -> None:
+        def make(version: int) -> LogEntry:
+            # commit validation (re-runs on each optimistic retry): the
+            # compacted output replaces exactly the files it read; if a
+            # racing commit already removed any of them, replacing would
+            # resurrect rows that commit deleted
+            live = table.log.state_at()
+            gone = [p for p in removed_paths if p not in live]
+            if gone:
+                raise CommitConflictError(
+                    f"rewrite_data_files on {table.identifier}: {len(gone)} input "
+                    f"file(s) no longer live (e.g. {gone[0]!r}) — re-plan compaction"
+                )
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="replace",
+                added_files=added,
+                removed_files=tuple(removed_paths),
+            )
+
+        table.log.append(make)
+
+    def drop_written(added) -> None:
+        # best-effort cleanup of a failed group's staged output; anything
+        # missed is exactly what remove_orphan_files sweeps
+        for fi in added:
+            full = os.path.join(table.table_dir, fi.path)
+            try:
+                if table.io.exists(full):
+                    table.io.remove(full)
+            except OSError:
+                pass
+
+    rewritten = added_total = failed = 0
+    pool = ThreadPoolExecutor(max_workers=max_concurrent_file_group_rewrites)
+    try:
+        if partial_progress_enabled:
+            # commit each group as its rewrite lands; a conflict loses
+            # only that group
+            futures = [pool.submit(rewrite_group, g) for g in groups]
+            for fut in futures:
+                removed_paths, files = fut.result()
+                try:
+                    commit_replace(removed_paths, files)
+                    rewritten += len(removed_paths)
+                    added_total += len(files)
+                except CommitConflictError:
+                    failed += 1
+                    drop_written(files)
+        else:
+            # stage every group, then one atomic commit for all of them
+            all_removed: list[str] = []
+            all_added: list = []
+            for removed_paths, files in pool.map(rewrite_group, groups):
+                all_removed.extend(removed_paths)
+                all_added.extend(files)
+            commit_replace(all_removed, tuple(all_added))
+            rewritten = len(all_removed)
+            added_total = len(all_added)
+    finally:
+        pool.shutdown(wait=False)
+    return {
+        "rewritten_files": rewritten,
+        "added_files": added_total,
+        "file_groups": len(groups),
+        "failed_groups": failed,
+        "skipped": False,
+    }
 
 
 def rewrite_manifests(table: LakehouseTable) -> dict:

@@ -312,6 +312,29 @@ class LakehouseSQL:
                     )
                 ),
                 min_input_files=int(options.get("min-input-files", 1)),
+                min_file_size_bytes=(
+                    int(options["min-file-size-bytes"])
+                    if "min-file-size-bytes" in options
+                    else None
+                ),
+                max_file_size_bytes=(
+                    int(options["max-file-size-bytes"])
+                    if "max-file-size-bytes" in options
+                    else None
+                ),
+                max_file_group_size_bytes=int(
+                    options.get(
+                        "max-file-group-size-bytes",
+                        maintenance.DEFAULT_MAX_FILE_GROUP_SIZE,
+                    )
+                ),
+                max_concurrent_file_group_rewrites=int(
+                    options.get("max-concurrent-file-group-rewrites", 1)
+                ),
+                partial_progress_enabled=(
+                    str(options.get("partial-progress.enabled", "false")).lower()
+                    == "true"
+                ),
                 # Iceberg top-level procedure args, not options-map keys
                 strategy=str(args.pop("strategy", "binpack")),
                 sort_order=(

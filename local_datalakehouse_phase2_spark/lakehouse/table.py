@@ -639,7 +639,13 @@ class LakehouseTable:
             n_files = max(1, math.ceil(input_bytes / target))
             return scan(write_dir(shape(df, n_files)))
 
-        staged_dir = write_dir(df if mode != "hash" else shape(df, df.rdd.getNumPartitions()))
+        # hash mode pre-shuffles the staged write too so even the
+        # measurement pass is clustered; partition count comes from the
+        # scheduler's parallelism — df.rdd.getNumPartitions() would
+        # force an RDD conversion (plan compilation + codegen barrier)
+        # just to count partitions
+        n_staged = self.spark.sparkContext.defaultParallelism
+        staged_dir = write_dir(df if mode != "hash" else shape(df, n_staged))
         staged = scan(staged_dir)
         total = sum(fi.size_bytes for fi in staged)
         n_split = math.ceil(total / target)

@@ -57,13 +57,26 @@ EVENTS_FILE_SCHEMA = StructType(
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over event parquet files (one file = one
     micro-batch increment as files arrive)."""
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         file_schema = spark.read.parquet(events_dir).schema
-    except Exception:
-        # Empty dir at stream definition time: assume the long-ts
-        # fixture layout new files will use.
+    except AnalysisException:
+        # Empty dir at stream definition time ("unable to infer
+        # schema"): assume the long-ts fixture layout new files will
+        # use. Any other failure (corrupt footer, permissions)
+        # propagates — masking it would resurface later as a confusing
+        # mid-stream schema mismatch.
         file_schema = EVENTS_FILE_SCHEMA
+    if "ts" not in file_schema.names:
+        raise ValueError(
+            f"event stream source {events_dir!r} has no 'ts' column "
+            f"(found {file_schema.names}); wrong directory?"
+        )
+    # The schema is sniffed ONCE at stream-definition time; the source
+    # directory must stay homogeneous (all files TIMESTAMP or all
+    # epoch-nanos long) for the stream's lifetime.
     raw = (
         spark.readStream.schema(file_schema)
         .option("maxFilesPerTrigger", "1")

@@ -473,3 +473,146 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
         rewrite_data_files(tz, strategy="zorder", sort_order="a,v")
     with pytest.raises(MaintenanceError, match="not in table schema"):
         rewrite_data_files(tz, strategy="zorder", sort_order="a,missing")
+
+
+# ---- file-group compaction semantics (Iceberg BinPackStrategy) --------
+
+
+def _mk_rows(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("v_"), F.col("id").cast("string")).alias("v")
+    )
+
+
+def test_compaction_is_idempotent(spark, lake):
+    """A second rewrite_data_files on an already-compacted table must
+    rewrite NOTHING: the compacted file sits alone in its group and
+    single small files are never re-rewritten."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.idem")
+    t.append(_mk_rows(spark, 0, 200).repartition(4, "k"))
+    t.append(_mk_rows(spark, 200, 400).repartition(4, "k"))
+    res1 = rewrite_data_files(t, target_file_size_bytes=134217728)
+    assert res1["rewritten_files"] == 8 and res1["added_files"] == 1
+    paths_after = set(t.log.state_at().keys())
+
+    res2 = rewrite_data_files(t, target_file_size_bytes=134217728)
+    assert res2["skipped"] is True and res2["rewritten_files"] == 0
+    assert set(t.log.state_at().keys()) == paths_after  # untouched
+
+
+def test_compaction_selects_only_out_of_band_files(spark, lake):
+    """Well-sized files (inside [0.75x, 1.8x] of target) are not
+    rewrite candidates; only the small-file debris rewrites."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.select")
+    t.append(_mk_rows(spark, 0, 5000).repartition(1))  # one "big" file
+    big = max(fi.size_bytes for fi in t.log.state_at().values())
+    t.append(_mk_rows(spark, 5000, 5040).repartition(4, "k"))  # 4 tiny files
+    state = t.log.state_at()
+    assert len(state) == 5
+    big_paths = {p for p, fi in state.items() if fi.size_bytes == big}
+
+    # target chosen so the big file is in-band and the tiny ones below it
+    res = rewrite_data_files(t, target_file_size_bytes=big)
+    assert res["rewritten_files"] == 4 and res["file_groups"] == 1
+    after = set(t.log.state_at().keys())
+    assert big_paths <= after  # the well-sized file was NOT rewritten
+    assert t.read().count() == 5040
+
+
+def test_partial_progress_keeps_earlier_group_commits(spark, lake):
+    """partial-progress.enabled=true: a commit conflict on one file
+    group loses only that group; groups committed before it stand."""
+    import time as _time
+
+    from local_datalakehouse_phase2_spark.lakehouse.log import LogEntry
+    from local_datalakehouse_phase2_spark.lakehouse.maintenance import (
+        _MAX_FILE_SIZE_RATIO,
+        _plan_file_groups,
+    )
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.pp")
+    for i in range(4):
+        t.append(_mk_rows(spark, i * 100, (i + 1) * 100).repartition(1))
+    state = t.log.state_at()
+    assert len(state) == 4
+    target = 134217728
+    # group to exactly 2 files per group (near-equal sizes)
+    sizes = sorted((fi.size_bytes for fi in state.values()), reverse=True)
+    max_group = sizes[0] + sizes[1] + 1  # two files per group, never three
+    groups = _plan_file_groups(
+        sorted(state.items()), max_group, 1, int(target * _MAX_FILE_SIZE_RATIO)
+    )
+    assert len(groups) >= 2, [len(g) for g in groups]
+    victim = groups[-1][0][0]  # an input file of the LAST group
+
+    orig = t._write_files
+    calls = {"n": 0}
+
+    def racing(df, **kw):
+        files = orig(df, **kw)
+        calls["n"] += 1
+        if calls["n"] == len(groups):
+            # racing commit removes one of the last group's inputs
+            # while the compaction is still staging/committing
+            def mk(v):
+                return LogEntry(
+                    version=v,
+                    snapshot_id=v,
+                    committed_at=_time.time(),
+                    operation="delete",
+                    removed_files=(victim,),
+                )
+
+            t.log.append(mk)
+        return files
+
+    t._write_files = racing
+    try:
+        res = rewrite_data_files(
+            t,
+            target_file_size_bytes=target,
+            max_file_group_size_bytes=max_group,
+            partial_progress_enabled=True,
+        )
+    finally:
+        t._write_files = orig
+
+    assert res["failed_groups"] == 1
+    assert res["file_groups"] == len(groups)
+    # earlier groups' commits stand: their inputs are gone from the
+    # live state, replaced by compacted files
+    live = set(t.log.state_at().keys())
+    for p, _ in groups[0]:
+        assert p not in live
+    # the failed group's OTHER input is still live (never replaced)
+    for p, _ in groups[-1][1:]:
+        assert p in live
+    # replace commits landed for the successful groups only
+    ops = [e.operation for e in t.log.entries()]
+    assert ops.count("replace") == len(groups) - 1
+
+
+def test_partial_progress_all_groups_commit_cleanly(spark, lake):
+    """No conflict: every group commits; one replace commit per group."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.pp_ok")
+    for i in range(4):
+        t.append(_mk_rows(spark, i * 100, (i + 1) * 100).repartition(1))
+    state = t.log.state_at()
+    sizes = sorted((fi.size_bytes for fi in state.values()), reverse=True)
+    max_group = sizes[0] + sizes[1] + 1  # two files per group, never three
+    res = rewrite_data_files(
+        t,
+        target_file_size_bytes=134217728,
+        max_file_group_size_bytes=max_group,
+        max_concurrent_file_group_rewrites=2,
+        partial_progress_enabled=True,
+    )
+    assert res["failed_groups"] == 0 and res["file_groups"] >= 2
+    assert res["rewritten_files"] == 4
+    assert t.read().count() == 400
+    ops = [e.operation for e in t.log.entries()]
+    assert ops.count("replace") == res["file_groups"]
