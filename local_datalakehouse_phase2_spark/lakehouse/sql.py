@@ -453,33 +453,41 @@ class LakehouseSQL:
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )
 
+    _MERGE_CLAUSE_RE = re.compile(
+        r"(?is)WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+        r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b|\s*$)"
+    )
+
     def _merge(self, s: str) -> DataFrame:
-        """MERGE INTO ... USING ... ON <equi-keys> WHEN MATCHED THEN
-        UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the full-row
-        upsert form (Iceberg's canonical MERGE example,
-        /root/reference/SPARK_ICEBERG_GUIDE.md analog). Maps onto
-        LakehouseTable.merge(source, key_cols); richer per-column
-        WHEN clauses are out of scope and rejected explicitly."""
-        m = re.fullmatch(
+        """MERGE INTO ... USING ... ON <equi-keys> with the full WHEN
+        grammar (Iceberg v2's row-level MERGE):
+
+        - WHEN MATCHED [AND cond] THEN UPDATE SET * | SET col = expr, ...
+        - WHEN MATCHED [AND cond] THEN DELETE
+        - WHEN NOT MATCHED [AND cond] THEN INSERT * | INSERT (cols) VALUES (exprs)
+
+        The canonical full-row 'UPDATE SET * / INSERT *' upsert (the
+        runbook's shape) takes the fast path through
+        LakehouseTable.merge; everything else lowers onto merge_when,
+        which applies first-matching-clause semantics in one
+        copy-on-write joined projection."""
+        m = re.match(
             rf"(?is)MERGE\s+INTO\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})(?:\s+AS\s+({_IDENT}))?"
             rf"\s+USING\s+(.+?)(?:\s+AS\s+({_IDENT}))?"
             rf"\s+ON\s+(.+?)"
-            rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
-            rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*",
+            rf"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED\b)(.*)",
             s,
         )
         if not m:
-            raise SqlError(
-                "unsupported MERGE syntax (only the full-row "
-                "'UPDATE SET * / INSERT *' upsert form is served): " + repr(s)
-            )
-        target_ident, t_alias, src_ref, s_alias, on = m.groups()
+            raise SqlError(f"unsupported MERGE syntax: {s!r}")
+        target_ident, t_alias, src_ref, s_alias, on, when_body = m.groups()
         t = self.lake.table(self._strip_catalog(target_ident))
         source = self.spark.sql(self._rewrite_refs(f"SELECT * FROM {src_ref}"))
+        t_quals = {q for q in (t_alias, target_ident.split(".")[-1]) if q}
+        s_quals = {q for q in (s_alias, src_ref.split(".")[-1]) if q}
         # ON must be a conjunction of same-column equality predicates:
-        # t.k = s.k [AND ...] — that is what full-row upsert keys on
-        aliases = {a for a in (t_alias, s_alias) if a}
-        aliases.update({target_ident.split(".")[-1], src_ref.split(".")[-1]})
+        # t.k = s.k [AND ...] — that is what COW merge keys on
         key_cols = []
         for clause in re.split(r"(?i)\s+AND\s+", on.strip()):
             em = re.fullmatch(
@@ -491,10 +499,90 @@ class LakehouseSQL:
                     f"MERGE ON must be same-column equality (a.k = b.k), got {clause!r}"
                 )
             for q in (em.group(1), em.group(3)):
-                if q and q not in aliases:
+                if q and q not in (t_quals | s_quals):
                     raise SqlError(f"unknown qualifier {q!r} in MERGE ON clause")
             key_cols.append(em.group(2))
-        entry = t.merge(source, key_cols)
+
+        def rw_matched(expr: str) -> str:
+            """Alias-qualified refs -> merge_when's joined-frame names:
+            target.<c> stays bare, source.<c> becomes __src_<c>."""
+            for q in s_quals:
+                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"__src_\1", expr)
+            for q in t_quals:
+                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", expr)
+            return expr
+
+        def rw_source(expr: str) -> str:
+            """NOT MATCHED expressions see only the source row."""
+            for q in t_quals:
+                if re.search(rf"(?i)\b{re.escape(q)}\.{_IDENT}", expr):
+                    raise SqlError(
+                        f"WHEN NOT MATCHED cannot reference the target ({expr!r})"
+                    )
+            for q in s_quals:
+                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", expr)
+            return expr
+
+        matched: list[tuple[str | None, str, dict[str, str] | None]] = []
+        not_matched: tuple[str | None, dict[str, str] | None] | None = None
+        star_update = star_insert = False
+        clauses = list(self._MERGE_CLAUSE_RE.finditer(when_body))
+        if not clauses or self._MERGE_CLAUSE_RE.sub("", when_body).strip():
+            raise SqlError(f"unparseable MERGE WHEN clauses: {when_body!r}")
+        for c in clauses:
+            is_not, cond, action = c.group(1), c.group(2), c.group(3).strip()
+            if is_not:
+                if not_matched is not None:
+                    raise SqlError("multiple WHEN NOT MATCHED clauses not supported")
+                im = re.fullmatch(r"(?is)INSERT\s+\*", action)
+                if im:
+                    star_insert = cond is None
+                    not_matched = (rw_source(cond) if cond else None, None)
+                    continue
+                im = re.fullmatch(
+                    r"(?is)INSERT\s*\((.*?)\)\s*VALUES\s*\((.*)\)", action
+                )
+                if not im:
+                    raise SqlError(f"unsupported INSERT form in MERGE: {action!r}")
+                cols = [x.strip() for x in _split_top_level(im.group(1))]
+                vals = [rw_source(x.strip()) for x in _split_top_level(im.group(2))]
+                if len(cols) != len(vals):
+                    raise SqlError("INSERT column/value count mismatch in MERGE")
+                not_matched = (
+                    rw_source(cond) if cond else None,
+                    dict(zip(cols, vals)),
+                )
+            else:
+                rcond = rw_matched(cond) if cond else None
+                if re.fullmatch(r"(?is)DELETE", action):
+                    matched.append((rcond, "delete", None))
+                    continue
+                um = re.fullmatch(r"(?is)UPDATE\s+SET\s+(.*)", action)
+                if not um:
+                    raise SqlError(f"unsupported MATCHED action in MERGE: {action!r}")
+                body = um.group(1).strip()
+                if body == "*":
+                    star_update = cond is None
+                    # full-row assignment: every target column from source
+                    schema = t.schema() or t._schema()
+                    matched.append(
+                        (rcond, "update", {f.name: f"__src_{f.name}" for f in schema.fields})
+                    )
+                    continue
+                assigns: dict[str, str] = {}
+                for part in _split_top_level(body):
+                    am = re.fullmatch(
+                        rf"(?s)\s*(?:{_IDENT}\.)?({_IDENT})\s*=\s*(.+?)\s*", part
+                    )
+                    if not am:
+                        raise SqlError(f"bad SET clause in MERGE: {part!r}")
+                    assigns[am.group(1)] = rw_matched(am.group(2))
+                matched.append((rcond, "update", assigns))
+
+        if star_update and star_insert and len(matched) == 1 and len(clauses) == 2:
+            entry = t.merge(source, key_cols)  # canonical upsert fast path
+        else:
+            entry = t.merge_when(source, key_cols, matched, not_matched)
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )

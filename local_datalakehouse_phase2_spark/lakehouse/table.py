@@ -526,6 +526,158 @@ class LakehouseTable:
             extra=extra,
         )
 
+    def _merge_input_bytes(self, affected: list[str], source: DataFrame) -> int:
+        """Output-size estimate for a merge-shaped commit: carried rows
+        are bounded by the affected files' logged bytes; the source
+        contributes ~rows x the table's logged bytes/row. One tiny count
+        job on the (small, upsert-side) source replaces a full staged
+        measurement write."""
+        state = self.log.state_at()
+        all_files = list(state.values())
+        total_rows = sum(fi.row_count for fi in all_files)
+        bpr = sum(fi.size_bytes for fi in all_files) / max(1, total_rows)
+        return self._logged_bytes(affected) + int(source.count() * bpr) + 1
+
+    def merge_when(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        matched: list[tuple[str | None, str, dict[str, str] | None]],
+        not_matched: tuple[str | None, dict[str, str] | None] | None,
+        extra: dict | None = None,
+    ) -> LogEntry:
+        """General MERGE with per-clause semantics (Iceberg v2's
+        row-level MERGE, the first DML past the runbook's upsert):
+
+        - `matched`: ordered WHEN MATCHED clauses, each
+          `(condition_sql | None, action, assignments)` where action is
+          "update" (assignments: target col -> SQL expr) or "delete"
+          (assignments None). SQL standard clause semantics: a matched
+          row is handled by the FIRST clause whose condition holds;
+          later clauses never see it. Expressions see the target row's
+          columns by bare name and the source row's as `__src_<name>`
+          (the SQL layer rewrites alias qualifiers into these).
+        - `not_matched`: `(condition_sql | None, assignments | None)`
+          for WHEN NOT MATCHED THEN INSERT; assignments None means
+          INSERT * (source columns mapped to target columns by name,
+          missing ones null). Expressions see source columns by bare
+          name.
+
+        Copy-on-write, same blast radius as merge(): only files holding
+        a matched key rewrite; matched rows get their clause applied in
+        ONE joined projection (update exprs see the pre-update row);
+        unmatched rows in those files carry over; inserts append. The
+        source side is broadcast — merges upsert small batches into big
+        tables; a source rivaling the table in size should overwrite().
+        """
+        schema = self.schema() or self._schema()
+        tcols = [f.name for f in schema.fields]
+        known = set(tcols)
+        for cond, action, assigns in matched:
+            if action == "update":
+                bad = sorted(set(assigns) - known)
+                if bad:
+                    raise ValueError(f"MERGE UPDATE of unknown column(s) {bad}")
+        state = self.log.state_at()
+        if not state:
+            # empty table: every source row is NOT MATCHED
+            if not_matched is None:
+                return self.log.read_entry(self.log.latest_version())
+            return self.append(self._insert_rows(source, schema, not_matched), extra=extra)
+
+        affected: list[str] = []
+        carried = None
+        if matched:
+            keys = source.select(*key_cols).distinct()
+            tagged = self.read().withColumn("__file", F.input_file_name())
+            affected = self._affected_files(
+                tagged.join(F.broadcast(keys), key_cols, "left_semi")
+            )
+        if affected:
+            paths = [os.path.join(self.table_dir, p) for p in affected]
+            rows = self._read_paths(paths)
+            src = source.select(
+                *[F.col(c).alias(f"__src_{c}") for c in source.columns],
+                F.lit(True).alias("__src_exists"),
+            )
+            j = rows.join(
+                F.broadcast(src),
+                on=[F.col(k).eqNullSafe(F.col(f"__src_{k}")) for k in key_cols],
+                how="left",
+            )
+            is_matched = F.col("__src_exists").isNotNull()
+            # first-matching-clause index (null = no clause applies)
+            clause = F.lit(None).cast("int")
+            picked = F.lit(False)
+            for i, (cond, _a, _s) in enumerate(matched):
+                hit = is_matched & (F.expr(cond) if cond else F.lit(True)) & ~picked
+                clause = F.when(hit, F.lit(i)).otherwise(clause)
+                picked = picked | hit
+            j = j.withColumn("__clause", clause)
+            deletes = [i for i, (_c, a, _s) in enumerate(matched) if a == "delete"]
+            if deletes:
+                j = j.filter(
+                    F.col("__clause").isNull() | ~F.col("__clause").isin(deletes)
+                )
+            exprs = []
+            for f in schema.fields:
+                e = F.col(f.name)
+                for i, (_c, action, assigns) in enumerate(matched):
+                    if action == "update" and f.name in assigns:
+                        e = F.when(
+                            F.col("__clause") == i,
+                            F.expr(assigns[f.name]).cast(f.dataType),
+                        ).otherwise(e)
+                exprs.append(e.alias(f.name))
+            carried = j.select(*exprs)
+
+        new_data = carried
+        if not_matched is not None:
+            # truly-unmatched source rows: anti join against the FULL
+            # target's keys (column-pruned scan — only key columns read)
+            unmatched = source.join(
+                self.read().select(*key_cols), key_cols, "left_anti"
+            )
+            ins = self._insert_rows(unmatched, schema, not_matched)
+            new_data = carried.unionByName(ins) if carried is not None else ins
+
+        if new_data is None:  # matched clauses only, nothing matched
+            return self.log.read_entry(self.log.latest_version())
+        return self._commit_write(
+            new_data,
+            operation="merge",
+            removed=tuple(affected),
+            input_bytes=self._merge_input_bytes(affected, source),
+            extra=extra,
+        )
+
+    @staticmethod
+    def _insert_rows(
+        unmatched: DataFrame,
+        schema: T.StructType,
+        not_matched: tuple[str | None, dict[str, str] | None],
+    ) -> DataFrame:
+        cond, assigns = not_matched
+        if cond:
+            unmatched = unmatched.filter(F.expr(cond))
+        if assigns is None:  # INSERT *: map source -> target by name
+            return unmatched.select(
+                *[
+                    (
+                        F.col(f.name) if f.name in unmatched.columns else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+        return unmatched.select(
+            *[
+                (
+                    F.expr(assigns[f.name]) if f.name in assigns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def _commit_write(
         self,
         df: DataFrame,

@@ -415,6 +415,61 @@ def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_merge_when",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(10 AS BIGINT), CAST(4090 AS BIGINT), CAST(2 AS BIGINT),
+             CAST(1 AS BIGINT), CAST(7 AS BIGINT))
+        ) AS t(rows_after, sum_bal, n_adj, n_new, n_open)
+    """,
+    tags=("lakehouse", "sql", "dml"),
+    doc="Row-level MERGE with the full WHEN grammar (Iceberg v2): "
+    "conditional DELETE, per-column UPDATE SET expressions seeing the "
+    "pre-update row, and conditional INSERT (cols) VALUES (exprs) — "
+    "first-matching-clause semantics in one copy-on-write joined "
+    "projection. 10 seed accounts: k=5 closed (deleted), k=2/8 "
+    "adjusted (+50/-30), k=12 inserted, k=13 filtered out; all five "
+    "post-state quantities pinned.",
+)
+def lakehouse_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql("CREATE TABLE nessie.lab.acct (k BIGINT, bal BIGINT, status STRING)")
+        q.sql(
+            "INSERT INTO nessie.lab.acct "
+            "SELECT id, id * 100, 'open' FROM RANGE(0, 10)"
+        )
+        spark.sql(
+            "SELECT * FROM VALUES (2, 50, 'adj'), (5, 0, 'close'), "
+            "(8, -30, 'adj'), (12, 70, 'new'), (13, -1, 'skip') "
+            "AS src(k, delta, op)"
+        ).createOrReplaceTempView("acct_src")
+        q.sql(
+            """
+            MERGE INTO nessie.lab.acct AS t USING acct_src AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.op = 'close' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta, status = s.op
+            WHEN NOT MATCHED AND s.op != 'skip'
+                THEN INSERT (k, bal, status) VALUES (s.k, s.delta, s.op)
+            """
+        )
+        r = q.sql(
+            "SELECT COUNT(*) AS rows_after, CAST(SUM(bal) AS BIGINT) AS sum_bal, "
+            "COUNT(CASE WHEN status = 'adj' THEN 1 END) AS n_adj, "
+            "COUNT(CASE WHEN status = 'new' THEN 1 END) AS n_new, "
+            "COUNT(CASE WHEN status = 'open' THEN 1 END) AS n_open "
+            "FROM nessie.lab.acct"
+        ).first()
+        return (
+            [tuple(r)],
+            "rows_after bigint, sum_bal bigint, n_adj bigint, n_new bigint, n_open bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_stats_prune",
     oracle="""
         SELECT CAST(COUNT(*) AS BIGINT) AS march_orders,

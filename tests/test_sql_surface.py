@@ -338,10 +338,87 @@ def test_merge_and_update_reject_bad_forms(lsql):
             "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.j "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         )
-    with pytest.raises(SqlError, match="unsupported MERGE"):
+    with pytest.raises(SqlError, match="multiple WHEN NOT MATCHED"):
         lsql.sql(
             "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.k "
-            "WHEN MATCHED THEN UPDATE SET v = 'x'"
+            "WHEN NOT MATCHED THEN INSERT * WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(SqlError, match="cannot reference the target"):
+        lsql.sql(
+            "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.k "
+            "WHEN NOT MATCHED AND t.v = 'a' THEN INSERT *"
         )
     with pytest.raises(ValueError, match="unknown column"):
         lsql.sql("UPDATE nessie.bad.t SET nope = 1 WHERE k = 1")
+
+
+def test_merge_per_column_update_and_conditional_delete(lsql):
+    """Iceberg v2 row-level MERGE: per-column SET expressions and a
+    conditional DELETE clause, first-matching-clause semantics."""
+    lsql.sql("CREATE NAMESPACE nessie.mrg2")
+    lsql.sql("CREATE TABLE nessie.mrg2.acct (k BIGINT, bal BIGINT, status STRING)")
+    lsql.sql(
+        "INSERT INTO nessie.mrg2.acct VALUES "
+        "(1, 100, 'open'), (2, 200, 'open'), (3, 300, 'open'), (4, 400, 'open')"
+    )
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (1, 50, 'adj'), (2, -999, 'close'), "
+        "(3, 10, 'adj'), (9, 90, 'new') AS src(k, delta, op)"
+    ).createOrReplaceTempView("acct_src")
+    lsql.sql(
+        """
+        MERGE INTO nessie.mrg2.acct AS t USING acct_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.op = 'close' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + s.delta, status = s.op
+        WHEN NOT MATCHED THEN INSERT (k, bal, status) VALUES (s.k, s.delta, s.op)
+        """
+    )
+    got = {
+        r.k: (r.bal, r.status)
+        for r in lsql.sql("SELECT * FROM nessie.mrg2.acct").collect()
+    }
+    assert got == {
+        1: (150, "adj"),  # per-column update, expr sees pre-update row
+        3: (310, "adj"),
+        4: (400, "open"),  # unmatched target row carried over
+        9: (90, "new"),  # INSERT (cols) VALUES (exprs)
+    }  # k=2 deleted by the first matching clause
+
+
+def test_merge_matched_delete_only(lsql):
+    """MERGE with only WHEN MATCHED ... DELETE — no insert clause."""
+    lsql.sql("CREATE NAMESPACE nessie.mrg3")
+    lsql.sql("CREATE TABLE nessie.mrg3.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.mrg3.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (CAST(2 AS BIGINT)), (CAST(9 AS BIGINT)) AS src(k)"
+    ).createOrReplaceTempView("del_src")
+    lsql.sql(
+        "MERGE INTO nessie.mrg3.t AS t USING del_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    got = {r.k for r in lsql.sql("SELECT * FROM nessie.mrg3.t").collect()}
+    assert got == {1, 3}
+
+
+def test_merge_conditional_insert_and_star_update_with_condition(lsql):
+    """WHEN NOT MATCHED AND cond THEN INSERT * filters inserts; a
+    conditioned UPDATE SET * goes through the general path."""
+    lsql.sql("CREATE NAMESPACE nessie.mrg4")
+    lsql.sql("CREATE TABLE nessie.mrg4.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.mrg4.t VALUES (1, 'old1'), (2, 'old2')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (1, 'new1'), (2, 'SKIP'), (5, 'new5'), (6, 'SKIP') "
+        "AS src(k, v)"
+    ).createOrReplaceTempView("cond_src")
+    lsql.sql(
+        """
+        MERGE INTO nessie.mrg4.t AS t USING cond_src AS s
+        ON t.k = s.k
+        WHEN MATCHED AND s.v != 'SKIP' THEN UPDATE SET *
+        WHEN NOT MATCHED AND s.v != 'SKIP' THEN INSERT *
+        """
+    )
+    got = {r.k: r.v for r in lsql.sql("SELECT * FROM nessie.mrg4.t").collect()}
+    assert got == {1: "new1", 2: "old2", 5: "new5"}
