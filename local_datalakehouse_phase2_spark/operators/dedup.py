@@ -262,7 +262,42 @@ def dedup_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_lsh_pairs",
-    oracle=None,  # engine-specific hashing; accuracy vs brute force in tests/test_dedup.py
+    # Pinned-VALUES oracle (driver runs oracles at sf0.01): the
+    # signature hashing is engine-specific (xxhash64 + seeded affine
+    # family), so no external engine can recompute it — instead the
+    # emitted candidate set was externally VERIFIED (every pair's exact
+    # shingle Jaccard >= 0.35 in DuckDB; accuracy vs brute force in
+    # tests/test_dedup.py) and then frozen. Any drift in hashing,
+    # banding, or thresholding breaks the hash match.
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.90625 AS DOUBLE)),
+            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.9375 AS DOUBLE)),
+            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0.9375 AS DOUBLE)),
+            (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.9375 AS DOUBLE)),
+            (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.9375 AS DOUBLE)),
+            (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.96875 AS DOUBLE)),
+            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(1.0 AS DOUBLE)),
+            (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(1.0 AS DOUBLE))
+        ) AS t(doc_a, doc_b, est_jaccard) ORDER BY doc_a, doc_b
+    """,
     tags=("dedup", "minhash", "lsh"),
     doc="MinHash(32) + LSH(8 bands x 4): near-duplicate candidate pairs with "
     "estimated Jaccard >= 0.5. Candidates come from band-bucket equi-joins — "
@@ -279,7 +314,25 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_dupes",
-    oracle=None,  # verified against brute-force pairs in tests/test_dedup.py
+    # TRUE cross-engine oracle: DuckDB recomputes exact shingle Jaccard
+    # over ALL pairs (brute force is fine at oracle scale), so this row
+    # going green also proves the LSH candidate stage has recall 1.0 on
+    # the >= 0.6 pairs — a miss would surface as a row-count mismatch.
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, jaccard FROM pairs
+        WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
+    """,
     tags=("dedup", "jaccard"),
     doc="Exact 3-word-shingle Jaccard >= 0.6, computed ONLY on LSH candidate "
     "pairs (array_intersect/array_union on re-joined shingle sets).",
@@ -309,7 +362,34 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_pairs",
-    oracle=None,  # verified against hamming brute force in tests/test_dedup.py
+    # Pinned-VALUES oracle (sf0.01): simhash bits come from Spark's
+    # xxhash64 — externally irreproducible — so the pair set (recall
+    # 1.0 vs brute-force Hamming, tests/test_dedup.py) is frozen from
+    # verified output; the driver re-checks it every round.
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(5 AS INT)),
+            (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(5 AS INT)),
+            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(1 AS INT)),
+            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(2 AS INT)),
+            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0 AS INT)),
+            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(2 AS INT)),
+            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0 AS INT)),
+            (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(4 AS INT)),
+            (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(4 AS INT)),
+            (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(5 AS INT)),
+            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(3 AS INT)),
+            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(3 AS INT)),
+            (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(3 AS INT)),
+            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INT)),
+            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(3 AS INT)),
+            (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(5 AS INT)),
+            (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(5 AS INT)),
+            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(1 AS INT)),
+            (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(5 AS INT)),
+            (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(3 AS INT))
+        ) AS t(doc_a, doc_b, hamming) ORDER BY doc_a, doc_b
+    """,
     tags=("dedup", "simhash"),
     doc="SimHash(64-bit over 3-word-shingle xxhash64) with multi-block "
     "blocking (Manku/Jain/Sarma, WWW'07): near-dup pairs with Hamming "

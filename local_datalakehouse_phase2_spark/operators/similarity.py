@@ -186,7 +186,66 @@ def _lsh_buckets(emb_col):
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # recall vs brute force asserted in tests/test_similarity.py
+    # Pinned-VALUES oracle (sf0.01): the hyperplane matrix is a seeded
+    # constant no SQL engine can regenerate, so the emitted top-k was
+    # externally VERIFIED (all 50 cos_sim values equal DuckDB's exact
+    # cosine for those pairs; recall >= 0.4 vs brute force in
+    # tests/test_similarity.py + the ann_lsh_recall audit query) and
+    # frozen. Bucketing or scoring drift breaks the hash match.
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(8 AS INT), CAST(0.369994 AS DOUBLE), CAST(1 AS INT)),
+            (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0 AS INT), CAST(0.362722 AS DOUBLE), CAST(2 AS INT)),
+            (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(6 AS INT), CAST(0.331139 AS DOUBLE), CAST(3 AS INT)),
+            (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0 AS INT), CAST(0.296934 AS DOUBLE), CAST(4 AS INT)),
+            (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(6 AS INT), CAST(0.295434 AS DOUBLE), CAST(5 AS INT)),
+            (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2 AS INT), CAST(0.287861 AS DOUBLE), CAST(6 AS INT)),
+            (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(7 AS INT), CAST(0.281795 AS DOUBLE), CAST(7 AS INT)),
+            (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(1 AS INT), CAST(0.276301 AS DOUBLE), CAST(8 AS INT)),
+            (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(4 AS INT), CAST(0.2567 AS DOUBLE), CAST(9 AS INT)),
+            (CAST(0 AS BIGINT), CAST(323 AS BIGINT), CAST(0 AS INT), CAST(0.256455 AS DOUBLE), CAST(10 AS INT)),
+            (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3 AS INT), CAST(0.371485 AS DOUBLE), CAST(1 AS INT)),
+            (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(9 AS INT), CAST(0.348208 AS DOUBLE), CAST(2 AS INT)),
+            (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(9 AS INT), CAST(0.32701 AS DOUBLE), CAST(3 AS INT)),
+            (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0 AS INT), CAST(0.322744 AS DOUBLE), CAST(4 AS INT)),
+            (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0 AS INT), CAST(0.316374 AS DOUBLE), CAST(5 AS INT)),
+            (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3 AS INT), CAST(0.30275 AS DOUBLE), CAST(6 AS INT)),
+            (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(7 AS INT), CAST(0.292109 AS DOUBLE), CAST(7 AS INT)),
+            (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(0 AS INT), CAST(0.289782 AS DOUBLE), CAST(8 AS INT)),
+            (CAST(1 AS BIGINT), CAST(312 AS BIGINT), CAST(9 AS INT), CAST(0.259052 AS DOUBLE), CAST(9 AS INT)),
+            (CAST(1 AS BIGINT), CAST(353 AS BIGINT), CAST(6 AS INT), CAST(0.246592 AS DOUBLE), CAST(10 AS INT)),
+            (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(4 AS INT), CAST(0.318143 AS DOUBLE), CAST(1 AS INT)),
+            (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(3 AS INT), CAST(0.266344 AS DOUBLE), CAST(2 AS INT)),
+            (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(7 AS INT), CAST(0.263272 AS DOUBLE), CAST(3 AS INT)),
+            (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(9 AS INT), CAST(0.254029 AS DOUBLE), CAST(4 AS INT)),
+            (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(8 AS INT), CAST(0.247193 AS DOUBLE), CAST(5 AS INT)),
+            (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(3 AS INT), CAST(0.245311 AS DOUBLE), CAST(6 AS INT)),
+            (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(3 AS INT), CAST(0.240069 AS DOUBLE), CAST(7 AS INT)),
+            (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(5 AS INT), CAST(0.239829 AS DOUBLE), CAST(8 AS INT)),
+            (CAST(2 AS BIGINT), CAST(197 AS BIGINT), CAST(1 AS INT), CAST(0.233149 AS DOUBLE), CAST(9 AS INT)),
+            (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(4 AS INT), CAST(0.231369 AS DOUBLE), CAST(10 AS INT)),
+            (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0 AS INT), CAST(0.399872 AS DOUBLE), CAST(1 AS INT)),
+            (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(8 AS INT), CAST(0.329934 AS DOUBLE), CAST(2 AS INT)),
+            (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(7 AS INT), CAST(0.308472 AS DOUBLE), CAST(3 AS INT)),
+            (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(5 AS INT), CAST(0.303548 AS DOUBLE), CAST(4 AS INT)),
+            (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(7 AS INT), CAST(0.298788 AS DOUBLE), CAST(5 AS INT)),
+            (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(8 AS INT), CAST(0.291702 AS DOUBLE), CAST(6 AS INT)),
+            (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(4 AS INT), CAST(0.285192 AS DOUBLE), CAST(7 AS INT)),
+            (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(9 AS INT), CAST(0.280535 AS DOUBLE), CAST(8 AS INT)),
+            (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(9 AS INT), CAST(0.276738 AS DOUBLE), CAST(9 AS INT)),
+            (CAST(3 AS BIGINT), CAST(363 AS BIGINT), CAST(8 AS INT), CAST(0.268615 AS DOUBLE), CAST(10 AS INT)),
+            (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(7 AS INT), CAST(0.398513 AS DOUBLE), CAST(1 AS INT)),
+            (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(2 AS INT), CAST(0.341212 AS DOUBLE), CAST(2 AS INT)),
+            (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(5 AS INT), CAST(0.322753 AS DOUBLE), CAST(3 AS INT)),
+            (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(2 AS INT), CAST(0.313897 AS DOUBLE), CAST(4 AS INT)),
+            (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(5 AS INT), CAST(0.279826 AS DOUBLE), CAST(5 AS INT)),
+            (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(9 AS INT), CAST(0.279631 AS DOUBLE), CAST(6 AS INT)),
+            (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(7 AS INT), CAST(0.272399 AS DOUBLE), CAST(7 AS INT)),
+            (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(3 AS INT), CAST(0.240413 AS DOUBLE), CAST(8 AS INT)),
+            (CAST(4 AS BIGINT), CAST(346 AS BIGINT), CAST(8 AS INT), CAST(0.231564 AS DOUBLE), CAST(9 AS INT)),
+            (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0 AS INT), CAST(0.228625 AS DOUBLE), CAST(10 AS INT))
+        ) AS t(query_id, vec_id, label, cos_sim, rk) ORDER BY query_id, rk
+    """,
     tags=("similarity", "ann", "lsh"),
     doc=f"ANN via random-hyperplane LSH: {N_TABLES} tables x {N_PLANES} sign "
     "bits; candidates = bucket collisions in any table; exact cosine + top-k "
@@ -265,7 +324,51 @@ def _nearest_cells(emb_col, centroids: np.ndarray, n: int):
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # recall vs brute force asserted in tests/test_similarity.py
+    # TRUE cross-engine oracle: the coarse quantizer is deterministic
+    # math (per-label mean centroids, cosine ranking with label/vec_id
+    # tie-breaks), so DuckDB can replay the ENTIRE IVF pipeline —
+    # centroid fit, cell assignment, n_probe cell selection, candidate
+    # scoring, top-k — and must land on identical rows.
+    oracle=f"""
+        WITH comps AS (
+            SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        centroids AS (
+            SELECT label, list(c ORDER BY pos) AS centroid
+            FROM (SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos) pc
+            GROUP BY label
+        ),
+        sims AS (
+            SELECT e.vec_id, e.embedding, e.label AS vlabel, c.label AS cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.centroid) DESC, c.label
+                   ) AS rk
+            FROM embeddings e CROSS JOIN centroids c
+        ),
+        corpus_cell AS (SELECT vec_id, embedding, vlabel, cell FROM sims WHERE rk = 1),
+        query_cells AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cell FROM sims
+            WHERE rk <= {N_PROBE} AND vec_id IN {QUERY_IDS!r}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id, c.vlabel AS label,
+                   list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])) AS cos
+            FROM corpus_cell c JOIN query_cells q USING (cell)
+            WHERE c.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, label, ROUND(cos, 6) AS cos_sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INT) AS rk
+            FROM scored
+        )
+        SELECT query_id, vec_id, label, cos_sim, rk FROM ranked
+        WHERE rk <= {TOP_K} ORDER BY query_id, rk
+    """,
     tags=("similarity", "ann", "ivf"),
     doc=f"ANN via IVF (inverted file): corpus vectors assigned to their "
     f"nearest coarse-centroid cell, queries probe their {N_PROBE} nearest "

@@ -320,10 +320,17 @@ def winnowed_fingerprints(d: DataFrame) -> DataFrame:
     min via transform over window starts -> explode distinct. (The
     O(1)-per-step rolling update of a scalar loop has no meaning in a
     vectorized plan; the window min is what defines the semantics.)
+
+    Hash choice: md5 hex strings, compared lexicographically — any
+    injective hash selects a valid winnowing (the guarantee only needs
+    a total order on k-grams), and md5 is bit-identical across engines,
+    so an external SQL engine can replay the EXACT fingerprint
+    selection (the DuckDB oracle below does). xxhash64 would be ~2x
+    cheaper per k-gram but is Spark-specific.
     """
     kh = F.expr(
         f"transform(sequence(0, greatest(size(split(text, ' ')) - {WINNOW_K}, 0)),"
-        f" si -> xxhash64(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K}))))"
+        f" si -> md5(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K}))))"
     )
     wins = F.expr(
         f"array_distinct(transform(sequence(0, greatest(size(kh) - {WINNOW_W}, 0)),"
@@ -337,7 +344,34 @@ def winnowed_fingerprints(d: DataFrame) -> DataFrame:
 
 @register(
     "winnow_fingerprint_overlap",
-    oracle=None,  # semantics vs a Python winnowing oracle in tests/test_text.py
+    # TRUE cross-engine oracle: the k-gram hash is md5 (bit-identical
+    # in DuckDB) and window minima are lexicographic, so DuckDB replays
+    # the exact winnowing selection and the exact pair counts.
+    oracle=f"""
+        WITH kg AS (
+            SELECT doc_id, list_transform(range(1, greatest(len(w) - {WINNOW_K - 2}, 2)),
+                   i -> md5(array_to_string(w[i:i+{WINNOW_K - 1}], ' '))) AS kh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, unnest(list_distinct(
+                list_transform(range(1, greatest(len(kh) - {WINNOW_W - 2}, 2)),
+                               wi -> list_min(kh[wi:wi+{WINNOW_W - 1}])))) AS fp
+            FROM kg
+        ),
+        buckets AS (
+            SELECT fp FROM fps GROUP BY fp
+            HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+            FROM fps a JOIN buckets bk ON a.fp = bk.fp
+            JOIN fps b ON b.fp = bk.fp AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, shared_fps FROM pairs
+        WHERE shared_fps >= 2 ORDER BY doc_a, doc_b
+    """,
     tags=("text", "fingerprint", "dedup"),
     doc=f"Winnowing (rolling-hash) fingerprint overlap: docs sharing >= 2 "
     f"window-min fingerprints (k={WINNOW_K}, w={WINNOW_W}) — the "

@@ -21,7 +21,7 @@ def test_lang_id_confusion_is_deterministic_and_total(spark, sf_small):
 def test_winnow_fingerprints_match_python_oracle(spark, sf_small):
     """Winnowed fingerprint sets must equal a direct Python
     implementation of winnowing (k-gram min over sliding windows) for
-    every doc — up to the shared xxhash64, which we avoid re-deriving
+    every doc — over the shared md5 k-gram hashes (string order),
     by comparing SET STRUCTURE: counts and pairwise overlaps."""
     import duckdb
 
@@ -45,7 +45,7 @@ def test_winnow_fingerprints_match_python_oracle(spark, sf_small):
     kh_rows = d.selectExpr(
         "doc_id",
         f"transform(sequence(0, greatest(size(split(text, ' ')) - {WINNOW_K}, 0),"
-        f" 1), si -> xxhash64(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K})))) AS kh",
+        f" 1), si -> md5(concat_ws(' ', slice(split(text, ' '), si + 1, {WINNOW_K})))) AS kh",
     ).collect()
     for r in kh_rows:
         kh = list(r.kh)
