@@ -35,6 +35,7 @@ from .fs import FileIO, LocalFileIO
 
 _ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d{10})\.json$")
+_REF_RE = re.compile(r"^ref-([A-Za-z0-9._-]+)\.json$")
 
 
 class CommitConflictError(RuntimeError):
@@ -230,3 +231,63 @@ class TransactionLog:
             p = os.path.join(self.metadata_dir, f"{v:010d}.json")
             if self.io.exists(p):
                 self.io.remove(p)
+
+    # ---- named refs (branches/tags) ----------------------------------
+    # The reference stack gets git-like refs from Nessie (its
+    # spark-defaults pin `ref=main`); we model the same as named
+    # snapshot pointers stored next to the log: `metadata/ref-<name>.json`
+    # = {"name", "snapshot_id", "kind"}. Branches are movable pointers,
+    # tags immutable — exactly Iceberg's branch/tag refs. The files are
+    # created with the same O_EXCL primitive as commits, so two writers
+    # racing to create a ref cannot both win.
+
+    def _ref_path(self, name: str) -> str:
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"invalid ref name {name!r}")
+        return os.path.join(self.metadata_dir, f"ref-{name}.json")
+
+    def refs(self) -> dict[str, dict]:
+        out = {}
+        for fname in self.io.listdir(self.metadata_dir):
+            m = _REF_RE.match(fname)
+            if m:
+                raw = json.loads(
+                    self.io.read_text(os.path.join(self.metadata_dir, fname))
+                )
+                out[raw["name"]] = raw
+        return out
+
+    def create_ref(self, name: str, snapshot_id: int, kind: str = "branch") -> dict:
+        if kind not in ("branch", "tag"):
+            raise ValueError(f"ref kind must be branch or tag, got {kind!r}")
+        if snapshot_id not in self.versions():
+            raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+        raw = {"name": name, "snapshot_id": snapshot_id, "kind": kind}
+        if not self.io.create_exclusive(self._ref_path(name), json.dumps(raw)):
+            raise ValueError(f"ref {name!r} already exists")
+        return raw
+
+    def update_ref(self, name: str, snapshot_id: int) -> dict:
+        """Advance (or rewind) a BRANCH pointer; tags are immutable."""
+        cur = self.refs().get(name)
+        if cur is None:
+            raise ValueError(f"ref {name!r} does not exist")
+        if cur["kind"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+        if snapshot_id not in self.versions():
+            raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+        raw = {"name": name, "snapshot_id": snapshot_id, "kind": "branch"}
+        self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+        return raw
+
+    def delete_ref(self, name: str) -> None:
+        p = self._ref_path(name)
+        if not self.io.exists(p):
+            raise ValueError(f"ref {name!r} does not exist")
+        self.io.remove(p)
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            raise ValueError(f"ref {name!r} does not exist")
+        return ref["snapshot_id"]

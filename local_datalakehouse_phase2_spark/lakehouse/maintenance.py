@@ -363,7 +363,10 @@ def expire_snapshots(
     """M3: drop old snapshots and delete data files only they reference
     (guide :253-268). The CURRENT snapshot is always retained — after a
     rollback, "current" is the new head commit, so a rollback target can
-    never be expired out from under it.
+    never be expired out from under it. Snapshots pointed at by a named
+    branch/tag ref are likewise always retained (Iceberg's expiry
+    honors refs the same way): a ref whose snapshot expired would be a
+    dangling pointer.
     """
     _check_gc_enabled(table, "expire_snapshots")
     entries = table.log.entries()
@@ -373,6 +376,7 @@ def expire_snapshots(
     current = versions[-1]
 
     keep = {current}
+    keep.update(r["snapshot_id"] for r in table.log.refs().values())
     if retain_last is not None:
         keep.update(versions[-retain_last:])
     if older_than is not None:

@@ -117,6 +117,7 @@ class LakehouseTable:
         version: int | None = None,
         as_of: float | None = None,
         filters: list[tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Current-snapshot scan, or time travel by snapshot id
         (`VERSION AS OF`) or timestamp (`TIMESTAMP AS OF`). Projects
@@ -130,7 +131,14 @@ class LakehouseTable:
         pruning), and the exact predicate is re-applied to the scan so
         results never depend on stats quality. On a table clustered by
         `rewrite_data_files(strategy='sort')` a selective read touches
-        only the files whose key range overlaps the filter."""
+        only the files whose key range overlaps the filter.
+
+        `ref` — read at a named branch/tag pointer (`VERSION AS OF
+        'ref'`; the Nessie `ref=` analog, see create_branch)."""
+        if ref is not None:
+            if version is not None or as_of is not None:
+                raise ValueError("pass only one of ref / version / as_of")
+            version = self.log.resolve_ref(ref)
         if as_of is not None:
             eligible = [e.version for e in self.log.entries() if e.committed_at <= as_of]
             if not eligible:
@@ -318,6 +326,51 @@ class LakehouseTable:
             for fi in entry.added_files:
                 return self.spark.read.parquet(os.path.join(self.table_dir, fi.path)).schema
         return T.StructType([])
+
+    # ---- named refs (branches/tags; Nessie/Iceberg ref analog) -------
+
+    def create_branch(self, name: str, at: int | None = None) -> dict:
+        """Named movable pointer to a snapshot (default: current head) —
+        the analog of Nessie's git-like branches (the reference pins
+        `ref=main` in spark-defaults) and Iceberg's branch refs. A
+        branch pins its snapshot against expire_snapshots; advance it
+        with fast_forward, delete with drop_ref."""
+        return self.log.create_ref(name, self._head_or(at), kind="branch")
+
+    def create_tag(self, name: str, at: int | None = None) -> dict:
+        """Immutable named pointer (Iceberg tag): same pinning as a
+        branch, but can never be moved — audit/release markers."""
+        return self.log.create_ref(name, self._head_or(at), kind="tag")
+
+    def fast_forward(self, name: str, to: int | None = None) -> dict:
+        """Move a branch pointer to `to` (default: current head)."""
+        return self.log.update_ref(name, self._head_or(to))
+
+    def drop_ref(self, name: str) -> None:
+        self.log.delete_ref(name)
+
+    def _head_or(self, at: int | None) -> int:
+        if at is not None:
+            return at
+        head = self.log.latest_version()
+        if head is None:
+            raise ValueError("table has no snapshots")
+        return head
+
+    def refs(self) -> DataFrame:
+        """The `<t>.refs` metadata relation (Iceberg's refs table)."""
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("type", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+            ]
+        )
+        rows = [
+            (r["name"], r["kind"].upper(), r["snapshot_id"])
+            for r in self.log.refs().values()
+        ]
+        return self.spark.createDataFrame(rows, schema)
 
     # ---- metadata views (SURVEY.md S2/S3) ----------------------------
 

@@ -415,6 +415,47 @@ def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_branch_refs",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT),
+             CAST(15 AS BIGINT), CAST(10 AS BIGINT))
+        ) AS t(rows_branch, rows_tag, rows_head, rows_branch_ff, rows_tag_post_expiry)
+    """,
+    tags=("lakehouse", "refs", "metadata"),
+    doc="Named branch/tag refs (the reference's Nessie git-like refs, "
+    "spark-defaults `ref=main`): branch pinned mid-history reads its "
+    "snapshot, tag reads its own, fast-forward advances the branch to "
+    "head, and expire_snapshots retains ref-pinned snapshots — the tag "
+    "stays readable after retain_last=1. All five row counts pinned.",
+)
+def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.refs_q", schema="r_regionkey bigint, r_name string")
+        t.append(region)
+        t.create_branch("audit")
+        t.append(region.withColumn("r_regionkey", F.col("r_regionkey") + 100))
+        t.create_tag("release-1.0")
+        t.append(region.withColumn("r_regionkey", F.col("r_regionkey") + 200))
+        rows_branch = t.read(ref="audit").count()
+        rows_tag = t.read(ref="release-1.0").count()
+        rows_head = t.read().count()
+        t.fast_forward("audit")
+        rows_branch_ff = t.read(ref="audit").count()
+        expire_snapshots(t, retain_last=1)
+        rows_tag_post = t.read(ref="release-1.0").count()
+        return (
+            [(rows_branch, rows_tag, rows_head, rows_branch_ff, rows_tag_post)],
+            "rows_branch bigint, rows_tag bigint, rows_head bigint, "
+            "rows_branch_ff bigint, rows_tag_post_expiry bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_merge_when",
     oracle="""
         SELECT * FROM (VALUES

@@ -616,3 +616,62 @@ def test_partial_progress_all_groups_commit_cleanly(spark, lake):
     assert t.read().count() == 400
     ops = [e.operation for e in t.log.entries()]
     assert ops.count("replace") == res["file_groups"]
+
+
+# ---- named refs: branches/tags (Nessie git-like refs analog) ----------
+
+
+def test_branch_and_tag_refs(spark, lake):
+    """Runbook-replay for the one configured-but-unmodeled Nessie
+    capability: named refs. Branch + tag created mid-history, reads
+    through both refs see their pinned snapshots, a branch can
+    fast-forward, a tag cannot move, and expiry keeps ref targets."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.refs", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    v1 = t.log.latest_version()
+    t.create_branch("audit", at=v1)
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, v string"))
+    v2 = t.log.latest_version()
+    t.create_tag("release-1.0", at=v2)
+    t.append(spark.createDataFrame([(4, "d")], "k bigint, v string"))
+
+    # reads through refs see the pinned snapshots; head sees everything
+    assert t.read(ref="audit").count() == 2
+    assert t.read(ref="release-1.0").count() == 3
+    assert t.read().count() == 4
+    refs = {r.name: (r.type, r.snapshot_id) for r in t.refs().collect()}
+    assert refs == {"audit": ("BRANCH", v1), "release-1.0": ("TAG", v2)}
+
+    # branch advances; tag refuses to move; duplicate create refuses
+    t.fast_forward("audit")
+    assert t.read(ref="audit").count() == 4
+    with pytest.raises(ValueError, match="immutable"):
+        t.fast_forward("release-1.0")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("audit")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.read(ref="nope")
+
+    # expiry keeps ref-pinned snapshots (the tag at v2)
+    res = expire_snapshots(t, retain_last=1)
+    assert t.read(ref="release-1.0").count() == 3  # still readable
+    remaining = {r.snapshot_id for r in t.snapshots().collect()}
+    assert v2 in remaining and v1 not in remaining
+
+    # dropping the tag unpins it: next expiry can remove v2
+    t.drop_ref("release-1.0")
+    expire_snapshots(t, retain_last=1)
+    assert {r.snapshot_id for r in t.snapshots().collect()} == {t.log.latest_version()}
+    with pytest.raises(ValueError, match="does not exist"):
+        t.create_tag("late", at=v2)  # can't tag an expired snapshot
+
+
+def test_ref_on_missing_snapshot_rejected(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.refs2", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    with pytest.raises(ValueError, match="does not exist"):
+        t.create_branch("b", at=999)
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_branch("bad/name")
