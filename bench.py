@@ -6,12 +6,23 @@ Prints ONE JSON line:
 Each query is materialized with a driver-side count-collect of the
 final (small) result — never a full-result collect — so timings measure
 the distributed plan, not result serialization.
+
+Timing methodology: $SPARK_GRAFT_BENCH_RUNS full passes over the query
+list (default 3, interleaved — pass 1 is the legacy single-pass
+measurement), reporting the per-query MEDIAN across passes. This box
+is a shared machine whose wall-clock varies 2-3x between back-to-back
+runs of identical code (measured: 35.9 s vs 88.4 s consecutive runs,
+zero steal time, idle load — host-level contention invisible to the
+guest), so a single pass measures the neighbor's workload as much as
+this engine. The JSON carries `runs`, `timing`, and the legacy
+single-pass total as `value_first_pass` so rounds remain comparable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from local_datalakehouse_phase2_spark.registry import all_specs
@@ -80,24 +91,27 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in names:
-        t0 = time.perf_counter()
-        df = specs[name].fn(spark, sf_dir)
-        df.count()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        total += dt
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            df = specs[name].fn(spark, sf_dir)
+            df.count()
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": round(total, 4),
+                "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": runs,
+                "timing": f"per-query median of {runs} interleaved passes",
+                "value_first_pass": round(sum(ts[0] for ts in samples.values()), 4),
             }
         )
     )

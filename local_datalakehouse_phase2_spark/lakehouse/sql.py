@@ -248,22 +248,32 @@ class LakehouseSQL:
                 continue
             t = self.lake.table(ident)
             # metadata suffixes
-            for suffix, frame in (("snapshots", t.snapshots), ("files", t.files)):
+            for suffix, frame in (
+                ("snapshots", t.snapshots),
+                ("files", t.files),
+                ("refs", t.refs),
+            ):
                 pat = rf"(?i)\b{base}\.{suffix}\b"
                 if re.search(pat, s):
                     view = self._fresh_view(frame(), f"{ns}_{tbl}_{suffix}")
                     s = re.sub(pat, view, s)
-            # time travel: VERSION AS OF n | TIMESTAMP AS OF TIMESTAMP? '...'
+            # time travel: VERSION AS OF n | 'ref' | TIMESTAMP AS OF ...
             def _version_sub(m: re.Match) -> str:
                 return self._fresh_view(
                     t.read(version=int(m.group(1))), f"{ns}_{tbl}_v"
                 )
+
+            def _ref_sub(m: re.Match) -> str:
+                return self._fresh_view(t.read(ref=m.group(1)), f"{ns}_{tbl}_ref")
 
             def _tstamp_sub(m: re.Match) -> str:
                 epoch = _parse_value(f"TIMESTAMP '{m.group(1)}'")
                 return self._fresh_view(t.read(as_of=epoch), f"{ns}_{tbl}_ts")
 
             s = re.sub(rf"(?i)\b{base}\s+VERSION\s+AS\s+OF\s+(\d+)\b", _version_sub, s)
+            s = re.sub(
+                rf"(?i)\b{base}\s+VERSION\s+AS\s+OF\s+'([A-Za-z0-9._-]+)'", _ref_sub, s
+            )
             s = re.sub(
                 rf"(?i)\b{base}\s+TIMESTAMP\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'",
                 _tstamp_sub,
@@ -364,6 +374,18 @@ class LakehouseSQL:
             if "filter" not in args:
                 raise SqlError("scan_plan: missing filter => argument")
             result = table.scan_plan(_parse_filter_conjuncts(str(args.pop("filter"))))
+        elif proc == "fast_forward":
+            # Iceberg's fast_forward procedure: advance a branch to a
+            # snapshot (default: current head)
+            if "branch" not in args:
+                raise SqlError("fast_forward: missing branch => argument")
+            try:
+                ref = table.fast_forward(
+                    str(args.pop("branch")), to=_opt_int(args, "to")
+                )
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            result = {"ref": ref["name"], "snapshot_id": ref["snapshot_id"]}
         elif proc == "rewrite_position_deletes":
             result = maintenance.rewrite_position_deletes(table)
         elif proc == "rewrite_equality_deletes":
@@ -655,6 +677,39 @@ class LakehouseSQL:
             t = self.lake.table(self._strip_catalog(m.group(1)))
             entry = t.add_column(m.group(2), m.group(3))
             return self._result_frame({"snapshot_id": entry.snapshot_id})
+        # Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH|TAG name
+        # [AS OF VERSION n]; ALTER TABLE t DROP BRANCH|TAG name
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"CREATE\s+(BRANCH|TAG)\s+([A-Za-z0-9._-]+)"
+            rf"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            kind = m.group(2).lower()
+            at = int(m.group(4)) if m.group(4) else None
+            try:
+                ref = (t.create_branch if kind == "branch" else t.create_tag)(
+                    m.group(3), at=at
+                )
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame(
+                {"ref": ref["name"], "type": kind.upper(), "snapshot_id": ref["snapshot_id"]}
+            )
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"DROP\s+(?:BRANCH|TAG)\s+([A-Za-z0-9._-]+)",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            try:
+                t.drop_ref(m.group(2))
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame({"ref": m.group(2), "dropped": True})
         raise SqlError(f"unsupported ALTER syntax: {s!r}")
 
     def _drop(self, s: str) -> DataFrame:

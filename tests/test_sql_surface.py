@@ -422,3 +422,42 @@ def test_merge_conditional_insert_and_star_update_with_condition(lsql):
     )
     got = {r.k: r.v for r in lsql.sql("SELECT * FROM nessie.mrg4.t").collect()}
     assert got == {1: "new1", 2: "old2", 5: "new5"}
+
+
+def test_branch_tag_sql_surface(lsql):
+    """Iceberg branch/tag DDL + VERSION AS OF 'ref' reads + the .refs
+    metadata table + CALL fast_forward, end to end through SQL."""
+    lsql.sql("CREATE NAMESPACE nessie.refs")
+    lsql.sql("CREATE TABLE nessie.refs.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.refs.t VALUES (1, 'a'), (2, 'b')")
+    lsql.sql("ALTER TABLE nessie.refs.t CREATE BRANCH audit")
+    lsql.sql("INSERT INTO nessie.refs.t VALUES (3, 'c')")
+    lsql.sql("ALTER TABLE nessie.refs.t CREATE TAG rel AS OF VERSION 2")
+
+    assert (
+        lsql.sql("SELECT COUNT(*) AS n FROM nessie.refs.t VERSION AS OF 'audit'").first().n
+        == 2
+    )
+    assert (
+        lsql.sql("SELECT COUNT(*) AS n FROM nessie.refs.t VERSION AS OF 'rel'").first().n
+        == 3
+    )
+    refs = {
+        r.name: r.type
+        for r in lsql.sql("SELECT * FROM nessie.refs.t.refs").collect()
+    }
+    assert refs == {"audit": "BRANCH", "rel": "TAG"}
+
+    res = lsql.sql(
+        "CALL nessie.system.fast_forward(table => 'refs.t', branch => 'audit')"
+    ).first()
+    assert res.snapshot_id == 2  # head: v0 create, v1 insert, v2 insert
+    assert (
+        lsql.sql("SELECT COUNT(*) AS n FROM nessie.refs.t VERSION AS OF 'audit'").first().n
+        == 3
+    )
+    with pytest.raises(SqlError, match="immutable"):
+        lsql.sql("CALL nessie.system.fast_forward(table => 'refs.t', branch => 'rel')")
+    lsql.sql("ALTER TABLE nessie.refs.t DROP TAG rel")
+    with pytest.raises(SqlError):
+        lsql.sql("ALTER TABLE nessie.refs.t DROP BRANCH rel")
