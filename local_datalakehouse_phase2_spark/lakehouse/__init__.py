@@ -6,13 +6,17 @@ from .fs import FileIO, HadoopFileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
+    cherrypick_snapshot,
     expire_snapshots,
+    publish_changes,
     remove_orphan_files,
     rewrite_data_files,
     rewrite_equality_deletes,
     rewrite_manifests,
     rewrite_position_deletes,
     rollback_to_snapshot,
+    rollback_to_timestamp,
+    set_current_snapshot,
 )
 from .sql import LakehouseSQL, SqlError
 from .table import LakehouseTable
@@ -38,4 +42,8 @@ __all__ = [
     "rewrite_manifests",
     "rewrite_position_deletes",
     "rollback_to_snapshot",
+    "rollback_to_timestamp",
+    "set_current_snapshot",
+    "cherrypick_snapshot",
+    "publish_changes",
 ]

@@ -141,6 +141,11 @@ class TransactionLog:
         for entry in self.entries(upto=version):
             if entry.version < start:
                 continue
+            if entry.operation == "stage":
+                # write-audit-publish staging: the snapshot exists in
+                # the log (auditable, time-travelable by version) but
+                # is NOT part of the main lineage until published
+                continue
             for p in entry.removed_files:
                 state.pop(p, None)
             for fi in entry.added_files:

@@ -430,6 +430,11 @@ def remove_orphan_files(
     referenced: set[str] = set()
     for v in table.log.versions():
         referenced.update(table.log.state_at(v).keys())
+    # staged (write-audit-publish) snapshots are outside every state
+    # fold but their files are NOT orphans — they are awaiting publish
+    for e in table.log.entries():
+        if e.operation == "stage":
+            referenced.update(fi.path for fi in e.added_files)
 
     deleted = 0
     for full in table.io.walk_files(table.data_dir):
@@ -470,6 +475,110 @@ def rollback_to_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
 
     e = table.log.append(make)
     return {"rolled_back_to": snapshot_id, "new_snapshot_id": e.snapshot_id}
+
+
+def rollback_to_timestamp(table: LakehouseTable, timestamp: float) -> dict:
+    """M5 companion (Iceberg's rollback_to_timestamp): roll back to the
+    newest snapshot committed at or before `timestamp` — same new-head
+    mechanics as rollback_to_snapshot."""
+    eligible = [e.version for e in table.log.entries() if e.committed_at <= timestamp]
+    if not eligible:
+        raise MaintenanceError(f"no snapshot at or before {timestamp}")
+    return rollback_to_snapshot(table, max(eligible))
+
+
+def set_current_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
+    """Iceberg's set_current_snapshot: make the table state the given
+    snapshot's state. Identical mechanics to rollback_to_snapshot (a
+    new head commit), but accepts FORWARD targets too — Iceberg splits
+    the two procedures, so the SQL surface does as well."""
+    res = rollback_to_snapshot(table, snapshot_id)
+    return {"set_to": snapshot_id, "new_snapshot_id": res["new_snapshot_id"]}
+
+
+def cherrypick_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
+    """Iceberg's cherrypick_snapshot: apply ONE snapshot's changes on
+    top of the current head without adopting the rest of its lineage
+    (the publish half of write-audit-publish). Sound only for APPEND
+    snapshots — their delta IS their added files, which are immutable
+    and survive even if the snapshot was later rolled back away; a
+    rewriting snapshot's delta is relative to its own parent and cannot
+    be replayed onto a different head."""
+    try:
+        entry = table.log.read_entry(snapshot_id)
+    except FileNotFoundError:
+        raise MaintenanceError(f"snapshot {snapshot_id} does not exist (expired?)")
+    if entry.operation not in ("append",):
+        raise MaintenanceError(
+            f"cherrypick_snapshot: snapshot {snapshot_id} is {entry.operation!r}; "
+            "only append snapshots can be cherry-picked"
+        )
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        clash = [fi.path for fi in entry.added_files if fi.path in live]
+        if clash:
+            raise CommitConflictError(
+                f"cherrypick_snapshot: {len(clash)} file(s) already live "
+                f"(e.g. {clash[0]!r}) — snapshot already applied?"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="append",
+            added_files=entry.added_files,
+            extra={"cherrypicked_from": snapshot_id},
+        )
+
+    e = table.log.append(make)
+    return {"cherrypicked": snapshot_id, "new_snapshot_id": e.snapshot_id}
+
+
+def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
+    """Iceberg's publish_changes: graduate a staged write-audit-publish
+    snapshot (see LakehouseTable.stage_append) into the main lineage.
+    Finds the stage commit tagged `wap_id`, refuses double-publish, and
+    replays its files as a real append through the same conflict check
+    as cherrypick."""
+    staged = [
+        e
+        for e in table.log.entries()
+        if e.operation == "stage" and (e.extra or {}).get("wap_id") == wap_id
+    ]
+    if not staged:
+        raise MaintenanceError(f"publish_changes: no staged snapshot with wap_id {wap_id!r}")
+    already = [
+        e
+        for e in table.log.entries()
+        if (e.extra or {}).get("published_wap") == wap_id
+    ]
+    if already:
+        raise MaintenanceError(
+            f"publish_changes: wap_id {wap_id!r} already published "
+            f"(snapshot {already[0].snapshot_id})"
+        )
+    entry = staged[-1]
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        clash = [fi.path for fi in entry.added_files if fi.path in live]
+        if clash:
+            raise CommitConflictError(
+                f"publish_changes: {len(clash)} staged file(s) already live "
+                f"(e.g. {clash[0]!r})"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="append",
+            added_files=entry.added_files,
+            extra={"published_wap": wap_id, "staged_snapshot": entry.snapshot_id},
+        )
+
+    e = table.log.append(make)
+    return {"published_wap": wap_id, "new_snapshot_id": e.snapshot_id}
 
 
 def rewrite_position_deletes(table: LakehouseTable) -> dict:

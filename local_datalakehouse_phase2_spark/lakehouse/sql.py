@@ -367,6 +367,24 @@ class LakehouseSQL:
             if "snapshot_id" not in args:
                 raise SqlError("rollback_to_snapshot: missing snapshot_id =>")
             result = maintenance.rollback_to_snapshot(table, int(args.pop("snapshot_id")))
+        elif proc == "rollback_to_timestamp":
+            if "timestamp" not in args:
+                raise SqlError("rollback_to_timestamp: missing timestamp =>")
+            result = maintenance.rollback_to_timestamp(
+                table, float(args.pop("timestamp"))
+            )
+        elif proc == "set_current_snapshot":
+            if "snapshot_id" not in args:
+                raise SqlError("set_current_snapshot: missing snapshot_id =>")
+            result = maintenance.set_current_snapshot(table, int(args.pop("snapshot_id")))
+        elif proc == "cherrypick_snapshot":
+            if "snapshot_id" not in args:
+                raise SqlError("cherrypick_snapshot: missing snapshot_id =>")
+            result = maintenance.cherrypick_snapshot(table, int(args.pop("snapshot_id")))
+        elif proc == "publish_changes":
+            if "wap_id" not in args:
+                raise SqlError("publish_changes: missing wap_id =>")
+            result = maintenance.publish_changes(table, str(args.pop("wap_id")))
         elif proc == "scan_plan":
             # observability for stats-based scan planning: how many
             # files would a filtered read open? (Iceberg exposes the

@@ -304,7 +304,7 @@ class LakehouseTable:
         rewriting = [
             e.operation
             for e in entries
-            if e.operation not in ("append", "create", "set_properties", "add_column")
+            if e.operation not in ("append", "create", "set_properties", "add_column", "stage")
         ]
         if rewriting:
             raise ValueError(
@@ -314,6 +314,7 @@ class LakehouseTable:
         paths = [
             os.path.join(self.table_dir, fi.path)
             for e in entries
+            if e.operation != "stage"  # staged files aren't on main yet
             for fi in e.added_files
         ]
         if not paths:
@@ -426,6 +427,28 @@ class LakehouseTable:
             operation="append",
             removed=(),
             extra=merged or None,
+        )
+
+    def stage_append(self, df: DataFrame, wap_id: str) -> LogEntry:
+        """Write-audit-publish staging (Iceberg's `spark.wap.id` flow):
+        write the data files and commit a `stage` snapshot that the
+        main lineage SKIPS — readers see nothing until
+        `publish_changes(wap_id)` replays its files as a real append.
+        The staged snapshot is auditable the same way Iceberg's is:
+        it appears in the `snapshots` view and `read(version=...)` on
+        it would fail (not in main lineage) but its files can be
+        validated out-of-band before publishing."""
+        df, schema_ddl = self._align_for_write(df)
+        if schema_ddl and self.schema() is not None:
+            # a staged entry must not carry schema metadata: the log's
+            # newest-schema-wins lookup would apply it to main BEFORE
+            # the publish. Evolve the table first, then stage.
+            raise ValueError(
+                "staged write cannot evolve the table schema; "
+                "run add_column / an evolving append first, then stage"
+            )
+        return self._commit_write(
+            df, operation="stage", removed=(), extra={"wap_id": wap_id}
         )
 
     def overwrite(self, df: DataFrame) -> LogEntry:

@@ -675,3 +675,107 @@ def test_ref_on_missing_snapshot_rejected(spark, lake):
         t.create_branch("b", at=999)
     with pytest.raises(ValueError, match="invalid ref name"):
         t.create_branch("bad/name")
+
+
+# ---- snapshot-management procedures (Iceberg parity) ------------------
+
+
+def test_rollback_to_timestamp_and_set_current(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        rollback_to_timestamp,
+        set_current_snapshot,
+    )
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.snapmgmt", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    ts_after_v1 = time.time()
+    time.sleep(0.05)
+    t.append(spark.createDataFrame([(2,)], "k bigint"))
+    v2 = t.log.latest_version()
+
+    res = rollback_to_timestamp(t, ts_after_v1)
+    assert res["rolled_back_to"] == 1
+    assert t.read().count() == 1
+    with pytest.raises(MaintenanceError, match="no snapshot"):
+        rollback_to_timestamp(t, 0.0)
+
+    # set_current_snapshot moves FORWARD too (rollback's sibling)
+    res = set_current_snapshot(t, v2)
+    assert res["set_to"] == v2
+    assert t.read().count() == 2
+
+
+def test_cherrypick_snapshot_replays_append(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        cherrypick_snapshot,
+        rollback_to_snapshot,
+    )
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.cherry", schema="k bigint")
+    t.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    v1 = t.log.latest_version()
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+    v2 = t.log.latest_version()
+    # roll back past the second append, then cherry-pick it back on
+    rollback_to_snapshot(t, v1)
+    assert t.read().count() == 2
+    res = cherrypick_snapshot(t, v2)
+    assert res["cherrypicked"] == v2
+    assert {r.k for r in t.read().collect()} == {1, 2, 3}
+    # double-apply is a commit conflict (files already live)
+    from local_datalakehouse_phase2_spark.lakehouse import CommitConflictError
+
+    with pytest.raises(CommitConflictError, match="already live"):
+        cherrypick_snapshot(t, v2)
+    # rewriting snapshots refuse
+    t.delete_where("k = 1")
+    vdel = t.log.latest_version()
+    with pytest.raises(MaintenanceError, match="only append"):
+        cherrypick_snapshot(t, vdel)
+
+
+def test_write_audit_publish_flow(spark, lake):
+    """WAP: a staged append is invisible to main (and to incremental
+    reads), survives the orphan sweep, audits through the snapshots
+    view, and publishes exactly once."""
+    from local_datalakehouse_phase2_spark.lakehouse import publish_changes
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap", schema="k bigint")
+    t.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    v1 = t.log.latest_version()
+
+    staged = t.stage_append(spark.createDataFrame([(3,), (4,)], "k bigint"), wap_id="job-42")
+    # invisible to main and to incremental reads over the staged range
+    assert t.read().count() == 2
+    assert t.read_incremental(v1).count() == 0
+    # auditable: the stage snapshot is in the snapshots view
+    ops = {r.snapshot_id: r.operation for r in t.snapshots().collect()}
+    assert ops[staged.snapshot_id] == "stage"
+    # staged files survive the orphan sweep (not referenced by any
+    # state fold, but awaiting publish)
+    remove_orphan_files(t, older_than=time.time() - 24 * 3600 - 1)
+    # publish graduates it into main; double publish refuses
+    res = publish_changes(t, "job-42")
+    assert t.read().count() == 4
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4}
+    assert t.read_incremental(v1).count() == 2
+    with pytest.raises(MaintenanceError, match="already published"):
+        publish_changes(t, "job-42")
+    with pytest.raises(MaintenanceError, match="no staged"):
+        publish_changes(t, "nope")
+
+
+def test_wap_publish_via_sql_call(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap_sql", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.stage_append(spark.createDataFrame([(2,)], "k bigint"), wap_id="w1")
+    q = LakehouseSQL(lake, catalog_name="nessie")
+    res = q.sql("CALL nessie.system.publish_changes(table => 'lab.wap_sql', wap_id => 'w1')").first()
+    assert res.published_wap == "w1"
+    assert t.read().count() == 2
