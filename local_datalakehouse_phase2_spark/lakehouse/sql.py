@@ -463,20 +463,21 @@ class LakehouseSQL:
 
     def _delete(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"(?is)DELETE\s+FROM\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+WHERE\s+(.*)",
+            rf"(?is)DELETE\s+FROM\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})(?:\s+WHERE\s+(.*))?",
             s,
         )
         if not m:
             raise SqlError(f"unsupported DELETE syntax: {s!r}")
         t = self.lake.table(self._strip_catalog(m.group(1)))
-        entry = t.delete_where(m.group(2))
+        # bare DELETE FROM t = delete every row (SQL standard)
+        entry = t.delete_where(m.group(2) if m.group(2) else "true")
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )
 
     def _update(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"(?is)UPDATE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+SET\s+(.*?)\s+WHERE\s+(.*)",
+            rf"(?is)UPDATE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
             s,
         )
         if not m:
@@ -488,7 +489,8 @@ class LakehouseSQL:
             if not am:
                 raise SqlError(f"bad SET clause: {part!r}")
             assignments[am.group(1)] = am.group(2)
-        entry = t.update_where(assignments, m.group(3))
+        # bare UPDATE t SET ... = update every row (SQL standard)
+        entry = t.update_where(assignments, m.group(3) if m.group(3) else "true")
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )

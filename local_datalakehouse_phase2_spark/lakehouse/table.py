@@ -568,6 +568,7 @@ class LakehouseTable:
         rewrite (their unmatched rows carry over), plus one write of
         `source` itself. Keys are broadcast when small; the anti join
         runs only over the affected files' rows."""
+        self._check_merge_cardinality(source, key_cols)
         state = self.log.state_at()
         if not state:
             return self.append(source, extra=extra)
@@ -601,6 +602,26 @@ class LakehouseTable:
             input_bytes=input_bytes,
             extra=extra,
         )
+
+    def _check_merge_cardinality(self, source: DataFrame, key_cols: list[str]) -> None:
+        """SQL MERGE cardinality rule: a target row may match at most
+        ONE source row — duplicate source keys would otherwise fan the
+        target row out (one output per match), silently duplicating
+        data. Spark/Iceberg MERGE throws the same error. One tiny agg
+        job on the (small, upsert-side) source."""
+        dup = (
+            source.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {k: dup[0][k] for k in key_cols}
+            raise ValueError(
+                f"MERGE source has duplicate rows for key {key} — a target row "
+                "may match at most one source row (SQL MERGE cardinality rule)"
+            )
 
     def _merge_input_bytes(self, affected: list[str], source: DataFrame) -> int:
         """Output-size estimate for a merge-shaped commit: carried rows
@@ -654,6 +675,7 @@ class LakehouseTable:
                 bad = sorted(set(assigns) - known)
                 if bad:
                     raise ValueError(f"MERGE UPDATE of unknown column(s) {bad}")
+        self._check_merge_cardinality(source, key_cols)
         state = self.log.state_at()
         if not state:
             # empty table: every source row is NOT MATCHED

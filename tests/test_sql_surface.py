@@ -461,3 +461,34 @@ def test_branch_tag_sql_surface(lsql):
     lsql.sql("ALTER TABLE nessie.refs.t DROP TAG rel")
     with pytest.raises(SqlError):
         lsql.sql("ALTER TABLE nessie.refs.t DROP BRANCH rel")
+
+
+def test_merge_duplicate_source_keys_rejected(lsql):
+    """SQL MERGE cardinality rule: duplicate source keys must raise,
+    not silently duplicate the matched target row."""
+    lsql.sql("CREATE NAMESPACE nessie.card")
+    lsql.sql("CREATE TABLE nessie.card.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.card.t VALUES (1, 'a')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (1, 'y') AS src(k, v)"
+    ).createOrReplaceTempView("dup_src")
+    with pytest.raises(ValueError, match="duplicate"):
+        lsql.sql(
+            "MERGE INTO nessie.card.t AS t USING dup_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        lsql.sql(
+            "MERGE INTO nessie.card.t AS t USING dup_src AS s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+
+
+def test_bare_delete_and_update_without_where(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.bare")
+    lsql.sql("CREATE TABLE nessie.bare.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.bare.t VALUES (1, 'a'), (2, 'b')")
+    lsql.sql("UPDATE nessie.bare.t SET v = 'z'")
+    assert {r.v for r in lsql.sql("SELECT * FROM nessie.bare.t").collect()} == {"z"}
+    lsql.sql("DELETE FROM nessie.bare.t")
+    assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.bare.t").first().n == 0
