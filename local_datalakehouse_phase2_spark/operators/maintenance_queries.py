@@ -456,6 +456,51 @@ def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_wap_publish",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(10 AS BIGINT),
+             CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        ) AS t(rows_before_publish, rows_staged_invisible, rows_after_publish,
+               n_stage_snapshots, orphans_swept)
+    """,
+    tags=("lakehouse", "wap", "metadata"),
+    doc="Write-audit-publish: stage_append commits a 'stage' snapshot "
+    "main skips (reads unchanged, snapshot auditable in the snapshots "
+    "view, files protected from the orphan sweep), then publish_changes "
+    "graduates it into the main lineage exactly once. All five "
+    "quantities pinned.",
+)
+def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def run(lake: Lakehouse):
+        from ..lakehouse import publish_changes
+
+        t = lake.create_table("lab.wap_q", schema="r_regionkey bigint, r_name string")
+        t.append(region)
+        t.stage_append(region.withColumn("r_regionkey", F.col("r_regionkey") + 100), "job-1")
+        rows_before = t.read().count()  # staged rows invisible
+        staged_invisible = rows_before
+        # staged files survive an orphan sweep with the oldest legal cutoff
+        swept = remove_orphan_files(t, older_than=_time.time() - 24 * 3600 - 1)[
+            "deleted_files"
+        ]
+        n_stage = t.snapshots().filter(F.col("operation") == "stage").count()
+        publish_changes(t, "job-1")
+        rows_after = t.read().count()
+        return (
+            [(rows_before, staged_invisible, rows_after, n_stage, swept)],
+            "rows_before_publish bigint, rows_staged_invisible bigint, "
+            "rows_after_publish bigint, n_stage_snapshots bigint, orphans_swept bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_merge_when",
     oracle="""
         SELECT * FROM (VALUES
