@@ -604,23 +604,35 @@ class LakehouseTable:
         )
 
     def _check_merge_cardinality(self, source: DataFrame, key_cols: list[str]) -> None:
-        """SQL MERGE cardinality rule: a target row may match at most
-        ONE source row — duplicate source keys would otherwise fan the
-        target row out (one output per match), silently duplicating
-        data. Spark/Iceberg MERGE throws the same error. One tiny agg
-        job on the (small, upsert-side) source."""
-        dup = (
-            source.groupBy(*key_cols)
-            .count()
-            .filter(F.col("count") > 1)
-            .limit(1)
-            .collect()
+        """SQL MERGE cardinality rule: a TARGET row may match at most
+        ONE source row — duplicate source keys that hit the target
+        would otherwise fan the matched row out (one output per match),
+        silently duplicating data. Spark/Iceberg MERGE throw the same
+        error. Duplicate keys that match nothing are legal (both rows
+        simply insert), so the check is two stages: one tiny agg on the
+        (small, upsert-side) source, and only if duplicates exist, a
+        key-pruned target scan to see whether any duplicate actually
+        matches."""
+        dups = (
+            source.groupBy(*key_cols).count().filter(F.col("count") > 1).drop("count")
         )
-        if dup:
-            key = {k: dup[0][k] for k in key_cols}
+        if not dups.take(1):
+            return
+        if self.log.state_at():
+            clash = (
+                self.read()
+                .select(*key_cols)
+                .join(F.broadcast(dups), key_cols, "left_semi")
+                .take(1)
+            )
+        else:
+            clash = []
+        if clash:
+            key = {k: clash[0][k] for k in key_cols}
             raise ValueError(
-                f"MERGE source has duplicate rows for key {key} — a target row "
-                "may match at most one source row (SQL MERGE cardinality rule)"
+                f"MERGE source has duplicate rows matching target key {key} — a "
+                "target row may match at most one source row (SQL MERGE "
+                "cardinality rule)"
             )
 
     def _merge_input_bytes(self, affected: list[str], source: DataFrame) -> int:
@@ -700,7 +712,9 @@ class LakehouseTable:
             )
             j = rows.join(
                 F.broadcast(src),
-                on=[F.col(k).eqNullSafe(F.col(f"__src_{k}")) for k in key_cols],
+                # null-rejecting equality, as SQL `ON t.k = s.k` is: a
+                # NULL key never matches (NOT eqNullSafe)
+                on=[F.col(k) == F.col(f"__src_{k}") for k in key_cols],
                 how="left",
             )
             is_matched = F.col("__src_exists").isNotNull()

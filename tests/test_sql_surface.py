@@ -492,3 +492,20 @@ def test_bare_delete_and_update_without_where(lsql):
     assert {r.v for r in lsql.sql("SELECT * FROM nessie.bare.t").collect()} == {"z"}
     lsql.sql("DELETE FROM nessie.bare.t")
     assert lsql.sql("SELECT COUNT(*) AS n FROM nessie.bare.t").first().n == 0
+
+
+def test_merge_duplicate_unmatched_keys_both_insert(lsql):
+    """Duplicate source keys that match NO target row are legal SQL:
+    both rows insert (the cardinality rule is about matched rows)."""
+    lsql.sql("CREATE NAMESPACE nessie.card2")
+    lsql.sql("CREATE TABLE nessie.card2.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.card2.t VALUES (1, 'a')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (7, 'x'), (7, 'y') AS src(k, v)"
+    ).createOrReplaceTempView("dup_new_src")
+    lsql.sql(
+        "MERGE INTO nessie.card2.t AS t USING dup_new_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = sorted((r.k, r.v) for r in lsql.sql("SELECT * FROM nessie.card2.t").collect())
+    assert rows == [(1, "a"), (7, "x"), (7, "y")]
