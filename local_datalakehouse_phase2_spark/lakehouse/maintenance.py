@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 import os
 import time
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 
 from .log import CommitConflictError, FileInfo, LogEntry
 from .table import (
@@ -86,10 +86,21 @@ def _zvalue_column(df, cols: list[str]):
             "decimal"
         ):
             e = F.col(c).cast("double")
+        elif t == "string":
+            # Lexicographic 6-byte prefix as a number (2^48 < 2^53, so
+            # double-exact): space-padded to fixed width so shorter
+            # strings order below longer extensions — the same
+            # truncate-to-bytes idea as Iceberg's zorder on strings.
+            # Clustering quality, not correctness, depends on this (the
+            # residual predicate always re-filters), so the space-pad
+            # approximation for sub-space characters is acceptable.
+            e = F.expr(
+                f"conv(hex(rpad(substring(`{c}`, 1, 6), 6, ' ')), 16, 10)"
+            ).cast("double")
         else:
             raise MaintenanceError(
                 f"zorder column {c!r} has unsupported type {t} "
-                "(numeric/date/timestamp only)"
+                "(numeric/date/timestamp/string only)"
             )
         norm_exprs.append(e)
 
@@ -315,10 +326,12 @@ def rewrite_data_files(
     pool = ThreadPoolExecutor(max_workers=max_concurrent_file_group_rewrites)
     try:
         if partial_progress_enabled:
-            # commit each group as its rewrite lands; a conflict loses
-            # only that group
+            # commit each group as its rewrite lands (completion order,
+            # not submission order — a slow group must not delay the
+            # commits of groups that already finished); a conflict
+            # loses only that group
             futures = [pool.submit(rewrite_group, g) for g in groups]
-            for fut in futures:
+            for fut in as_completed(futures):
                 removed_paths, files = fut.result()
                 try:
                     commit_replace(removed_paths, files)

@@ -469,8 +469,20 @@ def test_zorder_compaction_prunes_on_every_dimension(spark, tmp_path):
 
     with pytest.raises(MaintenanceError, match=">= 2"):
         rewrite_data_files(tz, strategy="zorder", sort_order="a")
+    # string z-dimension: lexicographic-prefix clustering must let a
+    # string-equality filter prune files too
+    tsv = grid_table("lab.zs")
+    res = rewrite_data_files(
+        tsv, target_file_size_bytes=6000, strategy="zorder", sort_order="a,v"
+    )
+    assert not res["skipped"]
+    plan = tsv.scan_plan([("v", "=", "v100")])
+    assert plan["files_scanned"] < plan["files_total"], plan
+    assert tsv.read(filters=[("v", "=", "v100")]).count() == 1
+    tbad = lake.create_table("lab.zbad", schema="a bigint, f boolean")
+    tbad.append(spark.range(0, 4).selectExpr("id AS a", "id % 2 = 0 AS f"))
     with pytest.raises(MaintenanceError, match="unsupported type"):
-        rewrite_data_files(tz, strategy="zorder", sort_order="a,v")
+        rewrite_data_files(tbad, strategy="zorder", sort_order="a,f")
     with pytest.raises(MaintenanceError, match="not in table schema"):
         rewrite_data_files(tz, strategy="zorder", sort_order="a,missing")
 
