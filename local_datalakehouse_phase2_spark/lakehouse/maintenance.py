@@ -266,10 +266,25 @@ def rewrite_data_files(
 
     def rewrite_group(group: list[tuple[str, FileInfo]]) -> tuple:
         """Read ONLY the group's files, reshape to ~target-size output.
-        Returns (group_paths, written FileInfos)."""
+        Returns (group_paths, written FileInfos).
+
+        Output-count choice must CONVERGE: an even split into
+        ceil(gbytes/target) files can land every output below the
+        0.75x band (e.g. 1.4x target -> two 0.7x files), which the next
+        run would re-select forever. Prefer ceil when its per-file size
+        stays in-band; otherwise fall back to floor (fewer, larger
+        files up to the 1.8x max) so the rewrite's own output is never
+        a rewrite candidate."""
         paths = [os.path.join(table.table_dir, p) for p, _ in group]
         gbytes = sum(fi.size_bytes for _, fi in group)
-        n_out = max(1, math.ceil(gbytes / target))
+        n_ceil = max(1, math.ceil(gbytes / target))
+        n_floor = max(1, math.floor(gbytes / target))
+        if n_floor == n_ceil or gbytes / n_ceil >= min_sz:
+            n_out = n_ceil
+        elif gbytes / n_floor <= max_sz:
+            n_out = n_floor
+        else:
+            n_out = n_ceil
         df = table._read_paths(paths)
         if strategy == "sort":
             cols = [c.strip() for c in sort_order.split(",") if c.strip()]
@@ -390,6 +405,19 @@ def expire_snapshots(
 
     keep = {current}
     keep.update(r["snapshot_id"] for r in table.log.refs().values())
+    # unpublished write-audit-publish stage snapshots must survive:
+    # expiring one would break its pending publish_changes AND strip
+    # its files of orphan-sweep protection (data loss, not cleanup)
+    published = {
+        (e.extra or {}).get("published_wap")
+        for e in entries
+        if e.extra and e.extra.get("published_wap")
+    }
+    keep.update(
+        e.version
+        for e in entries
+        if e.operation == "stage" and (e.extra or {}).get("wap_id") not in published
+    )
     if retain_last is not None:
         keep.update(versions[-retain_last:])
     if older_than is not None:
@@ -410,9 +438,19 @@ def expire_snapshots(
         doomed.update(table.log.state_at(v).keys())
     doomed -= live
 
-    # checkpoint at the oldest surviving version FIRST so replay never
-    # needs the expired entries, then drop entries, then delete data
-    table.log.write_checkpoint(min(keep))
+    # Checkpoint BEFORE dropping entries so replay never needs them.
+    # Ref- and stage-pinned snapshots make the kept set non-contiguous,
+    # and a state fold across a GAP (kept version whose predecessors
+    # were expired) would silently lose the expired commits' effects —
+    # so every kept version that follows a gap gets its own resolved
+    # checkpoint (metadata-sized; Iceberg's expiry rewrites manifests
+    # for the same reason).
+    kept_sorted = sorted(keep)
+    expired_set = set(expired)
+    for i, v in enumerate(kept_sorted):
+        lo = kept_sorted[i - 1] if i else -1
+        if any(lo < e < v for e in expired_set):
+            table.log.write_checkpoint(v)
     table.log.remove_entries(expired)
     deleted = 0
     for rel in doomed:
@@ -470,9 +508,14 @@ def rollback_to_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
     """
     try:
         target_state = table.log.state_at(snapshot_id)
-        table.log.read_entry(snapshot_id)
+        target_entry = table.log.read_entry(snapshot_id)
     except FileNotFoundError:
         raise MaintenanceError(f"snapshot {snapshot_id} does not exist (expired?)")
+    if target_entry.operation == "stage":
+        raise MaintenanceError(
+            f"snapshot {snapshot_id} is an unpublished stage (write-audit-publish) "
+            "snapshot — not part of the main lineage; publish it instead"
+        )
 
     def make(version: int) -> LogEntry:
         current = table.log.state_at()
@@ -494,7 +537,13 @@ def rollback_to_timestamp(table: LakehouseTable, timestamp: float) -> dict:
     """M5 companion (Iceberg's rollback_to_timestamp): roll back to the
     newest snapshot committed at or before `timestamp` — same new-head
     mechanics as rollback_to_snapshot."""
-    eligible = [e.version for e in table.log.entries() if e.committed_at <= timestamp]
+    eligible = [
+        e.version
+        for e in table.log.entries()
+        # stage snapshots are outside the main lineage — never a
+        # rollback target
+        if e.committed_at <= timestamp and e.operation != "stage"
+    ]
     if not eligible:
         raise MaintenanceError(f"no snapshot at or before {timestamp}")
     return rollback_to_snapshot(table, max(eligible))

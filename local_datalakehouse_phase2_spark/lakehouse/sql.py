@@ -264,7 +264,11 @@ class LakehouseSQL:
                 )
 
             def _ref_sub(m: re.Match) -> str:
-                return self._fresh_view(t.read(ref=m.group(1)), f"{ns}_{tbl}_ref")
+                try:
+                    df = t.read(ref=m.group(1))
+                except ValueError as e:
+                    raise SqlError(str(e)) from e
+                return self._fresh_view(df, f"{ns}_{tbl}_ref")
 
             def _tstamp_sub(m: re.Match) -> str:
                 epoch = _parse_value(f"TIMESTAMP '{m.group(1)}'")
@@ -526,8 +530,21 @@ class LakehouseSQL:
         target_ident, t_alias, src_ref, s_alias, on, when_body = m.groups()
         t = self.lake.table(self._strip_catalog(target_ident))
         source = self.spark.sql(self._rewrite_refs(f"SELECT * FROM {src_ref}"))
-        t_quals = {q for q in (t_alias, target_ident.split(".")[-1]) if q}
-        s_quals = {q for q in (s_alias, src_ref.split(".")[-1]) if q}
+        # SQL scoping: an explicit alias REPLACES the base name as the
+        # side's qualifier (FROM tbl AS t makes `tbl.col` invalid), so
+        # each side has exactly one qualifier — never both alias and
+        # base name, which would make self-merges ambiguous
+        t_quals = {t_alias} if t_alias else {target_ident.split(".")[-1]}
+        s_quals = {s_alias} if s_alias else {src_ref.split(".")[-1]}
+        if t_quals & s_quals:
+            # same qualifier on both sides (e.g. a self-merge without
+            # aliases): `q.col` rewriting would be ambiguous —
+            # first-substitution-wins would silently turn target refs
+            # into source refs
+            raise SqlError(
+                f"ambiguous MERGE qualifiers {sorted(t_quals & s_quals)}: give "
+                "the target and source distinct aliases (AS t / AS s)"
+            )
         # ON must be a conjunction of same-column equality predicates:
         # t.k = s.k [AND ...] — that is what COW merge keys on
         key_cols = []

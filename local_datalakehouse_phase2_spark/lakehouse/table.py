@@ -584,22 +584,11 @@ class LakehouseTable:
             new_data = carried.unionByName(source)
         else:
             new_data = source
-        # Size the output from log stats instead of staging: carried
-        # rows are bounded by the affected files' logged bytes, and the
-        # source contributes ~rows x the table's logged bytes/row. One
-        # tiny count job on the (small, upsert-side) source replaces a
-        # full staged write whose natural partitioning is the union of
-        # both branches' partitions — dozens of near-empty files.
-        affected_bytes = self._logged_bytes(affected)
-        all_files = list(state.values())
-        total_rows = sum(fi.row_count for fi in all_files)
-        bpr = sum(fi.size_bytes for fi in all_files) / max(1, total_rows)
-        input_bytes = affected_bytes + int(source.count() * bpr) + 1
         return self._commit_write(
             new_data,
             operation="merge",
             removed=tuple(affected),
-            input_bytes=input_bytes,
+            input_bytes=self._merge_input_bytes(affected, source),
             extra=extra,
         )
 
@@ -687,6 +676,12 @@ class LakehouseTable:
                 bad = sorted(set(assigns) - known)
                 if bad:
                     raise ValueError(f"MERGE UPDATE of unknown column(s) {bad}")
+        if not_matched is not None and not_matched[1] is not None:
+            bad = sorted(set(not_matched[1]) - known)
+            if bad:
+                # silently ignoring a typo'd INSERT column would insert
+                # NULL into the real column instead of raising
+                raise ValueError(f"MERGE INSERT into unknown column(s) {bad}")
         self._check_merge_cardinality(source, key_cols)
         state = self.log.state_at()
         if not state:

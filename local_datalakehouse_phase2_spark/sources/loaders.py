@@ -49,6 +49,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql.types import LongType
 
+        # BOTH conversion branches strip a zone using the SESSION
+        # timezone (timestamp_micros produces an instant; casting any
+        # TIMESTAMP to NTZ localizes it), so a foreign SparkSession not
+        # pinned to UTC would shift every value by its tz offset. Pin
+        # it here (runtime-settable, idempotent) rather than trusting
+        # session.py ran.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
             # integer `div`, NOT `/`: float division of epoch-nanos
@@ -58,11 +65,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
             )
         else:
-            # TIMESTAMP -> NTZ strips the zone using the SESSION
-            # timezone; a foreign SparkSession not pinned to UTC would
-            # shift every value by its tz offset. Pin it here (runtime-
-            # settable, idempotent) rather than trusting session.py ran.
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 

@@ -670,6 +670,9 @@ def test_branch_and_tag_refs(spark, lake):
     assert t.read(ref="release-1.0").count() == 3  # still readable
     remaining = {r.snapshot_id for r in t.snapshots().collect()}
     assert v2 in remaining and v1 not in remaining
+    # the HEAD state must survive a gapped expiry (kept set {tag, head}
+    # with expired versions in between): gap checkpointing at work
+    assert t.read().count() == 4
 
     # dropping the tag unpins it: next expiry can remove v2
     t.drop_ref("release-1.0")
@@ -766,9 +769,14 @@ def test_write_audit_publish_flow(spark, lake):
     # auditable: the stage snapshot is in the snapshots view
     ops = {r.snapshot_id: r.operation for r in t.snapshots().collect()}
     assert ops[staged.snapshot_id] == "stage"
-    # staged files survive the orphan sweep (not referenced by any
-    # state fold, but awaiting publish)
-    remove_orphan_files(t, older_than=time.time() - 24 * 3600 - 1)
+    # staged files survive the orphan sweep even when OLDER than the
+    # cutoff (backdate their mtimes 48h: without the stage-protection
+    # they would be unreferenced-and-old, i.e. swept)
+    for fi in staged.added_files:
+        full = os.path.join(t.table_dir, fi.path)
+        os.utime(full, (time.time() - 48 * 3600, time.time() - 48 * 3600))
+    res_sweep = remove_orphan_files(t, older_than=time.time() - 24 * 3600 - 1)
+    assert res_sweep["deleted_files"] == 0
     # publish graduates it into main; double publish refuses
     res = publish_changes(t, "job-42")
     assert t.read().count() == 4
@@ -791,3 +799,62 @@ def test_wap_publish_via_sql_call(spark, lake):
     res = q.sql("CALL nessie.system.publish_changes(table => 'lab.wap_sql', wap_id => 'w1')").first()
     assert res.published_wap == "w1"
     assert t.read().count() == 2
+
+
+def test_expiry_preserves_unpublished_stage_snapshots(spark, lake):
+    """expire_snapshots must never expire an UNPUBLISHED stage snapshot
+    (that would break its pending publish and orphan the staged data);
+    once published, the stage entry is expirable like any other."""
+    from local_datalakehouse_phase2_spark.lakehouse import publish_changes
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap_exp", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    staged = t.stage_append(spark.createDataFrame([(2,)], "k bigint"), wap_id="w1")
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+    t.append(spark.createDataFrame([(4,)], "k bigint"))
+
+    expire_snapshots(t, retain_last=1)
+    # the stage snapshot survived; publish still works
+    assert staged.version in t.log.versions()
+    publish_changes(t, "w1")
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4}
+    # now published: a further expiry may drop the stage entry
+    expire_snapshots(t, retain_last=1)
+    assert staged.version not in t.log.versions()
+    assert {r.k for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_rollback_never_targets_stage_snapshots(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        rollback_to_snapshot,
+        rollback_to_timestamp,
+    )
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap_rb", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    staged = t.stage_append(spark.createDataFrame([(2,)], "k bigint"), wap_id="w1")
+    with pytest.raises(MaintenanceError, match="stage"):
+        rollback_to_snapshot(t, staged.version)
+    # timestamp resolution skips the stage entry: lands on the append
+    res = rollback_to_timestamp(t, time.time())
+    assert res["rolled_back_to"] == 1
+
+
+def test_compaction_converges_on_fractional_target_multiples(spark, lake):
+    """A group totaling ~1.4x target must compact to ONE in-band file
+    (not two 0.7x files that the next run re-selects forever)."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.conv")
+    for i in range(4):
+        t.append(_mk_rows(spark, i * 100, (i + 1) * 100).repartition(1))
+    gbytes = sum(fi.size_bytes for fi in t.log.state_at().values())
+    target = int(gbytes / 1.4)  # group is 1.4x target; each file ~0.35x
+    res1 = rewrite_data_files(t, target_file_size_bytes=target)
+    assert res1["rewritten_files"] == 4
+    sizes = [fi.size_bytes for fi in t.log.state_at().values()]
+    assert len(sizes) == 1, sizes  # floor choice: one 1.4x in-band file
+    res2 = rewrite_data_files(t, target_file_size_bytes=target)
+    assert res2["skipped"] is True and res2["rewritten_files"] == 0
+    assert t.read().count() == 400

@@ -509,3 +509,45 @@ def test_merge_duplicate_unmatched_keys_both_insert(lsql):
     )
     rows = sorted((r.k, r.v) for r in lsql.sql("SELECT * FROM nessie.card2.t").collect())
     assert rows == [(1, "a"), (7, "x"), (7, "y")]
+
+
+def test_merge_shared_qualifier_rejected_and_alias_scoping(lsql):
+    """A qualifier shared by both MERGE sides is ambiguous and must be
+    rejected; with distinct aliases a self-merge is legal (the alias
+    REPLACES the base name for qualification, as in SQL)."""
+    lsql.sql("CREATE NAMESPACE nessie.amb")
+    lsql.sql("CREATE TABLE nessie.amb.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.amb.t VALUES (1, 'a')")
+    with pytest.raises(SqlError, match="ambiguous MERGE qualifiers"):
+        lsql.sql(
+            "MERGE INTO nessie.amb.t USING nessie.amb.t ON t.k = t.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    # distinct aliases: self-merge works, and t.v means the TARGET value
+    lsql.sql(
+        "MERGE INTO nessie.amb.t AS tgt USING nessie.amb.t AS s ON tgt.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = concat(tgt.v, s.v)"
+    )
+    assert lsql.sql("SELECT v FROM nessie.amb.t").first().v == "aa"
+
+
+def test_version_as_of_unknown_ref_is_sql_error(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.refs3")
+    lsql.sql("CREATE TABLE nessie.refs3.t (k BIGINT)")
+    lsql.sql("INSERT INTO nessie.refs3.t VALUES (1)")
+    with pytest.raises(SqlError, match="does not exist"):
+        lsql.sql("SELECT * FROM nessie.refs3.t VERSION AS OF 'nope'")
+
+
+def test_merge_insert_unknown_column_rejected(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.badins")
+    lsql.sql("CREATE TABLE nessie.badins.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.badins.t VALUES (1, 'a')")
+    lsql.spark.sql("SELECT * FROM VALUES (9, 'x') AS src(k, v)").createOrReplaceTempView(
+        "ins_src"
+    )
+    with pytest.raises(ValueError, match="unknown column"):
+        lsql.sql(
+            "MERGE INTO nessie.badins.t AS t USING ins_src AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (kk, v) VALUES (s.k, s.v)"
+        )
