@@ -262,11 +262,19 @@ class TransactionLog:
                 out[raw["name"]] = raw
         return out
 
+    def _check_ref_target(self, snapshot_id: int) -> None:
+        if snapshot_id not in self.versions():
+            raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+        if self.read_entry(snapshot_id).operation == "stage":
+            raise ValueError(
+                f"snapshot {snapshot_id} is an unpublished stage snapshot — "
+                "refs may only point at main-lineage snapshots"
+            )
+
     def create_ref(self, name: str, snapshot_id: int, kind: str = "branch") -> dict:
         if kind not in ("branch", "tag"):
             raise ValueError(f"ref kind must be branch or tag, got {kind!r}")
-        if snapshot_id not in self.versions():
-            raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+        self._check_ref_target(snapshot_id)
         raw = {"name": name, "snapshot_id": snapshot_id, "kind": kind}
         if not self.io.create_exclusive(self._ref_path(name), json.dumps(raw)):
             raise ValueError(f"ref {name!r} already exists")
@@ -279,8 +287,7 @@ class TransactionLog:
             raise ValueError(f"ref {name!r} does not exist")
         if cur["kind"] != "branch":
             raise ValueError(f"ref {name!r} is a tag — tags are immutable")
-        if snapshot_id not in self.versions():
-            raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
+        self._check_ref_target(snapshot_id)
         raw = {"name": name, "snapshot_id": snapshot_id, "kind": "branch"}
         self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
         return raw

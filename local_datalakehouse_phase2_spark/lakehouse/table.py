@@ -147,6 +147,15 @@ class LakehouseTable:
         elif version is not None and version not in self.log.versions():
             raise ValueError(f"snapshot {version} does not exist (expired?)")
         state = self.log.state_at(version)
+        if version is not None:
+            entry = self.log.read_entry(version)
+            if entry.operation == "stage":
+                # the AUDIT read of write-audit-publish: addressing a
+                # stage snapshot by version shows main-as-of-then PLUS
+                # the staged files (Iceberg's WAP snapshot reads the
+                # same way) — this is how staged data is validated
+                # before publish_changes
+                state = {**state, **{fi.path: fi for fi in entry.added_files}}
         if filters:
             state, _ = pruning.prune_files(state, filters)
         if not state:
@@ -432,12 +441,13 @@ class LakehouseTable:
     def stage_append(self, df: DataFrame, wap_id: str) -> LogEntry:
         """Write-audit-publish staging (Iceberg's `spark.wap.id` flow):
         write the data files and commit a `stage` snapshot that the
-        main lineage SKIPS — readers see nothing until
+        main lineage SKIPS — current reads see nothing until
         `publish_changes(wap_id)` replays its files as a real append.
-        The staged snapshot is auditable the same way Iceberg's is:
-        it appears in the `snapshots` view and `read(version=...)` on
-        it would fail (not in main lineage) but its files can be
-        validated out-of-band before publishing."""
+        The staged snapshot is auditable the same way Iceberg's is: it
+        appears in the `snapshots` view, and `read(version=<stage
+        snapshot id>)` is the AUDIT read — main-as-of-then plus the
+        staged files — so validation queries run against exactly what
+        publishing would produce."""
         df, schema_ddl = self._align_for_write(df)
         if schema_ddl and self.schema() is not None:
             # a staged entry must not carry schema metadata: the log's

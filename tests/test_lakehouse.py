@@ -858,3 +858,23 @@ def test_compaction_converges_on_fractional_target_multiples(spark, lake):
     res2 = rewrite_data_files(t, target_file_size_bytes=target)
     assert res2["skipped"] is True and res2["rewritten_files"] == 0
     assert t.read().count() == 400
+
+
+def test_wap_audit_read_and_ref_guard(spark, lake):
+    """read(version=<stage id>) is the AUDIT read: main-as-of-then plus
+    the staged rows — exactly what publishing would produce. Refs may
+    never point at an unpublished stage snapshot."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap_audit", schema="k bigint")
+    t.append(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    staged = t.stage_append(spark.createDataFrame([(3,)], "k bigint"), wap_id="w1")
+    t.append(spark.createDataFrame([(4,)], "k bigint"))
+
+    # audit read: pre-stage main (1,2) + staged (3); NOT the later (4)
+    assert {r.k for r in t.read(version=staged.version).collect()} == {1, 2, 3}
+    # current read still excludes staged
+    assert {r.k for r in t.read().collect()} == {1, 2, 4}
+    with pytest.raises(ValueError, match="stage"):
+        t.create_branch("bad", at=staged.version)
+    with pytest.raises(ValueError, match="stage"):
+        t.create_tag("badtag", at=staged.version)
