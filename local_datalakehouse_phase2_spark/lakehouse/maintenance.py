@@ -356,13 +356,19 @@ def rewrite_data_files(
                     failed += 1
                     drop_written(files)
         else:
-            # stage every group, then one atomic commit for all of them
+            # stage every group, then one atomic commit for all of them;
+            # on conflict, drop the staged outputs instead of leaving up
+            # to a full table's worth of bytes for the 24h orphan sweep
             all_removed: list[str] = []
             all_added: list = []
-            for removed_paths, files in pool.map(rewrite_group, groups):
-                all_removed.extend(removed_paths)
-                all_added.extend(files)
-            commit_replace(all_removed, tuple(all_added))
+            try:
+                for removed_paths, files in pool.map(rewrite_group, groups):
+                    all_removed.extend(removed_paths)
+                    all_added.extend(files)
+                commit_replace(all_removed, tuple(all_added))
+            except CommitConflictError:
+                drop_written(all_added)
+                raise
             rewritten = len(all_removed)
             added_total = len(all_added)
     finally:
@@ -575,13 +581,25 @@ def cherrypick_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
             f"cherrypick_snapshot: snapshot {snapshot_id} is {entry.operation!r}; "
             "only append snapshots can be cherry-picked"
         )
+    e = _replay_added_files(
+        table, entry.added_files, "cherrypick_snapshot", {"cherrypicked_from": snapshot_id}
+    )
+    return {"cherrypicked": snapshot_id, "new_snapshot_id": e.snapshot_id}
+
+
+def _replay_added_files(
+    table: LakehouseTable, files, what: str, extra: dict
+) -> LogEntry:
+    """Shared commit closure for cherrypick/publish: replay a
+    snapshot's added files onto the current head as a fresh append,
+    refusing if any of them is already live (double-apply)."""
 
     def make(version: int) -> LogEntry:
         live = table.log.state_at()
-        clash = [fi.path for fi in entry.added_files if fi.path in live]
+        clash = [fi.path for fi in files if fi.path in live]
         if clash:
             raise CommitConflictError(
-                f"cherrypick_snapshot: {len(clash)} file(s) already live "
+                f"{what}: {len(clash)} file(s) already live "
                 f"(e.g. {clash[0]!r}) — snapshot already applied?"
             )
         return LogEntry(
@@ -589,12 +607,11 @@ def cherrypick_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
             snapshot_id=version,
             committed_at=time.time(),
             operation="append",
-            added_files=entry.added_files,
-            extra={"cherrypicked_from": snapshot_id},
+            added_files=tuple(files),
+            extra=extra,
         )
 
-    e = table.log.append(make)
-    return {"cherrypicked": snapshot_id, "new_snapshot_id": e.snapshot_id}
+    return table.log.append(make)
 
 
 def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
@@ -621,25 +638,12 @@ def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
             f"(snapshot {already[0].snapshot_id})"
         )
     entry = staged[-1]
-
-    def make(version: int) -> LogEntry:
-        live = table.log.state_at()
-        clash = [fi.path for fi in entry.added_files if fi.path in live]
-        if clash:
-            raise CommitConflictError(
-                f"publish_changes: {len(clash)} staged file(s) already live "
-                f"(e.g. {clash[0]!r})"
-            )
-        return LogEntry(
-            version=version,
-            snapshot_id=version,
-            committed_at=time.time(),
-            operation="append",
-            added_files=entry.added_files,
-            extra={"published_wap": wap_id, "staged_snapshot": entry.snapshot_id},
-        )
-
-    e = table.log.append(make)
+    e = _replay_added_files(
+        table,
+        entry.added_files,
+        "publish_changes",
+        {"published_wap": wap_id, "staged_snapshot": entry.snapshot_id},
+    )
     return {"published_wap": wap_id, "new_snapshot_id": e.snapshot_id}
 
 

@@ -562,25 +562,40 @@ class LakehouseSQL:
                     raise SqlError(f"unknown qualifier {q!r} in MERGE ON clause")
             key_cols.append(em.group(2))
 
+        def _outside_literals(expr: str, fn) -> str:
+            """Apply `fn` only to the segments of `expr` OUTSIDE
+            single-quoted string literals — a qualifier-shaped substring
+            inside 's.x' is data, not a column reference."""
+            parts = re.split(r"('(?:[^']|'')*')", expr)
+            return "".join(p if i % 2 else fn(p) for i, p in enumerate(parts))
+
         def rw_matched(expr: str) -> str:
             """Alias-qualified refs -> merge_when's joined-frame names:
             target.<c> stays bare, source.<c> becomes __src_<c>."""
-            for q in s_quals:
-                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"__src_\1", expr)
-            for q in t_quals:
-                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", expr)
-            return expr
+
+            def rw(seg: str) -> str:
+                for q in s_quals:
+                    seg = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"__src_\1", seg)
+                for q in t_quals:
+                    seg = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", seg)
+                return seg
+
+            return _outside_literals(expr, rw)
 
         def rw_source(expr: str) -> str:
             """NOT MATCHED expressions see only the source row."""
-            for q in t_quals:
-                if re.search(rf"(?i)\b{re.escape(q)}\.{_IDENT}", expr):
-                    raise SqlError(
-                        f"WHEN NOT MATCHED cannot reference the target ({expr!r})"
-                    )
-            for q in s_quals:
-                expr = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", expr)
-            return expr
+
+            def rw(seg: str) -> str:
+                for q in t_quals:
+                    if re.search(rf"(?i)\b{re.escape(q)}\.{_IDENT}", seg):
+                        raise SqlError(
+                            f"WHEN NOT MATCHED cannot reference the target ({expr!r})"
+                        )
+                for q in s_quals:
+                    seg = re.sub(rf"(?i)\b{re.escape(q)}\.({_IDENT})", r"\1", seg)
+                return seg
+
+            return _outside_literals(expr, rw)
 
         matched: list[tuple[str | None, str, dict[str, str] | None]] = []
         not_matched: tuple[str | None, dict[str, str] | None] | None = None
@@ -607,6 +622,8 @@ class LakehouseSQL:
                 vals = [rw_source(x.strip()) for x in _split_top_level(im.group(2))]
                 if len(cols) != len(vals):
                     raise SqlError("INSERT column/value count mismatch in MERGE")
+                if len(set(cols)) != len(cols):
+                    raise SqlError(f"duplicate INSERT column in MERGE: {cols}")
                 not_matched = (
                     rw_source(cond) if cond else None,
                     dict(zip(cols, vals)),

@@ -140,7 +140,14 @@ class LakehouseTable:
                 raise ValueError("pass only one of ref / version / as_of")
             version = self.log.resolve_ref(ref)
         if as_of is not None:
-            eligible = [e.version for e in self.log.entries() if e.committed_at <= as_of]
+            eligible = [
+                e.version
+                for e in self.log.entries()
+                # stage snapshots are outside the main lineage: only an
+                # explicit by-version audit read may address one —
+                # timestamp travel must never leak unpublished data
+                if e.committed_at <= as_of and e.operation != "stage"
+            ]
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of}")
             version = max(eligible)
@@ -353,8 +360,18 @@ class LakehouseTable:
         return self.log.create_ref(name, self._head_or(at), kind="tag")
 
     def fast_forward(self, name: str, to: int | None = None) -> dict:
-        """Move a branch pointer to `to` (default: current head)."""
-        return self.log.update_ref(name, self._head_or(to))
+        """ADVANCE a branch pointer to `to` (default: current head).
+        Strictly forward, as Iceberg's fast_forward procedure: moving a
+        branch backwards would silently discard branch history — on
+        this linear log, ancestor means smaller version."""
+        target = self._head_or(to)
+        current = self.log.resolve_ref(name)
+        if target < current:
+            raise ValueError(
+                f"fast_forward {name!r}: target snapshot {target} is behind the "
+                f"branch (at {current}) — not a fast-forward"
+            )
+        return self.log.update_ref(name, target)
 
     def drop_ref(self, name: str) -> None:
         self.log.delete_ref(name)
@@ -692,7 +709,12 @@ class LakehouseTable:
                 # silently ignoring a typo'd INSERT column would insert
                 # NULL into the real column instead of raising
                 raise ValueError(f"MERGE INSERT into unknown column(s) {bad}")
-        self._check_merge_cardinality(source, key_cols)
+        if matched:
+            # the cardinality rule protects target rows from being
+            # updated/deleted twice; an insert-only MERGE modifies no
+            # target row, so duplicate matched keys are simply ignored
+            # rows (Spark/Iceberg behave the same way)
+            self._check_merge_cardinality(source, key_cols)
         state = self.log.state_at()
         if not state:
             # empty table: every source row is NOT MATCHED
@@ -723,11 +745,21 @@ class LakehouseTable:
                 how="left",
             )
             is_matched = F.col("__src_exists").isNotNull()
-            # first-matching-clause index (null = no clause applies)
+            # first-matching-clause index (null = no clause applies).
+            # Conditions go through coalesce(..., false): SQL's
+            # three-valued logic says a NULL condition does NOT select
+            # the clause — without the coalesce, one NULL would poison
+            # `picked` (false OR null = null) and silently disable every
+            # later clause for that row.
             clause = F.lit(None).cast("int")
             picked = F.lit(False)
             for i, (cond, _a, _s) in enumerate(matched):
-                hit = is_matched & (F.expr(cond) if cond else F.lit(True)) & ~picked
+                c = (
+                    F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+                    if cond
+                    else F.lit(True)
+                )
+                hit = is_matched & c & ~picked
                 clause = F.when(hit, F.lit(i)).otherwise(clause)
                 picked = picked | hit
             j = j.withColumn("__clause", clause)

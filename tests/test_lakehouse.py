@@ -878,3 +878,14 @@ def test_wap_audit_read_and_ref_guard(spark, lake):
         t.create_branch("bad", at=staged.version)
     with pytest.raises(ValueError, match="stage"):
         t.create_tag("badtag", at=staged.version)
+
+
+def test_timestamp_travel_never_resolves_to_stage(spark, lake):
+    """TIMESTAMP AS OF must skip stage snapshots — unpublished data can
+    only be read via the explicit by-version audit read."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wap_ts", schema="k bigint")
+    t.append(spark.createDataFrame([(1,)], "k bigint"))
+    t.stage_append(spark.createDataFrame([(2,)], "k bigint"), wap_id="w1")
+    time.sleep(0.05)
+    assert {r.k for r in t.read(as_of=time.time()).collect()} == {1}

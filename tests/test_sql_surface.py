@@ -551,3 +551,83 @@ def test_merge_insert_unknown_column_rejected(lsql):
             "MERGE INTO nessie.badins.t AS t USING ins_src AS s ON t.k = s.k "
             "WHEN NOT MATCHED THEN INSERT (kk, v) VALUES (s.k, s.v)"
         )
+
+
+def test_merge_null_condition_falls_through_to_next_clause(lsql):
+    """Three-valued logic: a NULL WHEN MATCHED condition does not pick
+    the clause AND does not poison later clauses for that row."""
+    lsql.sql("CREATE NAMESPACE nessie.nul")
+    lsql.sql("CREATE TABLE nessie.nul.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.nul.t VALUES (1, 'a'), (2, 'b')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS INT), 'x'), (2, 1, 'y') AS src(k, flag, v)"
+    ).createOrReplaceTempView("nul_src")
+    lsql.sql(
+        """
+        MERGE INTO nessie.nul.t AS t USING nul_src AS s ON t.k = s.k
+        WHEN MATCHED AND s.flag = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        """
+    )
+    got = {r.k: r.v for r in lsql.sql("SELECT * FROM nessie.nul.t").collect()}
+    # k=2: flag=1 -> deleted. k=1: NULL flag skips DELETE, second
+    # clause still applies -> updated to 'x' (not carried as 'a')
+    assert got == {1: "x"}
+
+
+def test_merge_insert_only_ignores_duplicate_matched_keys(lsql):
+    """Insert-only MERGE modifies no target row, so duplicate source
+    keys that match the target are ignored rows, not an error."""
+    lsql.sql("CREATE NAMESPACE nessie.insonly")
+    lsql.sql("CREATE TABLE nessie.insonly.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.insonly.t VALUES (1, 'a')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (1, 'x'), (1, 'y'), (7, 'n') AS src(k, v)"
+    ).createOrReplaceTempView("insonly_src")
+    lsql.sql(
+        "MERGE INTO nessie.insonly.t AS t USING insonly_src AS s ON t.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = sorted((r.k, r.v) for r in lsql.sql("SELECT * FROM nessie.insonly.t").collect())
+    assert got == [(1, "a"), (7, "n")]
+
+
+def test_merge_qualifier_inside_string_literal_untouched(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.lit")
+    lsql.sql("CREATE TABLE nessie.lit.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.lit.t VALUES (1, 's.x'), (2, 'b')")
+    lsql.spark.sql(
+        "SELECT * FROM VALUES (CAST(1 AS BIGINT)), (CAST(2 AS BIGINT)) AS src(k)"
+    ).createOrReplaceTempView("lit_src")
+    lsql.sql(
+        """
+        MERGE INTO nessie.lit.t AS t USING lit_src AS s ON t.k = s.k
+        WHEN MATCHED AND t.v = 's.x' THEN UPDATE SET v = 'hit s.v'
+        """
+    )
+    got = {r.k: r.v for r in lsql.sql("SELECT * FROM nessie.lit.t").collect()}
+    assert got == {1: "hit s.v", 2: "b"}  # literal 's.x' matched row 1 only
+
+
+def test_merge_duplicate_insert_columns_rejected(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.dupcol")
+    lsql.sql("CREATE TABLE nessie.dupcol.t (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.dupcol.t VALUES (1, 'a')")
+    lsql.spark.sql("SELECT * FROM VALUES (9, 'x') AS src(k, v)").createOrReplaceTempView(
+        "dupcol_src"
+    )
+    with pytest.raises(SqlError, match="duplicate INSERT column"):
+        lsql.sql(
+            "MERGE INTO nessie.dupcol.t AS t USING dupcol_src AS s ON t.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, k) VALUES (s.k, s.k)"
+        )
+
+
+def test_fast_forward_refuses_rewind(lsql):
+    lsql.sql("CREATE NAMESPACE nessie.ffr")
+    lsql.sql("CREATE TABLE nessie.ffr.t (k BIGINT)")
+    lsql.sql("INSERT INTO nessie.ffr.t VALUES (1)")
+    lsql.sql("INSERT INTO nessie.ffr.t VALUES (2)")
+    lsql.sql("ALTER TABLE nessie.ffr.t CREATE BRANCH b")  # at head (v2)
+    with pytest.raises(SqlError, match="not a fast-forward"):
+        lsql.sql("CALL nessie.system.fast_forward(table => 'ffr.t', branch => 'b', to => 1)")
