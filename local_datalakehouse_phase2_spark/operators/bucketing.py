@@ -37,7 +37,13 @@ N_BUCKETS = 8
 
 
 def _sf_tag(sf_dir: str) -> str:
-    return re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # full-path hash in the tag: two different dirs sharing a basename
+    # (e.g. /a/sf0.1 and /b/sf0.1) must NOT collide into one cache
+    import hashlib
+
+    base = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    digest = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:6]
+    return f"{base}_{digest}"
 
 
 def _clear_stale_location(spark: SparkSession, table: str) -> None:

@@ -39,9 +39,15 @@ N_BANDS = 8  # LSH bands (4 rows per band) => catches J >~ 0.6
 SHINGLE = 3  # words per shingle
 
 def _shingles_sql(col: str = "text") -> str:
+    # guarded for docs shorter than SHINGLE words: they have NO
+    # shingles (the DuckDB oracles' range(1, len-1) semantics); the
+    # unguarded sequence(0, greatest(size-3, 0)) form would emit one
+    # truncated shingle and silently diverge cross-engine
+    toks = f"split({col}, ' ')"
     return (
-        f"transform(sequence(0, greatest(size(split({col}, ' ')) - {SHINGLE}, 0)),"
-        f" si -> concat_ws(' ', slice(split({col}, ' '), si + 1, {SHINGLE})))"
+        f"CASE WHEN size({toks}) < {SHINGLE} THEN array() "
+        f"ELSE transform(sequence(0, size({toks}) - {SHINGLE}),"
+        f" si -> concat_ws(' ', slice({toks}, si + 1, {SHINGLE}))) END"
     )
 
 
@@ -133,8 +139,13 @@ def with_minhash(d: DataFrame) -> DataFrame:
     (doc, shingle-hash) pair. The current shape is row-local: shingles
     are hashed JVM-side in the projection, then ONE Arrow-batched UDF
     computes all 32 minima — no explode stage, no shuffle at all, and
-    at 100 TB the signature job stays a narrow map over the corpus."""
-    return d.select("doc_id", _minhash_sigs(_shingle_hashes()).alias("sig"))
+    at 100 TB the signature job stays a narrow map over the corpus.
+
+    Docs with NO shingles (shorter than SHINGLE words) are dropped
+    before the UDF: they have nothing to compare, and an empty segment
+    would break the reduceat segment math."""
+    hs = d.select("doc_id", _shingle_hashes().alias("hs")).filter(F.size("hs") > 0)
+    return hs.select("doc_id", _minhash_sigs("hs").alias("sig"))
 
 
 MAX_BUCKET = 1000  # cap pathological buckets (boilerplate text) — see doc below
@@ -413,7 +424,11 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the projection) and feeds the hash arrays to one Arrow-batched
     # numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
     # vectorized, zero Python-level hashing.
-    sigs = d.select("doc_id", _simhash64(_shingle_hashes()).alias("simhash"))
+    sigs = (
+        d.select("doc_id", _shingle_hashes().alias("hs"))
+        .filter(F.size("hs") > 0)  # shingle-less docs: nothing to compare
+        .select("doc_id", _simhash64("hs").alias("simhash"))
+    )
     # Multi-block keys: 8 blocks of 8 bits. A single 8-bit block key has
     # only 256 buckets — at 50k docs that is ~200 docs/bucket and ~40M
     # all-pairs candidates (measured 35 s at sf0.1). Instead key on every

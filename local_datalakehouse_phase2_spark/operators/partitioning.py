@@ -38,10 +38,16 @@ def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     out = _PART_DIRS.get(sf_dir)
     if out and os.path.isdir(out):
         return out
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "events_parted_" + re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1]),
+    import hashlib
+
+    # full-path hash: distinct dirs sharing a basename must not share
+    # (and overwrite) one materialized copy
+    tag = (
+        re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+        + "_"
+        + hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:6]
     )
+    out = os.path.join(tempfile.gettempdir(), "events_parted_" + tag)
     if os.path.isdir(out):
         shutil.rmtree(out, ignore_errors=True)
     (

@@ -78,7 +78,10 @@ def intersect_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def except_inactive_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
     li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
-    return p.exceptAll(li).distinct()
+    # subtract IS set-semantics EXCEPT; exceptAll().distinct() would
+    # diverge from the oracle whenever the left side carried duplicates
+    # (2 copies minus 1 occurrence leaves a survivor EXCEPT excludes)
+    return p.subtract(li)
 
 
 @register(

@@ -173,9 +173,10 @@ def _lsh_buckets(emb_col):
     than this for 32 projections x 64 dims; bulk vector math is exactly
     the case for Arrow-batched UDFs (SURVEY.md §2.11).
     """
+    M = _planes_matrix()  # hoisted: computed once, shipped in the closure
+
     @pandas_udf("array<int>")
     def buckets(emb: pd.Series) -> pd.Series:
-        M = _planes_matrix()
         X = np.vstack(emb.to_numpy())  # batch x DIM
         S = (X @ M) > 0  # batch x (T*P) sign bits
         B = S.reshape(len(X), N_TABLES, N_PLANES) @ (1 << np.arange(N_PLANES))

@@ -59,7 +59,17 @@ def salted_equi_join(
     Use when dim is too big to broadcast AND fact keys are skewed.
     Replication multiplies the dim shuffle by n_buckets — keep
     n_buckets ≈ (hot-key rows / healthy-partition rows), not huge.
+
+    Only fact-preserving join types are sound: the dim side is
+    replicated n_buckets times, so 'right'/'full' would outer-preserve
+    each unmatched dim row once PER REPLICA (n_buckets copies).
     """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_equi_join: join type {how!r} would duplicate unmatched "
+            "dim rows once per salt replica; only inner/left/left_semi/"
+            "left_anti are supported"
+        )
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1)))
     )

@@ -152,14 +152,17 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_activity",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, value, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
             FROM events
         ), numbered AS (
+            -- the running sum must order by the SAME (ts, event_id) key
+            -- as the LAG: ordering peers by ts alone would let a
+            -- same-timestamp boundary row fold into the wrong session
             SELECT user_id, ts, value,
                    CAST(SUM(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
             FROM flagged
         )

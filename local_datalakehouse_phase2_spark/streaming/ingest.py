@@ -20,13 +20,30 @@ pairing the reference runbook demonstrates, SPARK_ICEBERG_GUIDE.md
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..lakehouse.table import LakehouseTable
 
 STREAM_BATCH_KEY = "stream_batch_id"
 STREAM_QUERY_KEY = "stream_query_id"
+
+
+def _run_scoped_id(batch_df: DataFrame, query_name: str) -> str:
+    """Watermark identity for exactly-once: `<name>:<streaming query
+    id>`. The query id is persisted in the CHECKPOINT (stable across
+    restarts from the same checkpoint, fresh for a new one), so a
+    stream restarted from a new checkpoint — whose batch ids reset to
+    0 — gets a fresh watermark instead of silently dropping every
+    batch against the old high-water mark. Iceberg's sink keys its
+    commit watermark on the same queryId for the same reason. Falls
+    back to the bare name if the active query can't be found (direct
+    foreachBatch testing)."""
+    for q in batch_df.sparkSession.streams.active:
+        if q.name == query_name:
+            return f"{query_name}:{q.id}"
+    return query_name
 
 
 def last_committed_batch(table: LakehouseTable, query_id: str) -> int | None:
@@ -103,7 +120,7 @@ def stream_into_table(
     per-commit batch-id watermark, not from blind appends."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_stream_batch(table, batch_df, batch_id, query_name)
+        append_stream_batch(table, batch_df, batch_id, _run_scoped_id(batch_df, query_name))
 
     writer = (
         source.writeStream.foreachBatch(_sink)
@@ -122,16 +139,30 @@ def stream_upsert_into_table(
     key_cols: list[str],
     query_name: str = "lakehouse-upsert",
     available_now: bool = True,
+    seq_col: str | None = None,
 ) -> StreamingQuery:
     """Wire a streaming DataFrame into exactly-once MERGE upserts —
     the foreachBatch+MERGE pattern the reference stack uses for CDC
-    into Iceberg. Each micro-batch is last-wins deduplicated on
-    `key_cols` (CDC sources can emit several changes for one key per
-    epoch), then merged under the batch-id watermark."""
+    into Iceberg. A micro-batch may carry several changes per key
+    (CDC); pass `seq_col` (event time / LSN / sequence number) to keep
+    the row with the HIGHEST value per key — true last-wins. Without
+    seq_col the batch is dropDuplicates(key_cols)-deduplicated, which
+    keeps an ARBITRARY row per key: only safe when the source emits at
+    most one change per key per epoch."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        deduped = batch_df.dropDuplicates(key_cols)
-        merge_stream_batch(table, deduped, batch_id, query_name, key_cols)
+        if seq_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+            deduped = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            deduped = batch_df.dropDuplicates(key_cols)
+        merge_stream_batch(
+            table, deduped, batch_id, _run_scoped_id(batch_df, query_name), key_cols
+        )
 
     writer = (
         source.writeStream.foreachBatch(_sink)
@@ -199,12 +230,17 @@ def _register_query() -> None:
             drain()
             feed(50, 80)
             drain()
+            recorded_qid = next(
+                e.extra[STREAM_QUERY_KEY]
+                for e in reversed(t.log.entries())
+                if e.extra and e.extra.get(STREAM_QUERY_KEY)
+            )
             replay_noop = not append_stream_batch(
-                t, t.read().limit(5), batch_id=0, query_id="registry-ingest"
+                t, t.read().limit(5), batch_id=0, query_id=recorded_qid
             )
             rows = t.read().count()
             keys = t.read().select("k").distinct().count()
-            watermarked = last_committed_batch(t, "registry-ingest") is not None
+            watermarked = last_committed_batch(t, recorded_qid) is not None
             return spark.createDataFrame(
                 [(rows, keys, replay_noop, watermarked)],
                 "rows_after_two_runs bigint, distinct_keys bigint, "
@@ -255,8 +291,13 @@ def _register_query() -> None:
             drain()
             feed(20, 60, "u")
             drain()
+            recorded_qid = next(
+                e.extra[STREAM_QUERY_KEY]
+                for e in reversed(t.log.entries())
+                if e.extra and e.extra.get(STREAM_QUERY_KEY)
+            )
             replay_noop = not merge_stream_batch(
-                t, t.read().limit(3), batch_id=0, query_id="registry-upsert", key_cols=["k"]
+                t, t.read().limit(3), batch_id=0, query_id=recorded_qid, key_cols=["k"]
             )
             rows = t.read().count()
             updated = t.read().filter(F.col("v").startswith("u")).count()

@@ -60,6 +60,10 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     from pyspark.errors import AnalysisException
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # both ts conversions below strip a zone using the SESSION timezone
+    # — pin UTC like the batch loader does, so a foreign SparkSession
+    # can't shift event times relative to the batch path
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         file_schema = spark.read.parquet(events_dir).schema
     except AnalysisException:
@@ -146,7 +150,7 @@ def clicks_with_recent_errors(
     return c.join(
         e,
         (F.col("c_user") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("e_ts") >= F.col("c_ts") - F.expr(f"INTERVAL {horizon}"))
         & (F.col("e_ts") <= F.col("c_ts")),
     )
 
