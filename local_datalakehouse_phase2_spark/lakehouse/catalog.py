@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,10 +78,17 @@ class Lakehouse:
 
     # ---- tables ------------------------------------------------------
 
+    _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
     def _split(self, identifier: str) -> tuple[str, str]:
         if "." not in identifier:
             raise CatalogError(f"expected <namespace>.<table>, got {identifier!r}")
         ns, tbl = identifier.split(".", 1)
+        # both parts must be plain identifiers: an empty/path-shaped
+        # part would make the table dir escape or BECOME the namespace
+        # dir (and drop_table rmtree it wholesale)
+        if not self._IDENT_RE.match(ns) or not self._IDENT_RE.match(tbl):
+            raise CatalogError(f"invalid identifier {identifier!r}")
         return ns, tbl
 
     def _table_dir(self, identifier: str) -> str:
@@ -128,6 +136,12 @@ class Lakehouse:
 
     def table(self, identifier: str) -> LakehouseTable:
         table_dir = self._table_dir(identifier)
+        # existence check BEFORE constructing LakehouseTable: its
+        # TransactionLog __init__ makedirs metadata/, so a failed
+        # lookup would leave a phantom table dir behind that tables()
+        # then lists as real
+        if not self.io.is_dir(os.path.join(table_dir, "metadata")):
+            raise CatalogError(f"table {identifier} does not exist")
         t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
         if t.log.latest_version() is None:
             raise CatalogError(f"table {identifier} does not exist")
@@ -146,7 +160,10 @@ class Lakehouse:
         return out
 
     def drop_table(self, identifier: str) -> None:
-        self.io.rmtree(self._table_dir(identifier))
+        table_dir = self._table_dir(identifier)
+        if not self.io.is_dir(os.path.join(table_dir, "metadata")):
+            raise CatalogError(f"table {identifier} does not exist")
+        self.io.rmtree(table_dir)
 
     def describe_table(self, identifier: str) -> dict:
         t = self.table(identifier)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import abc
 import os
+import re
 import shutil
 from collections.abc import Iterator
 
@@ -52,6 +53,21 @@ class FileIO(abc.ABC):
     @abc.abstractmethod
     def walk_files(self, path: str) -> Iterator[str]:
         """Every file path (recursively) under `path`."""
+
+    def relpath(self, full: str, base: str) -> str:
+        """`full` relative to `base`, tolerant of scheme-qualified URIs
+        on either side (Hadoop file statuses come back as `file:/...`
+        or `hdfs://host/...` even when the table was opened with a
+        plain path). Callers compare these against log-recorded
+        relative paths, so a scheme mismatch here would make every
+        live file look unreferenced — which is how an orphan sweep
+        turns into data loss."""
+        return os.path.relpath(self._strip_scheme(full), self._strip_scheme(base))
+
+    @staticmethod
+    def _strip_scheme(p: str) -> str:
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?(/.*)$", p)
+        return m.group(2) if m else p
 
     @abc.abstractmethod
     def remove_empty_dirs(self, path: str) -> None:
@@ -290,6 +306,7 @@ class HadoopFileIO(FileIO):
 
     def __init__(self, spark) -> None:
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _path(self, p: str):
@@ -393,16 +410,40 @@ class HadoopFileIO(FileIO):
         finally:
             out.close()
         dst = self._path(path)
-        if fs.exists(dst):
-            fs.delete(dst, False)
-        fs.rename(tmp, dst)
+        try:
+            # FileContext rename with OVERWRITE: no delete-then-rename
+            # window where concurrent readers see the file missing
+            Rename = self._jvm.org.apache.hadoop.fs.Options.Rename
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(self._conf)
+            arr = self._gateway.new_array(Rename, 1)
+            arr[0] = Rename.OVERWRITE
+            fc.rename(tmp, dst, arr)
+        except Exception:
+            # FS without FileContext support: fall back to the
+            # delete+rename two-step (brief not-found window)
+            if fs.exists(dst):
+                fs.delete(dst, False)
+            fs.rename(tmp, dst)
 
     def create_exclusive(self, path: str, data: str) -> bool:
         fs, jp = self._fs(path), self._path(path)
         try:
             out = fs.create(jp, False)  # no overwrite
-        except Exception:  # FileAlreadyExistsException from the JVM
-            return False
+        except Exception as e:
+            # ONLY the already-exists race may report False — the
+            # commit loop retries False forever, so masking a real IO
+            # failure (permissions, network, quota) as a lost race
+            # would spin the writer with no error surfaced
+            name = ""
+            cause = getattr(e, "java_exception", None)
+            if cause is not None:
+                name = cause.getClass().getName()
+                msg = str(cause.getMessage() or "")
+            else:
+                msg = str(e)
+            if "AlreadyExists" in name or "already exists" in msg.lower():
+                return False
+            raise
         try:
             out.write(bytearray(data.encode("utf-8")))
         finally:

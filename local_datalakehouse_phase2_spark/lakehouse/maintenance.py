@@ -495,7 +495,11 @@ def remove_orphan_files(
 
     deleted = 0
     for full in table.io.walk_files(table.data_dir):
-        rel = os.path.relpath(full, table.table_dir)
+        # io.relpath, NOT os.path.relpath: Hadoop statuses come back
+        # scheme-qualified (file:/..., hdfs://...) even for tables
+        # opened with plain paths — a raw relpath would mismatch every
+        # referenced file and sweep LIVE data as orphans
+        rel = table.io.relpath(full, table.table_dir)
         if rel in referenced:
             continue
         if table.io.mtime(full) < older_than:

@@ -57,10 +57,30 @@ def _canon(v: Any) -> Any:
     datetimes/dates become ISO strings so they compare against stored
     stats in the same domain."""
     if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            # normalize zoned literals to UTC: stats strings for
+            # adjusted-to-UTC columns carry +00:00, and comparing a
+            # +05:00 rendering lexicographically against them would
+            # mis-prune chronologically-in-range instants
+            v = v.astimezone(_dt.timezone.utc)
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, _dt.date):
         return v.isoformat()
     return v
+
+
+_ISO_TS_RE = None  # compiled lazily below
+
+
+def _looks_iso_timestamp(s: Any) -> bool:
+    global _ISO_TS_RE
+    if not isinstance(s, str):
+        return False
+    if _ISO_TS_RE is None:
+        import re
+
+        _ISO_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+    return bool(_ISO_TS_RE.match(s))
 
 
 def _comparable(a: Any, b: Any) -> bool:
@@ -85,15 +105,29 @@ def _chunk_may_match(op: str, val: Any, lo: Any, hi: Any, nulls: int, rows: int)
     if lo is None and hi is None:
         return False  # column is entirely null in this file
     def _iso_mismatch(orig: Any, canon: Any) -> bool:
-        # a date literal against a timestamp column (or vice versa)
-        # yields ISO strings of different lengths; lexicographic
-        # comparison across the two formats is not the comparison Spark
-        # will do (it casts), so scan instead of risking a mis-prune
-        return (
-            isinstance(orig, (_dt.date, _dt.datetime))
-            and isinstance(lo, str)
-            and len(lo) != len(canon)
-        )
+        # a date/datetime literal — or a PLAIN-STRING timestamp literal
+        # like '2024-01-01 10:00:00' — against timestamp-shaped stats
+        # of a different string length: lexicographic comparison across
+        # the two renderings is not the comparison Spark will do (it
+        # casts), so scan instead of risking a mis-prune
+        if (
+            not isinstance(lo, str)
+            or not isinstance(canon, str)
+            or len(lo) == len(canon)
+        ):
+            return False
+        if isinstance(orig, (_dt.date, _dt.datetime)):
+            return True
+        return _looks_iso_timestamp(orig) and _looks_iso_timestamp(lo)
+
+    def _is_nan(v: Any) -> bool:
+        return isinstance(v, float) and v != v
+
+    if op == "in":
+        if any(_is_nan(v) for v in val):
+            return True  # Spark orders NaN above everything; let it decide
+    elif _is_nan(val):
+        return True
 
     if op == "in":
         pairs = [(v, _canon(v)) for v in val]

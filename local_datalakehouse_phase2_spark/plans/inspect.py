@@ -43,10 +43,26 @@ def read_schemas(df: DataFrame) -> list[str]:
 
 
 def scan_columns(df: DataFrame) -> list[set[str]]:
-    """Column-name sets actually read by each parquet scan."""
+    """TOP-LEVEL column-name sets actually read by each parquet scan.
+    Nested struct<...> payloads are blanked before field extraction so
+    inner field names don't masquerade as scanned columns. NOTE: the
+    explain renderer truncates ReadSchema at
+    spark.sql.maxMetadataStringLength — session.py raises it so wide
+    schemas don't silently under-report (an under-reported set would
+    let a column-pruning assertion pass vacuously)."""
     cols = []
     for schema in read_schemas(df):
-        names = re.findall(r"(?:<|,)(\w+):", schema)
+        body = schema[len("struct<"):]
+        # blank nested angle-bracket payloads, keep top-level commas
+        out, depth = [], 0
+        for ch in body:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth = max(0, depth - 1)
+            elif depth == 0:
+                out.append(ch)
+        names = re.findall(r"(?:^|,)(\w+):", "".join(out))
         cols.append(set(names))
     return cols
 

@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # plan-inspection fidelity: the explain renderer truncates
+        # ReadSchema/metadata strings at this length (default 100), and
+        # a truncated ReadSchema makes column-pruning assertions pass
+        # vacuously on wide schemas
+        .config("spark.sql.maxMetadataStringLength", "2000")
         # Fixture `events.ts` is parquet TIMESTAMP(NANOS): Spark has no
         # nanosecond timestamp type, so read as long and convert in the
         # loader (sources/loaders.py).

@@ -81,3 +81,28 @@ def test_lakehouse_tables_in_sql(spark, tmp_path):
         "SELECT operation FROM lab_v_snapshots ORDER BY snapshot_id"
     ).collect()]
     assert ops == ["create", "append"]
+
+
+def test_catalog_identifier_guards(spark, tmp_path):
+    """Malformed identifiers must be rejected before they touch the
+    filesystem: 'ns.' would make the table dir BE the namespace dir
+    (and drop_table rmtree the whole namespace); lookups of missing
+    tables must not leave phantom metadata dirs behind."""
+    import pytest
+
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError, Lakehouse
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("ns")
+    lake.create_table("ns.real", schema="k bigint")
+
+    for bad in ("ns.", ".t", "ns.a/b", "ns.a.b.c", "ns...", "../x.t"):
+        with pytest.raises(CatalogError):
+            lake.drop_table(bad)
+    with pytest.raises(CatalogError):
+        lake.drop_table("ns.nonexistent")
+
+    with pytest.raises(CatalogError):
+        lake.table("ns.typo")
+    # the failed lookup left no phantom table behind
+    assert lake.tables("ns") == ["real"]

@@ -203,3 +203,31 @@ def test_residual_expr_matches_spark_semantics(spark):
     ).count()
     want = df.filter("k >= 5 and k < 15 and n is not null").count()
     assert got == want == 2  # ids 8 and 12
+
+
+def test_pruning_edge_cases_never_misprune():
+    """Unit checks on _chunk_may_match: NaN literals, plain-string
+    timestamp literals vs micro-precision stats, and zoned datetime
+    literals must all SCAN (True), never prune a matching file."""
+    import datetime as dt
+
+    from local_datalakehouse_phase2_spark.lakehouse.pruning import _chunk_may_match
+
+    # NaN: Spark orders NaN above everything; Python comparisons with
+    # NaN are all False — must scan, not prune
+    assert _chunk_may_match("<", float("nan"), 1.0, 10.0, 0, 5) is True
+    assert _chunk_may_match("in", [1.0, float("nan")], 1.0, 10.0, 0, 5) is True
+
+    # plain-string ts literal vs microsecond-ISO stats: lengths differ,
+    # lexicographic compare is not Spark's cast-compare — scan
+    lo = hi = "2024-01-01 10:00:00.000000"
+    assert _chunk_may_match("=", "2024-01-01 10:00:00", lo, hi, 0, 5) is True
+
+    # zoned literal, same instant as UTC stats rendered +00:00
+    lo = hi = "2024-01-01 10:00:00.000000+00:00"
+    z = dt.datetime(2024, 1, 1, 15, 0, tzinfo=dt.timezone(dt.timedelta(hours=5)))
+    assert _chunk_may_match("=", z, lo, hi, 0, 5) is True
+
+    # sanity: honest prunes still prune
+    assert _chunk_may_match("=", 99, 1, 10, 0, 5) is False
+    assert _chunk_may_match("=", "b", "c", "f", 0, 5) is False
