@@ -255,12 +255,14 @@ def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    c.createOrReplaceTempView("customer")
+    # unique view name: registering plain "customer" would clobber any
+    # same-named temp view the shared session already holds
+    c.createOrReplaceTempView("__gs_customer")
     return spark.sql(
         """
         SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust,
                ROUND(SUM(c_acctbal), 2) AS sum_bal
-        FROM customer
+        FROM __gs_customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         """
     )

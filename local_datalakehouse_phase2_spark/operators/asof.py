@@ -42,7 +42,10 @@ def asof_join(
     `tiebreak` orders equal-timestamp right rows (larger wins).
     """
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__r")
-    r = right.select(
+    # a NULL order value can never satisfy right.order <= left.order —
+    # but ascending sort puts NULLs FIRST, so an unfiltered NULL row
+    # would be carried forward as a bogus "earliest" match
+    r = right.filter(F.col(order).isNotNull()).select(
         F.col(on), F.col(order), F.lit(0).alias("__side"), F.col(tiebreak).alias("__tb"), payload
     )
     payload_type = r.schema["__r"].dataType.simpleString()

@@ -157,9 +157,12 @@ def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "anti_join_customers",
     oracle="""
+        -- NOT EXISTS, not NOT IN: the Spark side is left_anti, and the
+        -- two diverge whenever the subquery column holds a NULL (NOT IN
+        -- returns nothing; NOT EXISTS still returns unmatched rows)
         SELECT c_custkey, c_mktsegment
-        FROM customer
-        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
     tags=("join", "anti"),
     doc="Left-anti join (NOT EXISTS): customers that never ordered.",

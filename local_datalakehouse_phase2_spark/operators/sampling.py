@@ -34,7 +34,9 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep rows where pmod(key, denom) < rate*denom — reproducible,
     shuffle-free, retry-stable."""
-    return df.filter(F.pmod(key, F.lit(denominator)) < int(rate * denominator))
+    # round, not int(): float representation error floors e.g.
+    # 0.29 * 100 = 28.999999999999996 into a 28% sample
+    return df.filter(F.pmod(key, F.lit(denominator)) < round(rate * denominator))
 
 
 def stratified_mix(
@@ -44,7 +46,7 @@ def stratified_mix(
     strata absent from `rates` are dropped (rate 0)."""
     spark = df.sparkSession
     spec = spark.createDataFrame(
-        [(s, int(r * denominator)) for s, r in rates.items()],
+        [(s, round(r * denominator)) for s, r in rates.items()],
         f"{stratum_col} string, __keep_below int",
     )
     return (

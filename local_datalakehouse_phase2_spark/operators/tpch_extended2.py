@@ -222,8 +222,8 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part ON p_partkey = l_partkey
         WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
           AND p_size IN (1, 4, 7, 10)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                                WHERE s_acctbal < 0.0)
+          AND NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l_suppkey AND s.s_acctbal < 0.0)
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
     """,

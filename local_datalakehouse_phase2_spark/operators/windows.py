@@ -176,7 +176,11 @@ def window_trailing_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
     w = (
         W.partitionBy("o_custkey")
-        .orderBy(F.unix_timestamp("o_orderdate"))
+        # cast to double, NOT unix_timestamp: the latter truncates to
+        # whole seconds, shifting both the 30-day boundary and peer
+        # grouping for sub-second timestamps; the double cast keeps
+        # microseconds as the fraction, matching INTERVAL RANGE exactly
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("double"))
         .rangeBetween(-30 * 86400, 0)
     )
     return o.select(

@@ -85,11 +85,16 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_join_events",
     oracle="""
+        -- CAST to µs TIMESTAMP first: Spark's loader truncates the
+        -- ns-precision fixture ts to microseconds, so comparing raw ns
+        -- values here could disagree at window boundaries
         SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM events c
         JOIN events e
           ON c.user_id = e.user_id
-         AND e.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts
+         AND CAST(e.ts AS TIMESTAMP)
+             BETWEEN CAST(c.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+                 AND CAST(c.ts AS TIMESTAMP)
         WHERE c.event_type = 'click' AND e.event_type = 'error'
         GROUP BY c.user_id
         ORDER BY c.user_id
@@ -151,11 +156,16 @@ def sliding_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_window_activity",
     oracle="""
-        WITH flagged AS (
+        WITH cast_events AS (
+            -- CAST to µs FIRST (in a subselect so the LAG below sees
+            -- the cast value, not the raw ns column): same boundary-
+            -- precision guard as above
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id FROM events
+        ), flagged AS (
             SELECT user_id, ts, value, event_id,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
-            FROM events
+            FROM cast_events
         ), numbered AS (
             -- the running sum must order by the SAME (ts, event_id) key
             -- as the LAG: ordering peers by ts alone would let a
