@@ -66,7 +66,11 @@ class FileIO(abc.ABC):
 
     @staticmethod
     def _strip_scheme(p: str) -> str:
-        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?(/.*)$", p)
+        # scheme must be >= 2 chars: a single letter before `:` is a
+        # Windows drive (C:/data), not a URI scheme — stripping it
+        # would misclassify every file in relpath comparisons (real
+        # schemes here — file, hdfs, s3a, abfss — are all >= 2)
+        m = re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:(//[^/]*)?(/.*)$", p)
         return m.group(2) if m else p
 
     @abc.abstractmethod

@@ -150,12 +150,15 @@ def _plan_file_groups(
 
     A group is the unit of rewrite AND (under partial progress) of
     commit — Iceberg's file group. Eligibility per group:
-    - >= min_input_files files, and
-    - more than one file, OR a single file so oversized it must split.
-    The second rule is what makes compaction idempotent: the one
-    well-under-target file a binpack produces is alone in its group and
-    never rewritten again (rewriting 1 small file into 1 small file
-    burns a full read+write for zero benefit).
+    - >= min_input_files files AND more than one file (rewriting 1
+      small file into 1 small file burns a full read+write for zero
+      benefit — this is what makes compaction idempotent: the one
+      well-under-target file a binpack produces is alone in its group
+      and never rewritten again), OR
+    - ANY file over max_file_size_bytes — oversized files must split
+      regardless of the min-input-files gate (Iceberg's BinPack
+      rewrites oversized files unconditionally; a lone 10 GB file on a
+      min-input-files=5 table would otherwise never shrink).
     """
     groups: list[list[tuple[str, FileInfo]]] = []
     cur: list[tuple[str, FileInfo]] = []
@@ -171,8 +174,8 @@ def _plan_file_groups(
     return [
         g
         for g in groups
-        if len(g) >= min_input_files
-        and (len(g) > 1 or g[0][1].size_bytes > max_file_size_bytes)
+        if (len(g) >= min_input_files and len(g) > 1)
+        or any(fi.size_bytes > max_file_size_bytes for _, fi in g)
     ]
 
 
@@ -340,14 +343,28 @@ def rewrite_data_files(
     rewritten = added_total = failed = 0
     pool = ThreadPoolExecutor(max_workers=max_concurrent_file_group_rewrites)
     try:
+        # both modes drain EVERY future before returning/raising: a
+        # straggler group finishing after an early exit would write
+        # staged files nobody tracks, leaking them until the 24h
+        # orphan sweep
+        futures = [pool.submit(rewrite_group, g) for g in groups]
         if partial_progress_enabled:
             # commit each group as its rewrite lands (completion order,
             # not submission order — a slow group must not delay the
             # commits of groups that already finished); a conflict
-            # loses only that group
-            futures = [pool.submit(rewrite_group, g) for g in groups]
+            # loses only that group. A group whose REWRITE fails (Spark
+            # error, not a commit race) is counted failed too; the
+            # other groups still commit — that is partial progress —
+            # and the first such error re-raises after the sweep so
+            # the caller sees it, with committed groups standing.
+            rewrite_error: BaseException | None = None
             for fut in as_completed(futures):
-                removed_paths, files = fut.result()
+                try:
+                    removed_paths, files = fut.result()
+                except BaseException as exc:  # group rewrite itself failed
+                    failed += 1
+                    rewrite_error = rewrite_error or exc
+                    continue
                 try:
                     commit_replace(removed_paths, files)
                     rewritten += len(removed_paths)
@@ -355,16 +372,28 @@ def rewrite_data_files(
                 except CommitConflictError:
                     failed += 1
                     drop_written(files)
+            if rewrite_error is not None:
+                raise rewrite_error
         else:
             # stage every group, then one atomic commit for all of them;
-            # on conflict, drop the staged outputs instead of leaving up
-            # to a full table's worth of bytes for the 24h orphan sweep
+            # on ANY failure — commit conflict or a group's rewrite
+            # error — drop the staged outputs instead of leaving up to
+            # a full table's worth of bytes for the 24h orphan sweep
             all_removed: list[str] = []
             all_added: list = []
+            stage_error: BaseException | None = None
+            for fut in as_completed(futures):
+                try:
+                    removed_paths, files = fut.result()
+                except BaseException as exc:
+                    stage_error = stage_error or exc
+                    continue
+                all_removed.extend(removed_paths)
+                all_added.extend(files)
+            if stage_error is not None:
+                drop_written(all_added)
+                raise stage_error
             try:
-                for removed_paths, files in pool.map(rewrite_group, groups):
-                    all_removed.extend(removed_paths)
-                    all_added.extend(files)
                 commit_replace(all_removed, tuple(all_added))
             except CommitConflictError:
                 drop_written(all_added)
@@ -631,6 +660,16 @@ def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
     ]
     if not staged:
         raise MaintenanceError(f"publish_changes: no staged snapshot with wap_id {wap_id!r}")
+    if len(staged) > 1:
+        # stage_append rejects wap_id reuse, but a log written before
+        # that guard (or assembled by hand) can still carry duplicates;
+        # silently publishing staged[-1] would strand the earlier stage
+        # snapshots' files for the orphan sweep with no error anywhere
+        raise MaintenanceError(
+            f"publish_changes: wap_id {wap_id!r} matches {len(staged)} staged "
+            f"snapshots ({[e.snapshot_id for e in staged]}) — ambiguous; "
+            "publish by cherry-picking the intended snapshot id instead"
+        )
     already = [
         e
         for e in table.log.entries()

@@ -474,6 +474,17 @@ class LakehouseTable:
                 "staged write cannot evolve the table schema; "
                 "run add_column / an evolving append first, then stage"
             )
+        # wap_id is the publish handle — reuse would make publish_changes
+        # ambiguous (it would have to pick one stage arbitrarily and
+        # strand the other's files for the orphan sweep). Published ids
+        # are rejected too: publish_changes refuses double-publish, so a
+        # re-staged published id could never be published.
+        for e in self.log.entries():
+            if (e.extra or {}).get("wap_id") == wap_id and e.operation == "stage":
+                raise ValueError(
+                    f"wap_id {wap_id!r} already staged (snapshot "
+                    f"{e.snapshot_id}); stage ids must be unique per table"
+                )
         return self._commit_write(
             df, operation="stage", removed=(), extra={"wap_id": wap_id}
         )

@@ -49,11 +49,19 @@ def _run_scoped_id(batch_df: DataFrame, query_name: str) -> str:
 def last_committed_batch(table: LakehouseTable, query_id: str) -> int | None:
     """Highest stream batch id this table has committed for `query_id`,
     scanning newest-first (streams append; the newest stream commit
-    carries the high-water mark)."""
+    carries the high-water mark).
+
+    Also honors the LEGACY bare-name key: commits written before
+    watermarks became run-scoped (`name` vs `name:<queryId>`) must
+    still gate a redelivered batch after an upgrade — otherwise the
+    restarted stream's first replayed epoch would commit twice."""
+    accept = {query_id}
+    if ":" in query_id:
+        accept.add(query_id.rsplit(":", 1)[0])
     for entry in reversed(table.log.entries()):
         if (
             entry.extra
-            and entry.extra.get(STREAM_QUERY_KEY) == query_id
+            and entry.extra.get(STREAM_QUERY_KEY) in accept
             and entry.extra.get(STREAM_BATCH_KEY) is not None
         ):
             return int(entry.extra[STREAM_BATCH_KEY])
