@@ -33,6 +33,7 @@ import abc
 import os
 import re
 import shutil
+import uuid
 from collections.abc import Iterator
 
 import pyarrow.parquet as pq
@@ -284,12 +285,22 @@ class LocalFileIO(FileIO):
         os.replace(tmp, path)
 
     def create_exclusive(self, path: str, data: str) -> bool:
+        # write the FULL content to a unique temp file, then hard-link
+        # it into place: link(2) fails with EEXIST if the target exists
+        # (the exclusivity arbiter) and is atomic, so a concurrent
+        # reader either sees no file or the complete entry — never a
+        # half-written JSON (open(path, "x") + write has exactly that
+        # torn-read window under concurrent commits)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
         try:
-            with open(path, "x") as f:
-                f.write(data)
+            os.link(tmp, path)
             return True
         except FileExistsError:
             return False
+        finally:
+            os.unlink(tmp)
 
     def parquet_row_count(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
@@ -430,6 +441,15 @@ class HadoopFileIO(FileIO):
             fs.rename(tmp, dst)
 
     def create_exclusive(self, path: str, data: str) -> bool:
+        # create(no-overwrite) is the exclusivity arbiter. NOTE a
+        # no-overwrite RENAME would be the torn-read-free alternative,
+        # but Hadoop's FileSystem.rename contract is not honored by
+        # RawLocalFileSystem (POSIX rename overwrites an existing
+        # destination file) — it could silently destroy a committed
+        # entry on file: URIs. So exclusivity stays on create(), and
+        # the brief window where a concurrent reader sees a partially
+        # written entry is handled on the READER side
+        # (TransactionLog.read_entry retries torn JSON).
         fs, jp = self._fs(path), self._path(path)
         try:
             out = fs.create(jp, False)  # no overwrite

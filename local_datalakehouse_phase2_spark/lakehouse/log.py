@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time as _time
 from dataclasses import asdict, dataclass
 from typing import Any
 
@@ -55,12 +56,24 @@ class FileInfo:
     path: str
     size_bytes: int
     row_count: int
-    content: int = 0  # 0=data; 1/2 (position/equality deletes) unused: copy-on-write
+    # Iceberg v2 content classes (/root/reference/SPARK_ICEBERG_GUIDE.md:336-340):
+    # 0 = data, 1 = position deletes (rows of file_path+pos), 2 =
+    # equality deletes (rows of the equality columns' values)
+    content: int = 0
     # per-column [min, max, null_count] footer metrics (Iceberg's
     # manifest lower_bounds/upper_bounds/null_value_counts analog);
     # None on files logged before stats tracking — pruning must treat
     # that as "scan it"
     stats: dict[str, list] | None = None
+    # data sequence number (Iceberg's manifest-entry sequence number):
+    # the version of the commit that FIRST added this file. Stamped at
+    # commit time; preserved verbatim through rollback/checkpoint so an
+    # equality delete (which applies only to files with seq < its own)
+    # keeps the same victims across history rewinds. None on files
+    # logged before sequence tracking — readers treat that as "oldest".
+    seq: int | None = None
+    # content=2 only: the equality columns this delete file keys on
+    eq_cols: list | None = None
 
 
 @dataclass(frozen=True)
@@ -96,7 +109,27 @@ class TransactionLog:
         return vs[-1] if vs else None
 
     def read_entry(self, version: int) -> LogEntry:
-        raw = json.loads(self.io.read_text(os.path.join(self.metadata_dir, f"{version:010d}.json")))
+        path = os.path.join(self.metadata_dir, f"{version:010d}.json")
+        try:
+            raw = json.loads(self.io.read_text(path))
+        except json.JSONDecodeError:
+            # torn read: the entry exists (listed by versions()) but its
+            # writer hasn't finished flushing. LocalFileIO commits are
+            # link(2)-atomic so this never happens there, but
+            # HadoopFileIO's create(no-overwrite) arbiter exposes a
+            # brief partial-content window. Entries are KB-sized, so a
+            # short bounded retry outwaits any live writer; if the
+            # content never parses, the entry is genuinely corrupt and
+            # the error must surface.
+            deadline = _time.monotonic() + 5.0
+            while True:
+                _time.sleep(0.05)
+                try:
+                    raw = json.loads(self.io.read_text(path))
+                    break
+                except json.JSONDecodeError:
+                    if _time.monotonic() >= deadline:
+                        raise
         return LogEntry(
             version=raw["version"],
             snapshot_id=raw["snapshot_id"],

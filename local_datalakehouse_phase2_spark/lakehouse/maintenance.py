@@ -8,8 +8,11 @@ plain PySpark job + transaction-log commit:
 - M3 expire_snapshots      :253-268  (retain_last / older_than, UTC)
 - M4 remove_orphan_files   :272-280  (>= 24 h safety floor at :274)
 - M5 rollback_to_snapshot  :304-316
-- M6 rewrite_position/equality_deletes (:17) are no-ops by design:
-  this table format is copy-on-write, so delete files never exist.
+- M6 rewrite_position_deletes / rewrite_equality_deletes (:17): the
+  merge-on-read fold-back procedures for content=1/2 delete files
+  (guide :336-340) — drop dangling tombstones, compact delete files,
+  and (for equality deletes) rewrite the affected data files so the
+  read path sheds its anti-joins.
 
 Safety gates from the runbook: destructive ops honor
 `gc.enabled='false'` (:218-224) and the orphan sweep refuses cutoffs
@@ -27,11 +30,14 @@ from __future__ import annotations
 import math
 import os
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor, as_completed
+from dataclasses import replace as _dc_replace
 
 from .log import CommitConflictError, FileInfo, LogEntry
 from .table import (
     DEFAULT_TARGET_FILE_SIZE,
+    POS_DELETE_SCHEMA,
     PROP_GC_ENABLED,
     LakehouseTable,
 )
@@ -160,10 +166,26 @@ def _plan_file_groups(
       rewrites oversized files unconditionally; a lone 10 GB file on a
       min-input-files=5 table would otherwise never shrink).
     """
+    groups = _band_groups(sorted(candidates), max_group_bytes)  # deterministic
+    return [
+        g
+        for g in groups
+        if (len(g) >= min_input_files and len(g) > 1)
+        or any(fi.size_bytes > max_file_size_bytes for _, fi in g)
+    ]
+
+
+def _band_groups(
+    ordered: list[tuple[str, FileInfo]], max_group_bytes: int
+) -> list[list[tuple[str, FileInfo]]]:
+    """Greedy-pack `ordered` files into bins of ~max_group_bytes,
+    PRESERVING input order — so a caller that pre-orders candidates by
+    key range (clustered compaction) gets groups holding adjacent
+    ranges, and sorting within each group approximates a global sort."""
     groups: list[list[tuple[str, FileInfo]]] = []
     cur: list[tuple[str, FileInfo]] = []
     cur_bytes = 0
-    for p, fi in sorted(candidates):  # deterministic grouping
+    for p, fi in ordered:
         if cur and cur_bytes + fi.size_bytes > max_group_bytes:
             groups.append(cur)
             cur, cur_bytes = [], 0
@@ -171,12 +193,7 @@ def _plan_file_groups(
         cur_bytes += fi.size_bytes
     if cur:
         groups.append(cur)
-    return [
-        g
-        for g in groups
-        if (len(g) >= min_input_files and len(g) > 1)
-        or any(fi.size_bytes > max_file_size_bytes for _, fi in g)
-    ]
+    return groups
 
 
 def rewrite_data_files(
@@ -220,12 +237,11 @@ def rewrite_data_files(
       atomic `replace` commit swaps everything (a conflict anywhere
       aborts the whole rewrite, Iceberg's default behavior).
 
-    Strategies (`sort`/`zorder` cluster globally, so they rewrite the
-    full table as ONE file group — the per-partition grouping Iceberg
-    applies collapses to one group on an unpartitioned table):
+    Strategies:
 
     - binpack (default): plain repartition — cheapest, one round-robin
-      shuffle per group.
+      shuffle per group. Only files outside the well-sized band are
+      candidates.
     - sort: range-repartition + in-partition sort on `sort_order`
       columns, so files hold disjoint key ranges and parquet min/max
       footers make selective scans skip whole files/row groups.
@@ -234,6 +250,27 @@ def rewrite_data_files(
       ZORDER): predicates on ANY listed column prune, where `sort`
       only prunes on the leading column. Same single shuffle plus one
       tiny min/max agg for normalization bounds.
+
+    Clustered strategies rewrite EVERY data file (clustering is the
+    point, not sizing — Iceberg's sort strategy with rewrite-all), but
+    NOT as one whole-table group: candidates are ordered by the
+    leading sort column's logged min (so groups hold adjacent key
+    ranges) and banded into `max_file_group_size_bytes` groups, each
+    an independent bounded rewrite/commit — at 100 TB a sort rewrite
+    is a sequence of 100 GB commits with partial progress, not one
+    table-sized transaction. Cross-group key overlap is possible at
+    band edges; scan pruning stays correct (it is advisory-only) and
+    clustering quality converges on re-runs because group order
+    follows the previous pass's ranges.
+
+    Merge-on-read interplay: each group is read with the table's live
+    delete files APPLIED (content=1/2, guide :336-340), so compaction
+    folds tombstones into the rewritten files; afterwards the
+    now-dangling delete entries are dropped via
+    rewrite_position_deletes and provably-stale equality-delete files
+    are removed. A delete committed between planning and a group's
+    commit raises a conflict for that group (delete-set fingerprint
+    check) instead of silently resurrecting rows.
     """
     if strategy not in ("binpack", "sort", "zorder"):
         raise MaintenanceError(f"rewrite_data_files: unknown strategy {strategy!r}")
@@ -245,14 +282,30 @@ def rewrite_data_files(
     min_sz = int(target * _MIN_FILE_SIZE_RATIO) if min_file_size_bytes is None else min_file_size_bytes
     max_sz = int(target * _MAX_FILE_SIZE_RATIO) if max_file_size_bytes is None else max_file_size_bytes
     state = table.log.state_at()
+    data_state = {p: fi for p, fi in state.items() if fi.content == 0}
+    deletes_fp = tuple(sorted(p for p, fi in state.items() if fi.content != 0))
 
     if strategy in ("sort", "zorder"):
-        # global clustering: the whole table is one file group
-        groups = [sorted(state.items())] if len(state) >= max(1, min_input_files) else []
+        # clustered: all data files, banded into bounded groups ordered
+        # by the leading sort column's logged min so each group covers
+        # an adjacent key range
+        lead = [c.strip() for c in sort_order.split(",") if c.strip()][0]
+
+        def order_key(item):
+            p, fi = item
+            s = (fi.stats or {}).get(lead)
+            mn = s[0] if s and s[0] is not None else None
+            return (mn is None, mn if mn is not None else "", p)
+
+        if len(data_state) >= max(1, min_input_files):
+            ordered = sorted(data_state.items(), key=order_key)
+            groups = _band_groups(ordered, max_file_group_size_bytes)
+        else:
+            groups = []
     else:
         candidates = [
             (p, fi)
-            for p, fi in state.items()
+            for p, fi in data_state.items()
             if fi.size_bytes < min_sz or fi.size_bytes > max_sz
         ]
         groups = _plan_file_groups(
@@ -264,6 +317,7 @@ def rewrite_data_files(
             "added_files": 0,
             "file_groups": 0,
             "failed_groups": 0,
+            "folded_delete_files": 0,
             "skipped": True,
         }
 
@@ -278,7 +332,6 @@ def rewrite_data_files(
         stays in-band; otherwise fall back to floor (fewer, larger
         files up to the 1.8x max) so the rewrite's own output is never
         a rewrite candidate."""
-        paths = [os.path.join(table.table_dir, p) for p, _ in group]
         gbytes = sum(fi.size_bytes for _, fi in group)
         n_ceil = max(1, math.ceil(gbytes / target))
         n_floor = max(1, math.floor(gbytes / target))
@@ -288,7 +341,9 @@ def rewrite_data_files(
             n_out = n_floor
         else:
             n_out = n_ceil
-        df = table._read_paths(paths)
+        # deletes-applied read: merge-on-read tombstones fold into the
+        # rewritten output instead of resurrecting (guide :336-340)
+        df = table._read_rel([p for p, _ in group])
         if strategy == "sort":
             cols = [c.strip() for c in sort_order.split(",") if c.strip()]
             pre = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
@@ -318,12 +373,27 @@ def rewrite_data_files(
                     f"rewrite_data_files on {table.identifier}: {len(gone)} input "
                     f"file(s) no longer live (e.g. {gone[0]!r}) — re-plan compaction"
                 )
+            # the group was read with the PLAN-time delete files applied;
+            # a delete file added (or removed) since would make the
+            # rewritten rows wrong — Iceberg's rewrite validates new
+            # delete files the same way
+            now_deletes = tuple(sorted(p for p, fi in live.items() if fi.content != 0))
+            if now_deletes != deletes_fp:
+                raise CommitConflictError(
+                    f"rewrite_data_files on {table.identifier}: delete files "
+                    "changed since planning (concurrent merge-on-read DELETE?) — "
+                    "re-plan compaction"
+                )
             return LogEntry(
                 version=version,
                 snapshot_id=version,
                 committed_at=time.time(),
                 operation="replace",
-                added_files=added,
+                # rewritten files get THIS commit's sequence number:
+                # deletes live at plan time are already folded in, and
+                # any equality delete committed later has a higher seq
+                # so it still applies
+                added_files=tuple(_dc_replace(fi, seq=version) for fi in added),
                 removed_files=tuple(removed_paths),
             )
 
@@ -402,11 +472,24 @@ def rewrite_data_files(
             added_total = len(all_added)
     finally:
         pool.shutdown(wait=False)
+    folded_deletes = 0
+    if deletes_fp and rewritten:
+        # the rewrite folded tombstones into its output: drop the
+        # now-dangling position-delete entries and any equality-delete
+        # file that provably no longer applies to a live data file.
+        # A conflict here (racing writer) leaves the tombstones for the
+        # next maintenance run — the compaction itself already stands.
+        try:
+            folded_deletes += rewrite_position_deletes(table)["removed_delete_files"]
+            folded_deletes += _drop_stale_eq_deletes(table)
+        except CommitConflictError:
+            pass
     return {
         "rewritten_files": rewritten,
         "added_files": added_total,
         "file_groups": len(groups),
         "failed_groups": failed,
+        "folded_delete_files": folded_deletes,
         "skipped": False,
     }
 
@@ -640,7 +723,10 @@ def _replay_added_files(
             snapshot_id=version,
             committed_at=time.time(),
             operation="append",
-            added_files=tuple(files),
+            # re-stamp the data sequence number: the rows enter the
+            # MAIN lineage now, so equality deletes committed between
+            # stage and publish must not apply to them
+            added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
             extra=extra,
         )
 
@@ -691,10 +777,202 @@ def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
 
 
 def rewrite_position_deletes(table: LakehouseTable) -> dict:
-    """M6: no-op — copy-on-write format has no delete files (SURVEY.md §2.10)."""
-    return {"rewritten_delete_files": 0, "note": "copy-on-write: no delete files exist"}
+    """M6: maintain the content=1 position-delete files merge-on-read
+    DELETEs accumulate (guide :17, :336-340): drop DANGLING entries
+    (tombstones for data files that were since rewritten or removed —
+    their rows are already gone) and compact the survivors into few
+    sorted delete files, shrinking the read path's anti-join input.
+    One `replace` commit; a concurrent writer that races it conflicts
+    through the standard removed-still-live validation.
+
+    Scale: the Spark job reads only the delete files (tombstone-sized,
+    not data-sized); the live-data-path side of the pruning join is
+    metadata, broadcast."""
+    state = table.log.state_at()
+    data_state, pos_files, _eq = LakehouseTable._split_state(state)
+    if not pos_files:
+        return {
+            "rewritten_delete_files": 0,
+            "removed_delete_files": 0,
+            "dangling_entries_dropped": 0,
+            "remaining_delete_files": 0,
+        }
+    spark = table.spark
+    pos_paths = sorted(fi.path for fi in pos_files)
+    dels = spark.read.schema(POS_DELETE_SCHEMA).parquet(
+        *[os.path.join(table.table_dir, p) for p in pos_paths]
+    )
+    from pyspark.sql import functions as F
+
+    live_df = spark.createDataFrame(
+        [(p,) for p in data_state] or [("",)], "file_path string"
+    )
+    kept = dels.join(F.broadcast(live_df), "file_path", "left_semi")
+    total = sum(fi.row_count for fi in pos_files)
+    surviving = kept.count()
+    dangling = total - surviving
+    if dangling == 0 and len(pos_paths) <= 1:
+        return {
+            "rewritten_delete_files": 0,
+            "removed_delete_files": 0,
+            "dangling_entries_dropped": 0,
+            "remaining_delete_files": len(pos_paths),
+            "skipped": True,
+        }
+
+    new_files: tuple[FileInfo, ...] = ()
+    if surviving:
+        out_dir = os.path.join(table.data_dir, f"v{uuid.uuid4().hex[:12]}")
+        (
+            kept.repartitionByRange(1, "file_path", "pos")
+            .sortWithinPartitions("file_path", "pos")
+            .write.mode("error")
+            .parquet(out_dir)
+        )
+        written = table._scan_written(out_dir)
+        new_files = tuple(
+            _dc_replace(fi, content=1) for fi in written if fi.row_count
+        )
+        for fi in written:
+            if not fi.row_count:
+                table.io.remove(os.path.join(table.table_dir, fi.path))
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        gone = [p for p in pos_paths if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"rewrite_position_deletes on {table.identifier}: {len(gone)} "
+                f"delete file(s) no longer live (e.g. {gone[0]!r}) — re-plan"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="replace",
+            added_files=tuple(_dc_replace(fi, seq=version) for fi in new_files),
+            removed_files=tuple(pos_paths),
+            extra={"rewrite": "position-deletes"},
+        )
+
+    try:
+        table.log.append(make)
+    except BaseException:
+        for fi in new_files:  # don't leak the staged compacted output
+            try:
+                table.io.remove(os.path.join(table.table_dir, fi.path))
+            except OSError:
+                pass
+        raise
+    return {
+        "rewritten_delete_files": len(pos_paths),
+        "removed_delete_files": len(pos_paths) - len(new_files),
+        "dangling_entries_dropped": dangling,
+        "remaining_delete_files": len(new_files),
+    }
+
+
+def _drop_stale_eq_deletes(table: LakehouseTable) -> int:
+    """Metadata-only commit removing equality-delete files that can no
+    longer delete anything: every live data file either post-dates them
+    (sequence rule) or has provably-disjoint column ranges. Returns the
+    number of delete files dropped."""
+    state = table.log.state_at()
+    data_state, _pos, eq_files = LakehouseTable._split_state(state)
+    stale = [
+        efi.path
+        for efi in eq_files
+        if not any(
+            table._eq_delete_may_apply(fi, efi) for fi in data_state.values()
+        )
+    ]
+    if not stale:
+        return 0
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        gone = [p for p in stale if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"equality-delete cleanup on {table.identifier}: {len(gone)} "
+                "file(s) no longer live — re-plan"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="replace",
+            removed_files=tuple(stale),
+            extra={"rewrite": "stale-equality-deletes"},
+        )
+
+    table.log.append(make)
+    return len(stale)
 
 
 def rewrite_equality_deletes(table: LakehouseTable) -> dict:
-    """M6: no-op — copy-on-write format has no delete files (SURVEY.md §2.10)."""
-    return {"rewritten_delete_files": 0, "note": "copy-on-write: no delete files exist"}
+    """M6 companion: fold content=2 equality deletes back into data
+    files (Iceberg's rewrite converts them to position deletes during
+    compaction; we fold fully, matching this format's copy-on-write
+    data path). Blast radius is stats-scoped: only data files that
+    PREDATE some eq delete (sequence rule) AND whose column ranges
+    overlap it rewrite; provably-unaffected files keep their bytes and
+    the delete files drop regardless, because the overlap test is the
+    same one the read path uses to skip them."""
+    state = table.log.state_at()
+    data_state, _pos, eq_files = LakehouseTable._split_state(state)
+    if not eq_files:
+        return {"rewritten_delete_files": 0, "rewritten_data_files": 0}
+    eq_paths = sorted(fi.path for fi in eq_files)
+    deletes_fp = tuple(sorted(p for p, fi in state.items() if fi.content != 0))
+    affected = sorted(
+        p
+        for p, fi in data_state.items()
+        if any(table._eq_delete_may_apply(fi, efi) for efi in eq_files)
+    )
+    if not affected:
+        dropped = _drop_stale_eq_deletes(table)
+        return {"rewritten_delete_files": dropped, "rewritten_data_files": 0}
+    survivors = table._read_rel(affected)  # pos + eq deletes applied
+    files = table._write_files(
+        survivors,
+        input_bytes=sum(data_state[p].size_bytes for p in affected),
+    )
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        gone = [p for p in affected + eq_paths if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"rewrite_equality_deletes on {table.identifier}: {len(gone)} "
+                f"planned file(s) no longer live (e.g. {gone[0]!r}) — re-plan"
+            )
+        now_deletes = tuple(sorted(p for p, fi in live.items() if fi.content != 0))
+        if now_deletes != deletes_fp:
+            raise CommitConflictError(
+                f"rewrite_equality_deletes on {table.identifier}: delete files "
+                "changed since planning — re-plan"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="replace",
+            added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
+            removed_files=tuple(affected) + tuple(eq_paths),
+            extra={"rewrite": "equality-deletes"},
+        )
+
+    try:
+        table.log.append(make)
+    except BaseException:
+        for fi in files:
+            try:
+                table.io.remove(os.path.join(table.table_dir, fi.path))
+            except OSError:
+                pass
+        raise
+    return {
+        "rewritten_delete_files": len(eq_paths),
+        "rewritten_data_files": len(affected),
+    }

@@ -704,7 +704,47 @@ class LakehouseSQL:
                 if_not_exists=bool(m.group(1)),
             )
             return self._result_frame({"table": ident, "location": t.table_dir})
+        # CTAS: CREATE TABLE t [USING fmt] [TBLPROPERTIES (...)] AS SELECT ...
+        # — the first statement a runbook user writes past DDL: schema
+        # comes from the query, data lands as the table's first append
+        # (one snapshot), properties (e.g. write.target-file-size-bytes)
+        # take effect BEFORE the write so they shape it.
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
+            rf"(?:\s+USING\s+{_IDENT})?(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s+AS\s+(SELECT\s+.*)",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(2))
+            if_not_exists = bool(m.group(1))
+            if if_not_exists and self._table_exists(ident):
+                # SQL CTAS IF NOT EXISTS: table stands, query NOT run
+                return self._result_frame({"table": ident, "created": False})
+            src = self.spark.sql(self._rewrite_refs(m.group(4)))
+            t = self.lake.create_table(
+                ident,
+                schema=", ".join(
+                    f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+                ),
+                properties=_parse_props(m.group(3)) if m.group(3) else None,
+            )
+            entry = t.append(src)
+            return self._result_frame(
+                {
+                    "table": ident,
+                    "created": True,
+                    "snapshot_id": entry.snapshot_id,
+                    "added_files": len(entry.added_files),
+                }
+            )
         raise SqlError(f"unsupported CREATE syntax: {s!r}")
+
+    def _table_exists(self, ident: str) -> bool:
+        ns, tbl = ident.split(".", 1)
+        try:
+            return tbl in self.lake.tables(ns)
+        except Exception:
+            return False
 
     def _strip_ns_catalog(self, ident: str) -> str:
         parts = ident.split(".")

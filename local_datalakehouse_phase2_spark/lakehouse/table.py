@@ -29,6 +29,8 @@ import math
 import os
 import time
 import uuid
+from dataclasses import replace as _dc_replace
+from functools import reduce as _reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -44,6 +46,22 @@ PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 PROP_DISTRIBUTION_MODE = "write.distribution-mode"  # none | hash
 PROP_HASH_COLUMNS = "write.hash-columns"  # comma list for hash mode
 PROP_GC_ENABLED = "gc.enabled"  # guide :218-224
+# Iceberg's write.delete.mode TBLPROPERTY: the reference declares
+# format-version 2 (guide :107) whose row-level deletes can either
+# rewrite data files eagerly (copy-on-write) or write content=1
+# position-delete files that readers merge (merge-on-read, guide
+# :336-340 content classes)
+PROP_DELETE_MODE = "write.delete.mode"  # copy-on-write | merge-on-read
+
+# Iceberg's position-delete file schema (spec: file_path + pos,
+# ordered by file_path then pos so footer min/max bound the referenced
+# data-file range and scan planning can scope delete application)
+POS_DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("pos", T.LongType(), False),
+    ]
+)
 
 SNAPSHOTS_SCHEMA = T.StructType(
     [
@@ -163,28 +181,258 @@ class LakehouseTable:
                 # same way) — this is how staged data is validated
                 # before publish_changes
                 state = {**state, **{fi.path: fi for fi in entry.added_files}}
+        data_state, pos_files, eq_files = self._split_state(state)
         if filters:
-            state, _ = pruning.prune_files(state, filters)
-        if not state:
-            return self.spark.createDataFrame([], self.schema(version) or self._schema())
-        paths = [os.path.join(self.table_dir, p) for p in state]
-        df = self._read_paths(paths, version=version)
+            # prune DATA files only: delete files carry stats for their
+            # own columns (file_path/pos or the equality columns), and a
+            # user predicate must never drop a delete file — skipping
+            # one would resurrect its deleted rows
+            data_state, _ = pruning.prune_files(data_state, filters)
+        df = self._assemble_read(data_state, pos_files, eq_files, version=version)
         if filters:
             df = df.filter(pruning.residual_expr(filters))
         return df
+
+    # ---- merge-on-read assembly --------------------------------------
+
+    @staticmethod
+    def _split_state(
+        state: dict[str, FileInfo]
+    ) -> tuple[dict[str, FileInfo], list[FileInfo], list[FileInfo]]:
+        """Partition a snapshot's live files by Iceberg content class:
+        (data files, position-delete files, equality-delete files)."""
+        data = {p: fi for p, fi in state.items() if fi.content == 0}
+        pos = [fi for fi in state.values() if fi.content == 1]
+        eq = [fi for fi in state.values() if fi.content == 2]
+        return data, pos, eq
+
+    @staticmethod
+    def _rel_path_expr(col: F.Column) -> F.Column:
+        """Table-relative path (`data/v<commit>/<file>.parquet`) from the
+        scheme-qualified absolute path `_metadata.file_path` yields.
+        Data files always sit exactly two levels under `data/` (one
+        uuid commit dir, see `_write_files`), so a suffix regex is
+        robust across file:/hdfs:/s3a: qualification — the same reason
+        the orphan sweep uses io.relpath (fs.py)."""
+        return F.regexp_extract(col, r"(data/[^/]+/[^/]+)$", 1)
+
+    @staticmethod
+    def _seq_of(fi: FileInfo) -> int:
+        # pre-sequence-tracking files are the oldest thing in the log
+        return fi.seq if fi.seq is not None else -1
+
+    def _pos_delete_may_reference(self, fi: FileInfo, rel_path: str) -> bool:
+        """Can position-delete file `fi` reference data file `rel_path`?
+        Decided from the delete file's logged file_path min/max (the
+        file is written sorted by file_path, so the bounds are tight).
+        Missing stats degrade to True — same one-sided safety rule as
+        scan pruning."""
+        s = (fi.stats or {}).get("file_path")
+        if not s or s[0] is None or s[1] is None:
+            return True
+        return s[0] <= rel_path <= s[1]
+
+    def _eq_delete_may_apply(self, data_fi: FileInfo, eq_fi: FileInfo) -> bool:
+        """Can equality-delete file `eq_fi` delete rows of `data_fi`?
+        Sequence rule first (a delete applies only to files that predate
+        it — Iceberg's sequence-number rule, so rows appended AFTER the
+        delete are never touched), then per-column range overlap: if any
+        equality column's [min,max] ranges are provably disjoint, no row
+        can match. Missing stats degrade to 'may apply'."""
+        if self._seq_of(data_fi) >= self._seq_of(eq_fi):
+            return False
+        for c in eq_fi.eq_cols or []:
+            ds = (data_fi.stats or {}).get(c)
+            es = (eq_fi.stats or {}).get(c)
+            if not ds or not es:
+                continue
+            d_lo, d_hi, d_nulls = ds[0], ds[1], int(ds[2] or 0)
+            e_lo, e_hi, e_nulls = es[0], es[1], int(es[2] or 0)
+            if d_nulls > 0 and e_nulls > 0:
+                continue  # null matches null (null-safe equality)
+            if d_lo is None or e_lo is None:
+                # one side entirely null, other has no nulls -> disjoint
+                if (d_lo is None and e_nulls == 0) or (e_lo is None and d_nulls == 0):
+                    return False
+                continue
+            try:
+                if d_hi < e_lo or e_hi < d_lo:
+                    # value ranges disjoint; rows could still match on
+                    # nulls only if both sides have nulls (handled above)
+                    return False
+            except TypeError:
+                continue  # cross-type stats: cannot prove, must apply
+        return True
+
+    def _assemble_read(
+        self,
+        data_state: dict[str, FileInfo],
+        pos_files: list[FileInfo],
+        eq_files: list[FileInfo],
+        version: int | None = None,
+        tagged: bool = False,
+    ) -> DataFrame:
+        """Build the logical scan for a snapshot: data files, minus the
+        rows its live delete files (content=1/2) mark deleted — the
+        read-side merge of Iceberg v2's merge-on-read (guide :336-340).
+
+        Scale shape: delete application is scoped at METADATA level
+        first — a data file joins against deletes only if some delete
+        file could actually reference it (position deletes: file_path
+        bounds contain it; equality deletes: sequence + column-range
+        overlap). Clean files take the plain parquet scan path with
+        zero join, so a table with deletes touching 0.1% of files pays
+        the anti-join on 0.1% of the data. The anti-joins themselves
+        are equi-key hash joins (file_path+pos, or the equality
+        columns) that AQE broadcasts when the delete set is small —
+        the common case, since compaction folds deletes back in.
+
+        `tagged=True` additionally exposes `__file` (table-relative
+        path) and `__pos` (row ordinal in its file) — the handles the
+        row-level operators (DELETE/UPDATE/MERGE planning, position-
+        delete writing) need.
+        """
+        schema = self.schema(version) or self._schema()
+        cols = [f.name for f in schema.fields]
+        if not data_state:
+            df = self.spark.createDataFrame([], schema)
+            if tagged:
+                df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
+                    "__pos", F.lit(None).cast("long")
+                )
+            return df
+
+        # metadata-level scoping: which data files need delete merging?
+        dirty: set[str] = set()
+        live_pos = [
+            fi
+            for fi in pos_files
+            if any(self._pos_delete_may_reference(fi, p) for p in data_state)
+        ]
+        for p in data_state:
+            if any(self._pos_delete_may_reference(dfi, p) for dfi in live_pos):
+                dirty.add(p)
+        eq_by_data: dict[str, list[FileInfo]] = {}
+        for p, fi in data_state.items():
+            applicable = [efi for efi in eq_files if self._eq_delete_may_apply(fi, efi)]
+            if applicable:
+                eq_by_data[p] = applicable
+                dirty.add(p)
+        clean = sorted(p for p in data_state if p not in dirty)
+
+        def abs_paths(rels) -> list[str]:
+            return [os.path.join(self.table_dir, p) for p in rels]
+
+        def tag(df: DataFrame) -> DataFrame:
+            return df.select(
+                "*",
+                self._rel_path_expr(F.col("_metadata.file_path")).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+
+        out_cols = cols + (["__file", "__pos"] if tagged else [])
+        parts: list[DataFrame] = []
+        if clean:
+            cdf = self._read_paths(abs_paths(clean), version=version)
+            if tagged:
+                cdf = tag(cdf)
+            parts.append(cdf.select(*out_cols))
+        if dirty:
+            ddf = tag(self._read_paths(abs_paths(sorted(dirty)), version=version))
+            if live_pos:
+                dels = self.spark.read.schema(POS_DELETE_SCHEMA).parquet(
+                    *abs_paths(fi.path for fi in live_pos)
+                )
+                ddf = ddf.join(
+                    dels,
+                    (ddf["__file"] == dels["file_path"]) & (ddf["__pos"] == dels["pos"]),
+                    "left_anti",
+                )
+            if eq_by_data:
+                ddf = self._apply_eq_deletes(ddf, data_state, eq_by_data)
+            parts.append(ddf.select(*out_cols))
+        return _reduce(DataFrame.unionByName, parts)
+
+    def _apply_eq_deletes(
+        self,
+        ddf: DataFrame,
+        data_state: dict[str, FileInfo],
+        eq_by_data: dict[str, list[FileInfo]],
+    ) -> DataFrame:
+        """Anti-join `ddf` (tagged data rows) against the applicable
+        equality-delete files. A row is deleted when some delete row
+        committed AFTER the row's data file (delete seq > file seq)
+        matches it null-safely on every equality column — Iceberg's
+        equality-delete semantics. Delete files grouped by their column
+        set; each group is one hash anti-join with the seq comparison
+        as a residual join predicate. The (file -> seq) side is
+        metadata-sized and broadcast."""
+        schema = self.schema() or self._schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        seq_rows = [(p, self._seq_of(fi)) for p, fi in data_state.items()]
+        seq_df = self.spark.createDataFrame(seq_rows, "__file string, __fseq long")
+        ddf = ddf.join(F.broadcast(seq_df), "__file", "left")
+        groups: dict[tuple[str, ...], dict[str, FileInfo]] = {}
+        for efis in eq_by_data.values():
+            for efi in efis:
+                groups.setdefault(tuple(efi.eq_cols or ()), {})[efi.path] = efi
+        for eq_cols, by_path in groups.items():
+            sub_schema = T.StructType(
+                [T.StructField(c, types[c], True) for c in eq_cols]
+            )
+            eq_df = None
+            for efi in by_path.values():
+                one = (
+                    self.spark.read.schema(sub_schema)
+                    .parquet(os.path.join(self.table_dir, efi.path))
+                    .withColumn("__dseq", F.lit(self._seq_of(efi)).cast("long"))
+                )
+                eq_df = one if eq_df is None else eq_df.unionByName(one)
+            renamed = eq_df.select(
+                *[F.col(c).alias(f"__eq_{c}") for c in eq_cols], "__dseq"
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [ddf[c].eqNullSafe(renamed[f"__eq_{c}"]) for c in eq_cols],
+            ) & (renamed["__dseq"] > ddf["__fseq"])
+            ddf = ddf.join(renamed, cond, "left_anti")
+        return ddf.drop("__fseq")
+
+    def _tagged_read(self, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) table rows with `__file`/`__pos`
+        columns — deletes applied. The planning read for every row-level
+        operation: `__file` is captured from `_metadata` at the scan, so
+        it stays correct through the joins the operators add on top
+        (input_file_name() would not — it is per-source and undefined
+        after a join)."""
+        data_state, pos_files, eq_files = self._split_state(self.log.state_at(version))
+        return self._assemble_read(
+            data_state, pos_files, eq_files, version=version, tagged=True
+        )
+
+    def _read_rel(self, rel_paths: list[str], tagged: bool = False) -> DataFrame:
+        """Scan a specific subset of live DATA files with all live
+        deletes applied — what copy-on-write rewrites and compaction
+        read (reading raw files would resurrect merge-on-read-deleted
+        rows into the rewritten output)."""
+        state = self.log.state_at()
+        data_state, pos_files, eq_files = self._split_state(state)
+        subset = {p: data_state[p] for p in rel_paths if p in data_state}
+        return self._assemble_read(subset, pos_files, eq_files, tagged=tagged)
 
     def scan_plan(self, filters: list[tuple], version: int | None = None) -> dict:
         """Planning-only view of what `read(filters=...)` will touch:
         {files_total, files_scanned, files_pruned, rows_total,
         rows_scanned_max}. Metadata-only — no Spark job — so tests and
-        operators can assert pruning without tracing the scan."""
-        state = self.log.state_at(version)
-        kept, pruned = pruning.prune_files(state, filters)
+        operators can assert pruning without tracing the scan.
+        Counts cover DATA files; delete files are never pruned."""
+        data_state, _pos, _eq = self._split_state(self.log.state_at(version))
+        kept, pruned = pruning.prune_files(data_state, filters)
         return {
-            "files_total": len(state),
+            "files_total": len(data_state),
             "files_scanned": len(kept),
             "files_pruned": pruned,
-            "rows_total": sum(fi.row_count for fi in state.values()),
+            "rows_total": sum(fi.row_count for fi in data_state.values()),
             "rows_scanned_max": sum(fi.row_count for fi in kept.values()),
         }
 
@@ -338,10 +586,15 @@ class LakehouseTable:
         return self._read_paths(paths, version=to_version)
 
     def _schema(self) -> T.StructType:
-        # empty table: recover schema from any file ever written, else empty
+        # empty table: recover schema from any DATA file ever written
+        # (a delete file's schema is file_path/pos or the equality
+        # columns — never the table's), else empty
         for entry in self.log.entries():
             for fi in entry.added_files:
-                return self.spark.read.parquet(os.path.join(self.table_dir, fi.path)).schema
+                if fi.content == 0:
+                    return self.spark.read.parquet(
+                        os.path.join(self.table_dir, fi.path)
+                    ).schema
         return T.StructType([])
 
     # ---- named refs (branches/tags; Nessie/Iceberg ref analog) -------
@@ -415,7 +668,9 @@ class LakehouseTable:
                     len(e.added_files),
                     len(e.removed_files),
                     len(st),
-                    sum(fi.row_count for fi in st.values()),
+                    # Iceberg's total-records: DATA records; a delete
+                    # file's rows are tombstones, not table records
+                    sum(fi.row_count for fi in st.values() if fi.content == 0),
                 )
             )
         return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
@@ -506,39 +761,48 @@ class LakehouseTable:
 
     def _affected_files(self, match: DataFrame) -> list[str]:
         """Relative paths of live data files containing >=1 row of
-        `match` (a filtered view of this table carrying a `__file`
-        column from input_file_name, captured BEFORE any join — the
-        function is per-source and can't be re-evaluated on a joined
-        plan). Only these rewrite — at scale deleting 0.1% of rows
-        touches 0.1%-ish of files, not the table."""
-        prefix_len = len(os.path.abspath(self.table_dir)) + 1
+        `match` (a filtered view of this table's `_tagged_read`, whose
+        `__file` column is captured from `_metadata` at the scan and so
+        survives any joins layered on top). Only these rewrite — at
+        scale deleting 0.1% of rows touches 0.1%-ish of files, not the
+        table."""
         rows = match.select(F.col("__file").alias("src_file")).distinct().collect()
-        rels = []
-        for r in rows:
-            p = r.src_file
-            if p.startswith("file:"):
-                p = p[len("file:") :]
-                while p.startswith("//"):  # file:///abs -> /abs
-                    p = p[1:]
-            rels.append(os.path.abspath(p)[prefix_len:])
-        return sorted(rels)
+        return sorted(r.src_file for r in rows)
 
-    def delete_where(self, condition) -> LogEntry:
-        """Row-level DELETE ... WHERE, copy-on-write: files containing
-        matches are rewritten without the matching rows; untouched files
-        carry over. The reference's stack expresses the same operation
-        as Iceberg v2 delete files (content classes 1/2,
-        SPARK_ICEBERG_GUIDE.md:336-340) that readers must merge and
-        `rewrite_position_deletes` (guide :17) later folds in; COW pays
-        the fold immediately, so scans stay plain parquet reads and the
-        rewrite procedures are structural no-ops."""
+    def delete_where(self, condition, mode: str | None = None) -> LogEntry:
+        """Row-level DELETE ... WHERE, in either Iceberg v2 delete mode
+        (guide :107 format-version 2, :336-340 content classes). `mode`
+        defaults to the table's `write.delete.mode` property
+        (copy-on-write when unset), matching how Iceberg's SQL DELETE
+        picks its mode.
+
+        - copy-on-write: files containing matches are rewritten without
+          the matching rows; untouched files carry over. Scans stay
+          plain parquet reads; the fold is paid up front.
+        - merge-on-read: ONE content=1 position-delete file commit
+          (file_path + row ordinal of each matched row) — O(matched
+          rows) written instead of O(affected file bytes) rewritten.
+          Readers anti-join the deletes (see `_assemble_read`);
+          `rewrite_position_deletes` / compaction fold them back in
+          later (guide :17).
+        """
+        props = self.log.properties_at()
+        mode = mode or props.get(PROP_DELETE_MODE, "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"write.delete.mode must be copy-on-write or merge-on-read, got {mode!r}"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        tagged = self.read().withColumn("__file", F.input_file_name())
+        if mode == "merge-on-read":
+            return self._mor_delete(cond)
+        # fingerprint BEFORE planning: a tombstone landing mid-plan must
+        # surface as a commit conflict, not get folded away silently
+        fingerprint = self._deletes_fingerprint()
+        tagged = self._tagged_read()
         affected = self._affected_files(tagged.filter(cond))
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
-        paths = [os.path.join(self.table_dir, p) for p in affected]
-        survivors = self._read_paths(paths).filter(~cond)
+        survivors = self._read_rel(affected).filter(~cond)
         # survivors are a subset of the affected files' rows, so the
         # logged byte total is a sound (upper-bound) size estimate:
         # skip the measure-then-shape staging write entirely
@@ -547,7 +811,133 @@ class LakehouseTable:
             operation="delete",
             removed=tuple(affected),
             input_bytes=self._logged_bytes(affected),
+            deletes_fingerprint=fingerprint,
         )
+
+    def _deletes_fingerprint(self) -> tuple[str, ...]:
+        """The live delete-file set at PLAN time. Every commit that
+        plans row content from a read (COW rewrites, compaction) must
+        revalidate this at commit time: a delete file added or removed
+        in between means the planned output no longer reflects the
+        table (e.g. a concurrent merge-on-read DELETE whose tombstones
+        would be silently folded away by our rewrite). Iceberg's
+        commit validation checks new delete files the same way."""
+        state = self.log.state_at()
+        return tuple(sorted(p for p, fi in state.items() if fi.content != 0))
+
+    def _mor_delete(self, cond) -> LogEntry:
+        """Merge-on-read DELETE: write position-delete file(s) listing
+        the matched rows as (file_path, pos), content=1. The write is
+        sorted by (file_path, pos) so each delete file's footer bounds
+        the data-file range it references — what lets reads scope the
+        anti-join to possibly-affected files only."""
+        tagged = self._tagged_read()
+        matches = tagged.filter(cond).select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        n_out = max(1, self.spark.sparkContext.defaultParallelism)
+        pre = matches.repartitionByRange(n_out, "file_path", "pos").sortWithinPartitions(
+            "file_path", "pos"
+        )
+        out_dir = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+        pre.write.mode("error").parquet(out_dir)
+        files = self._scan_written(out_dir)
+        if sum(fi.row_count for fi in files) == 0:
+            self.io.rmtree(out_dir)  # nothing matched: no commit
+            return self.log.read_entry(self.log.latest_version())
+        delete_files = tuple(_dc_replace(fi, content=1) for fi in files if fi.row_count)
+        for fi in files:
+            if not fi.row_count:  # range partitioner gave it no rows
+                self.io.remove(os.path.join(self.table_dir, fi.path))
+        # the data files these tombstones reference — metadata-sized
+        # (bounded by the affected-file count), used for commit-time
+        # conflict validation against a racing compaction/COW rewrite
+        referenced = [
+            r.file_path
+            for r in self.spark.read.schema(POS_DELETE_SCHEMA)
+            .parquet(out_dir)
+            .select("file_path")
+            .distinct()
+            .collect()
+        ]
+
+        def make(version: int) -> LogEntry:
+            live = self.log.state_at()
+            gone = [p for p in referenced if p not in live or live[p].content != 0]
+            if gone:
+                raise CommitConflictError(
+                    f"merge-on-read delete on {self.identifier}: {len(gone)} "
+                    f"referenced data file(s) no longer live (e.g. {gone[0]!r}) — "
+                    "a concurrent commit replaced them; re-plan the delete"
+                )
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="delete",
+                added_files=tuple(_dc_replace(fi, seq=version) for fi in delete_files),
+                extra={"delete-mode": "merge-on-read"},
+            )
+
+        try:
+            return self.log.append(make)
+        except BaseException:
+            for fi in delete_files:  # don't leak staged tombstones
+                try:
+                    self.io.remove(os.path.join(self.table_dir, fi.path))
+                except OSError:
+                    pass
+            raise
+
+    def equality_delete(self, values: DataFrame, cols: list[str]) -> LogEntry:
+        """Equality DELETE (Iceberg content=2, guide :336-340): commit a
+        delete file holding the distinct `cols` tuples of `values`; any
+        data row in a file OLDER than this commit that matches one
+        null-safely is deleted at read time. No data scan at all —
+        O(delete rows) written, which is why CDC/streaming writers (the
+        Flink path in Iceberg) use equality deletes: deleting a key
+        costs the same whether the table is 1 GB or 100 TB. The
+        sequence rule means rows (re-)appended AFTER this commit with
+        the same key values are NOT deleted."""
+        schema = self.schema() or self._schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        unknown = sorted(set(cols) - set(types))
+        if unknown:
+            raise ValueError(f"equality_delete on unknown column(s) {unknown}")
+        if not cols:
+            raise ValueError("equality_delete needs at least one column")
+        rows = values.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in cols]
+        ).distinct()
+        pre = rows.repartitionByRange(
+            max(1, self.spark.sparkContext.defaultParallelism), *cols
+        ).sortWithinPartitions(*cols)
+        out_dir = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+        pre.write.mode("error").parquet(out_dir)
+        files = self._scan_written(out_dir)
+        if sum(fi.row_count for fi in files) == 0:
+            self.io.rmtree(out_dir)
+            return self.log.read_entry(self.log.latest_version())
+        delete_files = tuple(
+            _dc_replace(fi, content=2, eq_cols=list(cols))
+            for fi in files
+            if fi.row_count
+        )
+        for fi in files:
+            if not fi.row_count:
+                self.io.remove(os.path.join(self.table_dir, fi.path))
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="delete",
+                added_files=tuple(_dc_replace(fi, seq=version) for fi in delete_files),
+                extra={"delete-mode": "equality"},
+            )
+
+        return self.log.append(make)
 
     def update_where(self, assignments: dict[str, object], condition) -> LogEntry:
         """Row-level UPDATE ... SET ... WHERE, copy-on-write (the same
@@ -567,11 +957,11 @@ class LakehouseTable:
         bad = sorted(set(assignments) - known)
         if bad:
             raise ValueError(f"UPDATE of unknown column(s) {bad}; table has {sorted(known)}")
-        tagged = self.read().withColumn("__file", F.input_file_name())
+        fingerprint = self._deletes_fingerprint()
+        tagged = self._tagged_read()
         affected = self._affected_files(tagged.filter(cond))
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
-        paths = [os.path.join(self.table_dir, p) for p in affected]
         # single projection evaluated against the PRE-update row: every
         # assignment sees original values even when columns reference
         # each other, and each file's rows rewrite in one pass
@@ -585,12 +975,13 @@ class LakehouseTable:
                 )
             else:
                 exprs.append(F.col(f.name))
-        rewritten = self._read_paths(paths).select(*exprs)
+        rewritten = self._read_rel(affected).select(*exprs)
         return self._commit_write(
             rewritten,
             operation="update",
             removed=tuple(affected),
             input_bytes=self._logged_bytes(affected),
+            deletes_fingerprint=fingerprint,
         )
 
     def _logged_bytes(self, rel_paths) -> int:
@@ -610,15 +1001,16 @@ class LakehouseTable:
         state = self.log.state_at()
         if not state:
             return self.append(source, extra=extra)
+        fingerprint = self._deletes_fingerprint()
         keys = source.select(*key_cols).distinct()
-        tagged = self.read().withColumn("__file", F.input_file_name())
+        tagged = self._tagged_read()
         matched = tagged.join(F.broadcast(keys), key_cols, "left_semi")
         affected = self._affected_files(matched)
         if affected:
-            paths = [os.path.join(self.table_dir, p) for p in affected]
-            # schema-aware read: pre-evolution files project added
-            # columns as null, so carried rows union cleanly with source
-            carried = self._read_paths(paths).join(F.broadcast(keys), key_cols, "left_anti")
+            # schema-aware, deletes-applied read: pre-evolution files
+            # project added columns as null, merge-on-read tombstones
+            # stay deleted, and carried rows union cleanly with source
+            carried = self._read_rel(affected).join(F.broadcast(keys), key_cols, "left_anti")
             new_data = carried.unionByName(source)
         else:
             new_data = source
@@ -628,6 +1020,7 @@ class LakehouseTable:
             removed=tuple(affected),
             input_bytes=self._merge_input_bytes(affected, source),
             extra=extra,
+            deletes_fingerprint=fingerprint,
         )
 
     def _check_merge_cardinality(self, source: DataFrame, key_cols: list[str]) -> None:
@@ -669,7 +1062,7 @@ class LakehouseTable:
         job on the (small, upsert-side) source replaces a full staged
         measurement write."""
         state = self.log.state_at()
-        all_files = list(state.values())
+        all_files = [fi for fi in state.values() if fi.content == 0]
         total_rows = sum(fi.row_count for fi in all_files)
         bpr = sum(fi.size_bytes for fi in all_files) / max(1, total_rows)
         return self._logged_bytes(affected) + int(source.count() * bpr) + 1
@@ -733,17 +1126,17 @@ class LakehouseTable:
                 return self.log.read_entry(self.log.latest_version())
             return self.append(self._insert_rows(source, schema, not_matched), extra=extra)
 
+        fingerprint = self._deletes_fingerprint()
         affected: list[str] = []
         carried = None
         if matched:
             keys = source.select(*key_cols).distinct()
-            tagged = self.read().withColumn("__file", F.input_file_name())
+            tagged = self._tagged_read()
             affected = self._affected_files(
                 tagged.join(F.broadcast(keys), key_cols, "left_semi")
             )
         if affected:
-            paths = [os.path.join(self.table_dir, p) for p in affected]
-            rows = self._read_paths(paths)
+            rows = self._read_rel(affected)
             src = source.select(
                 *[F.col(c).alias(f"__src_{c}") for c in source.columns],
                 F.lit(True).alias("__src_exists"),
@@ -809,6 +1202,7 @@ class LakehouseTable:
             removed=tuple(affected),
             input_bytes=self._merge_input_bytes(affected, source),
             extra=extra,
+            deletes_fingerprint=fingerprint,
         )
 
     @staticmethod
@@ -845,6 +1239,7 @@ class LakehouseTable:
         removed: tuple[str, ...],
         input_bytes: int | None = None,
         extra: dict | None = None,
+        deletes_fingerprint: tuple[str, ...] | None = None,
     ) -> LogEntry:
         files = self._write_files(df, input_bytes=input_bytes)
 
@@ -856,8 +1251,8 @@ class LakehouseTable:
             # would resurrect/duplicate rows. make() re-runs on every
             # optimistic retry, so this check always sees the state the
             # commit will actually apply to.
+            live = self.log.state_at()
             if removed:
-                live = self.log.state_at()
                 gone = [p for p in removed if p not in live]
                 if gone:
                     raise CommitConflictError(
@@ -865,12 +1260,27 @@ class LakehouseTable:
                         f"removed file(s) no longer live (e.g. {gone[0]!r}) — a "
                         "concurrent commit replaced them; re-plan from the new state"
                     )
+            if deletes_fingerprint is not None:
+                now_deletes = tuple(
+                    sorted(p for p, fi in live.items() if fi.content != 0)
+                )
+                if now_deletes != deletes_fingerprint:
+                    raise CommitConflictError(
+                        f"{operation} on {self.identifier}: the delete-file set "
+                        "changed since this rewrite was planned (a concurrent "
+                        "merge-on-read DELETE or delete-file rewrite) — the "
+                        "planned output would drop or resurrect tombstones; "
+                        "re-plan from the new state"
+                    )
             return LogEntry(
                 version=version,
                 snapshot_id=version,
                 committed_at=time.time(),
                 operation=operation,
-                added_files=files,
+                # stamp the data sequence number (= committing version):
+                # equality deletes compare against it, and checkpoints/
+                # rollbacks carry it verbatim
+                added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
                 removed_files=removed,
                 extra=extra,
             )
@@ -918,27 +1328,7 @@ class LakehouseTable:
             frame.write.mode("error").parquet(out)
             return out
 
-        def scan(out_dir: str) -> tuple[FileInfo, ...]:
-            infos = []
-            for name in self.io.listdir(out_dir):
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(out_dir, name)
-                rel = os.path.relpath(full, self.table_dir)
-                # exact row count + column min/max/null-count metrics
-                # from one parquet footer read — no Spark job; these are
-                # what scan planning prunes against (Iceberg manifests
-                # record the same metrics at write time)
-                rows, stats = self.io.parquet_file_stats(full)
-                infos.append(
-                    FileInfo(
-                        path=rel,
-                        size_bytes=self.io.size(full),
-                        row_count=rows,
-                        stats=stats or None,
-                    )
-                )
-            return tuple(infos)
+        scan = self._scan_written
 
         if shaped:
             # caller already partitioned/sorted the frame (e.g. sort-
@@ -967,3 +1357,26 @@ class LakehouseTable:
         final = scan(write_dir(reshaped))
         self.io.rmtree(staged_dir)
         return final
+
+    def _scan_written(self, out_dir: str) -> tuple[FileInfo, ...]:
+        """FileInfos for a freshly written commit dir: exact row count +
+        column min/max/null-count metrics from one parquet footer read
+        per file — no Spark job; these are what scan planning prunes
+        against (Iceberg manifests record the same metrics at write
+        time)."""
+        infos = []
+        for name in self.io.listdir(out_dir):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(out_dir, name)
+            rel = os.path.relpath(full, self.table_dir)
+            rows, stats = self.io.parquet_file_stats(full)
+            infos.append(
+                FileInfo(
+                    path=rel,
+                    size_bytes=self.io.size(full),
+                    row_count=rows,
+                    stats=stats or None,
+                )
+            )
+        return tuple(infos)

@@ -252,7 +252,12 @@ def test_plan_file_groups_invariants(sizes, max_group, min_input):
     assert len(seen) == len(set(seen))  # no file in two groups
     assert set(seen) <= {p for p, _ in cands}
     for g in groups:
-        assert len(g) >= min_input
+        # eligibility: >= min_input files AND more than one file, OR the
+        # oversized-file exception (any file above max_file_size must
+        # rewrite regardless of the min-input-files gate — the advisor-
+        # flagged lone-10GB-file case)
+        oversized = any(fi.size_bytes > max_file_size for _, fi in g)
+        assert (len(g) >= min_input and len(g) > 1) or oversized
         assert len(g) > 1 or g[0][1].size_bytes > max_file_size
         if len(g) > 1:
             gbytes = sum(fi.size_bytes for _, fi in g)

@@ -631,3 +631,54 @@ def test_fast_forward_refuses_rewind(lsql):
     lsql.sql("ALTER TABLE nessie.ffr.t CREATE BRANCH b")  # at head (v2)
     with pytest.raises(SqlError, match="not a fast-forward"):
         lsql.sql("CALL nessie.system.fast_forward(table => 'ffr.t', branch => 'b', to => 1)")
+
+
+def test_ctas_creates_and_loads(lsql):
+    """CREATE TABLE ... AS SELECT: schema from the query, data as the
+    first snapshot, TBLPROPERTIES applied before the write."""
+    lsql.sql("CREATE NAMESPACE nessie.ctas")
+    lsql.sql("CREATE TABLE nessie.ctas.src (k BIGINT, v STRING)")
+    lsql.sql("INSERT INTO nessie.ctas.src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    res = lsql.sql(
+        "CREATE TABLE nessie.ctas.dst TBLPROPERTIES ('write.target-file-size-bytes'='65536') "
+        "AS SELECT k, upper(v) AS vu FROM nessie.ctas.src WHERE k <= 2"
+    ).first()
+    assert res["created"] is True and res["added_files"] >= 1
+    got = {(r.k, r.vu) for r in lsql.sql("SELECT * FROM nessie.ctas.dst").collect()}
+    assert got == {(1, "A"), (2, "B")}
+    t = lsql.lake.table("ctas.dst")
+    assert t.properties()["write.target-file-size-bytes"] == "65536"
+    assert [f.name for f in t.schema().fields] == ["k", "vu"]
+    # IF NOT EXISTS on an existing table: no-op, query NOT run
+    res2 = lsql.sql(
+        "CREATE TABLE IF NOT EXISTS nessie.ctas.dst AS SELECT * FROM nessie.ctas.src"
+    ).first()
+    assert res2["created"] is False
+    assert lsql.sql("SELECT count(*) AS c FROM nessie.ctas.dst").first()["c"] == 2
+
+
+def test_sql_delete_honors_write_delete_mode(lsql):
+    """Iceberg picks DELETE's mode from write.delete.mode; so do we:
+    the SQL statement is unchanged, the property flips the plan from
+    copy-on-write rewrites to content=1 tombstone files."""
+    lsql.sql("CREATE NAMESPACE nessie.morns")
+    lsql.sql(
+        "CREATE TABLE nessie.morns.t (k BIGINT, v STRING) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lsql.sql("INSERT INTO nessie.morns.t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    lsql.sql("DELETE FROM nessie.morns.t WHERE k IN (2, 4)")
+    assert {r.k for r in lsql.sql("SELECT * FROM nessie.morns.t").collect()} == {1, 3}
+    files = lsql.sql(
+        "SELECT content, count(*) AS n FROM nessie.morns.t.files GROUP BY content"
+    ).collect()
+    by_content = {r.content: r.n for r in files}
+    assert by_content.get(1, 0) >= 1  # tombstone file(s), no data rewrite
+    # CALL the fold-back procedure through SQL; the tombstones drop and
+    # results are unchanged
+    lsql.sql("CALL nessie.system.rewrite_data_files(table => 'morns.t')")
+    files2 = lsql.sql(
+        "SELECT content, count(*) AS n FROM nessie.morns.t.files GROUP BY content"
+    ).collect()
+    assert {r.content for r in files2} == {0}
+    assert {r.k for r in lsql.sql("SELECT * FROM nessie.morns.t").collect()} == {1, 3}
