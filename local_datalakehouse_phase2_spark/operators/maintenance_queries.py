@@ -698,3 +698,157 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_mor_delete",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS rows_initial,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 <> 0)
+                AS BIGINT) AS rows_after_delete,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 = 0)
+                AS BIGINT) AS tombstone_entries,
+            TRUE AS tombstones_present,
+            TRUE AS no_data_rewritten,
+            CAST(0 AS BIGINT) AS pos_delete_files_after,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 <> 0)
+                AS BIGINT) AS rows_after_compaction
+    """,
+    tags=("lakehouse", "row-level", "delete", "merge-on-read"),
+    doc="Merge-on-read DELETE lifecycle (Iceberg v2 content=1, guide "
+    ":107/:336-340): the table sets write.delete.mode=merge-on-read so "
+    "a plain SQL DELETE writes position-delete tombstones instead of "
+    "rewriting data files (`no_data_rewritten` pins that the delete "
+    "commit removed nothing), reads merge them out, and CALL "
+    "rewrite_data_files folds them back in — the guide's own "
+    "content-class diagnostics query shows nonzero content=1 files "
+    "before compaction and zero after (`pos_delete_files_after`). "
+    "Row counts recompute in DuckDB from the nation table; only the "
+    "structural booleans/zero are pinned.",
+)
+def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.nation_mor",
+            schema="n_nationkey bigint, n_name string",
+            properties={
+                "write.target-file-size-bytes": "65536",
+                "write.delete.mode": "merge-on-read",
+            },
+        )
+        t.append(nation.repartition(4, "n_nationkey"))
+        rows_initial = t.read().count()
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql("DELETE FROM nessie.lab.nation_mor WHERE n_nationkey % 5 = 0")
+        rows_after = t.read().count()
+        delete_entry = t.log.read_entry(t.log.latest_version())
+        no_rewrite = not delete_entry.removed_files
+        # the guide's content-class accounting query (:336-340)
+        by_content = {
+            r["content"]: (r["files"], r["entries"])
+            for r in t.files()
+            .groupBy("content")
+            .agg(F.count("*").alias("files"), F.sum("record_count").alias("entries"))
+            .collect()
+        }
+        tombstone_entries = int(by_content.get(1, (0, 0))[1])
+        tombstones_present = by_content.get(1, (0, 0))[0] > 0
+        q.sql(
+            "CALL nessie.system.rewrite_data_files(table => 'lab.nation_mor', "
+            "options => map('target-file-size-bytes','134217728'))"
+        )
+        pos_after = t.files().filter(F.col("content") == 1).count()
+        rows_final = t.read().count()
+        return (
+            [
+                (
+                    rows_initial,
+                    rows_after,
+                    tombstone_entries,
+                    bool(tombstones_present),
+                    bool(no_rewrite),
+                    pos_after,
+                    rows_final,
+                )
+            ],
+            "rows_initial bigint, rows_after_delete bigint, "
+            "tombstone_entries bigint, tombstones_present boolean, "
+            "no_data_rewritten boolean, pos_delete_files_after bigint, "
+            "rows_after_compaction bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_equality_delete",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS rows_initial,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5)
+                AS BIGINT) AS rows_after_eq_delete,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5) + 1
+                AS BIGINT) AS rows_after_reappend,
+            TRUE AS seq_rule_respected,
+            CAST(0 AS BIGINT) AS eq_files_after_fold,
+            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5) + 1
+                AS BIGINT) AS rows_after_fold
+    """,
+    tags=("lakehouse", "row-level", "delete", "equality"),
+    doc="Equality-delete lifecycle (Iceberg v2 content=2, guide "
+    ":336-340 — completes the content taxonomy): equality_delete "
+    "commits the keys 0-4 WITHOUT scanning any data (the CDC writer "
+    "path: O(keys), table-size-independent), reads anti-join them "
+    "out of OLDER files only, and a row with a deleted key appended "
+    "AFTER the delete survives — Iceberg's data-sequence-number rule "
+    "(`seq_rule_respected`). rewrite_equality_deletes then folds the "
+    "deletes into the affected files and drops the content=2 files "
+    "(`eq_files_after_fold` = 0) without changing any result. Row "
+    "counts recompute in DuckDB from the nation table.",
+)
+def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..lakehouse import rewrite_equality_deletes
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.nation_eq", schema="n_nationkey bigint, n_name string"
+        )
+        t.append(nation.repartition(4, "n_nationkey"))
+        rows_initial = t.read().count()
+        keys = t.spark.createDataFrame([(k,) for k in range(5)], "n_nationkey bigint")
+        t.equality_delete(keys, ["n_nationkey"])
+        rows_after_eq = t.read().count()
+        # re-append one deleted key AFTER the delete: must survive
+        t.append(
+            t.spark.createDataFrame(
+                [(2, "REBORN")], "n_nationkey bigint, n_name string"
+            )
+        )
+        rows_re = t.read().count()
+        seq_ok = t.read().filter(F.col("n_name") == "REBORN").count() == 1
+        rewrite_equality_deletes(t)
+        eq_after = t.files().filter(F.col("content") == 2).count()
+        rows_fold = t.read().count()
+        seq_ok = seq_ok and t.read().filter(F.col("n_name") == "REBORN").count() == 1
+        return (
+            [
+                (
+                    rows_initial,
+                    rows_after_eq,
+                    rows_re,
+                    bool(seq_ok),
+                    eq_after,
+                    rows_fold,
+                )
+            ],
+            "rows_initial bigint, rows_after_eq_delete bigint, "
+            "rows_after_reappend bigint, seq_rule_respected boolean, "
+            "eq_files_after_fold bigint, rows_after_fold bigint",
+        )
+
+    return _with_lake(spark, run)
