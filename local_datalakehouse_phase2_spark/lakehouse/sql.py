@@ -723,8 +723,11 @@ class LakehouseSQL:
             src = self.spark.sql(self._rewrite_refs(m.group(4)))
             t = self.lake.create_table(
                 ident,
+                # backtick-quote: an unaliased projection yields names
+                # like `upper(v)` that a bare DDL string cannot parse
                 schema=", ".join(
-                    f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+                    f"`{f.name}` {f.dataType.simpleString()}"
+                    for f in src.schema.fields
                 ),
                 properties=_parse_props(m.group(3)) if m.group(3) else None,
             )

@@ -179,8 +179,18 @@ class LakehouseTable:
                 # stage snapshot by version shows main-as-of-then PLUS
                 # the staged files (Iceberg's WAP snapshot reads the
                 # same way) — this is how staged data is validated
-                # before publish_changes
-                state = {**state, **{fi.path: fi for fi in entry.added_files}}
+                # before publish_changes. Staged files read with a
+                # future sequence number: publish re-stamps them past
+                # every existing commit, so an equality delete committed
+                # after staging will NOT apply post-publish — the audit
+                # must show exactly what publishing will produce.
+                state = {
+                    **state,
+                    **{
+                        fi.path: _dc_replace(fi, seq=1 << 62)
+                        for fi in entry.added_files
+                    },
+                }
         data_state, pos_files, eq_files = self._split_state(state)
         if filters:
             # prune DATA files only: delete files carry stats for their
@@ -349,7 +359,7 @@ class LakehouseTable:
                     "left_anti",
                 )
             if eq_by_data:
-                ddf = self._apply_eq_deletes(ddf, data_state, eq_by_data)
+                ddf = self._apply_eq_deletes(ddf, data_state, eq_by_data, schema)
             parts.append(ddf.select(*out_cols))
         return _reduce(DataFrame.unionByName, parts)
 
@@ -358,6 +368,7 @@ class LakehouseTable:
         ddf: DataFrame,
         data_state: dict[str, FileInfo],
         eq_by_data: dict[str, list[FileInfo]],
+        schema: T.StructType,
     ) -> DataFrame:
         """Anti-join `ddf` (tagged data rows) against the applicable
         equality-delete files. A row is deleted when some delete row
@@ -366,8 +377,10 @@ class LakehouseTable:
         equality-delete semantics. Delete files grouped by their column
         set; each group is one hash anti-join with the seq comparison
         as a residual join predicate. The (file -> seq) side is
-        metadata-sized and broadcast."""
-        schema = self.schema() or self._schema()
+        metadata-sized and broadcast. `schema` is the AS-OF-version
+        table schema the caller is reading through — latest-schema
+        types could mis-project delete files on a time-travel read
+        across a type promotion."""
         types = {f.name: f.dataType for f in schema.fields}
         seq_rows = [(p, self._seq_of(fi)) for p, fi in data_state.items()]
         seq_df = self.spark.createDataFrame(seq_rows, "__file string, __fseq long")
@@ -802,7 +815,14 @@ class LakehouseTable:
         affected = self._affected_files(tagged.filter(cond))
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
-        survivors = self._read_rel(affected).filter(~cond)
+        # SQL DELETE removes rows where cond IS TRUE; rows where cond is
+        # NULL must SURVIVE. A bare ~cond evaluates NULL -> NULL, which
+        # filter() drops — silently deleting NULL-condition rows that
+        # share a file with a matched row (merge-on-read gets this right
+        # for free because it keeps only cond-IS-TRUE positions).
+        survivors = self._read_rel(affected).filter(
+            ~F.coalesce(cond.cast("boolean"), F.lit(False))
+        )
         # survivors are a subset of the affected files' rows, so the
         # logged byte total is a sound (upper-bound) size estimate:
         # skip the measure-then-shape staging write entirely

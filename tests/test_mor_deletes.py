@@ -422,3 +422,44 @@ def test_sort_groups_ordered_by_leading_column(spark, lake):
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2 or lo1 == lo2  # no interleaving across files
     assert t.read().count() == 400
+
+
+def test_cow_delete_keeps_null_condition_rows(spark, lake):
+    """SQL DELETE removes rows where the predicate IS TRUE; a NULL
+    predicate row sharing a file with a matched row must survive the
+    copy-on-write rewrite (review batch 6, finding 1 — merge-on-read
+    already got this right)."""
+    lake.create_namespace("lab")
+    for mode in ("copy-on-write", "merge-on-read"):
+        name = f"lab.null_{mode[:3]}"
+        t = lake.create_table(name, schema="k bigint, v string")
+        t.append(
+            spark.createDataFrame(
+                [(1, "x"), (2, None), (3, "y")], "k bigint, v string"
+            ).coalesce(1)
+        )
+        t.delete_where("v = 'x'", mode=mode)
+        assert sorted((r.k, r.v) for r in t.read().collect()) == [
+            (2, None),
+            (3, "y"),
+        ], mode
+
+
+def test_wap_audit_matches_publish_under_eq_delete(spark, lake):
+    """An equality delete committed AFTER staging must not apply to the
+    staged rows in the AUDIT read — publish re-stamps their sequence
+    number past it, so the audit must show what publish will produce
+    (review batch 6, finding 2)."""
+    from local_datalakehouse_phase2_spark.lakehouse import publish_changes
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.wapeq", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    stage = t.stage_append(
+        spark.createDataFrame([(2, "staged")], "k bigint, v string"), wap_id="w1"
+    )
+    t.equality_delete(spark.createDataFrame([(2,)], "k bigint"), ["k"])
+    audit = sorted((r.k, r.v) for r in t.read(version=stage.version).collect())
+    assert audit == [(1, "a"), (2, "staged")]  # delete predates publish
+    publish_changes(t, "w1")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == audit
