@@ -52,6 +52,8 @@ PROP_GC_ENABLED = "gc.enabled"  # guide :218-224
 # position-delete files that readers merge (merge-on-read, guide
 # :336-340 content classes)
 PROP_DELETE_MODE = "write.delete.mode"  # copy-on-write | merge-on-read
+PROP_UPDATE_MODE = "write.update.mode"  # copy-on-write | merge-on-read
+PROP_MERGE_MODE = "write.merge.mode"  # copy-on-write | merge-on-read
 
 # Iceberg's position-delete file schema (spec: file_path + pos,
 # ordered by file_path then pos so footer min/max bound the referenced
@@ -845,16 +847,15 @@ class LakehouseTable:
         state = self.log.state_at()
         return tuple(sorted(p for p, fi in state.items() if fi.content != 0))
 
-    def _mor_delete(self, cond) -> LogEntry:
-        """Merge-on-read DELETE: write position-delete file(s) listing
-        the matched rows as (file_path, pos), content=1. The write is
-        sorted by (file_path, pos) so each delete file's footer bounds
-        the data-file range it references — what lets reads scope the
-        anti-join to possibly-affected files only."""
-        tagged = self._tagged_read()
-        matches = tagged.filter(cond).select(
-            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
-        )
+    def _write_pos_deletes(
+        self, matches: DataFrame
+    ) -> tuple[tuple[FileInfo, ...], list[str]]:
+        """Write `matches` (file_path, pos) as content=1 position-delete
+        file(s), sorted by (file_path, pos) so each delete file's footer
+        bounds the data-file range it references — what lets reads
+        scope the anti-join to possibly-affected files only. Returns
+        (delete FileInfos, referenced data-file rel paths); both empty
+        when nothing matched (the written dir is cleaned up)."""
         n_out = max(1, self.spark.sparkContext.defaultParallelism)
         pre = matches.repartitionByRange(n_out, "file_path", "pos").sortWithinPartitions(
             "file_path", "pos"
@@ -863,8 +864,8 @@ class LakehouseTable:
         pre.write.mode("error").parquet(out_dir)
         files = self._scan_written(out_dir)
         if sum(fi.row_count for fi in files) == 0:
-            self.io.rmtree(out_dir)  # nothing matched: no commit
-            return self.log.read_entry(self.log.latest_version())
+            self.io.rmtree(out_dir)  # nothing matched
+            return (), []
         delete_files = tuple(_dc_replace(fi, content=1) for fi in files if fi.row_count)
         for fi in files:
             if not fi.row_count:  # range partitioner gave it no rows
@@ -880,34 +881,63 @@ class LakehouseTable:
             .distinct()
             .collect()
         ]
+        return delete_files, referenced
+
+    def _commit_mor(
+        self,
+        operation: str,
+        added: tuple[FileInfo, ...],
+        referenced: list[str],
+        extra: dict,
+    ) -> LogEntry:
+        """Commit a merge-on-read row-level operation: `added` holds the
+        new tombstone (content=1) and/or data files, nothing is removed,
+        and every data file the tombstones reference must still be live
+        at commit time — a racing compaction/COW rewrite that replaced
+        one would otherwise leave dangling tombstones whose rows
+        silently resurrect. Staged files are cleaned up on failure."""
 
         def make(version: int) -> LogEntry:
             live = self.log.state_at()
             gone = [p for p in referenced if p not in live or live[p].content != 0]
             if gone:
                 raise CommitConflictError(
-                    f"merge-on-read delete on {self.identifier}: {len(gone)} "
+                    f"merge-on-read {operation} on {self.identifier}: {len(gone)} "
                     f"referenced data file(s) no longer live (e.g. {gone[0]!r}) — "
-                    "a concurrent commit replaced them; re-plan the delete"
+                    "a concurrent commit replaced them; re-plan"
                 )
             return LogEntry(
                 version=version,
                 snapshot_id=version,
                 committed_at=time.time(),
-                operation="delete",
-                added_files=tuple(_dc_replace(fi, seq=version) for fi in delete_files),
-                extra={"delete-mode": "merge-on-read"},
+                operation=operation,
+                added_files=tuple(_dc_replace(fi, seq=version) for fi in added),
+                extra=extra,
             )
 
         try:
             return self.log.append(make)
         except BaseException:
-            for fi in delete_files:  # don't leak staged tombstones
+            for fi in added:  # don't leak staged tombstones/data
                 try:
                     self.io.remove(os.path.join(self.table_dir, fi.path))
                 except OSError:
                     pass
             raise
+
+    def _mor_delete(self, cond) -> LogEntry:
+        """Merge-on-read DELETE: one commit adding position-delete
+        file(s) for every cond-IS-TRUE row; no data file is touched."""
+        tagged = self._tagged_read()
+        matches = tagged.filter(cond).select(
+            F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+        )
+        delete_files, referenced = self._write_pos_deletes(matches)
+        if not delete_files:  # nothing matched: no commit
+            return self.log.read_entry(self.log.latest_version())
+        return self._commit_mor(
+            "delete", delete_files, referenced, {"delete-mode": "merge-on-read"}
+        )
 
     def equality_delete(self, values: DataFrame, cols: list[str]) -> LogEntry:
         """Equality DELETE (Iceberg content=2, guide :336-340): commit a
@@ -959,24 +989,41 @@ class LakehouseTable:
 
         return self.log.append(make)
 
-    def update_where(self, assignments: dict[str, object], condition) -> LogEntry:
-        """Row-level UPDATE ... SET ... WHERE, copy-on-write (the same
-        file-granular rewrite as delete_where): only files containing a
-        matching row are rewritten — matched rows get the assignments
-        applied, unmatched rows in those files carry over verbatim, and
-        untouched files stay referenced as-is. The reference's Iceberg
-        stack expresses UPDATE as a delete-file + data-file pair
-        (SPARK_ICEBERG_GUIDE.md:336-340); COW folds both immediately.
+    def update_where(
+        self, assignments: dict[str, object], condition, mode: str | None = None
+    ) -> LogEntry:
+        """Row-level UPDATE ... SET ... WHERE, in either Iceberg v2 mode
+        (`mode` defaults to the `write.update.mode` property,
+        copy-on-write when unset):
+
+        - copy-on-write: only files containing a matching row are
+          rewritten — matched rows get the assignments applied,
+          unmatched rows in those files carry over verbatim, untouched
+          files stay referenced as-is.
+        - merge-on-read: ONE commit adding a position-delete file
+          tombstoning the matched rows' old positions plus data file(s)
+          holding their updated versions — exactly Iceberg's v2 UPDATE
+          shape (a delete-file + data-file pair,
+          SPARK_ICEBERG_GUIDE.md:336-340). O(matched rows) written;
+          unmatched rows in the same files are never copied.
 
         `assignments` maps column name -> SQL expression string (or
         Column); expressions see the pre-update row, as SQL requires
         (`SET a = b, b = a` swaps)."""
+        props = self.log.properties_at()
+        mode = mode or props.get(PROP_UPDATE_MODE, "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"write.update.mode must be copy-on-write or merge-on-read, got {mode!r}"
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         schema = self.schema() or self._schema()
         known = {f.name for f in schema.fields}
         bad = sorted(set(assignments) - known)
         if bad:
             raise ValueError(f"UPDATE of unknown column(s) {bad}; table has {sorted(known)}")
+        if mode == "merge-on-read":
+            return self._mor_update(assignments, cond, schema)
         fingerprint = self._deletes_fingerprint()
         tagged = self._tagged_read()
         affected = self._affected_files(tagged.filter(cond))
@@ -1004,23 +1051,85 @@ class LakehouseTable:
             deletes_fingerprint=fingerprint,
         )
 
+    def _mor_update(self, assignments: dict, cond, schema: T.StructType) -> LogEntry:
+        """Merge-on-read UPDATE: tombstone each matched row's old
+        position and append its updated version — one atomic commit of
+        a content=1 file plus data file(s). Matched rows are read once
+        (condition is TRUE on every row, so assignments apply
+        unconditionally); the tombstone write and the data write are
+        two jobs over that filtered scan."""
+        tagged = self._tagged_read()
+        matched = tagged.filter(cond)
+        delete_files, referenced = self._write_pos_deletes(
+            matched.select(F.col("__file").alias("file_path"), F.col("__pos").alias("pos"))
+        )
+        if not delete_files:  # nothing matched: no commit
+            return self.log.read_entry(self.log.latest_version())
+        exprs = []
+        for f in schema.fields:
+            if f.name in assignments:
+                a = assignments[f.name]
+                new_val = F.expr(a) if isinstance(a, str) else a
+                exprs.append(new_val.cast(f.dataType).alias(f.name))
+            else:
+                exprs.append(F.col(f.name))
+        try:
+            # updated rows are bounded by the referenced files' bytes
+            data_files = self._write_files(
+                matched.select(*exprs), input_bytes=self._logged_bytes(referenced)
+            )
+        except BaseException:
+            for fi in delete_files:  # tombstones already staged
+                try:
+                    self.io.remove(os.path.join(self.table_dir, fi.path))
+                except OSError:
+                    pass
+            raise
+        return self._commit_mor(
+            "update",
+            data_files + delete_files,
+            referenced,
+            {"update-mode": "merge-on-read"},
+        )
+
     def _logged_bytes(self, rel_paths) -> int:
         state = self.log.state_at()
         return sum(state[p].size_bytes for p in rel_paths if p in state)
 
     def merge(
-        self, source: DataFrame, key_cols: list[str], extra: dict | None = None
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        extra: dict | None = None,
+        mode: str | None = None,
     ) -> LogEntry:
         """MERGE (upsert, full-row): target rows whose key appears in
         `source` are replaced by the source row; unmatched source rows
-        insert. Copy-on-write: only files containing a matched key
-        rewrite (their unmatched rows carry over), plus one write of
-        `source` itself. Keys are broadcast when small; the anti join
-        runs only over the affected files' rows."""
+        insert. `mode` defaults to the `write.merge.mode` property
+        (copy-on-write when unset):
+
+        - copy-on-write: only files containing a matched key rewrite
+          (their unmatched rows carry over), plus one write of `source`
+          itself. Keys are broadcast when small; the anti join runs
+          only over the affected files' rows.
+        - merge-on-read: matched target rows are TOMBSTONED (content=1
+          position deletes) and the whole source appends — the
+          streaming-upsert shape: O(source) written per merge no matter
+          how many target files hold matched keys, at the price of the
+          read-side anti-join until compaction folds it.
+        """
+        props = self.log.properties_at()
+        mode = mode or props.get(PROP_MERGE_MODE, "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(
+                f"write.merge.mode must be copy-on-write or merge-on-read, got {mode!r}"
+            )
         self._check_merge_cardinality(source, key_cols)
         state = self.log.state_at()
         if not state:
             return self.append(source, extra=extra)
+        if mode == "merge-on-read":
+            return self._mor_merge(source, key_cols, extra)
         fingerprint = self._deletes_fingerprint()
         keys = source.select(*key_cols).distinct()
         tagged = self._tagged_read()
@@ -1041,6 +1150,44 @@ class LakehouseTable:
             input_bytes=self._merge_input_bytes(affected, source),
             extra=extra,
             deletes_fingerprint=fingerprint,
+        )
+
+    def _mor_merge(
+        self, source: DataFrame, key_cols: list[str], extra: dict | None
+    ) -> LogEntry:
+        """Merge-on-read MERGE: tombstone every target row whose key
+        appears in source, append the full source — one atomic commit.
+        Work is O(source + matched rows' positions); no target data
+        file is rewritten."""
+        schema = self.schema() or self._schema()
+        missing = [f.name for f in schema.fields if f.name not in source.columns]
+        if missing:
+            raise ValueError(f"MERGE source is missing table columns {missing}")
+        keys = source.select(*key_cols).distinct()
+        tagged = self._tagged_read()
+        matched = tagged.join(F.broadcast(keys), key_cols, "left_semi")
+        delete_files, referenced = self._write_pos_deletes(
+            matched.select(F.col("__file").alias("file_path"), F.col("__pos").alias("pos"))
+        )
+        aligned = source.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+        try:
+            data_files = self._write_files(
+                aligned, input_bytes=self._merge_input_bytes([], source)
+            )
+        except BaseException:
+            for fi in delete_files:
+                try:
+                    self.io.remove(os.path.join(self.table_dir, fi.path))
+                except OSError:
+                    pass
+            raise
+        return self._commit_mor(
+            "merge",
+            data_files + delete_files,
+            referenced,
+            {**(extra or {}), "merge-mode": "merge-on-read"},
         )
 
     def _check_merge_cardinality(self, source: DataFrame, key_cols: list[str]) -> None:

@@ -463,3 +463,76 @@ def test_wap_audit_matches_publish_under_eq_delete(spark, lake):
     assert audit == [(1, "a"), (2, "staged")]  # delete predates publish
     publish_changes(t, "w1")
     assert sorted((r.k, r.v) for r in t.read().collect()) == audit
+
+
+# ---- merge-on-read UPDATE / MERGE --------------------------------------
+
+
+def test_mor_update_tombstone_plus_data_pair(spark, lake):
+    """write.update.mode=merge-on-read: one commit holding a content=1
+    tombstone file plus the updated rows' data file — Iceberg v2's
+    delete-file + data-file UPDATE shape (guide :336-340) — with no
+    data file removed."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.u1",
+        schema="k bigint, v string",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(_mk(spark, 0, 100).repartition(4, "k"))
+    files0 = set(t.log.state_at())
+    e = t.update_where({"v": "concat('upd_', cast(k as string))"}, "k < 10")
+    assert e.operation == "update" and e.removed_files == ()
+    assert {fi.content for fi in e.added_files} == {0, 1}
+    assert files0 <= set(t.log.state_at())
+    r = t.read()
+    assert r.count() == 100
+    assert r.filter("v like 'upd_%'").count() == 10
+    assert r.filter("k >= 10 and v like 'upd_%'").count() == 0
+    # expressions see the PRE-update row (SET a=b, b=a swaps)
+    t2 = lake.create_table(
+        "lab.u2",
+        schema="a bigint, b bigint",
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t2.append(spark.createDataFrame([(1, 10), (2, 20)], "a bigint, b bigint"))
+    t2.update_where({"a": "b", "b": "a"}, "a = 1")
+    assert sorted((x.a, x.b) for x in t2.read().collect()) == [(2, 20), (10, 1)]
+    # nothing matched: no commit
+    v = t2.log.latest_version()
+    t2.update_where({"a": "0"}, "a = 999")
+    assert t2.log.latest_version() == v
+
+
+def test_mor_merge_upsert_and_fold(spark, lake):
+    """write.merge.mode=merge-on-read: matched keys tombstoned, source
+    appended, O(source) written; stacked tombstones (update then merge
+    on the same key) fold correctly under compaction."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.g1",
+        schema="k bigint, v string",
+        properties={
+            "write.update.mode": "merge-on-read",
+            "write.merge.mode": "merge-on-read",
+        },
+    )
+    t.append(_mk(spark, 0, 100).repartition(4, "k"))
+    t.update_where({"v": "'upd'"}, "k < 10")
+    src = spark.createDataFrame([(5, "merged"), (200, "new")], "k bigint, v string")
+    e = t.merge(src, ["k"])
+    assert e.operation == "merge" and e.removed_files == ()
+    assert {fi.content for fi in e.added_files} == {0, 1}
+    r = t.read()
+    assert r.count() == 101
+    assert r.filter("k = 5").first().v == "merged"  # newest version wins
+    assert r.filter("k = 200").count() == 1
+    assert r.filter("v = 'upd'").count() == 9  # k=5's upd row replaced
+    res = rewrite_data_files(t, target_file_size_bytes=134217728, min_input_files=1)
+    assert res["folded_delete_files"] >= 1
+    assert set(_content_counts(t)) == {0}
+    r2 = t.read()
+    assert r2.count() == 101 and r2.filter("k = 5").first().v == "merged"
+    # MERGE source missing a table column raises (same strictness as COW)
+    with pytest.raises(Exception, match="missing table columns"):
+        t.merge(spark.createDataFrame([(1,)], "k bigint"), ["k"])
