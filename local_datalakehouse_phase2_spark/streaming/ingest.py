@@ -113,6 +113,92 @@ def merge_stream_batch(
     return True
 
 
+def apply_cdc_batch(
+    table: LakehouseTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    query_id: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+) -> bool:
+    """Idempotently apply one CDC micro-batch carrying inserts/updates
+    AND deletes (`op_col` in I/U/`delete_op`) in ONE commit — the
+    Debezium-shaped changelog the reference stack lands through
+    Iceberg's CDC merge. Everything rides a single `merge_when` call:
+
+    - matched + op=D        -> WHEN MATCHED THEN DELETE
+    - matched + op!=D       -> WHEN MATCHED THEN UPDATE (full row)
+    - unmatched + op!=D     -> WHEN NOT MATCHED THEN INSERT
+    - unmatched + op=D      -> dropped (delete of a never-seen key)
+
+    ONE commit matters: an upsert commit followed by a separate delete
+    commit would break exactly-once — a crash between them replays
+    neither (the watermark already advanced) and the deletes are lost
+    forever. With `seq_col` the batch dedupes last-wins per key first,
+    so a key that's updated then deleted within the epoch deletes."""
+    seen = last_committed_batch(table, query_id)
+    if seen is not None and batch_id <= seen:
+        return False
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        batch_df = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        batch_df = batch_df.dropDuplicates(key_cols)
+    schema = table.schema() or table._schema()
+    data_cols = [f.name for f in schema.fields]
+    table.merge_when(
+        batch_df,
+        key_cols,
+        matched=[
+            (f"__src_{op_col} = '{delete_op}'", "delete", None),
+            (None, "update", {c: f"__src_{c}" for c in data_cols}),
+        ],
+        not_matched=(f"{op_col} <> '{delete_op}'", {c: c for c in data_cols}),
+        extra={STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id},
+    )
+    return True
+
+
+def stream_cdc_into_table(
+    source: DataFrame,
+    table: LakehouseTable,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+    query_name: str = "lakehouse-cdc",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Wire a changelog stream (insert/update/delete events) into
+    exactly-once single-commit CDC application — see apply_cdc_batch."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_batch(
+            table,
+            batch_df,
+            batch_id,
+            _run_scoped_id(batch_df, query_name),
+            key_cols,
+            op_col=op_col,
+            seq_col=seq_col,
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_into_table(
     source: DataFrame,
     table: LakehouseTable,
@@ -314,6 +400,94 @@ def _register_query() -> None:
                 [(rows, updated, untouched, replay_noop)],
                 "rows_after bigint, updated_rows bigint, "
                 "untouched_rows bigint, replay_was_noop boolean",
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    @register(
+        "lakehouse_stream_cdc",
+        oracle="""
+            SELECT * FROM (VALUES
+                (CAST(40 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT),
+                 CAST(20 AS BIGINT), CAST(0 AS BIGINT), TRUE)
+            ) AS t(rows_after, updated_rows, inserted_rows, untouched_rows,
+                   deleted_still_present, replay_was_noop)
+        """,
+        tags=("streaming", "lakehouse", "ingest", "cdc"),
+        doc="Changelog (insert/update/DELETE) streaming ingest — the "
+        "Debezium-shaped CDC the reference lands through Iceberg's "
+        "merge: each epoch applies I/U/D in ONE merge_when commit "
+        "(split upsert+delete commits would lose deletes on replay), "
+        "last-wins per key by seq within the epoch, delete of a "
+        "never-seen key ignored, replayed epoch a no-op under the "
+        "(query, batch-id) watermark. Post-state pinned: 40 keys "
+        "initially, epoch 2 updates 0-9, deletes 30-39, inserts "
+        "40-49 -> 40 rows, none of the deleted keys present.",
+    )
+    def lakehouse_stream_cdc(spark: SparkSession, sf_dir: str):
+        tmp = tempfile.mkdtemp(prefix="stream_cdc_q_")
+        try:
+            lake = Lakehouse(spark, f"{tmp}/wh")
+            lake.create_namespace("lab")
+            t = lake.create_table("lab.cdc2", schema="k bigint, v string")
+            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+            ev = "k bigint, v string, op string, seq bigint"
+
+            def feed(rows) -> None:
+                spark.createDataFrame(rows, ev).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+
+            def drain() -> None:
+                q = stream_cdc_into_table(
+                    spark.readStream.schema(ev).parquet(src),
+                    t,
+                    ckpt,
+                    key_cols=["k"],
+                    op_col="op",
+                    seq_col="seq",
+                    query_name="registry-cdc",
+                )
+                q.awaitTermination(120)
+
+            feed([(k, f"v{k}", "I", 1) for k in range(40)])
+            drain()
+            feed(
+                [(k, f"u{k}", "U", 2) for k in range(10)]
+                + [(k, None, "D", 2) for k in range(30, 40)]
+                + [(k, f"n{k}", "I", 2) for k in range(40, 50)]
+                + [(100, None, "D", 2)]  # delete of a never-seen key
+            )
+            drain()
+            recorded_qid = next(
+                e.extra[STREAM_QUERY_KEY]
+                for e in reversed(t.log.entries())
+                if e.extra and e.extra.get(STREAM_QUERY_KEY)
+            )
+            replay_noop = not apply_cdc_batch(
+                t,
+                spark.createDataFrame([(0, "zz", "U", 9)], ev),
+                batch_id=0,
+                query_id=recorded_qid,
+                key_cols=["k"],
+            )
+            r = t.read()
+            return spark.createDataFrame(
+                [
+                    (
+                        r.count(),
+                        r.filter(F.col("v").startswith("u")).count(),
+                        r.filter(F.col("v").startswith("n")).count(),
+                        r.filter(
+                            F.col("v").startswith("v") & (F.col("k") < 30)
+                        ).count(),
+                        r.filter(F.col("k").between(30, 39)).count(),
+                        replay_noop,
+                    )
+                ],
+                "rows_after bigint, updated_rows bigint, inserted_rows bigint, "
+                "untouched_rows bigint, deleted_still_present bigint, "
+                "replay_was_noop boolean",
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)

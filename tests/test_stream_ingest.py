@@ -134,3 +134,30 @@ def test_stream_upsert_dedupes_within_batch(spark, lake):
     dup = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "k bigint, v string")
     assert merge_stream_batch(t, dup.dropDuplicates(["k"]), 0, "q", ["k"]) is True
     assert t.read().count() == 2
+
+
+def test_apply_cdc_batch_last_wins_ordering(spark, tmp_path):
+    """Within one epoch, seq_col decides per key: update-then-delete
+    deletes; delete-then-(re)insert survives with the newest row."""
+    from local_datalakehouse_phase2_spark.lakehouse import Lakehouse
+    from local_datalakehouse_phase2_spark.streaming.ingest import apply_cdc_batch
+
+    lake = Lakehouse(spark, str(tmp_path / "wh"))
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.cdcord", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"))
+    ev = "k bigint, v string, op string, seq bigint"
+    batch = spark.createDataFrame(
+        [
+            (1, "a2", "U", 1), (1, None, "D", 2),   # U then D -> gone
+            (2, None, "D", 1), (2, "b2", "U", 2),   # D then U -> newest wins
+            (4, None, "D", 1), (4, "d", "I", 2),    # D then I on new key -> inserted
+        ],
+        ev,
+    )
+    assert apply_cdc_batch(t, batch, batch_id=0, query_id="q", key_cols=["k"], seq_col="seq")
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(2, "b2"), (3, "c"), (4, "d")]
+    # replay of the same epoch: no-op
+    assert not apply_cdc_batch(t, batch, batch_id=0, query_id="q", key_cols=["k"], seq_col="seq")
+    assert sorted((r.k, r.v) for r in t.read().collect()) == got
