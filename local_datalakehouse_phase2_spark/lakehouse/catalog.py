@@ -101,10 +101,15 @@ class Lakehouse:
         schema: T.StructType | str | None = None,
         properties: dict[str, str] | None = None,
         if_not_exists: bool = False,
+        partition_by: str | None = None,
     ) -> LakehouseTable:
         """CREATE TABLE ... USING <format> TBLPROPERTIES(...) analog
         (guide :102-110). Commits an empty `create` snapshot carrying
-        the table properties."""
+        the table properties. `partition_by` takes an Iceberg-style
+        transform list — `"days(ts), bucket(16, id), region"` — stored
+        as the `partition.spec` property (see lakehouse/partition.py);
+        writers lay data out per transform value and the scan planner
+        prunes partitions from metadata."""
         ns, _ = self._split(identifier)
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
@@ -116,10 +121,28 @@ class Lakehouse:
             raise CatalogError(f"table {identifier} already exists")
 
         props = {str(k): str(v) for k, v in (properties or {}).items()}
+        if partition_by:
+            from .partition import PROP_PARTITION_SPEC, parse_spec
+
+            parse_spec(partition_by)  # validate transforms up front
+            props[PROP_PARTITION_SPEC] = partition_by
         schema_ddl = None
         if schema is not None:
             st = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
             schema_ddl = st.simpleString()
+        if props.get("partition.spec") and schema_ddl:
+            from .partition import PROP_PARTITION_SPEC, parse_spec
+
+            fields = {f.name for f in T._parse_datatype_string(schema_ddl).fields}
+            missing = [
+                tr.source
+                for tr in parse_spec(props[PROP_PARTITION_SPEC])
+                if tr.source not in fields
+            ]
+            if missing:
+                raise CatalogError(
+                    f"partition transform source column(s) {missing} not in schema"
+                )
 
         def make(version: int) -> LogEntry:
             return LogEntry(

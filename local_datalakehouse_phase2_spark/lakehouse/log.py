@@ -74,6 +74,11 @@ class FileInfo:
     seq: int | None = None
     # content=2 only: the equality columns this delete file keys on
     eq_cols: list | None = None
+    # partition-spec tables: this file's partition values (transform
+    # name -> hive dir string) — the manifest-entry partition tuple
+    # analog that plan-time partition pruning consults. None on
+    # unpartitioned (or pre-spec) files.
+    partition: dict | None = None
 
 
 @dataclass(frozen=True)

@@ -285,10 +285,21 @@ def rewrite_data_files(
     data_state = {p: fi for p, fi in state.items() if fi.content == 0}
     deletes_fp = tuple(sorted(p for p, fi in state.items() if fi.content != 0))
 
+    # Iceberg plans rewrites PER PARTITION: a file group never mixes
+    # partitions, so rewritten files keep their partition dirs and a
+    # conflict in one partition's group can't touch another's
+    def part_key(fi: FileInfo):
+        return tuple(sorted((fi.partition or {}).items()))
+
+    by_part: dict[tuple, list[tuple[str, FileInfo]]] = {}
+    for p, fi in data_state.items():
+        by_part.setdefault(part_key(fi), []).append((p, fi))
+
+    groups = []
     if strategy in ("sort", "zorder"):
         # clustered: all data files, banded into bounded groups ordered
         # by the leading sort column's logged min so each group covers
-        # an adjacent key range
+        # an adjacent key range (within its partition)
         lead = [c.strip() for c in sort_order.split(",") if c.strip()][0]
 
         def order_key(item):
@@ -298,19 +309,21 @@ def rewrite_data_files(
             return (mn is None, mn if mn is not None else "", p)
 
         if len(data_state) >= max(1, min_input_files):
-            ordered = sorted(data_state.items(), key=order_key)
-            groups = _band_groups(ordered, max_file_group_size_bytes)
-        else:
-            groups = []
+            for key in sorted(by_part):
+                ordered = sorted(by_part[key], key=order_key)
+                groups.extend(_band_groups(ordered, max_file_group_size_bytes))
     else:
-        candidates = [
-            (p, fi)
-            for p, fi in data_state.items()
-            if fi.size_bytes < min_sz or fi.size_bytes > max_sz
-        ]
-        groups = _plan_file_groups(
-            candidates, max_file_group_size_bytes, min_input_files, max_sz
-        )
+        for key in sorted(by_part):
+            candidates = [
+                (p, fi)
+                for p, fi in by_part[key]
+                if fi.size_bytes < min_sz or fi.size_bytes > max_sz
+            ]
+            groups.extend(
+                _plan_file_groups(
+                    candidates, max_file_group_size_bytes, min_input_files, max_sz
+                )
+            )
     if not groups:
         return {
             "rewritten_files": 0,

@@ -252,6 +252,7 @@ class LakehouseSQL:
                 ("snapshots", t.snapshots),
                 ("files", t.files),
                 ("refs", t.refs),
+                ("partitions", t.partitions),
             ):
                 pat = rf"(?i)\b{base}\.{suffix}\b"
                 if re.search(pat, s):
@@ -691,7 +692,8 @@ class LakehouseSQL:
             return self._result_frame({"namespace": name, "created": True})
         m = re.fullmatch(
             rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
-            rf"\s*\((.*?)\)(?:\s+USING\s+{_IDENT})?(?:\s+TBLPROPERTIES\s*\((.*)\))?",
+            rf"\s*\((.*?)\)(?:\s+USING\s+{_IDENT})?"
+            rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?(?:\s+TBLPROPERTIES\s*\((.*)\))?",
             s,
         )
         if m:
@@ -700,8 +702,9 @@ class LakehouseSQL:
             t = self.lake.create_table(
                 ident,
                 schema=cols,
-                properties=_parse_props(m.group(4)) if m.group(4) else None,
+                properties=_parse_props(m.group(5)) if m.group(5) else None,
                 if_not_exists=bool(m.group(1)),
+                partition_by=m.group(4),
             )
             return self._result_frame({"table": ident, "location": t.table_dir})
         # CTAS: CREATE TABLE t [USING fmt] [TBLPROPERTIES (...)] AS SELECT ...
@@ -711,7 +714,8 @@ class LakehouseSQL:
         # take effect BEFORE the write so they shape it.
         m = re.fullmatch(
             rf"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
-            rf"(?:\s+USING\s+{_IDENT})?(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s+AS\s+(SELECT\s+.*)",
+            rf"(?:\s+USING\s+{_IDENT})?(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"
+            rf"(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s+AS\s+(SELECT\s+.*)",
             s,
         )
         if m:
@@ -720,7 +724,7 @@ class LakehouseSQL:
             if if_not_exists and self._table_exists(ident):
                 # SQL CTAS IF NOT EXISTS: table stands, query NOT run
                 return self._result_frame({"table": ident, "created": False})
-            src = self.spark.sql(self._rewrite_refs(m.group(4)))
+            src = self.spark.sql(self._rewrite_refs(m.group(5)))
             t = self.lake.create_table(
                 ident,
                 # backtick-quote: an unaliased projection yields names
@@ -729,7 +733,8 @@ class LakehouseSQL:
                     f"`{f.name}` {f.dataType.simpleString()}"
                     for f in src.schema.fields
                 ),
-                properties=_parse_props(m.group(3)) if m.group(3) else None,
+                properties=_parse_props(m.group(4)) if m.group(4) else None,
+                partition_by=m.group(3),
             )
             entry = t.append(src)
             return self._result_frame(

@@ -36,9 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import partition as _part
 from . import pruning
 from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
+from .partition import PROP_PARTITION_SPEC
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
@@ -113,6 +115,12 @@ class LakehouseTable:
 
     def properties(self) -> dict[str, str]:
         return self.log.properties_at()
+
+    def partition_spec(self) -> list[_part.Transform] | None:
+        """The table's partition transforms (from the `partition.spec`
+        property recorded at create time), or None when unpartitioned."""
+        raw = self.log.properties_at().get(PROP_PARTITION_SPEC)
+        return _part.parse_spec(raw) if raw else None
 
     def set_properties(self, updates: dict[str, str]) -> LogEntry:
         """ALTER TABLE ... SET TBLPROPERTIES (guide :220-224, :324-328)."""
@@ -198,7 +206,13 @@ class LakehouseTable:
             # prune DATA files only: delete files carry stats for their
             # own columns (file_path/pos or the equality columns), and a
             # user predicate must never drop a delete file — skipping
-            # one would resurrect its deleted rows
+            # one would resurrect its deleted rows. Partition pruning
+            # runs first (cheapest: one dict lookup per file), stats
+            # min/max second; both advisory-only.
+            spec = self.partition_spec()
+            if spec:
+                pruning.validate_filters(filters)
+                data_state, _ = _part.prune_state(data_state, filters, spec)
             data_state, _ = pruning.prune_files(data_state, filters)
         df = self._assemble_read(data_state, pos_files, eq_files, version=version)
         if filters:
@@ -220,13 +234,13 @@ class LakehouseTable:
 
     @staticmethod
     def _rel_path_expr(col: F.Column) -> F.Column:
-        """Table-relative path (`data/v<commit>/<file>.parquet`) from the
-        scheme-qualified absolute path `_metadata.file_path` yields.
-        Data files always sit exactly two levels under `data/` (one
-        uuid commit dir, see `_write_files`), so a suffix regex is
-        robust across file:/hdfs:/s3a: qualification — the same reason
-        the orphan sweep uses io.relpath (fs.py)."""
-        return F.regexp_extract(col, r"(data/[^/]+/[^/]+)$", 1)
+        """Table-relative path (`data/v<commit>/[...partition dirs...]/
+        <file>.parquet`) from the scheme-qualified absolute path
+        `_metadata.file_path` yields. Commit dirs are always `v` + 12
+        hex (see `_write_files`), so anchoring on that is robust across
+        file:/hdfs:/s3a: qualification AND nested hive partition dirs —
+        the same reason the orphan sweep uses io.relpath (fs.py)."""
+        return F.regexp_extract(col, r"(data/v[0-9a-f]{12}/.+)$", 1)
 
     @staticmethod
     def _seq_of(fi: FileInfo) -> int:
@@ -442,11 +456,18 @@ class LakehouseTable:
         operators can assert pruning without tracing the scan.
         Counts cover DATA files; delete files are never pruned."""
         data_state, _pos, _eq = self._split_state(self.log.state_at(version))
-        kept, pruned = pruning.prune_files(data_state, filters)
+        spec = self.partition_spec()
+        part_pruned = 0
+        kept = data_state
+        if spec:
+            pruning.validate_filters(filters)
+            kept, part_pruned = _part.prune_state(kept, filters, spec)
+        kept, stats_pruned = pruning.prune_files(kept, filters)
         return {
             "files_total": len(data_state),
             "files_scanned": len(kept),
-            "files_pruned": pruned,
+            "files_pruned": part_pruned + stats_pruned,
+            "files_pruned_by_partition": part_pruned,
             "rows_total": sum(fi.row_count for fi in data_state.values()),
             "rows_scanned_max": sum(fi.row_count for fi in kept.values()),
         }
@@ -710,6 +731,35 @@ class LakehouseTable:
             for fi in self.log.state_at(version).values()
         ]
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
+
+    def partitions(self) -> DataFrame:
+        """The `<t>.partitions` metadata relation (Iceberg's partitions
+        table): one row per live partition with file/record/byte
+        counts — metadata-only, no data scan."""
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "partition", T.MapType(T.StringType(), T.StringType()), True
+                ),
+                T.StructField("file_count", T.LongType(), False),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("total_size_in_bytes", T.LongType(), False),
+            ]
+        )
+        agg: dict[tuple, list[int]] = {}
+        for fi in self.log.state_at().values():
+            if fi.content != 0:
+                continue
+            key = tuple(sorted((fi.partition or {}).items()))
+            acc = agg.setdefault(key, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += fi.row_count
+            acc[2] += fi.size_bytes
+        rows = [
+            (dict(key) if key else None, acc[0], acc[1], acc[2])
+            for key, acc in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
 
     # ---- writes ------------------------------------------------------
 
@@ -1497,6 +1547,29 @@ class LakehouseTable:
 
         scan = self._scan_written
 
+        spec_raw = props.get(PROP_PARTITION_SPEC)
+        if spec_raw:
+            # partition-spec table: Spark's native partitionBy lays the
+            # files out under hive dirs per transform value. Unshaped
+            # writes repartition on the transform columns first (one
+            # shuffle -> one file per partition per write; oversized
+            # partitions are compaction's job, per-partition like
+            # Iceberg). Shaped writes (compaction groups — already
+            # single-partition row sets) keep the caller's clustering
+            # and just add the transform columns. The target-file-size
+            # cap does not re-split here: partition grain governs
+            # layout, exactly as Iceberg's fanout writer.
+            spec = _part.parse_spec(spec_raw)
+            pnames = [t.pname for t in spec]
+            aug = df.select(
+                "*", *[t.expr(df).alias(t.pname) for t in spec]
+            )
+            if not shaped:
+                aug = aug.repartition(*[F.col(n) for n in pnames])
+            out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+            aug.write.mode("error").partitionBy(*pnames).parquet(out)
+            return scan(out)
+
         if shaped:
             # caller already partitioned/sorted the frame (e.g. sort-
             # strategy compaction via repartitionByRange): re-shaping
@@ -1530,13 +1603,14 @@ class LakehouseTable:
         column min/max/null-count metrics from one parquet footer read
         per file — no Spark job; these are what scan planning prunes
         against (Iceberg manifests record the same metrics at write
-        time)."""
+        time). Recursive, so hive partition dirs are walked and each
+        file's partition values recorded (the manifest partition
+        tuple)."""
         infos = []
-        for name in self.io.listdir(out_dir):
-            if not name.endswith(".parquet"):
+        for full in sorted(self.io.walk_files(out_dir)):
+            if not full.endswith(".parquet"):
                 continue
-            full = os.path.join(out_dir, name)
-            rel = os.path.relpath(full, self.table_dir)
+            rel = self.io.relpath(full, self.table_dir)
             rows, stats = self.io.parquet_file_stats(full)
             infos.append(
                 FileInfo(
@@ -1544,6 +1618,7 @@ class LakehouseTable:
                     size_bytes=self.io.size(full),
                     row_count=rows,
                     stats=stats or None,
+                    partition=_part.parse_partition_from_path(rel),
                 )
             )
         return tuple(infos)

@@ -852,3 +852,75 @@ def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_partition_prune",
+    oracle="""
+        SELECT
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                    AND o_orderdate < TIMESTAMP '1996-01-01')
+                AS BIGINT) AS rows_1995,
+            CAST((SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)
+                AS BIGINT) AS partitions_total,
+            TRUE AS partition_pruned,
+            TRUE AS boundary_partitions_pruned,
+            CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS rows_total
+    """,
+    tags=("lakehouse", "partitioning", "pruning"),
+    doc="Iceberg-style hidden partitioning end to end through the SQL "
+    "surface: CREATE TABLE ... PARTITIONED BY (year(o_orderdate)) lays "
+    "orders out per transform value (hive dirs via Spark's native "
+    "partitionBy; the source column stays in the data files), the "
+    "`.partitions` metadata view counts one row per live partition "
+    "(recomputed in DuckDB as COUNT(DISTINCT year)), and a one-year "
+    "[start, end) filter prunes every other partition from METADATA "
+    "alone before any Spark job — including both boundary partitions, "
+    "because midnight-boundary literals are provably exclusive. The "
+    "1995 count and total recompute in DuckDB.",
+)
+def lakehouse_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+
+    def run(lake: Lakehouse):
+        q = LakehouseSQL(lake, catalog_name="nessie")
+        q.sql(
+            "CREATE TABLE nessie.lab.orders_part (o_orderkey BIGINT, "
+            "o_custkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ) "
+            "PARTITIONED BY (year(o_orderdate))"
+        )
+        t = lake.table("lab.orders_part")
+        t.append(orders)
+        partitions_total = q.sql(
+            "SELECT count(*) AS n FROM nessie.lab.orders_part.partitions"
+        ).first()["n"]
+        flt = [
+            ("o_orderdate", ">=", _dt.datetime(1995, 1, 1)),
+            ("o_orderdate", "<", _dt.datetime(1996, 1, 1)),
+        ]
+        plan = t.scan_plan(flt)
+        rows_1995 = t.read(filters=flt).count()
+        rows_total = t.read().count()
+        return (
+            [
+                (
+                    rows_1995,
+                    partitions_total,
+                    bool(plan["files_pruned_by_partition"] > 0),
+                    # exactly ONE year partition survives a [Jan 1, Jan 1)
+                    # range: both boundary years pruned at midnight
+                    bool(plan["files_scanned"] == plan["files_total"] - plan["files_pruned_by_partition"] and
+                         plan["files_pruned_by_partition"] == partitions_total - 1),
+                    rows_total,
+                )
+            ],
+            "rows_1995 bigint, partitions_total bigint, partition_pruned boolean, "
+            "boundary_partitions_pruned boolean, rows_total bigint",
+        )
+
+    return _with_lake(spark, run)
