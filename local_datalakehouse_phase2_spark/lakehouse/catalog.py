@@ -130,19 +130,37 @@ class Lakehouse:
         if schema is not None:
             st = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
             schema_ddl = st.simpleString()
-        if props.get("partition.spec") and schema_ddl:
-            from .partition import PROP_PARTITION_SPEC, parse_spec
+        if props.get("partition.spec"):
+            from .partition import parse_spec
 
-            fields = {f.name for f in T._parse_datatype_string(schema_ddl).fields}
-            missing = [
-                tr.source
-                for tr in parse_spec(props[PROP_PARTITION_SPEC])
-                if tr.source not in fields
-            ]
+            spec = parse_spec(props["partition.spec"])
+            if not schema_ddl:
+                raise CatalogError(
+                    "a partitioned table needs an explicit schema (transform "
+                    "source types are validated against it)"
+                )
+            fields = {
+                f.name: f.dataType.simpleString()
+                for f in T._parse_datatype_string(schema_ddl).fields
+            }
+            missing = [tr.source for tr in spec if tr.source not in fields]
             if missing:
                 raise CatalogError(
                     f"partition transform source column(s) {missing} not in schema"
                 )
+            for tr in spec:
+                # time transforms demand a temporal source: on a string
+                # column, uncastable values would silently land in the
+                # null partition and partition pruning would mis-prune
+                # them (null-partition reasoning assumes null source)
+                if tr.kind in ("year", "month", "day", "hour") and not (
+                    fields[tr.source] == "date"
+                    or fields[tr.source].startswith("timestamp")
+                ):
+                    raise CatalogError(
+                        f"{tr.kind}({tr.source}): time transforms need a "
+                        f"date/timestamp column, got {fields[tr.source]}"
+                    )
 
         def make(version: int) -> LogEntry:
             return LogEntry(

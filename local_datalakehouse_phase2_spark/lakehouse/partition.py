@@ -153,8 +153,7 @@ class Transform:
         if "%" in pvalue:
             return True  # hive-escaped value: don't reason about it
         if pvalue == HIVE_NULL:
-            # every row in this file has source NULL
-            return op == "is_null"
+            return self._null_partition_may_match(op, v)
         if op == "is_null":
             return False  # non-null partition: no null rows
         if op == "not_null":
@@ -198,6 +197,42 @@ class Transform:
             if self.kind == "year":
                 return v.month == 1 and v.day == 1
         return False
+
+    def _null_partition_may_match(self, op: str, v) -> bool:
+        """Hive-layout quirk: the __HIVE_DEFAULT_PARTITION__ dir holds
+        rows whose transform value is NULL — and, for IDENTITY string
+        partitions, rows whose value is the EMPTY STRING (Spark's hive
+        writer conflates the two; naively treating the dir as null-only
+        silently dropped ''-valued rows from pruned reads). Derived
+        transforms only produce NULL there (a non-null '' still hashes
+        /formats to a real value), so for them the dir is null-only."""
+        if op == "is_null":
+            return True
+        if self.kind != "identity":
+            return False  # null rows match no other predicate
+        # identity: a '' row may hide here — decide whether '' can
+        # satisfy the predicate (string columns only; other types
+        # cannot produce '' and their null rows match nothing)
+        if op == "not_null":
+            return True
+        if op == "in":
+            vals = v if isinstance(v, (list, tuple, set, frozenset)) else None
+            return vals is None or any(isinstance(x, str) and x == "" for x in vals)
+        if not isinstance(v, str):
+            return False
+        if op in ("=", "=="):
+            return v == ""
+        if op == "!=":
+            return v != ""
+        if op == "<":
+            return "" < v
+        if op == "<=":
+            return "" <= v
+        if op == ">":
+            return "" > v  # never
+        if op == ">=":
+            return "" >= v
+        return True
 
     def _cmp(self, op: str, lit: str, pvalue: str, lit_at_start: bool = False) -> bool:
         if op in ("=", "=="):

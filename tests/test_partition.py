@@ -248,3 +248,54 @@ def test_partition_spec_validation(spark, lake):
         lake.create_table(
             "lab.bad", schema="k bigint", partition_by="day(nope)"
         )
+
+
+def test_partition_pruning_never_loses_rows(spark, lake):
+    """Property sweep (review batch 6, finding 5): filtered partitioned
+    reads must equal a full-scan filter for every supported op —
+    including hive-escaped dir values ('a=b', '100%', spaces, unicode)
+    and the empty-string/NULL conflation in __HIVE_DEFAULT_PARTITION__
+    (Spark's hive writer puts ''-valued identity rows in the null dir;
+    pruning that treated it as null-only silently dropped them)."""
+    from local_datalakehouse_phase2_spark.lakehouse.pruning import residual_expr
+
+    lake.create_namespace("lab")
+    vals = ["plain", "with space", "a=b", "sl/ash", "unié", "", None, "100%"]
+    rows = [(i - 50, vals[i % len(vals)], f"p{i}") for i in range(200)]
+    t = lake.create_table(
+        "lab.prop",
+        schema="k bigint, g string, v string",
+        partition_by="g, bucket(5, k)",
+    )
+    t.append(spark.createDataFrame(rows, "k bigint, g string, v string"))
+    full = t.read()
+    cases = []
+    for g in vals:
+        if g is None:
+            cases.append([("g", "is_null", None)])
+        else:
+            cases.append([("g", "=", g)])
+            cases.append([("g", "!=", g)])
+    for k in (-50, -1, 0, 7, 149, 999):
+        cases.append([("k", "=", k)])
+        cases.append([("k", "<", k)])
+        cases.append([("k", ">=", k)])
+    cases.append([("g", "in", ["plain", "a=b"]), ("k", ">", 0)])
+    cases.append([("g", "in", ["", "plain"])])
+    cases.append([("g", "not_null", None)])
+    for flt in cases:
+        got = sorted(tuple(r) for r in t.read(filters=flt).collect())
+        want = sorted(tuple(r) for r in full.filter(residual_expr(flt)).collect())
+        assert got == want, flt
+
+
+def test_time_transform_requires_temporal_column(spark, lake):
+    """day(string_col) would route uncastable values into the null
+    partition and mis-prune them — rejected at create."""
+    lake.create_namespace("lab")
+    with pytest.raises(Exception, match="date/timestamp"):
+        lake.create_table(
+            "lab.badtt", schema="k bigint, s string", partition_by="day(s)"
+        )
+    with pytest.raises(Exception, match="explicit schema"):
+        lake.create_table("lab.noschema", partition_by="g")
