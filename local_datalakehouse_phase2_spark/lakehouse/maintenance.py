@@ -151,6 +151,7 @@ def _plan_file_groups(
     max_group_bytes: int,
     min_input_files: int,
     max_file_size_bytes: int,
+    force_paths: frozenset[str] = frozenset(),
 ) -> list[list[tuple[str, FileInfo]]]:
     """Bin-pack candidate files into rewrite groups of ~max_group_bytes.
 
@@ -164,7 +165,10 @@ def _plan_file_groups(
     - ANY file over max_file_size_bytes — oversized files must split
       regardless of the min-input-files gate (Iceberg's BinPack
       rewrites oversized files unconditionally; a lone 10 GB file on a
-      min-input-files=5 table would otherwise never shrink).
+      min-input-files=5 table would otherwise never shrink), OR
+    - ANY file in `force_paths` — files with attached merge-on-read
+      delete files (the delete-file-threshold rule): rewriting one file
+      into one file is NOT a no-op when it folds tombstones away.
     """
     groups = _band_groups(sorted(candidates), max_group_bytes)  # deterministic
     return [
@@ -172,6 +176,7 @@ def _plan_file_groups(
         for g in groups
         if (len(g) >= min_input_files and len(g) > 1)
         or any(fi.size_bytes > max_file_size_bytes for _, fi in g)
+        or any(p in force_paths for p, _ in g)
     ]
 
 
@@ -207,6 +212,7 @@ def rewrite_data_files(
     max_file_group_size_bytes: int = DEFAULT_MAX_FILE_GROUP_SIZE,
     max_concurrent_file_group_rewrites: int = 1,
     partial_progress_enabled: bool = False,
+    delete_file_threshold: int = 1,
 ) -> dict:
     """M1: compact data files into ~target-size files, by file group.
 
@@ -268,7 +274,13 @@ def rewrite_data_files(
     folds tombstones into the rewritten files; afterwards the
     now-dangling delete entries are dropped via
     rewrite_position_deletes and provably-stale equality-delete files
-    are removed. A delete committed between planning and a group's
+    are removed. `delete_file_threshold` (Iceberg's
+    `delete-file-threshold` option) makes any data file referenced by
+    >= that many live delete files a candidate regardless of its size —
+    without it, a well-sized or lone-in-partition file with tombstones
+    attached would never fold them and every read would pay the
+    anti-join forever. Default 1: compaction always clears tombstones
+    it can reach. A delete committed between planning and a group's
     commit raises a conflict for that group (delete-set fingerprint
     check) instead of silently resurrecting rows.
     """
@@ -284,6 +296,26 @@ def rewrite_data_files(
     state = table.log.state_at()
     data_state = {p: fi for p, fi in state.items() if fi.content == 0}
     deletes_fp = tuple(sorted(p for p, fi in state.items() if fi.content != 0))
+
+    # Iceberg's delete-file-threshold: a data file referenced by >=
+    # threshold live delete files is a rewrite candidate REGARDLESS of
+    # its size — well-sized or lone-in-partition files with tombstones
+    # attached would otherwise never fold them (every read pays the
+    # anti-join forever). Metadata-only: the same may-reference tests
+    # the read path uses for delete scoping.
+    pos_files = [fi for fi in state.values() if fi.content == 1]
+    eq_files = [fi for fi in state.values() if fi.content == 2]
+    forced: frozenset[str] = frozenset()
+    if pos_files or eq_files:
+        forced = frozenset(
+            p
+            for p, fi in data_state.items()
+            if (
+                sum(1 for d in pos_files if table._pos_delete_may_reference(d, p))
+                + sum(1 for d in eq_files if table._eq_delete_may_apply(fi, d))
+            )
+            >= delete_file_threshold
+        )
 
     # Iceberg plans rewrites PER PARTITION: a file group never mixes
     # partitions, so rewritten files keep their partition dirs and a
@@ -317,11 +349,15 @@ def rewrite_data_files(
             candidates = [
                 (p, fi)
                 for p, fi in by_part[key]
-                if fi.size_bytes < min_sz or fi.size_bytes > max_sz
+                if fi.size_bytes < min_sz or fi.size_bytes > max_sz or p in forced
             ]
             groups.extend(
                 _plan_file_groups(
-                    candidates, max_file_group_size_bytes, min_input_files, max_sz
+                    candidates,
+                    max_file_group_size_bytes,
+                    min_input_files,
+                    max_sz,
+                    force_paths=forced,
                 )
             )
     if not groups:

@@ -536,3 +536,48 @@ def test_mor_merge_upsert_and_fold(spark, lake):
     # MERGE source missing a table column raises (same strictness as COW)
     with pytest.raises(Exception, match="missing table columns"):
         t.merge(spark.createDataFrame([(1,)], "k bigint"), ["k"])
+
+
+def test_delete_file_threshold_forces_lone_file_rewrite(spark, lake):
+    """Iceberg's delete-file-threshold rule: a data file referenced by
+    live delete files is a rewrite candidate even when it is alone in
+    its partition and inside the well-sized band — otherwise its
+    tombstones never fold and every read pays the anti-join forever."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.thr",
+        schema="id bigint, cat string",
+        properties={
+            "partition.spec": "cat",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    # one file per partition: every partition group has exactly 1 file
+    t.append(
+        spark.range(0, 90)
+        .select(
+            "id",
+            F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+        )
+        .repartition(1)
+    )
+    t.delete_where("id % 7 = 0")  # ids 0,7,14,... hit all three cats
+    assert any(fi.content == 1 for fi in t.log.state_at().values())
+    expect = 90 - 13
+    assert t.read().count() == expect
+    res = rewrite_data_files(t, target_file_size_bytes=134217728, min_input_files=1)
+    # all three lone-per-partition files rewrote because deletes touch them
+    assert res["rewritten_files"] == 3 and res["failed_groups"] == 0
+    st = t.log.state_at().values()
+    assert {fi.content for fi in st} == {0}
+    assert t.read().count() == expect
+    # threshold disabled -> nothing rewrites (no size-band candidates)
+    t.delete_where("id = 1")
+    res2 = rewrite_data_files(
+        t,
+        target_file_size_bytes=134217728,
+        min_input_files=1,
+        delete_file_threshold=10**9,
+    )
+    assert res2["skipped"] is True
+    assert any(fi.content == 1 for fi in t.log.state_at().values())
