@@ -139,28 +139,15 @@ class Lakehouse:
                     "a partitioned table needs an explicit schema (transform "
                     "source types are validated against it)"
                 )
+            from .partition import validate_spec_against_schema
+
             fields = {
                 f.name: f.dataType.simpleString()
                 for f in T._parse_datatype_string(schema_ddl).fields
             }
-            missing = [tr.source for tr in spec if tr.source not in fields]
-            if missing:
-                raise CatalogError(
-                    f"partition transform source column(s) {missing} not in schema"
-                )
-            for tr in spec:
-                # time transforms demand a temporal source: on a string
-                # column, uncastable values would silently land in the
-                # null partition and partition pruning would mis-prune
-                # them (null-partition reasoning assumes null source)
-                if tr.kind in ("year", "month", "day", "hour") and not (
-                    fields[tr.source] == "date"
-                    or fields[tr.source].startswith("timestamp")
-                ):
-                    raise CatalogError(
-                        f"{tr.kind}({tr.source}): time transforms need a "
-                        f"date/timestamp column, got {fields[tr.source]}"
-                    )
+            errors = validate_spec_against_schema(spec, fields)
+            if errors:
+                raise CatalogError("; ".join(errors))
 
         def make(version: int) -> LogEntry:
             return LogEntry(

@@ -48,6 +48,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 PROP_PARTITION_SPEC = "partition.spec"
+# ";"-joined specs that previously governed writes (spec evolution):
+# files written under them still prune via partition_spec_union
+PROP_PARTITION_SPEC_HISTORY = "partition.spec.history"
 
 # Spark writes hive-style null partitions under this dir name
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -71,8 +74,16 @@ class Transform:
 
     @property
     def pname(self) -> str:
+        """Partition-dir column name. Parameterized transforms ENCODE
+        their parameter (`__p_id_bucket16`): under spec evolution a
+        bucket width change must produce a DIFFERENT partition column —
+        pruning a bucket(8)-era file with the bucket(16) hash would be
+        silently wrong (Iceberg gets the same isolation from per-file
+        spec ids)."""
         if self.kind == "identity":
             return f"__p_{self.source}"
+        if self.kind in ("bucket", "truncate"):
+            return f"__p_{self.source}_{self.kind}{self.param}"
         return f"__p_{self.source}_{self.kind}"
 
     # ---- write side --------------------------------------------------
@@ -316,6 +327,38 @@ def parse_spec(spec: str) -> list[Transform]:
     if len(set(names)) != len(names):
         raise PartitionSpecError(f"duplicate transforms in spec: {spec!r}")
     return out
+
+
+def render_transform(t: Transform) -> str:
+    """The spec-string form of a transform (parse_spec's inverse)."""
+    if t.kind == "identity":
+        return t.source
+    if t.kind in ("bucket", "truncate"):
+        return f"{t.kind}({t.param}, {t.source})"
+    return f"{t.kind}({t.source})"
+
+
+def validate_spec_against_schema(spec: list[Transform], fields: dict[str, str]) -> list[str]:
+    """Validate transform sources against `{column: simple type}`.
+    Returns error strings (empty = valid) so callers raise their own
+    exception types (CatalogError at CREATE, ValueError at evolve)."""
+    errors = []
+    missing = [tr.source for tr in spec if tr.source not in fields]
+    if missing:
+        errors.append(f"partition transform source column(s) {missing} not in schema")
+    for tr in spec:
+        # time transforms demand a temporal source: on a string column,
+        # uncastable values would silently land in the null partition
+        # and partition pruning would mis-prune them (null-partition
+        # reasoning assumes null source)
+        if tr.source in fields and tr.kind in ("year", "month", "day", "hour") and not (
+            fields[tr.source] == "date" or fields[tr.source].startswith("timestamp")
+        ):
+            errors.append(
+                f"{tr.kind}({tr.source}): time transforms need a "
+                f"date/timestamp column, got {fields[tr.source]}"
+            )
+    return errors
 
 
 def parse_partition_from_path(rel_path: str) -> dict[str, str] | None:

@@ -247,9 +247,14 @@ class LakehouseSQL:
             if not re.search(rf"(?i)\b{base}\b", s):
                 continue
             t = self.lake.table(ident)
-            # metadata suffixes
+            # metadata suffixes (longest first: `position_deletes` and
+            # `all_files` must never half-match as `files`)
             for suffix, frame in (
+                ("position_deletes", t.position_deletes),
+                ("all_files", t.all_files),
                 ("snapshots", t.snapshots),
+                ("entries", t.entries),
+                ("history", t.history),
                 ("files", t.files),
                 ("refs", t.refs),
                 ("partitions", t.partitions),
@@ -812,6 +817,24 @@ class LakehouseSQL:
             except ValueError as e:
                 raise SqlError(str(e)) from e
             return self._result_frame({"ref": m.group(2), "dropped": True})
+        # Iceberg spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD
+        # <transform> — metadata-only; new writes use the evolved spec,
+        # old files keep pruning through the spec history
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"(ADD|DROP)\s+PARTITION\s+FIELD\s+(.+)",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            try:
+                if m.group(2).upper() == "ADD":
+                    entry = t.add_partition_field(m.group(3).strip())
+                else:
+                    entry = t.drop_partition_field(m.group(3).strip())
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
         raise SqlError(f"unsupported ALTER syntax: {s!r}")
 
     def _drop(self, s: str) -> DataFrame:

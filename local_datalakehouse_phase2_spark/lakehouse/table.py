@@ -40,7 +40,7 @@ from . import partition as _part
 from . import pruning
 from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
-from .partition import PROP_PARTITION_SPEC
+from .partition import PROP_PARTITION_SPEC, PROP_PARTITION_SPEC_HISTORY
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
@@ -117,17 +117,68 @@ class LakehouseTable:
         return self.log.properties_at()
 
     def partition_spec(self) -> list[_part.Transform] | None:
-        """The table's partition transforms (from the `partition.spec`
-        property recorded at create time), or None when unpartitioned."""
+        """The table's CURRENT partition transforms (the `partition.
+        spec` property; writes lay out under this spec), or None when
+        unpartitioned."""
         raw = self.log.properties_at().get(PROP_PARTITION_SPEC)
         return _part.parse_spec(raw) if raw else None
 
+    def partition_spec_union(self) -> list[_part.Transform] | None:
+        """Current PLUS historical transforms (spec evolution leaves
+        old-spec files in place; `partition.spec.history` records every
+        spec that ever governed a write). This is the PRUNING spec: a
+        transform prunes only files that recorded its pname, and pnames
+        encode bucket/truncate parameters, so evaluating the union over
+        mixed-spec files is exact — Iceberg's per-file spec-id
+        evaluation, keyed by column name instead."""
+        props = self.log.properties_at()
+        specs = [props.get(PROP_PARTITION_SPEC, "")] + [
+            s for s in props.get(PROP_PARTITION_SPEC_HISTORY, "").split(";") if s
+        ]
+        seen: dict[str, _part.Transform] = {}
+        for raw in specs:
+            if not raw:
+                continue
+            for tr in _part.parse_spec(raw):
+                seen.setdefault(tr.pname, tr)
+        return list(seen.values()) or None
+
     def set_properties(self, updates: dict[str, str]) -> LogEntry:
-        """ALTER TABLE ... SET TBLPROPERTIES (guide :220-224, :324-328)."""
+        """ALTER TABLE ... SET TBLPROPERTIES (guide :220-224, :324-328).
+
+        Changing `partition.spec` here IS spec evolution: the outgoing
+        spec is appended to `partition.spec.history` so pruning keeps
+        understanding files written under it (see
+        partition_spec_union); the new spec governs writes from the
+        next commit on. Existing files are never rewritten —
+        Iceberg's metadata-only spec evolution."""
+        updates = {k: str(v) for k, v in updates.items()}
 
         def make(version: int) -> LogEntry:
             props = self.log.properties_at()
-            props.update({k: str(v) for k, v in updates.items()})
+            if PROP_PARTITION_SPEC in updates:
+                new = updates[PROP_PARTITION_SPEC]
+                if new:
+                    spec = _part.parse_spec(new)
+                    schema = self.schema()
+                    if schema is not None:
+                        fields = {
+                            f.name: f.dataType.simpleString() for f in schema.fields
+                        }
+                        errors = _part.validate_spec_against_schema(spec, fields)
+                        if errors:
+                            raise ValueError("; ".join(errors))
+                old = props.get(PROP_PARTITION_SPEC, "")
+                if old and old != new:
+                    hist = [
+                        s
+                        for s in props.get(PROP_PARTITION_SPEC_HISTORY, "").split(";")
+                        if s
+                    ]
+                    if old not in hist:
+                        hist.append(old)
+                    props[PROP_PARTITION_SPEC_HISTORY] = ";".join(hist)
+            props.update(updates)
             return LogEntry(
                 version=version,
                 snapshot_id=version,
@@ -137,6 +188,35 @@ class LakehouseTable:
             )
 
         return self.log.append(make)
+
+    # ---- partition spec evolution (Iceberg ADD/DROP PARTITION FIELD) --
+
+    def add_partition_field(self, transform: str) -> LogEntry:
+        """ALTER TABLE ... ADD PARTITION FIELD <transform> (Iceberg
+        spec evolution): metadata-only — no file moves; new writes pick
+        up the widened spec, old files prune under the spec that wrote
+        them."""
+        new = _part.parse_spec(transform)
+        cur = self.partition_spec() or []
+        if any(t.pname in {c.pname for c in cur} for t in new):
+            raise ValueError(f"partition field already in spec: {transform!r}")
+        merged = ", ".join(
+            [p for p in [self.log.properties_at().get(PROP_PARTITION_SPEC, "")] if p]
+            + [transform]
+        )
+        return self.set_properties({PROP_PARTITION_SPEC: merged})
+
+    def drop_partition_field(self, transform: str) -> LogEntry:
+        """ALTER TABLE ... DROP PARTITION FIELD <transform>: the
+        transform leaves the write spec; files it laid out remain and
+        keep pruning through the spec history."""
+        victim = _part.parse_spec(transform)[0]
+        cur = self.partition_spec() or []
+        kept = [t for t in cur if t.pname != victim.pname]
+        if len(kept) == len(cur):
+            raise ValueError(f"partition field not in spec: {transform!r}")
+        spec_str = ", ".join(_part.render_transform(t) for t in kept)
+        return self.set_properties({PROP_PARTITION_SPEC: spec_str})
 
     # ---- reads -------------------------------------------------------
 
@@ -208,8 +288,9 @@ class LakehouseTable:
             # user predicate must never drop a delete file — skipping
             # one would resurrect its deleted rows. Partition pruning
             # runs first (cheapest: one dict lookup per file), stats
-            # min/max second; both advisory-only.
-            spec = self.partition_spec()
+            # min/max second; both advisory-only. The UNION spec covers
+            # files written under evolved-away specs too.
+            spec = self.partition_spec_union()
             if spec:
                 pruning.validate_filters(filters)
                 data_state, _ = _part.prune_state(data_state, filters, spec)
@@ -456,7 +537,7 @@ class LakehouseTable:
         operators can assert pruning without tracing the scan.
         Counts cover DATA files; delete files are never pruned."""
         data_state, _pos, _eq = self._split_state(self.log.state_at(version))
-        spec = self.partition_spec()
+        spec = self.partition_spec_union()
         part_pruned = 0
         kept = data_state
         if spec:
@@ -732,6 +813,145 @@ class LakehouseTable:
         ]
         return self.spark.createDataFrame(rows, FILES_SCHEMA)
 
+    def history(self) -> DataFrame:
+        """The `<t>.history` metadata relation (Iceberg's history
+        table): when each snapshot became current, its parent, and
+        whether it is an ancestor of the CURRENT state. A rollback
+        (guide :304-316) makes the rolled-over snapshots
+        `is_current_ancestor = false` — the audit trail that
+        distinguishes 'current lineage' from 'abandoned branch', which
+        `.snapshots` alone cannot express. Stage (write-audit-publish)
+        snapshots never became current and are excluded, exactly as
+        Iceberg excludes unpublished WAP snapshots."""
+        schema = T.StructType(
+            [
+                T.StructField("made_current_at", T.TimestampType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("parent_id", T.LongType(), True),
+                T.StructField("is_current_ancestor", T.BooleanType(), False),
+            ]
+        )
+        main = [e for e in self.log.entries() if e.operation != "stage"]
+        parent: dict[int, int | None] = {}
+        prev: int | None = None
+        for e in main:
+            target = (e.extra or {}).get("rollback_to")
+            if e.operation == "rollback" and target is not None:
+                # a rollback's logical parent is its target: the
+                # snapshots between target and the rollback fall off
+                # the current lineage
+                parent[e.snapshot_id] = int(target)
+            else:
+                parent[e.snapshot_id] = prev
+            prev = e.snapshot_id
+        ancestors: set[int] = set()
+        cur = prev
+        while cur is not None and cur not in ancestors:
+            ancestors.add(cur)
+            cur = parent.get(cur)
+        rows = [
+            (
+                _dt.datetime.fromtimestamp(e.committed_at, _dt.timezone.utc).replace(
+                    tzinfo=None
+                ),
+                e.snapshot_id,
+                parent[e.snapshot_id],
+                e.snapshot_id in ancestors,
+            )
+            for e in main
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def entries(self) -> DataFrame:
+        """The `<t>.entries` metadata relation (Iceberg's manifest
+        entries table, flattened): one row per file state-change —
+        status 1 = ADDED, 2 = DELETED (Iceberg's status codes) — with
+        the committing snapshot and the file's content class. The
+        forensic view: `.files` says what is live, `.entries` says
+        which commit added or removed each file."""
+        schema = T.StructType(
+            [
+                T.StructField("status", T.IntegerType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("sequence_number", T.LongType(), True),
+                T.StructField("content", T.IntegerType(), True),
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("file_size_in_bytes", T.LongType(), True),
+                T.StructField("record_count", T.LongType(), True),
+            ]
+        )
+        rows = []
+        for e in self.log.entries():
+            for fi in e.added_files:
+                rows.append(
+                    (
+                        1,
+                        e.snapshot_id,
+                        fi.seq,
+                        fi.content,
+                        os.path.join(self.table_dir, fi.path),
+                        fi.size_bytes,
+                        fi.row_count,
+                    )
+                )
+            for p in e.removed_files:
+                rows.append(
+                    (2, e.snapshot_id, None, None, os.path.join(self.table_dir, p), None, None)
+                )
+        return self.spark.createDataFrame(rows, schema)
+
+    def all_files(self) -> DataFrame:
+        """The `<t>.all_files` metadata relation (Iceberg): every file
+        referenced by ANY live snapshot — not just the current one — so
+        expiry/orphan planning can be audited as a query. Columns match
+        `.files`."""
+        seen: dict[str, FileInfo] = {}
+        for v in self.log.versions():
+            for p, fi in self.log.state_at(v).items():
+                seen.setdefault(p, fi)
+        rows = [
+            (
+                fi.content,
+                os.path.join(self.table_dir, fi.path),
+                fi.size_bytes,
+                fi.row_count,
+                (
+                    {
+                        c: [None if x is None else str(x) for x in bounds]
+                        for c, bounds in fi.stats.items()
+                    }
+                    if fi.stats
+                    else None
+                ),
+            )
+            for fi in seen.values()
+        ]
+        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+
+    def position_deletes(self) -> DataFrame:
+        """The `<t>.position_deletes` metadata relation (Iceberg v2):
+        the live position-delete ROWS (file_path, pos) with the delete
+        file each came from — the tombstone-level debugging view behind
+        the guide's content=1 accounting (:336-340)."""
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("pos", T.LongType(), False),
+                T.StructField("delete_file_path", T.StringType(), False),
+            ]
+        )
+        _data, pos_files, _eq = self._split_state(self.log.state_at())
+        if not pos_files:
+            return self.spark.createDataFrame([], schema)
+        dels = self.spark.read.schema(POS_DELETE_SCHEMA).parquet(
+            *[os.path.join(self.table_dir, fi.path) for fi in pos_files]
+        )
+        return dels.select(
+            "file_path",
+            "pos",
+            F.col("_metadata.file_path").alias("delete_file_path"),
+        )
+
     def partitions(self) -> DataFrame:
         """The `<t>.partitions` metadata relation (Iceberg's partitions
         table): one row per live partition with file/record/byte
@@ -905,11 +1125,16 @@ class LakehouseTable:
         bounds the data-file range it references — what lets reads
         scope the anti-join to possibly-affected files only. Returns
         (delete FileInfos, referenced data-file rel paths); both empty
-        when nothing matched (the written dir is cleaned up)."""
-        n_out = max(1, self.spark.sparkContext.defaultParallelism)
-        pre = matches.repartitionByRange(n_out, "file_path", "pos").sortWithinPartitions(
-            "file_path", "pos"
-        )
+        when nothing matched (the written dir is cleaned up).
+
+        Sizing: a GLOBAL orderBy (range shuffle) whose partition count
+        AQE picks from the actual tombstone bytes — a 5-row DELETE
+        writes ONE delete file, a billion-row delete writes many, with
+        no explicit parallelism knob (an explicit
+        repartitionByRange(defaultParallelism) here once sprayed tiny
+        deletes across 32 one-row files — delete-file explosion the
+        read path then pays for on every scan)."""
+        pre = matches.orderBy("file_path", "pos")
         out_dir = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
         pre.write.mode("error").parquet(out_dir)
         files = self._scan_written(out_dir)
@@ -1009,9 +1234,9 @@ class LakehouseTable:
         rows = values.select(
             *[F.col(c).cast(types[c]).alias(c) for c in cols]
         ).distinct()
-        pre = rows.repartitionByRange(
-            max(1, self.spark.sparkContext.defaultParallelism), *cols
-        ).sortWithinPartitions(*cols)
+        # global sort, AQE-sized output: a handful of deleted keys is
+        # ONE delete file, not defaultParallelism near-empty ones
+        pre = rows.orderBy(*cols)
         out_dir = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
         pre.write.mode("error").parquet(out_dir)
         files = self._scan_written(out_dir)

@@ -924,3 +924,77 @@ def lakehouse_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_metadata_tables",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(5 AS BIGINT), CAST(1 AS BIGINT),
+             CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+             CAST(0 AS BIGINT))
+        ) AS t(history_rows, abandoned_snapshots, entries_added,
+               entries_deleted, pos_delete_rows, pos_delete_files,
+               all_files_count, live_files_count,
+               pos_delete_rows_after_rollback)
+    """,
+    tags=("lakehouse", "metadata"),
+    doc="The full Iceberg metadata-table surface beyond .snapshots/"
+    ".files: `.history` (rollback leaves the rolled-over snapshot "
+    "with is_current_ancestor=false — guide :304-316's audit), "
+    "`.entries` (per-commit ADDED/DELETED file changes), "
+    "`.position_deletes` (live tombstone rows with their delete "
+    "file), and `.all_files` (files of ALL snapshots, the expiry-"
+    "planning view). Lifecycle: 2 appends -> merge-on-read DELETE "
+    "(content=1, guide :336-340) -> rollback. All quantities pinned; "
+    "deterministic because chunks are key ranges hash-partitioned "
+    "into a fixed file count.",
+)
+def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.nation_meta",
+            schema="n_nationkey bigint, n_name string",
+            properties={"write.delete.mode": "merge-on-read"},
+        )
+        t.append(nation.filter(F.col("n_nationkey") < 10).repartition(2, "n_nationkey"))
+        t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(2, "n_nationkey"))
+        pre_rollback_version = t.log.latest_version()
+        t.delete_where("n_nationkey % 5 = 0")  # 5 tombstones, 1 delete file
+        pos = t.position_deletes()
+        pos_rows = pos.count()
+        pos_files = pos.select("delete_file_path").distinct().count()
+        all_files = t.all_files().count()
+        rollback_to_snapshot(t, pre_rollback_version)
+        hist = t.history().collect()
+        non_ancestors = sum(1 for r in hist if not r.is_current_ancestor)
+        ent = t.entries().collect()
+        added = sum(1 for r in ent if r.status == 1)
+        deleted = sum(1 for r in ent if r.status == 2)
+        live = t.files().count()
+        pos_after = t.position_deletes().count()
+        return (
+            [
+                (
+                    len(hist),
+                    non_ancestors,
+                    added,
+                    deleted,
+                    pos_rows,
+                    pos_files,
+                    all_files,
+                    live,
+                    pos_after,
+                )
+            ],
+            "history_rows bigint, abandoned_snapshots bigint, entries_added bigint, "
+            "entries_deleted bigint, pos_delete_rows bigint, pos_delete_files bigint, "
+            "all_files_count bigint, live_files_count bigint, "
+            "pos_delete_rows_after_rollback bigint",
+        )
+
+    return _with_lake(spark, run)

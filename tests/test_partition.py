@@ -121,7 +121,7 @@ def test_partitioned_write_prune_read(spark, lake):
     state = t.log.state_at()
     assert len(state) == 16  # 4 days x 4 buckets, one file each
     assert all(
-        set(fi.partition) == {"__p_ts_day", "__p_k_bucket"} for fi in state.values()
+        set(fi.partition) == {"__p_ts_day", "__p_k_bucket4"} for fi in state.values()
     )
     # day pruning
     flt = [("ts", ">=", dt.datetime(2024, 3, 2)), ("ts", "<", dt.datetime(2024, 3, 3))]
@@ -239,7 +239,7 @@ def test_sql_partitioned_by_and_partitions_view(spark, lake):
     )
     t2 = lake.table("lab.psql2")
     assert t2.read().count() == 3
-    assert len({(fi.partition or {}).get("__p_k_bucket") for fi in t2.log.state_at().values()}) <= 2
+    assert len({(fi.partition or {}).get("__p_k_bucket2") for fi in t2.log.state_at().values()}) <= 2
 
 
 def test_partition_spec_validation(spark, lake):
