@@ -6,6 +6,7 @@ from .fs import FileIO, HadoopFileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
+    add_files,
     cherrypick_snapshot,
     expire_snapshots,
     publish_changes,
@@ -35,6 +36,7 @@ __all__ = [
     "LogEntry",
     "MaintenanceError",
     "TransactionLog",
+    "add_files",
     "expire_snapshots",
     "remove_orphan_files",
     "rewrite_data_files",

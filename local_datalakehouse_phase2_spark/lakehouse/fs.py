@@ -110,7 +110,20 @@ class FileIO(abc.ABC):
         (without writing) when it already does — the commit-race
         arbiter; see module docstring for scheme-level atomicity."""
 
+    @abc.abstractmethod
+    def link_or_copy(self, src: str, dst: str) -> None:
+        """Make `dst` hold `src`'s bytes as cheaply as the store allows:
+        hard link on POSIX (zero-copy — what makes `add_files` adopt a
+        directory of parquet without rewriting it), byte copy
+        otherwise."""
+
     # --- parquet footers ---------------------------------------------
+    @abc.abstractmethod
+    def parquet_column_names(self, path: str) -> list[str]:
+        """Top-level column names from the parquet footer (no data
+        read) — `add_files` validates adopted files against the table
+        schema with this."""
+
     @abc.abstractmethod
     def parquet_row_count(self, path: str) -> int:
         """Exact row count from the parquet footer (no Spark job)."""
@@ -269,7 +282,14 @@ class LocalFileIO(FileIO):
         return os.path.getsize(path)
 
     def mtime(self, path: str) -> float:
-        return os.path.getmtime(path)
+        # max(mtime, ctime): an add_files hard link preserves the SOURCE
+        # file's (possibly ancient) mtime, but link creation bumps the
+        # inode ctime — without this, an orphan sweep racing an
+        # in-flight adoption would see "old unreferenced file" and
+        # delete it THROUGH the 24h safety floor (the floor assumes
+        # files appear with fresh timestamps)
+        st = os.stat(path)
+        return max(st.st_mtime, st.st_ctime)
 
     def remove(self, path: str) -> None:
         os.remove(path)
@@ -301,6 +321,17 @@ class LocalFileIO(FileIO):
             return False
         finally:
             os.unlink(tmp)
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        try:
+            os.link(src, dst)  # zero-copy adoption on the same device
+        except OSError:
+            shutil.copy2(src, dst)  # cross-device / FS without links
+
+    def parquet_column_names(self, path: str) -> list[str]:
+        md = pq.ParquetFile(path).metadata
+        return sorted({md.schema.column(i).path.split(".")[0] for i in range(md.num_columns)})
 
     def parquet_row_count(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
@@ -489,6 +520,23 @@ class HadoopFileIO(FileIO):
         # fine for metadata purposes
         shim = b"PAR1" + footer + meta_len.to_bytes(4, "little") + b"PAR1"
         return pq.ParquetFile(io.BytesIO(shim)).metadata
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        # no portable hard links across Hadoop filesystems: FileUtil
+        # byte-copies (server-side within one store where the connector
+        # supports it)
+        self.makedirs(os.path.dirname(dst))
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self._fs(src), self._path(src),
+            self._fs(dst), self._path(dst),
+            False, self._conf,
+        )
+        if not ok:
+            raise OSError(f"copy {src} -> {dst} failed")
+
+    def parquet_column_names(self, path: str) -> list[str]:
+        md = self._footer_metadata(path)
+        return sorted({md.schema.column(i).path.split(".")[0] for i in range(md.num_columns)})
 
     def parquet_row_count(self, path: str) -> int:
         return self._footer_metadata(path).num_rows

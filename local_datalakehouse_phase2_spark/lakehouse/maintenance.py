@@ -1025,3 +1025,80 @@ def rewrite_equality_deletes(table: LakehouseTable) -> dict:
         "rewritten_delete_files": len(eq_paths),
         "rewritten_data_files": len(affected),
     }
+
+
+def add_files(table: LakehouseTable, source_dir: str) -> dict:
+    """Iceberg's `add_files` procedure: ADOPT existing parquet files
+    into the table as a snapshot commit — zero rewrite (hard links on
+    POSIX via FileIO.link_or_copy; a byte copy only where the store
+    has no links). The bulk-migration path: a directory of historical
+    parquet joins the table format, gains snapshots/time-travel/
+    maintenance, and its footer stats enter scan planning, all without
+    touching data bytes.
+
+    Validation: every adopted file's footer must contain ALL table
+    columns. This rejects hive-layout sources whose writers dropped the
+    partition column from the files (the value lives only in the dir
+    name there) — adopting one would silently null that column; use
+    INSERT INTO ... SELECT for those. Extra columns are fine (reads
+    project through the table schema). Adopted files carry no partition
+    tuple, so on a partitioned table they are always scanned (pruning
+    is advisory); the next compaction migrates them into the current
+    spec's layout.
+    """
+    schema = table.schema() or table._schema()
+    need = {f.name for f in schema.fields}
+    if not need:
+        raise MaintenanceError("add_files: table has no schema to validate against")
+    io = table.io
+    srcs = sorted(p for p in io.walk_files(source_dir) if p.endswith(".parquet"))
+    if not srcs:
+        raise MaintenanceError(f"add_files: no parquet files under {source_dir!r}")
+    for p in srcs:
+        have = set(io.parquet_column_names(p))
+        missing = sorted(need - have)
+        if missing:
+            raise MaintenanceError(
+                f"add_files: {p!r} lacks table column(s) {missing} — hive-"
+                "partitioned sources whose files dropped the partition column "
+                "must be re-written (INSERT INTO ... SELECT), not adopted"
+            )
+    out_dir = os.path.join(table.data_dir, f"v{uuid.uuid4().hex[:12]}")
+    infos = []
+    for i, src in enumerate(srcs):
+        dst = os.path.join(out_dir, f"adopted-{i:05d}.parquet")
+        io.link_or_copy(src, dst)
+        rows, stats = io.parquet_file_stats(dst)
+        infos.append(
+            FileInfo(
+                path=io.relpath(dst, table.table_dir),
+                size_bytes=io.size(dst),
+                row_count=rows,
+                stats=stats or None,
+            )
+        )
+
+    def make(version: int) -> LogEntry:
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="add_files",
+            added_files=tuple(_dc_replace(fi, seq=version) for fi in infos),
+            extra={"source_dir": source_dir},
+        )
+
+    try:
+        e = table.log.append(make)
+    except BaseException:
+        for fi in infos:
+            try:
+                table.io.remove(os.path.join(table.table_dir, fi.path))
+            except OSError:
+                pass
+        raise
+    return {
+        "added_files": len(infos),
+        "added_records": sum(fi.row_count for fi in infos),
+        "snapshot_id": e.snapshot_id,
+    }

@@ -160,6 +160,9 @@ def _parse_value(raw: str):
         if len(items) % 2:
             raise SqlError(f"map() needs an even number of arguments: {raw!r}")
         return dict(zip(items[0::2], items[1::2]))
+    m = re.fullmatch(r"(?is)array\s*\((.*)\)", raw)
+    if m:
+        return [_parse_value(p) for p in _split_top_level(m.group(1))]
     if raw.startswith("'") and raw.endswith("'"):
         return raw[1:-1]
     try:
@@ -414,6 +417,33 @@ class LakehouseSQL:
             except ValueError as e:
                 raise SqlError(str(e)) from e
             result = {"ref": ref["name"], "snapshot_id": ref["snapshot_id"]}
+        elif proc == "create_changelog_view":
+            # Iceberg's CDC procedure: register the row-level changelog
+            # over a snapshot range as a temp view (guide-stack CDC
+            # consumers then query it like any relation)
+            view = str(args.pop("changelog_view", f"{table.identifier.replace('.', '_')}_changes"))
+            start = options.get("start-snapshot-id")
+            end = options.get("end-snapshot-id")
+            ids = args.pop("identifier_columns", None)
+            if ids is not None and not isinstance(ids, list):
+                raise SqlError("identifier_columns => must be an array(...)")
+            first = table.log.versions()[0] if table.log.versions() else 0
+            df = table.read_changelog(
+                from_version=int(start) if start is not None else first,
+                to_version=int(end) if end is not None else None,
+                identifier_columns=[str(c) for c in ids] if ids else None,
+            )
+            df.createOrReplaceTempView(view)
+            result = {"changelog_view": view}
+        elif proc == "add_files":
+            # Iceberg's bulk-adoption procedure: existing parquet joins
+            # the table as a snapshot commit, zero rewrite
+            if "source_dir" not in args:
+                raise SqlError("add_files: missing source_dir => argument")
+            try:
+                result = maintenance.add_files(table, str(args.pop("source_dir")))
+            except maintenance.MaintenanceError as e:
+                raise SqlError(str(e)) from e
         elif proc == "rewrite_position_deletes":
             result = maintenance.rewrite_position_deletes(table)
         elif proc == "rewrite_equality_deletes":
@@ -817,6 +847,26 @@ class LakehouseSQL:
             except ValueError as e:
                 raise SqlError(str(e)) from e
             return self._result_frame({"ref": m.group(2), "dropped": True})
+        # Iceberg sort order DDL: ALTER TABLE t WRITE ORDERED BY (c1
+        # [desc], ...) | WRITE UNORDERED -> the write.sort-order
+        # property the writer applies before every unshaped write
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"WRITE\s+ORDERED\s+BY\s+\(?\s*([^()]+?)\s*\)?",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            entry = t.set_properties({"write.sort-order": m.group(2).strip()})
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+WRITE\s+UNORDERED",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            entry = t.set_properties({"write.sort-order": ""})
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
         # Iceberg spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD
         # <transform> — metadata-only; new writes use the evolved spec,
         # old files keep pruning through the spec history

@@ -54,6 +54,11 @@ PROP_GC_ENABLED = "gc.enabled"  # guide :218-224
 # position-delete files that readers merge (merge-on-read, guide
 # :336-340 content classes)
 PROP_DELETE_MODE = "write.delete.mode"  # copy-on-write | merge-on-read
+# Iceberg's table sort order (ALTER TABLE ... WRITE ORDERED BY):
+# writers sort rows within each output file so parquet footer min/max
+# are tight and stats-based scan planning prunes hard from day one —
+# without waiting for a sort-strategy compaction pass
+PROP_SORT_ORDER = "write.sort-order"  # "col [desc][, col ...]"
 PROP_UPDATE_MODE = "write.update.mode"  # copy-on-write | merge-on-read
 PROP_MERGE_MODE = "write.merge.mode"  # copy-on-write | merge-on-read
 
@@ -701,6 +706,136 @@ class LakehouseTable:
         if not paths:
             return self.spark.createDataFrame([], self.schema(to_version) or self._schema())
         return self._read_paths(paths, version=to_version)
+
+    def read_changelog(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        identifier_columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level changelog over (from_version, to_version] — the
+        Iceberg `create_changelog_view` procedure's result relation:
+        table columns plus `_change_type`
+        ('insert'|'delete'|'update_before'|'update_after'),
+        `_change_ordinal` (commit index within the range), and
+        `_commit_snapshot_id`. Unlike `read_incremental` (file-granular,
+        append-only ranges) this handles EVERY row-level operation —
+        COW and merge-on-read DELETE/UPDATE/MERGE, overwrite,
+        rollback — by diffing each commit's visible rows.
+
+        Scale shape: the diff is scoped per commit to the files whose
+        VISIBILITY changed (added/removed data files + data files newly
+        referenced by that commit's delete files) — a commit that
+        touched 0.1% of the table diffs 0.1% of the data, never the
+        table. `replace` commits (compaction/delete-file maintenance)
+        are row-preserving by commit-time validation and emit nothing,
+        exactly like Iceberg's changelog ignores rewrites.
+
+        With `identifier_columns`, a delete+insert pair within one
+        commit that agrees on the identifier becomes
+        update_before/update_after (Iceberg's compute-updates mode);
+        identifiers repeated on either side of a commit stay as plain
+        delete+insert rather than guessing pairings."""
+        if to_version is None:
+            to_version = self.log.latest_version()
+        schema = self.schema(to_version) or self._schema()
+        cols = [f.name for f in schema.fields]
+        meta_ops = ("create", "set_properties", "add_column", "stage")
+        commits = [
+            e
+            for e in self.log.entries()
+            if from_version < e.version <= to_version and e.operation not in meta_ops
+        ]
+
+        def scoped(paths: set[str], state: dict[str, FileInfo]) -> DataFrame:
+            data_state, pos, eq = self._split_state(state)
+            subset = {p: data_state[p] for p in paths if p in data_state}
+            return self._assemble_read(subset, pos, eq, version=to_version).select(*cols)
+
+        prev_version = from_version
+        parts: list[DataFrame] = []
+        for ordinal, e in enumerate(commits):
+            if e.operation == "replace":
+                prev_version = e.version
+                continue  # row-preserving rewrite: no logical change
+            old_state = self.log.state_at(prev_version)
+            new_state = self.log.state_at(e.version)
+            changed: set[str] = set()
+            for fi in e.added_files:
+                if fi.content == 0:
+                    changed.add(fi.path)
+                elif fi.content == 1:
+                    changed.update(
+                        p
+                        for p, dfi in old_state.items()
+                        if dfi.content == 0 and self._pos_delete_may_reference(fi, p)
+                    )
+                else:
+                    changed.update(
+                        p
+                        for p, dfi in old_state.items()
+                        if dfi.content == 0 and self._eq_delete_may_apply(dfi, fi)
+                    )
+            changed.update(p for p in e.removed_files)
+            old_df = scoped(changed, old_state)
+            new_df = scoped(changed, new_state)
+            deleted = old_df.exceptAll(new_df).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            inserted = new_df.exceptAll(old_df).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            parts.append(
+                deleted.unionByName(inserted)
+                .withColumn("_change_ordinal", F.lit(ordinal))
+                .withColumn("_commit_snapshot_id", F.lit(e.snapshot_id))
+            )
+            prev_version = e.version
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_change_ordinal", T.IntegerType(), False),
+                T.StructField("_commit_snapshot_id", T.LongType(), False),
+            ]
+        )
+        if not parts:
+            return self.spark.createDataFrame([], out_schema)
+        log_df = _reduce(DataFrame.unionByName, parts)
+        if identifier_columns:
+            log_df = self._pair_updates(log_df, identifier_columns)
+        return log_df
+
+    @staticmethod
+    def _pair_updates(log_df: DataFrame, id_cols: list[str]) -> DataFrame:
+        """Rewrite delete+insert pairs that share the identifier within
+        one commit into update_before/update_after. Pairing only fires
+        when the identifier appears EXACTLY once on each side of that
+        commit — a repeated key stays delete+insert instead of a
+        guessed pairing. One window + one aggregated self-join, both
+        keyed on (ordinal, identifier): shuffle-bounded by the
+        changelog size, not the table."""
+        from pyspark.sql import Window
+
+        key = ["_change_ordinal", *id_cols]
+        w = Window.partitionBy(*key, "_change_type")
+        both = Window.partitionBy(*key)
+        marked = (
+            log_df.withColumn("__side_n", F.count("*").over(w))
+            .withColumn("__del_n", F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).over(both))
+            .withColumn("__ins_n", F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).over(both))
+        )
+        paired = (F.col("__del_n") == 1) & (F.col("__ins_n") == 1) & (F.col("__side_n") == 1)
+        return marked.withColumn(
+            "_change_type",
+            F.when(
+                paired & (F.col("_change_type") == "delete"), F.lit("update_before")
+            )
+            .when(
+                paired & (F.col("_change_type") == "insert"), F.lit("update_after")
+            )
+            .otherwise(F.col("_change_type")),
+        ).drop("__side_n", "__del_n", "__ins_n")
 
     def _schema(self) -> T.StructType:
         # empty table: recover schema from any DATA file ever written
@@ -1753,6 +1888,29 @@ class LakehouseTable:
         mode = props.get(PROP_DISTRIBUTION_MODE, "none")
         hash_cols = [c.strip() for c in props.get(PROP_HASH_COLUMNS, "").split(",") if c.strip()]
 
+        def ordered(frame: DataFrame, prefix: tuple[str, ...] = ()) -> DataFrame:
+            """`write.sort-order`: in-partition sort just before the
+            write — a per-partition sort (no extra shuffle), enough for
+            tight per-FILE footer ranges, which is all stats pruning
+            reads. Shaped writes skip this (the caller's clustering —
+            e.g. zorder — wins). `prefix` carries the hive partition
+            columns on spec-partitioned writes: the dynamic-partition
+            writer requires rows sorted by partition columns and would
+            re-sort (destroying our order) unless they lead the sort."""
+            so = props.get(PROP_SORT_ORDER, "")
+            cols = []
+            for part in so.split(","):
+                toks = part.split()
+                if not toks:
+                    continue
+                c = F.col(toks[0])
+                cols.append(
+                    c.desc() if len(toks) > 1 and toks[1].lower() == "desc" else c
+                )
+            if not cols:
+                return frame
+            return frame.sortWithinPartitions(*[F.col(p) for p in prefix], *cols)
+
         def shape(frame: DataFrame, n: int) -> DataFrame:
             # always a repartition, never coalesce(1): coalesce pushes
             # the single-partition constraint up through the whole input
@@ -1767,7 +1925,7 @@ class LakehouseTable:
 
         def write_dir(frame: DataFrame) -> str:
             out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
-            frame.write.mode("error").parquet(out)
+            (frame if shaped else ordered(frame)).write.mode("error").parquet(out)
             return out
 
         scan = self._scan_written
@@ -1790,7 +1948,10 @@ class LakehouseTable:
                 "*", *[t.expr(df).alias(t.pname) for t in spec]
             )
             if not shaped:
-                aug = aug.repartition(*[F.col(n) for n in pnames])
+                aug = ordered(
+                    aug.repartition(*[F.col(n) for n in pnames]),
+                    prefix=tuple(pnames),
+                )
             out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
             aug.write.mode("error").partitionBy(*pnames).parquet(out)
             return scan(out)

@@ -998,3 +998,126 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_changelog",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('delete',        CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+            ('insert',        CAST(0 AS BIGINT), CAST(20 AS BIGINT)),
+            ('update_after',  CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+            ('update_before', CAST(2 AS BIGINT), CAST(1 AS BIGINT))
+        ) AS t(change_type, change_ordinal, n)
+    """,
+    tags=("lakehouse", "cdc", "changelog"),
+    doc="Row-level changelog read (Iceberg's create_changelog_view): "
+    "append 20 -> merge-on-read DELETE of 2 keys -> UPDATE of 1 key, "
+    "then read_changelog over the range with identifier_columns so the "
+    "update surfaces as an update_before/update_after pair instead of "
+    "delete+insert. Per-commit scoped diffs (only files whose "
+    "visibility changed are scanned — commit-blast-radius, not "
+    "table-sized) and replace commits are transparent. All change "
+    "counts pinned.",
+)
+def lakehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.changelog",
+            schema="k bigint, v string",
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.update.mode": "merge-on-read",
+            },
+        )
+        v0 = t.log.latest_version()
+        t.append(
+            spark.range(0, 20)
+            .select(F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
+            .coalesce(1)
+        )
+        t.delete_where("k IN (3, 4)")
+        t.update_where({"v": "concat('u', k)"}, "k = 7")
+        log = t.read_changelog(v0, identifier_columns=["k"])
+        rows = (
+            log.groupBy("_change_type", "_change_ordinal")
+            .agg(F.count("*").alias("n"))
+            .orderBy("_change_type", "_change_ordinal")
+            .collect()
+        )
+        return (
+            [(r._change_type, int(r._change_ordinal), r.n) for r in rows],
+            "change_type string, change_ordinal bigint, n bigint",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_add_files",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(2 AS BIGINT), CAST(25 AS BIGINT), CAST(30 AS BIGINT),
+             TRUE, CAST(1 AS BIGINT))
+        ) AS t(adopted_files, adopted_records, rows_after,
+               rejected_narrow_source, pruned_by_adopted_stats)
+    """,
+    tags=("lakehouse", "maintenance", "migration"),
+    doc="Bulk adoption (Iceberg's add_files procedure): a directory of "
+    "pre-existing parquet joins the table as ONE snapshot commit with "
+    "zero rewrite (hard links on POSIX), its footer stats immediately "
+    "drive scan pruning, and a source missing a table column is "
+    "rejected atomically (adopting hive-layout files that dropped "
+    "their partition column would silently null it). All post-state "
+    "quantities pinned.",
+)
+def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        from ..lakehouse import MaintenanceError, add_files
+
+        src = _tf.mkdtemp(prefix="add_files_src_")
+        try:
+            nation.repartitionByRange(2, "n_nationkey").write.mode(
+                "overwrite"
+            ).parquet(src)
+            t = lake.create_table(
+                "lab.adopted", schema="n_nationkey bigint, n_name string"
+            )
+            t.append(nation.filter("n_nationkey < 5").coalesce(1))
+            res = add_files(t, src)
+            rows_after = t.read().count()
+            plan = t.scan_plan([("n_nationkey", "=", 3)])
+            narrow = _tf.mkdtemp(prefix="add_files_narrow_")
+            try:
+                nation.select("n_nationkey").write.mode("overwrite").parquet(narrow)
+                try:
+                    add_files(t, narrow)
+                    rejected = False
+                except MaintenanceError:
+                    rejected = True
+            finally:
+                shutil.rmtree(narrow, ignore_errors=True)
+            return (
+                [
+                    (
+                        res["added_files"],
+                        res["added_records"],
+                        rows_after,
+                        rejected,
+                        # key 3 lives in the appended file AND the low
+                        # adopted range-half; only the high adopted half
+                        # prunes — proving adopted footer stats plan
+                        plan["files_pruned"],
+                    )
+                ],
+                "adopted_files bigint, adopted_records bigint, rows_after bigint, "
+                "rejected_narrow_source boolean, pruned_by_adopted_stats bigint",
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    return _with_lake(spark, run)

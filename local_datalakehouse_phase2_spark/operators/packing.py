@@ -1,0 +1,298 @@
+"""Training-sequence shaping operators: chunking, packing, mixing.
+
+The last mile of an LLM data pipeline turns a cleaned corpus into
+fixed-length training sequences:
+
+- **Chunking** splits long documents into overlapping token windows
+  (RAG indexing, long-doc pretraining prep).
+- **Sequence packing** concatenates the corpus in a deterministic
+  order and slices it into capacity-C sequences (GPT-style pretraining
+  packing — documents may span sequence boundaries).
+- **Mixture reweighting** computes per-source keep-rates so the OUTPUT
+  token mixture matches target proportions, then samples
+  deterministically (reproducible, retry-stable — see sampling.py).
+
+Scale notes: chunking is row-local (explode over per-doc window
+starts, no shuffle). Packing needs a GLOBAL prefix sum of token
+counts; a naive `Window.orderBy(...)` without partitionBy collapses to
+ONE partition — the classic scale trap — so `prefix_sum` implements
+the two-phase distributed scan: range-repartition by key, per-
+partition partial sums, driver-side cumulative offsets over the P
+partition totals (metadata-sized), broadcast back, in-partition
+window. Mixture reweighting is one tiny aggregate (sources × counts)
+plus a broadcast-joined row-local filter.
+
+The arithmetic is integer/exact everywhere the oracle recomputes it;
+rate thresholds use floor(x * denom + 0.5) — identical in Python and
+SQL, unlike Python's banker's round().
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.loaders import load_table
+
+# whitespace tokens: the same notion text_stats/token_count_bpe use;
+# a real pipeline swaps in its tokenizer's counts upstream
+TOKENS = "size(split(text, ' '))"
+
+CHUNK_TOKENS = 64  # window size
+CHUNK_STRIDE = 48  # 16-token overlap
+PACK_CAPACITY = 512  # training sequence length
+
+
+def prefix_sum(
+    df: DataFrame, order_col: str, value_col: str, out_col: str, partitions: int = 32
+) -> DataFrame:
+    """Distributed exclusive prefix sum of `value_col` in `order_col`
+    order — without ever collapsing to one partition.
+
+    Phase 1: range-repartition by the order key (each partition holds a
+    contiguous key range). Phase 2: per-partition totals -> driver
+    (P rows, metadata-sized) -> cumulative offset per partition.
+    Phase 3: broadcast offsets, in-partition running sum (window
+    PARTITIONED by the partition id, so no global sort on one node).
+    """
+    part = df.repartitionByRange(partitions, order_col).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = {
+        r["__pid"]: r["total"]
+        for r in part.groupBy("__pid").agg(F.sum(value_col).alias("total")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals) + 1 if totals else 0):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    spark = df.sparkSession
+    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.join(F.broadcast(off), "__pid")
+        .withColumn(
+            out_col,
+            F.col("__offset") + F.coalesce(F.sum(value_col).over(w), F.lit(0)),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS chunk_id,
+                   len(w) AS n_tokens_doc,
+                   least(len(w) - (i * {CHUNK_STRIDE}), {CHUNK_TOKENS}) AS n_tokens,
+                   md5(array_to_string(
+                       w[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+                       ' ')) AS chunk_hash
+            FROM docs,
+                 LATERAL unnest(range(0, CAST(
+                     greatest(ceil((len(w) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0), 0)
+                     AS BIGINT) + 1)) AS t(i)
+        )
+        SELECT doc_id, chunk_id, n_tokens, chunk_hash
+        FROM chunks
+        WHERE doc_id % 20 = 0
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("packing", "llm-pipeline", "text"),
+    doc=f"Fixed token-window chunking with overlap (window {CHUNK_TOKENS}, "
+    f"stride {CHUNK_STRIDE}) — the RAG-indexing / long-doc-prep primitive. "
+    "Row-local: one explode over per-doc window starts, zero shuffle; the "
+    "chunk hash (md5, bit-identical in DuckDB) stands in for the chunk "
+    "text so the result stays metadata-sized. The oracle recomputes the "
+    "exact chunk boundaries and hashes on a 1-in-20 doc sample.",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter("doc_id % 20 = 0")
+    w = F.expr("split(text, ' ')")
+    n_chunks = (
+        F.greatest(
+            F.ceil((F.size(w) - F.lit(CHUNK_TOKENS)) / F.lit(float(CHUNK_STRIDE))),
+            F.lit(0),
+        ).cast("bigint")
+        + 1
+    )
+    return (
+        d.select(
+            "doc_id",
+            w.alias("w"),
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(
+                F.size("w") - F.col("chunk_id") * CHUNK_STRIDE, F.lit(CHUNK_TOKENS)
+            ).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("w"),
+                        F.col("chunk_id") * CHUNK_STRIDE + 1,
+                        CHUNK_TOKENS,
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        pref AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_tok
+            FROM toks
+        ),
+        placed AS (
+            -- '//' is DuckDB integer division; '/' would float-divide
+            -- and CAST(...) ROUNDS, silently shifting boundary docs
+            SELECT doc_id, source, n_tokens,
+                   CAST(start_tok // {PACK_CAPACITY} AS BIGINT) AS seq_id,
+                   CAST((start_tok + n_tokens - 1) // {PACK_CAPACITY} AS BIGINT)
+                       AS end_seq
+            FROM pref WHERE n_tokens > 0
+        )
+        SELECT CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN end_seq > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS boundary_spanning_docs,
+               CAST(MAX(end_seq) + 1 AS BIGINT) AS last_sequence,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM placed
+    """,
+    tags=("packing", "llm-pipeline"),
+    doc=f"GPT-style sequence packing: concatenate the corpus in doc_id "
+    f"order and slice into {PACK_CAPACITY}-token training sequences "
+    "(documents may span boundaries — the standard pretraining packing "
+    "that wastes zero tokens). The global token prefix-sum is the "
+    "two-phase distributed scan (range repartition + per-partition "
+    "totals -> driver offsets (P rows) -> broadcast + in-partition "
+    "window) — NEVER a single-partition Window.orderBy, which is the "
+    "100 TB scale trap. The oracle recomputes placement with a plain "
+    "SQL window cumsum and must agree exactly.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(TOKENS).cast("long").alias("n_tokens")
+    )
+    placed = (
+        prefix_sum(d, "doc_id", "n_tokens", "start_tok")
+        .filter("n_tokens > 0")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("start_tok") / PACK_CAPACITY).alias("seq_id"),
+            F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_CAPACITY).alias(
+                "end_seq"
+            ),
+        )
+    )
+    return placed.agg(
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum((F.col("end_seq") > F.col("seq_id")).cast("long")).alias(
+            "boundary_spanning_docs"
+        ),
+        (F.max("end_seq") + 1).alias("last_sequence"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+MIX_TARGET = {"src0": 0.5, "src1": 0.3, "src2": 0.2}  # token-share targets
+MIX_DENOM = 100000
+
+
+@register(
+    "mixture_reweight",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        ),
+        observed AS (
+            SELECT source, SUM(n_tokens) AS t FROM toks GROUP BY source
+        ),
+        targets(source, p) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        scale AS (
+            SELECT MIN(o.t / tg.p) AS k
+            FROM observed o JOIN targets tg USING (source)
+        ),
+        rates AS (
+            SELECT o.source,
+                   CAST(FLOOR(LEAST(tg.p * s.k / o.t, 1.0) * {MIX_DENOM} + 0.5)
+                        AS BIGINT) AS keep_below
+            FROM observed o JOIN targets tg USING (source), scale s
+        ),
+        kept AS (
+            SELECT tk.source, tk.n_tokens
+            FROM toks tk JOIN rates r USING (source)
+            WHERE tk.doc_id % {MIX_DENOM} < r.keep_below
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY source ORDER BY source
+    """,
+    tags=("packing", "sampling", "llm-pipeline"),
+    doc="Domain-mixture reweighting: hit target token shares (src0 50% / "
+    "src1 30% / src2 20%) by DOWN-sampling every source to the feasible "
+    "scale K = min(observed/target) — the binding source keeps rate 1.0, "
+    "the rest shed surplus. Two passes: a sources-sized aggregate "
+    "(driver math on a handful of rows), then a broadcast-joined "
+    "row-local deterministic filter (pmod on doc_id — reproducible, "
+    "retry-stable, pushdown-friendly; see sampling.py). Thresholds use "
+    "floor(x*denom + 0.5), identical in Python and SQL (Python round() "
+    "is banker's and would drift). Oracle recomputes the whole "
+    "two-pass pipeline in SQL.",
+)
+def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin(*MIX_TARGET)
+    ).select("doc_id", "source", F.expr(TOKENS).cast("long").alias("n_tokens"))
+    observed = {
+        r.source: r.t for r in d.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    k = min(observed[s] / p for s, p in MIX_TARGET.items())
+    rates = [
+        (s, int(math.floor(min(MIX_TARGET[s] * k / observed[s], 1.0) * MIX_DENOM + 0.5)))
+        for s in sorted(MIX_TARGET)
+    ]
+    spec = spark.createDataFrame(rates, "source string, keep_below long")
+    return (
+        d.join(F.broadcast(spec), "source")
+        .filter(F.pmod(F.col("doc_id"), F.lit(MIX_DENOM)) < F.col("keep_below"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -199,6 +199,7 @@ def _load_all() -> None:
         joins,
         maintenance_queries,
         multimodal,
+        packing,
         partitioning,
         relational,
         sampling,

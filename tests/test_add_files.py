@@ -1,0 +1,166 @@
+"""add_files adoption (Iceberg's add_files procedure) and the
+write.sort-order table property (ALTER TABLE ... WRITE ORDERED BY).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    Lakehouse,
+    LakehouseSQL,
+    MaintenanceError,
+    add_files,
+    rewrite_data_files,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "warehouse"))
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+
+
+def test_add_files_adopts_without_rewrite(spark, lake, tmp_path):
+    src = str(tmp_path / "historical")
+    _mk(spark, 0, 100).coalesce(2).write.parquet(src)
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.adopt", schema="k bigint, v string")
+    t.append(_mk(spark, 100, 110).coalesce(1))
+    res = add_files(t, src)
+    assert res["added_files"] == 2 and res["added_records"] == 100
+    assert t.read().count() == 110
+    # zero-copy on POSIX: adopted files are hard links (same inode)
+    adopted = [
+        fi for fi in t.log.state_at().values() if "adopted-" in fi.path
+    ]
+    assert len(adopted) == 2
+    src_inodes = {
+        os.stat(os.path.join(src, f)).st_ino
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    }
+    dst_inodes = {
+        os.stat(os.path.join(t.table_dir, fi.path)).st_ino for fi in adopted
+    }
+    assert dst_inodes == src_inodes
+    # footer stats entered scan planning
+    plan = t.scan_plan([("k", "=", 105)])
+    assert plan["files_pruned"] >= 2  # both adopted files prune on k
+
+
+def test_add_files_rejects_missing_columns(spark, lake, tmp_path):
+    src = str(tmp_path / "narrow")
+    spark.range(5).select(F.col("id").alias("k")).write.parquet(src)  # no v
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.adopt2", schema="k bigint, v string")
+    with pytest.raises(MaintenanceError, match="lacks table column"):
+        add_files(t, src)
+    assert t.read().count() == 0  # nothing half-adopted
+
+
+def test_add_files_then_compaction_migrates_layout(spark, lake, tmp_path):
+    src = str(tmp_path / "flat")
+    spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+    ).coalesce(2).write.parquet(src)
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.adopt3",
+        schema="k bigint, cat string",
+        properties={"partition.spec": "cat"},
+    )
+    add_files(t, src)
+    # adopted files carry no partition tuple -> never pruned, always read
+    assert t.read(filters=[("cat", "=", "c1")]).count() == 20
+    rewrite_data_files(t, target_file_size_bytes=1 << 20, min_input_files=1)
+    live = list(t.log.state_at().values())
+    assert all(fi.partition for fi in live)  # migrated into the spec
+    plan = t.scan_plan([("cat", "=", "c1")])
+    assert plan["files_pruned_by_partition"] > 0
+    assert t.read(filters=[("cat", "=", "c1")]).count() == 20
+
+
+def test_write_sort_order_tightens_footers(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.so",
+        schema="k bigint, v string",
+        properties={"write.sort-order": "k"},
+    )
+    t.append(_mk(spark, 0, 4000).repartition(4))
+    files = [fi for fi in t.log.state_at().values()]
+    assert len(files) >= 2
+    # rows inside each written file must be sorted (row-group stats get
+    # tight even when round-robin partitioning keeps file spans wide)
+    p = files[0].path
+    one = spark.read.parquet(f"{t.table_dir}/{p}").select("k").collect()
+    ks = [r.k for r in one]
+    assert ks == sorted(ks)
+
+
+def test_write_sort_order_with_partition_spec(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.sop",
+        schema="k bigint, cat string",
+        properties={"partition.spec": "cat", "write.sort-order": "k desc"},
+    )
+    t.append(
+        spark.range(0, 300).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("cat"),
+        )
+    )
+    fi = next(iter(t.log.state_at().values()))
+    one = spark.read.parquet(f"{t.table_dir}/{fi.path}").select("k").collect()
+    ks = [r.k for r in one]
+    assert ks == sorted(ks, reverse=True)
+    assert t.read().count() == 300
+
+
+def test_sql_surfaces(spark, lake, tmp_path):
+    src = str(tmp_path / "sqlsrc")
+    _mk(spark, 0, 30).coalesce(1).write.parquet(src)
+    lake.create_namespace("lab")
+    lake.create_table("lab.sqa", schema="k bigint, v string")
+    sql = LakehouseSQL(lake)
+    res = sql.sql(
+        f"CALL nessie.system.add_files(table => 'lab.sqa', source_dir => '{src}')"
+    ).first()
+    assert res.added_files == 1 and res.added_records == 30
+    sql.sql("ALTER TABLE lab.sqa WRITE ORDERED BY (v desc, k)")
+    t = lake.table("lab.sqa")
+    assert t.properties()["write.sort-order"] == "v desc, k"
+    sql.sql("ALTER TABLE lab.sqa WRITE UNORDERED")
+    assert t.properties()["write.sort-order"] == ""
+
+
+def test_adopted_links_are_sweep_safe(spark, lake, tmp_path):
+    """A hard link preserves the source's old mtime; the orphan sweep's
+    age check must use link-creation time (ctime) so an in-flight
+    adoption can't be swept through the 24h floor."""
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "old_src")
+    _mk(spark, 0, 10).coalesce(1).write.parquet(src)
+    old = _time.time() - 3 * 24 * 3600
+    for f in _os.listdir(src):
+        _os.utime(_os.path.join(src, f), (old, old))
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.sweep", schema="k bigint, v string")
+    add_files(t, src)
+    fi = next(iter(t.log.state_at().values()))
+    full = _os.path.join(t.table_dir, fi.path)
+    # the io-reported age is link-creation time, not the stale mtime
+    assert t.io.mtime(full) > _time.time() - 3600
