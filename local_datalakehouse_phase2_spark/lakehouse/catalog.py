@@ -203,3 +203,54 @@ class Lakehouse:
             "current_snapshot_id": entries[-1].snapshot_id if entries else None,
             "snapshots": len(entries),
         }
+
+    # ---- views (Nessie/Iceberg view catalog analog) ------------------
+    # The reference stack's catalog (Nessie) versions VIEWS alongside
+    # tables; Spark itself only has session-temp views. A catalog view
+    # here is a named SQL text stored in the namespace
+    # (`<ns>/.views/<name>.json`) that the SQL router expands at
+    # reference time — storage-level, so it survives sessions and is
+    # visible to every engine reading the warehouse.
+
+    def _view_path(self, identifier: str) -> str:
+        ns, name = self._split(identifier)
+        return os.path.join(self.warehouse_dir, ns, ".views", f"{name}.json")
+
+    def create_view(
+        self, identifier: str, sql_text: str, replace: bool = False
+    ) -> None:
+        ns, _ = self._split(identifier)
+        if ns not in self.namespaces():
+            raise CatalogError(f"namespace {ns} does not exist")
+        path = self._view_path(identifier)
+        if self.io.exists(path) and not replace:
+            raise CatalogError(f"view {identifier} already exists")
+        self.io.makedirs(os.path.dirname(path))
+        self.io.write_text_atomic(
+            path,
+            json.dumps(
+                {"identifier": identifier, "sql": sql_text, "created_at": time.time()}
+            ),
+        )
+
+    def view_sql(self, identifier: str) -> str:
+        path = self._view_path(identifier)
+        if not self.io.exists(path):
+            raise CatalogError(f"view {identifier} does not exist")
+        return json.loads(self.io.read_text(path))["sql"]
+
+    def views(self, namespace: str) -> list[str]:
+        if namespace not in self.namespaces():
+            raise CatalogError(f"namespace {namespace} does not exist")
+        vdir = os.path.join(self.warehouse_dir, namespace, ".views")
+        return sorted(
+            n[: -len(".json")]
+            for n in self.io.listdir(vdir)
+            if n.endswith(".json")
+        )
+
+    def drop_view(self, identifier: str) -> None:
+        path = self._view_path(identifier)
+        if not self.io.exists(path):
+            raise CatalogError(f"view {identifier} does not exist")
+        self.io.remove(path)

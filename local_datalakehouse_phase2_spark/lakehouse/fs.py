@@ -282,14 +282,7 @@ class LocalFileIO(FileIO):
         return os.path.getsize(path)
 
     def mtime(self, path: str) -> float:
-        # max(mtime, ctime): an add_files hard link preserves the SOURCE
-        # file's (possibly ancient) mtime, but link creation bumps the
-        # inode ctime — without this, an orphan sweep racing an
-        # in-flight adoption would see "old unreferenced file" and
-        # delete it THROUGH the 24h safety floor (the floor assumes
-        # files appear with fresh timestamps)
-        st = os.stat(path)
-        return max(st.st_mtime, st.st_ctime)
+        return os.path.getmtime(path)
 
     def remove(self, path: str) -> None:
         os.remove(path)

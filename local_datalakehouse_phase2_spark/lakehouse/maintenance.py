@@ -655,6 +655,7 @@ def remove_orphan_files(
             referenced.update(fi.path for fi in e.added_files)
 
     deleted = 0
+    dir_mtimes: dict[str, float] = {}
     for full in table.io.walk_files(table.data_dir):
         # io.relpath, NOT os.path.relpath: Hadoop statuses come back
         # scheme-qualified (file:/..., hdfs://...) even for tables
@@ -663,7 +664,18 @@ def remove_orphan_files(
         rel = table.io.relpath(full, table.table_dir)
         if rel in referenced:
             continue
-        if table.io.mtime(full) < older_than:
+        parent = os.path.dirname(full)
+        if parent not in dir_mtimes:
+            try:
+                dir_mtimes[parent] = table.io.mtime(parent)
+            except OSError:
+                dir_mtimes[parent] = 0.0
+        # age = max(file mtime, commit-dir mtime): an add_files hard
+        # link preserves the SOURCE file's possibly-ancient mtime, but
+        # its commit dir was created at adoption time — without the dir
+        # floor, a sweep racing an in-flight adoption would delete the
+        # staged links straight through the 24h safety window
+        if max(table.io.mtime(full), dir_mtimes[parent]) < older_than:
             table.io.remove(full)
             deleted += 1
     # prune now-empty commit dirs
@@ -1051,6 +1063,12 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
     if not need:
         raise MaintenanceError("add_files: table has no schema to validate against")
     io = table.io
+    src_root = os.path.abspath(source_dir)
+    if (src_root + os.sep).startswith(os.path.abspath(table.table_dir) + os.sep) or src_root == os.path.abspath(table.table_dir):
+        raise MaintenanceError(
+            "add_files: source_dir is inside the table directory — "
+            "self-adoption would duplicate rows and confuse the orphan sweep"
+        )
     srcs = sorted(p for p in io.walk_files(source_dir) if p.endswith(".parquet"))
     if not srcs:
         raise MaintenanceError(f"add_files: no parquet files under {source_dir!r}")

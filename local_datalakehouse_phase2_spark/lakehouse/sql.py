@@ -236,7 +236,7 @@ class LakehouseSQL:
             out.extend(f"{ns}.{t}" for t in self.lake.tables(ns))
         return out
 
-    def _rewrite_refs(self, s: str) -> str:
+    def _rewrite_refs(self, s: str, _depth: int = 0) -> str:
         """Map every `[catalog.]ns.table[.snapshots|.files]` and
         time-travel suffix onto a temp view of the right DataFrame.
 
@@ -244,6 +244,18 @@ class LakehouseSQL:
         `ns.t`. Views are registered only for tables the statement
         actually references.
         """
+        if _depth > 8:
+            raise SqlError("view expansion too deep (cyclic view definitions?)")
+        # catalog views first: a view name expands to its (recursively
+        # rewritten) definition before table matching, so views may
+        # reference tables AND other views
+        for ns in self.lake.namespaces():
+            for v in self.lake.views(ns):
+                base = rf"(?:{re.escape(self.catalog_name)}\.)?{re.escape(ns)}\.{re.escape(v)}"
+                if re.search(rf"(?i)\b{base}\b", s):
+                    body = self._rewrite_refs(self.lake.view_sql(f"{ns}.{v}"), _depth + 1)
+                    view = self._fresh_view(self.spark.sql(body), f"{ns}_{v}_view")
+                    s = re.sub(rf"(?i)\b{base}\b", view, s)
         for ident in self._identifiers():
             ns, tbl = ident.split(".", 1)
             base = rf"(?:{re.escape(self.catalog_name)}\.)?{re.escape(ns)}\.{re.escape(tbl)}"
@@ -435,6 +447,21 @@ class LakehouseSQL:
             )
             df.createOrReplaceTempView(view)
             result = {"changelog_view": view}
+        elif proc == "ancestors_of":
+            # Iceberg's ancestors_of: the current-lineage chain from a
+            # snapshot (default: head) back through rollback jumps
+            start = _opt_int(args, "snapshot_id")
+            hist = {r.snapshot_id: r for r in table.history().collect()}
+            cur = start if start is not None else (max(hist) if hist else None)
+            if cur is not None and cur not in hist:
+                raise SqlError(f"ancestors_of: snapshot {cur} not in history")
+            chain = []
+            while cur is not None and cur in hist:
+                chain.append((cur, hist[cur].made_current_at))
+                cur = hist[cur].parent_id
+            return self.spark.createDataFrame(
+                chain, "snapshot_id long, made_current_at timestamp"
+            )
         elif proc == "add_files":
             # Iceberg's bulk-adoption procedure: existing parquet joins
             # the table as a snapshot commit, zero rewrite
@@ -473,13 +500,15 @@ class LakehouseSQL:
 
     def _insert(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"(?is)INSERT\s+INTO\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+(VALUES\s+.*|SELECT\s+.*)",
+            rf"(?is)INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+"
+            rf"((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+(VALUES\s+.*|SELECT\s+.*)",
             s,
         )
         if not m:
             raise SqlError(f"unsupported INSERT syntax: {s!r}")
-        t = self.lake.table(self._strip_catalog(m.group(1)))
-        body = m.group(2)
+        overwrite = m.group(1).upper().startswith("OVERWRITE")
+        t = self.lake.table(self._strip_catalog(m.group(2)))
+        body = m.group(3)
         if body[:6].upper() == "VALUES":
             src = self.spark.sql(f"SELECT * FROM ({body})")
         else:
@@ -496,7 +525,20 @@ class LakehouseSQL:
                 for c, f in zip(src.columns, schema.fields)
             ]
         )
-        entry = t.append(aligned)
+        if overwrite:
+            # partitioned table: DYNAMIC overwrite (replace only the
+            # partitions the new data touches — the idempotent-backfill
+            # semantics Iceberg recommends); unpartitioned: full replace
+            try:
+                entry = (
+                    t.overwrite_partitions(aligned)
+                    if t.partition_spec()
+                    else t.overwrite(aligned)
+                )
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+        else:
+            entry = t.append(aligned)
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "added_files": len(entry.added_files)}
         )
@@ -780,6 +822,24 @@ class LakehouseSQL:
                     "added_files": len(entry.added_files),
                 }
             )
+        # catalog views (the Nessie view-catalog analog): the RAW query
+        # text persists in the warehouse; expansion happens at reference
+        # time so a view always reads the CURRENT table state
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+"
+            rf"((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+AS\s+(SELECT\s+.*)",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(2))
+            body = m.group(3).strip()
+            # fail fast on an invalid definition: expand + analyze once
+            self.spark.sql(self._rewrite_refs(body)).schema
+            try:
+                self.lake.create_view(ident, body, replace=bool(m.group(1)))
+            except CatalogError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame({"view": ident, "created": True})
         raise SqlError(f"unsupported CREATE syntax: {s!r}")
 
     def _table_exists(self, ident: str) -> bool:
@@ -889,6 +949,18 @@ class LakehouseSQL:
 
     def _drop(self, s: str) -> DataFrame:
         m = re.fullmatch(
+            rf"(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})", s
+        )
+        if m:
+            ident = self._strip_catalog(m.group(2))
+            try:
+                self.lake.drop_view(ident)
+            except CatalogError:
+                if m.group(1):
+                    return self._result_frame({"view": ident, "dropped": False})
+                raise
+            return self._result_frame({"view": ident, "dropped": True})
+        m = re.fullmatch(
             rf"(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})", s
         )
         if not m:
@@ -945,6 +1017,16 @@ class LakehouseSQL:
             ns = m.group(1)
             return self.spark.createDataFrame(
                 [(ns, t) for t in self.lake.tables(ns)], "namespace string, tableName string"
+            )
+        m = re.fullmatch(rf"(?is)SHOW\s+VIEWS\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
+        if m:
+            ns = m.group(1)
+            try:
+                views = self.lake.views(ns)
+            except CatalogError as e:
+                raise SqlError(str(e)) from e
+            return self.spark.createDataFrame(
+                [(ns, v) for v in views] or [], "namespace string, viewName string"
             )
         if re.fullmatch(r"(?is)SHOW\s+CATALOGS", s):
             return self.spark.createDataFrame(

@@ -1177,6 +1177,120 @@ class LakehouseTable:
             extra={"schema": ddl} if cur is None or ddl != cur.simpleString() else None,
         )
 
+    def overwrite_partitions(self, df: DataFrame) -> LogEntry:
+        """Dynamic partition overwrite (Iceberg/Spark
+        `spark.sql.sources.partitionOverwriteMode=dynamic`, INSERT
+        OVERWRITE on a partitioned table): replace ONLY the partitions
+        `df` contains rows for — untouched partitions keep their files.
+        The idempotent-backfill primitive: re-running a day's pipeline
+        replaces that day, not the table.
+
+        Planning is metadata-sized: the new data's distinct partition
+        tuples (one tiny distinct over the transform expressions —
+        bounded by the number of TOUCHED partitions, not rows) select
+        the doomed files from the log. Commit-time validation re-checks
+        the doomed set is still live, so a racing write to the same
+        partition conflicts instead of resurrecting."""
+        spec = self.partition_spec()
+        if not spec:
+            raise ValueError(
+                "overwrite_partitions needs a partitioned table "
+                "(set partition.spec); use overwrite() for full replacement"
+            )
+        df, schema_ddl = self._align_for_write(df)
+        if schema_ddl and self.schema() is not None:
+            raise ValueError(
+                "overwrite_partitions cannot evolve the schema; "
+                "add_column first, then overwrite"
+            )
+        touched = [
+            tuple(str(r[t.pname]) if r[t.pname] is not None else None for t in spec)
+            for r in df.select(
+                *[t.expr(df).cast("string").alias(t.pname) for t in spec]
+            )
+            .distinct()
+            .collect()
+        ]
+        touched_set = set(touched)
+        schema_types = {
+            f.name: f.dataType.simpleString()
+            for f in (self.schema() or self._schema()).fields
+        }
+        for tup in touched_set:
+            for t, v in zip(spec, tup):
+                if (
+                    t.kind == "identity"
+                    and schema_types.get(t.source) == "string"
+                    and (v is None or v == "")
+                ):
+                    # hive conflates NULL and '' into one dir for string
+                    # identity partitions; "replace that partition" would
+                    # silently delete whichever of the two the new data
+                    # lacks
+                    raise ValueError(
+                        "overwrite_partitions: the null/empty-string partition "
+                        f"of string column {t.source!r} is ambiguous (hive "
+                        "stores '' and NULL in one directory); use "
+                        "delete_where + append for those rows"
+                    )
+
+        from urllib.parse import unquote as _unquote
+
+        def file_key(fi: FileInfo) -> tuple | None:
+            part = fi.partition or {}
+            if not part:
+                return None  # pre-spec/adopted file: not partition-addressed
+            vals = []
+            for t in spec:
+                v = part.get(t.pname)
+                # dir values are hive-escaped (%3D for '=' etc.); the
+                # df side computes RAW values — unescape to compare
+                vals.append(
+                    None if v is None or v == _part.HIVE_NULL else _unquote(v)
+                )
+            return tuple(vals)
+
+        state = self.log.state_at()
+        doomed = tuple(
+            p
+            for p, fi in state.items()
+            if fi.content == 0 and file_key(fi) in touched_set
+        )
+        unaddressed = [
+            p for p, fi in state.items() if fi.content == 0 and not fi.partition
+        ]
+        if unaddressed:
+            # a file with no partition tuple may hold rows of a touched
+            # partition: replacing "the partition" while such files
+            # survive would duplicate rows. Compaction migrates them.
+            raise ValueError(
+                f"overwrite_partitions: {len(unaddressed)} live file(s) carry no "
+                "partition tuple (pre-spec or adopted); run rewrite_data_files "
+                "to migrate the layout first"
+            )
+        planned = frozenset(doomed)
+
+        def no_new_files_in_touched(live: dict) -> None:
+            # Iceberg's serializable ReplacePartitions validation: a file
+            # appended into a touched partition AFTER planning is not in
+            # the doomed set — committing would leave it alongside the
+            # replacement rows (silent duplicates)
+            for p, fi in live.items():
+                if fi.content == 0 and p not in planned and file_key(fi) in touched_set:
+                    raise CommitConflictError(
+                        f"overwrite_partitions on {self.identifier}: concurrent "
+                        f"write added {p!r} into a partition this overwrite "
+                        "replaces — re-plan"
+                    )
+
+        return self._commit_write(
+            df,
+            operation="overwrite",
+            removed=doomed,
+            extra={"overwrite-mode": "dynamic", "partitions": len(touched_set)},
+            extra_validation=no_new_files_in_touched,
+        )
+
     # ---- row-level operations (copy-on-write; Iceberg v2 analog) -----
 
     def _affected_files(self, match: DataFrame) -> list[str]:
@@ -1817,6 +1931,7 @@ class LakehouseTable:
         input_bytes: int | None = None,
         extra: dict | None = None,
         deletes_fingerprint: tuple[str, ...] | None = None,
+        extra_validation=None,
     ) -> LogEntry:
         files = self._write_files(df, input_bytes=input_bytes)
 
@@ -1849,6 +1964,8 @@ class LakehouseTable:
                         "planned output would drop or resurrect tombstones; "
                         "re-plan from the new state"
                     )
+            if extra_validation is not None:
+                extra_validation(live)  # raises CommitConflictError
             return LogEntry(
                 version=version,
                 snapshot_id=version,

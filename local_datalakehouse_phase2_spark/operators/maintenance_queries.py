@@ -1121,3 +1121,68 @@ def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(src, ignore_errors=True)
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_dynamic_overwrite",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(5 AS BIGINT), CAST(30 AS BIGINT), CAST(30 AS BIGINT),
+             CAST(65 AS BIGINT), TRUE)
+        ) AS t(rows_replaced_part, rows_untouched_c0, rows_untouched_c2,
+               rows_total, untouched_files_kept)
+    """,
+    tags=("lakehouse", "dml", "partition"),
+    doc="Dynamic partition overwrite (INSERT OVERWRITE on a partitioned "
+    "table; Iceberg ReplacePartitions): a 5-row backfill of partition "
+    "c1 replaces ONLY c1 — c0/c2 keep their rows AND their exact files "
+    "(zero rewrite outside the touched partition; the idempotent-"
+    "backfill primitive at 100 TB). Commit-time validation conflicts "
+    "with racing appends into touched partitions. Quantities pinned.",
+)
+def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.dynow",
+            schema="k bigint, cat string, v string",
+            properties={"partition.spec": "cat"},
+        )
+        t.append(
+            spark.range(0, 90).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+        )
+        before = {
+            fi.path
+            for fi in t.log.state_at().values()
+            if fi.partition and fi.partition.get("__p_cat") != "c1"
+        }
+        t.overwrite_partitions(
+            spark.createDataFrame(
+                [(1000 + i, "c1", f"new{i}") for i in range(5)],
+                "k bigint, cat string, v string",
+            )
+        )
+        after = {
+            fi.path
+            for fi in t.log.state_at().values()
+            if fi.partition and fi.partition.get("__p_cat") != "c1"
+        }
+        r = t.read()
+        return (
+            [
+                (
+                    r.filter("cat = 'c1'").count(),
+                    r.filter("cat = 'c0'").count(),
+                    r.filter("cat = 'c2'").count(),
+                    r.count(),
+                    before == after,
+                )
+            ],
+            "rows_replaced_part bigint, rows_untouched_c0 bigint, "
+            "rows_untouched_c2 bigint, rows_total bigint, untouched_files_kept boolean",
+        )
+
+    return _with_lake(spark, run)

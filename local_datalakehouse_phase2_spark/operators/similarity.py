@@ -508,3 +508,263 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
     truth = brute_force_topk(emb, queries)
     return _recall_summary(ann_ivf_topk(spark, sf_dir), truth, 0.4)
+
+
+# --- product quantization (PQ): compressed-domain ANN ----------------
+
+PQ_M = 8  # subvector blocks
+PQ_BLOCK = DIM // PQ_M  # dims per block (8)
+PQ_K = 10  # codewords per block (the label-mean codebook)
+
+
+def _pq_codebooks(centroids: np.ndarray) -> np.ndarray:
+    """(M x K x BLOCK) codebooks: the coarse centroids sliced per
+    block. Label-mean codewords make the fit DETERMINISTIC,
+    non-iterative, and exactly replayable in SQL — a production
+    pipeline would run per-block k-means with the same aggregate
+    shape (the assignment/scan below is identical either way)."""
+    return np.stack(
+        [centroids[:, b * PQ_BLOCK : (b + 1) * PQ_BLOCK] for b in range(PQ_M)]
+    )
+
+
+def _pq_encode(emb_col, codebooks: np.ndarray):
+    """array<int> of M codes per vector: per block, the L2-nearest
+    codeword (ties -> smaller code, np.argmin's first-index rule).
+    One (batch x BLOCK) x (BLOCK x K) matmul per block per Arrow
+    batch — the O(n) compression pass that turns a 256-byte float
+    vector into M bytes."""
+
+    @pandas_udf("array<int>")
+    def codes(emb: pd.Series) -> pd.Series:
+        X = np.vstack(emb.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], PQ_M), dtype=np.int32)
+        for b in range(PQ_M):
+            Xb = X[:, b * PQ_BLOCK : (b + 1) * PQ_BLOCK]
+            C = codebooks[b]  # K x BLOCK
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = (
+                -2.0 * (Xb @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+                + (Xb * Xb).sum(axis=1)[:, None]
+            )
+            out[:, b] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return codes(emb_col)
+
+
+@register(
+    "pq_adc_topk",
+    # TRUE cross-engine oracle: label-mean codebooks + L2 assignment +
+    # ADC dot-product scoring are all deterministic arithmetic, so
+    # DuckDB replays codebook fit, per-block encoding, the per-query
+    # lookup tables, and the final ranking end-to-end.
+    oracle=f"""
+        WITH comps AS (
+            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        cent AS (  -- (label, pos) -> centroid component
+            SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos
+        ),
+        vec AS (
+            SELECT vec_id, label AS vlabel, i - 1 AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        -- per (vector, block, codeword): squared L2 distance
+        dists AS (
+            SELECT vec_id, CAST(pos // {PQ_BLOCK} AS INT) AS b, cent.label AS cw,
+                   SUM((v - c) * (v - c)) AS d2
+            FROM vec JOIN cent USING (pos)
+            GROUP BY vec_id, CAST(pos // {PQ_BLOCK} AS INT), cent.label
+        ),
+        codes AS (  -- argmin codeword per (vector, block), ties -> smaller
+            SELECT vec_id, b, cw AS code FROM (
+                SELECT vec_id, b, cw,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                                          ORDER BY d2, cw) AS rk
+                FROM dists
+            ) WHERE rk = 1
+        ),
+        -- per (query, block, codeword): dot(q_block, codeword)
+        lut AS (
+            SELECT q.vec_id AS query_id, CAST(q.pos // {PQ_BLOCK} AS INT) AS b,
+                   cent.label AS cw, SUM(q.v * cent.c) AS dot
+            FROM vec q JOIN cent USING (pos)
+            WHERE q.vec_id IN {QUERY_IDS!r}
+            GROUP BY q.vec_id, CAST(q.pos // {PQ_BLOCK} AS INT), cent.label
+        ),
+        scored AS (  -- ADC: sum the block lookups along each corpus code
+            SELECT l.query_id, c.vec_id, SUM(l.dot) AS adc
+            FROM codes c JOIN lut l ON c.b = l.b AND c.code = l.cw
+            WHERE c.vec_id != l.query_id
+            GROUP BY l.query_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT s.query_id, s.vec_id, e.label, ROUND(s.adc, 6) AS adc_score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                           ORDER BY s.adc DESC, s.vec_id) AS INT) AS rk
+            FROM scored s JOIN embeddings e ON s.vec_id = e.vec_id
+        )
+        SELECT query_id, vec_id, label, adc_score, rk FROM ranked
+        WHERE rk <= {TOP_K} ORDER BY query_id, rk
+    """,
+    tags=("similarity", "ann", "pq"),
+    doc=f"Product-quantization ANN (the 100 TB embedding-store "
+    f"workhorse): vectors compress to {PQ_M} byte-codes "
+    f"({PQ_M * PQ_K * PQ_BLOCK * 8}-byte codebooks, {DIM * 4}-byte vectors -> "
+    f"{PQ_M} bytes, a {DIM * 4 // PQ_M}x compression), queries score "
+    "candidates in the COMPRESSED domain via asymmetric distance "
+    "computation — one tiny per-query lookup table, then a pure "
+    "zip_with/aggregate expression over the codes (JVM-side, no UDF in "
+    "the scan; the only Python is the Arrow-batched one-off encoding "
+    "pass). A scan never touches raw vectors, which is what makes "
+    "billion-vector search memory-feasible.",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _fit_coarse_quantizer(emb)
+    books = _pq_codebooks(centroids)
+    coded = emb.select(
+        "vec_id", "label", _pq_encode(F.col("embedding"), books).alias("codes")
+    )
+    # per-query LUT: M x K dots of the query block against each codeword
+    qrows = (
+        emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    luts = []
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        q = np.asarray(r.embedding, dtype=np.float64)
+        lut = [
+            [
+                float(q[b * PQ_BLOCK : (b + 1) * PQ_BLOCK] @ books[b][k])
+                for k in range(PQ_K)
+            ]
+            for b in range(PQ_M)
+        ]
+        luts.append((r.vec_id, lut))
+    qdf = spark.createDataFrame(
+        luts, "query_id bigint, lut array<array<double>>"
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            # compressed-domain score: LUT gather + sum, all JVM-side
+            # (bracket indexing is 0-based in Spark SQL, unlike
+            # element_at)
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, row) -> row[c]),"
+                " 0D, (acc, x) -> acc + x)"
+            ).alias("adc"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id", "vec_id", "label", F.round("adc", 6).alias("adc_score"), "rk"
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "pq_recall_vs_exact",
+    # both sides of the recall join are recomputable: exact top-k is
+    # plain cosine ranking, PQ top-k is the pq_adc_topk pipeline above
+    oracle=f"""
+        WITH comps AS (
+            SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        cent AS (
+            SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos
+        ),
+        vec AS (
+            SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, generate_series(1, {DIM}) AS t(i)
+        ),
+        dists AS (
+            SELECT vec_id, CAST(pos // {PQ_BLOCK} AS INT) AS b, cent.label AS cw,
+                   SUM((v - c) * (v - c)) AS d2
+            FROM vec JOIN cent USING (pos)
+            GROUP BY vec_id, CAST(pos // {PQ_BLOCK} AS INT), cent.label
+        ),
+        codes AS (
+            SELECT vec_id, b, cw AS code FROM (
+                SELECT vec_id, b, cw,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, b ORDER BY d2, cw) AS rk
+                FROM dists
+            ) WHERE rk = 1
+        ),
+        lut AS (
+            SELECT q.vec_id AS query_id, CAST(q.pos // {PQ_BLOCK} AS INT) AS b,
+                   cent.label AS cw, SUM(q.v * cent.c) AS dot
+            FROM vec q JOIN cent USING (pos)
+            WHERE q.vec_id IN {QUERY_IDS!r}
+            GROUP BY q.vec_id, CAST(q.pos // {PQ_BLOCK} AS INT), cent.label
+        ),
+        pq AS (
+            SELECT query_id, vec_id FROM (
+                SELECT l.query_id, c.vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY l.query_id
+                                          ORDER BY SUM(l.dot) DESC, c.vec_id) AS rk
+                FROM codes c JOIN lut l ON c.b = l.b AND c.code = l.cw
+                WHERE c.vec_id != l.query_id
+                GROUP BY l.query_id, c.vec_id
+            ) WHERE rk <= {TOP_K}
+        ),
+        exact AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]),
+                               CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id
+                       ) AS rk
+                FROM embeddings e
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id IN {QUERY_IDS!r}) q
+                WHERE e.vec_id != q.vec_id
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(p.vec_id) AS BIGINT) AS hits,
+               CAST({TOP_K} AS BIGINT) AS k,
+               ROUND(COUNT(p.vec_id) / {TOP_K}.0, 4) AS recall
+        FROM exact e LEFT JOIN pq p USING (query_id, vec_id)
+        GROUP BY e.query_id ORDER BY e.query_id
+    """,
+    tags=("similarity", "ann", "pq", "audit"),
+    doc="PQ quality audit: recall@10 of the compressed-domain ADC "
+    "ranking against exact cosine top-10, per query — the measurement "
+    "that decides M/K sizing before a corpus-wide rollout. Both sides "
+    "recomputed independently by the oracle.",
+)
+def pq_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*QUERY_IDS))
+    exact = brute_force_topk(emb, queries, TOP_K).select("query_id", "vec_id")
+    pq = pq_adc_topk(spark, sf_dir).select("query_id", "vec_id", F.lit(1).alias("hit"))
+    joined = exact.join(pq, ["query_id", "vec_id"], "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("hits"),
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(float(TOP_K)), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

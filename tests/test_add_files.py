@@ -146,11 +146,14 @@ def test_sql_surfaces(spark, lake, tmp_path):
 
 
 def test_adopted_links_are_sweep_safe(spark, lake, tmp_path):
-    """A hard link preserves the source's old mtime; the orphan sweep's
-    age check must use link-creation time (ctime) so an in-flight
-    adoption can't be swept through the 24h floor."""
+    """A hard link preserves the source's old mtime; the orphan sweep
+    floors a file's age at its commit dir's mtime, so staged links of
+    an in-flight adoption cannot be swept through the 24h floor even
+    though the linked bytes are years old."""
     import os as _os
     import time as _time
+
+    from local_datalakehouse_phase2_spark.lakehouse import remove_orphan_files
 
     src = str(tmp_path / "old_src")
     _mk(spark, 0, 10).coalesce(1).write.parquet(src)
@@ -160,7 +163,11 @@ def test_adopted_links_are_sweep_safe(spark, lake, tmp_path):
     lake.create_namespace("lab")
     t = lake.create_table("lab.sweep", schema="k bigint, v string")
     add_files(t, src)
+    # simulate the mid-adoption window: files linked (old mtime, fresh
+    # dir) but the commit not yet visible — roll the log back by hand
     fi = next(iter(t.log.state_at().values()))
     full = _os.path.join(t.table_dir, fi.path)
-    # the io-reported age is link-creation time, not the stale mtime
-    assert t.io.mtime(full) > _time.time() - 3600
+    head = t.log.latest_version()
+    _os.remove(_os.path.join(t.table_dir, "metadata", f"{head:010d}.json"))
+    assert remove_orphan_files(t)["deleted_files"] == 0
+    assert _os.path.exists(full)  # staged adoption survived the sweep

@@ -152,9 +152,11 @@ def test_orphan_removal_gates(spark, lake):
     assert remove_orphan_files(t)["deleted_files"] == 0
     assert os.path.exists(orphan)
 
-    # age the orphan 25h and sweep again
+    # age the orphan AND its commit dir 25h (the sweep floors file age
+    # at the dir's creation time so in-flight adoptions survive)
     old = time.time() - 25 * 3600
     os.utime(orphan, (old, old))
+    os.utime(orphan_dir, (old, old))
     assert remove_orphan_files(t)["deleted_files"] == 1
     assert not os.path.exists(orphan)
     assert not os.path.exists(orphan_dir)  # empty commit dir pruned
