@@ -296,3 +296,99 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "training_data_pipeline",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        dedup AS (  -- exact dedup: min doc_id per text hash
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM base
+            ) WHERE rn = 1
+        ),
+        quality AS (  -- length gate + mean-word-length gate
+            SELECT * FROM dedup
+            WHERE n_tokens BETWEEN 20 AND 1000
+              AND (length(text) - n_tokens + 1.0) / n_tokens < 12
+        ),
+        mixed AS (  -- deterministic 60% sample of sources src0..src9
+            SELECT * FROM quality
+            WHERE source IN ('src0','src1','src2','src3','src4',
+                             'src5','src6','src7','src8','src9')
+              AND doc_id % 1000 < 600
+        ),
+        pref AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS start_tok
+            FROM mixed
+        )
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS docs_in,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup) AS docs_after_dedup,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM quality) AS docs_after_quality,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM mixed) AS docs_after_mix,
+            (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM mixed) AS total_tokens,
+            (SELECT CAST(MAX((start_tok + n_tokens - 1) // {PACK_CAPACITY}) + 1
+                         AS BIGINT) FROM pref) AS n_sequences
+    """,
+    tags=("packing", "llm-pipeline", "pipeline"),
+    doc="The END-TO-END training-data pipeline as one DAG: exact dedup "
+    "(min doc_id per md5 text hash — one hash-agg) -> quality gates "
+    "(token count and mean word length, row-local) -> deterministic "
+    "60% mixture sample (pmod, pushdown-friendly) -> GPT-style "
+    f"{PACK_CAPACITY}-token sequence packing over the distributed "
+    "prefix sum. Every stage is shuffle-bounded (one hash-agg, one "
+    "range shuffle) and the whole flow is recomputed independently by "
+    "the oracle — the composition proof that the primitives chain.",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.expr(TOKENS).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dedup = (
+        base.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    quality = dedup.filter(
+        "n_tokens BETWEEN 20 AND 1000 AND "
+        "(length(text) - n_tokens + 1.0) / n_tokens < 12"
+    )
+    mixed = quality.filter(
+        F.col("source").isin(*[f"src{i}" for i in range(10)])
+        & (F.pmod("doc_id", F.lit(1000)) < 600)
+    )
+    packed = prefix_sum(
+        mixed.select("doc_id", "n_tokens"), "doc_id", "n_tokens", "start_tok"
+    )
+    agg = packed.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.max(
+                F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_CAPACITY)
+            )
+            + 1
+        ).alias("n_sequences"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                base.count(),
+                dedup.count(),
+                quality.count(),
+                mixed.count(),
+                agg.total_tokens,
+                agg.n_sequences,
+            )
+        ],
+        "docs_in bigint, docs_after_dedup bigint, docs_after_quality bigint, "
+        "docs_after_mix bigint, total_tokens bigint, n_sequences bigint",
+    )

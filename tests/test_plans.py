@@ -65,6 +65,12 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
                 "ann_lsh_recall",
                 "ann_ivf_recall",
                 "embedding_cosine_dupes",
+                # PQ scores the corpus against a HANDFUL of broadcast
+                # query LUTs — same deliberate broadcast cross join as
+                # the brute-force scorer (and its recall audit embeds
+                # the exact-cosine truth side)
+                "pq_adc_topk",
+                "pq_recall_vs_exact",
                 # scalar-subquery comparisons against a ONE-ROW broadcast
                 # side (avg balance / stock-value threshold) — NL over 1
                 # row is a constant filter
