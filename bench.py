@@ -63,6 +63,18 @@ HEADLINE = [
     "lakehouse_delete_merge",
 ]
 
+# Round-6 additions, timed identically but reported OUTSIDE the
+# headline total so `value` stays comparable across rounds.
+EXTRA = [
+    "pq_adc_topk",
+    "sequence_packing",
+    "doc_chunking",
+    "mixture_reweight",
+    "training_data_pipeline",
+    "lakehouse_changelog",
+    "lakehouse_dynamic_overwrite",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -92,15 +104,18 @@ def main() -> None:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    samples: dict[str, list[float]] = {n: [] for n in names}
+    extra_names = [n for n in EXTRA if n in specs]
+    samples: dict[str, list[float]] = {n: [] for n in names + extra_names}
     for _ in range(runs):
-        for name in names:
+        for name in names + extra_names:
             t0 = time.perf_counter()
             df = specs[name].fn(spark, sf_dir)
             df.count()
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    med = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
+    timings = {n: med[n] for n in names}
+    extra = {n: med[n] for n in extra_names}
     print(
         json.dumps(
             {
@@ -111,7 +126,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": runs,
                 "timing": f"per-query median of {runs} interleaved passes",
-                "value_first_pass": round(sum(ts[0] for ts in samples.values()), 4),
+                "value_first_pass": round(
+                    sum(samples[n][0] for n in names), 4
+                ),
+                # round-6 operators, same methodology, outside the
+                # cross-round-comparable total
+                "queries_extra": extra,
+                "value_extra": round(sum(extra.values()), 4),
             }
         )
     )
