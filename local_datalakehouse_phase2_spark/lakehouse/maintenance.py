@@ -307,14 +307,36 @@ def rewrite_data_files(
     eq_files = [fi for fi in state.values() if fi.content == 2]
     forced: frozenset[str] = frozenset()
     if pos_files or eq_files:
+        # per-data-file count of may-reference delete files. Pos files
+        # count via an interval sweep over the sorted paths (their
+        # footer file_path bounds are ranges) — O((F+D) log F), the
+        # same scoping index the read path uses; eq files stay a pair
+        # loop (few by construction, and their test is per-column).
+        import bisect as _b
+
+        sorted_paths = sorted(data_state)
+        diff = [0] * (len(sorted_paths) + 1)
+        for d in pos_files:
+            s = (d.stats or {}).get("file_path")
+            if not s or s[0] is None or s[1] is None:
+                lo, hi = 0, len(sorted_paths)
+            else:
+                lo = _b.bisect_left(sorted_paths, s[0])
+                hi = _b.bisect_right(sorted_paths, s[1])
+            diff[lo] += 1
+            diff[hi] -= 1
+        counts: dict[str, int] = {}
+        acc = 0
+        for i, p in enumerate(sorted_paths):
+            acc += diff[i]
+            counts[p] = acc
+        for p, fi in data_state.items():
+            if counts[p] < delete_file_threshold and eq_files:
+                counts[p] += sum(
+                    1 for d in eq_files if table._eq_delete_may_apply(fi, d)
+                )
         forced = frozenset(
-            p
-            for p, fi in data_state.items()
-            if (
-                sum(1 for d in pos_files if table._pos_delete_may_reference(d, p))
-                + sum(1 for d in eq_files if table._eq_delete_may_apply(fi, d))
-            )
-            >= delete_file_threshold
+            p for p, c in counts.items() if c >= delete_file_threshold
         )
 
     # Iceberg plans rewrites PER PARTITION: a file group never mixes
