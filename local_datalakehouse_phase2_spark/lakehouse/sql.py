@@ -216,6 +216,19 @@ class LakehouseSQL:
             return self._describe(s)
         if head == "SHOW":
             return self._show(s)
+        if head == "TRUNCATE":
+            m = re.fullmatch(
+                rf"(?is)TRUNCATE\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})", s
+            )
+            if not m:
+                raise SqlError(f"unsupported TRUNCATE syntax: {s!r}")
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            # a snapshot commit like any other: time travel still sees
+            # the pre-truncate data until expiry (Iceberg's TRUNCATE)
+            entry = t.delete_where("true", mode="copy-on-write")
+            return self._result_frame(
+                {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
+            )
         if head == "SET":
             return self._set(s)
         # query-shaped: rewrite lakehouse refs to temp views, let

@@ -268,6 +268,40 @@ def stream_upsert_into_table(
     return writer.start()
 
 
+def stream_enrich_into_table(
+    source: DataFrame,
+    dim_table: LakehouseTable,
+    target: LakehouseTable,
+    checkpoint_dir: str,
+    join_keys: list[str],
+    query_name: str = "lakehouse-enrich",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming enrichment: each micro-batch joins a BROADCAST read of
+    a lakehouse dimension table (re-read per epoch, so dim updates are
+    picked up at batch granularity — the foreachBatch stream-static
+    join pattern) and lands in `target` under the same exactly-once
+    batch-id watermark as every ingest sink. At scale the dim read is
+    a snapshot scan whose broadcast Catalyst builds once per epoch;
+    the stream side never shuffles."""
+    from pyspark.sql import functions as _F
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.join(_F.broadcast(dim_table.read()), join_keys, "left")
+        append_stream_batch(
+            target, enriched, batch_id, _run_scoped_id(batch_df, query_name)
+        )
+
+    writer = (
+        source.writeStream.foreachBatch(_sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- driver-visible registry query -----------------------------------
 
 
@@ -494,3 +528,94 @@ def _register_query() -> None:
 
 
 _register_query()
+
+
+def _register_enrich_query() -> None:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from ..lakehouse import Lakehouse
+    from ..registry import register
+
+    @register(
+        "lakehouse_stream_enrich",
+        oracle="""
+            SELECT * FROM (VALUES
+                (CAST(60 AS BIGINT), CAST(60 AS BIGINT), CAST(20 AS BIGINT),
+                 CAST(40 AS BIGINT))
+            ) AS t(rows_after_two_epochs, rows_enriched, rows_dim_v1,
+                   rows_dim_v2)
+        """,
+        tags=("streaming", "lakehouse", "ingest", "join"),
+        doc="Stream-static enrichment: each micro-batch joins a "
+        "broadcast snapshot read of a lakehouse dimension table "
+        "(re-read per epoch, so a dim update between epochs is visible "
+        "to the NEXT epoch — pinned: 20 rows carry the v1 dim value, "
+        "40 the v2 value), lands exactly-once under the batch-id "
+        "watermark. The stream side never shuffles; the dim broadcast "
+        "rebuilds once per epoch.",
+    )
+    def lakehouse_stream_enrich(spark: SparkSession, sf_dir: str):
+        tmp = tempfile.mkdtemp(prefix="stream_enrich_q_")
+        try:
+            lake = Lakehouse(spark, f"{tmp}/wh")
+            lake.create_namespace("lab")
+            dim = lake.create_table("lab.dim", schema="k bigint, tag string")
+            dim.append(
+                spark.createDataFrame(
+                    [(k, "v1") for k in range(5)], "k bigint, tag string"
+                )
+            )
+            tgt = lake.create_table(
+                "lab.enriched", schema="k bigint, v string, tag string"
+            )
+            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+
+            def feed(lo: int, hi: int) -> None:
+                spark.range(lo, hi).select(
+                    (F.col("id") % 5).alias("k"),
+                    F.concat(F.lit("e"), F.col("id")).alias("v"),
+                ).coalesce(1).write.mode("append").parquet(src)
+
+            def drain() -> None:
+                q = stream_enrich_into_table(
+                    spark.readStream.schema("k bigint, v string").parquet(src),
+                    dim,
+                    tgt,
+                    ckpt,
+                    join_keys=["k"],
+                    query_name="registry-enrich",
+                )
+                q.awaitTermination(120)
+
+            feed(0, 20)
+            drain()
+            # dim update between epochs: next epoch sees v2
+            dim.overwrite(
+                spark.createDataFrame(
+                    [(k, "v2") for k in range(5)], "k bigint, tag string"
+                )
+            )
+            feed(20, 60)
+            drain()
+            r = tgt.read()
+            return spark.createDataFrame(
+                [
+                    (
+                        r.count(),
+                        r.filter("tag IS NOT NULL").count(),
+                        r.filter("tag = 'v1'").count(),
+                        r.filter("tag = 'v2'").count(),
+                    )
+                ],
+                "rows_after_two_epochs bigint, rows_enriched bigint, "
+                "rows_dim_v1 bigint, rows_dim_v2 bigint",
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+_register_enrich_query()

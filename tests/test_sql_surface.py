@@ -682,3 +682,15 @@ def test_sql_delete_honors_write_delete_mode(lsql):
     ).collect()
     assert {r.content for r in files2} == {0}
     assert {r.k for r in lsql.sql("SELECT * FROM nessie.morns.t").collect()} == {1, 3}
+
+
+def test_truncate_table(spark, lsql):
+    lsql.sql("CREATE NAMESPACE IF NOT EXISTS lab")
+    lsql.sql("CREATE TABLE lab.trunc (k bigint)")
+    lsql.sql("INSERT INTO lab.trunc SELECT id FROM range(0, 7)")
+    t = lsql.lake.table("lab.trunc")
+    v1 = t.log.latest_version()
+    lsql.sql("TRUNCATE TABLE lab.trunc")
+    assert t.read().count() == 0
+    # snapshot semantics: pre-truncate data still time-travels
+    assert t.read(version=v1).count() == 7
