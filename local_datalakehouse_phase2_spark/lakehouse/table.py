@@ -508,14 +508,21 @@ class LakehouseTable:
             sub_schema = T.StructType(
                 [T.StructField(c, types[c], True) for c in eq_cols]
             )
-            eq_df = None
-            for efi in by_path.values():
-                one = (
-                    self.spark.read.schema(sub_schema)
-                    .parquet(os.path.join(self.table_dir, efi.path))
-                    .withColumn("__dseq", F.lit(self._seq_of(efi)).cast("long"))
-                )
-                eq_df = one if eq_df is None else eq_df.unionByName(one)
+            # ONE multi-path scan per column-set group, not a union tree
+            # of per-file reads: a CDC writer (Flink-style) lands one
+            # equality-delete file per checkpoint, so thousands of live
+            # delete files are normal — per-file seq attaches via a
+            # broadcast (path -> seq) join on _metadata.file_path
+            seq_map = self.spark.createDataFrame(
+                [(p, self._seq_of(efi)) for p, efi in by_path.items()],
+                "__dpath string, __dseq long",
+            )
+            eq_df = (
+                self.spark.read.schema(sub_schema)
+                .parquet(*[os.path.join(self.table_dir, p) for p in by_path])
+                .withColumn("__dpath", self._rel_path_expr(F.col("_metadata.file_path")))
+                .join(F.broadcast(seq_map), "__dpath")
+            )
             renamed = eq_df.select(
                 *[F.col(c).alias(f"__eq_{c}") for c in eq_cols], "__dseq"
             )
