@@ -927,10 +927,23 @@ class LakehouseTable:
     # ---- metadata views (SURVEY.md S2/S3) ----------------------------
 
     def snapshots(self) -> DataFrame:
-        """The `<t>.snapshots` metadata relation (guide :132-134)."""
+        """The `<t>.snapshots` metadata relation (guide :132-134).
+
+        ONE incremental fold over the log — not a state_at() replay per
+        version, which re-reads every entry file V times (O(V^2) IO; a
+        streaming table accumulates hundreds of snapshots and this view
+        is the first thing its operator queries)."""
+        entries = self.log.entries()
         rows = []
-        for e in self.log.entries():
-            st = self.log.state_at(e.version)
+        state: dict[str, FileInfo] = (
+            self.log.state_at(entries[0].version) if entries else {}
+        )
+        for i, e in enumerate(entries):
+            if i > 0 and e.operation != "stage":
+                for p in e.removed_files:
+                    state.pop(p, None)
+                for fi in e.added_files:
+                    state[fi.path] = fi
             rows.append(
                 (
                     e.snapshot_id,
@@ -939,10 +952,10 @@ class LakehouseTable:
                     e.operation,
                     len(e.added_files),
                     len(e.removed_files),
-                    len(st),
+                    len(state),
                     # Iceberg's total-records: DATA records; a delete
                     # file's rows are tombstones, not table records
-                    sum(fi.row_count for fi in st.values() if fi.content == 0),
+                    sum(fi.row_count for fi in state.values() if fi.content == 0),
                 )
             )
         return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
@@ -1059,11 +1072,18 @@ class LakehouseTable:
         """The `<t>.all_files` metadata relation (Iceberg): every file
         referenced by ANY live snapshot — not just the current one — so
         expiry/orphan planning can be audited as a query. Columns match
-        `.files`."""
-        seen: dict[str, FileInfo] = {}
-        for v in self.log.versions():
-            for p, fi in self.log.state_at(v).items():
-                seen.setdefault(p, fi)
+        `.files`. One pass: the oldest surviving snapshot's state plus
+        every later entry's added files IS the union over all versions
+        (files only ever enter a state through added_files)."""
+        entries = self.log.entries()
+        seen: dict[str, FileInfo] = (
+            self.log.state_at(entries[0].version) if entries else {}
+        )
+        for e in entries[1:]:
+            if e.operation == "stage":
+                continue  # unpublished staged files are not snapshot state
+            for fi in e.added_files:
+                seen.setdefault(fi.path, fi)
         rows = [
             (
                 fi.content,

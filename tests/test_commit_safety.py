@@ -147,3 +147,30 @@ def test_rewrite_data_files_validates_via_public_api(spark, lake):
     finally:
         t._write_files = orig_write_files
     assert t.read().count() == 30
+
+
+def test_concurrent_appends_all_land(spark, lake):
+    """Optimistic-retry convergence under real thread contention: N
+    threads appending concurrently must ALL commit (append conflicts
+    are version races, never semantic conflicts) with distinct
+    versions and every row present exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    lake.create_namespace("lab", if_not_exists=True)
+    t = lake.create_table("lab.conc", schema="k bigint, w int")
+    N = 8
+
+    def one(i: int):
+        df = spark.range(i * 100, (i + 1) * 100).selectExpr(
+            "id AS k", f"CAST({i} AS INT) AS w"
+        )
+        return t.append(df).version
+
+    with ThreadPoolExecutor(max_workers=N) as pool:
+        versions = list(pool.map(one, range(N)))
+    assert len(set(versions)) == N  # every commit won a distinct version
+    r = t.read()
+    assert r.count() == N * 100
+    assert r.select("k").distinct().count() == N * 100
+    per_writer = {row.w: row.n for row in r.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert per_writer == {i: 100 for i in range(N)}
