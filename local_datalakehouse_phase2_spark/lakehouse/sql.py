@@ -920,6 +920,18 @@ class LakehouseSQL:
             except ValueError as e:
                 raise SqlError(str(e)) from e
             return self._result_frame({"ref": m.group(2), "dropped": True})
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"DROP\s+COLUMNS?\s*\(?\s*({_IDENT})\s*\)?",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            try:
+                entry = t.drop_column(m.group(2))
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
         # Iceberg sort order DDL: ALTER TABLE t WRITE ORDERED BY (c1
         # [desc], ...) | WRITE UNORDERED -> the write.sort-order
         # property the writer applies before every unshaped write

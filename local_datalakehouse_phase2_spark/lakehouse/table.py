@@ -614,6 +614,61 @@ class LakehouseTable:
 
         return self.log.append(make)
 
+    def drop_column(self, name: str) -> LogEntry:
+        """ALTER TABLE ... DROP COLUMN: metadata-only — the narrowed
+        schema commits to the log, reads stop projecting the column,
+        files keep their bytes (reclaimed as files naturally rewrite).
+        Time travel still sees it (reads project through the AS-OF
+        schema). Guarded against every live structure that still
+        addresses the column: the current partition spec, the write
+        sort order, and live equality-delete files keyed on it (their
+        read-side application would have no type to project).
+
+        RENAME COLUMN is deliberately absent: Iceberg renames via field
+        IDs, which parquet name-based resolution cannot replicate — a
+        name-mapped rename here would silently null the column for
+        every pre-rename file. Add-new + backfill + drop-old instead."""
+        current = self.schema() or self._schema()
+        if not any(f.name == name for f in current.fields):
+            raise ValueError(f"column {name} does not exist")
+        if len(current.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        spec = self.partition_spec() or []
+        if any(t.source == name for t in spec):
+            raise ValueError(
+                f"column {name} is a partition source; "
+                "drop the partition field first"
+            )
+        so = self.log.properties_at().get(PROP_SORT_ORDER, "")
+        if any(part.split()[0] == name for part in so.split(",") if part.strip()):
+            raise ValueError(
+                f"column {name} is in write.sort-order; WRITE UNORDERED "
+                "or re-order first"
+            )
+        live_eq = [
+            fi
+            for fi in self.log.state_at().values()
+            if fi.content == 2 and name in (fi.eq_cols or [])
+        ]
+        if live_eq:
+            raise ValueError(
+                f"column {name} keys {len(live_eq)} live equality-delete "
+                "file(s); rewrite_equality_deletes first"
+            )
+        narrowed = T.StructType([f for f in current.fields if f.name != name])
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="drop_column",
+                properties=self.log.properties_at() or None,
+                extra={"schema": narrowed.simpleString()},
+            )
+
+        return self.log.append(make)
+
     def schema(self, version: int | None = None) -> T.StructType | None:
         """The schema recorded in the log as of `version` (default
         latest), or None if this table predates schema tracking.

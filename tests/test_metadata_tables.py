@@ -135,3 +135,66 @@ def test_sql_metadata_suffixes(spark, lake):
         "(SELECT pos FROM lab.sq.position_deletes)"
     ).first()
     assert joined.n == 9
+
+
+def test_drop_column_metadata_only(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL
+
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.dc", schema="k bigint, v string, extra double",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(
+        spark.range(0, 10).selectExpr(
+            "id AS k", "concat('v', id) AS v", "CAST(id * 1.5 AS DOUBLE) AS extra"
+        )
+    )
+    v1 = t.log.latest_version()
+    files_before = {fi.path for fi in t.log.state_at().values()}
+    t.drop_column("extra")
+    assert t.read().columns == ["k", "v"]
+    # metadata-only: zero files touched; time travel still sees it
+    assert {fi.path for fi in t.log.state_at().values()} == files_before
+    assert "extra" in t.read(version=v1).columns
+    assert t.read(version=v1).agg({"extra": "sum"}).first()[0] == sum(
+        i * 1.5 for i in range(10)
+    )
+    # appends after the drop need not carry the column
+    t.append(spark.createDataFrame([(100, "x")], "k bigint, v string"))
+    assert t.read().count() == 11
+    with pytest.raises(ValueError, match="does not exist"):
+        t.drop_column("extra")
+    t.drop_column("k")  # legal: v remains
+    with pytest.raises(ValueError, match="only column"):
+        t.drop_column("v")
+
+
+def test_drop_column_guards(spark, lake):
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.dcg",
+        schema="k bigint, cat string, v string",
+        properties={"partition.spec": "cat", "write.sort-order": "v"},
+    )
+    t.append(
+        spark.range(0, 6).selectExpr(
+            "id AS k", "concat('c', id % 2) AS cat", "concat('v', id) AS v"
+        )
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        t.drop_column("cat")
+    with pytest.raises(ValueError, match="sort-order"):
+        t.drop_column("v")
+    t2 = lake.create_table("lab.dcg2", schema="k bigint, v string")
+    t2.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t2.equality_delete(spark.createDataFrame([("a",)], "v string"), ["v"])
+    with pytest.raises(ValueError, match="equality-delete"):
+        t2.drop_column("v")
+    # SQL surface
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL
+
+    sql = LakehouseSQL(lake)
+    t3 = lake.create_table("lab.dcg3", schema="k bigint, v string")
+    sql.sql("ALTER TABLE lab.dcg3 DROP COLUMN v")
+    assert [f.name for f in t3.schema().fields] == ["k"]
