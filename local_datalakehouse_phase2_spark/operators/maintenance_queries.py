@@ -1186,3 +1186,140 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_spec_evolution",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(120 AS BIGINT), TRUE, TRUE,
+             CAST(40 AS BIGINT), CAST(24 AS BIGINT), TRUE)
+        ) AS t(rows_total, old_era_prunes, new_era_prunes,
+               rows_cat_c1, rows_day3, bucket_isolated)
+    """,
+    tags=("lakehouse", "partition", "evolution"),
+    doc="Partition spec evolution (ALTER TABLE ADD/DROP PARTITION "
+    "FIELD): era 1 written under `cat`, era 2 under `cat, day(ts)` — "
+    "metadata-only evolution, no file moves. Reads prune MIXED-spec "
+    "files through the spec-history union: a cat filter prunes both "
+    "eras, a day filter prunes only the era that recorded it (old "
+    "files degrade to scan, never to wrong answers). Bucket-width "
+    "evolution is isolated by parameterized partition names "
+    "(bucket(4) dirs are never pruned with the bucket(8) hash). All "
+    "quantities pinned.",
+)
+def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.spec_ev",
+            schema="id bigint, cat string, ts timestamp",
+            partition_by="cat",
+        )
+
+        def mk(lo, hi):
+            return spark.range(lo, hi).select(
+                F.col("id"),
+                F.concat(F.lit("c"), (F.col("id") % 3).cast("string")).alias("cat"),
+                F.expr(
+                    "timestamp'2024-01-01 00:00:00'"
+                    " + make_interval(0, 0, 0, CAST(id % 5 AS INT), 0, 0, 0)"
+                ).alias("ts"),
+            )
+
+        t.append(mk(0, 60))
+        t.add_partition_field("day(ts)")
+        t.append(mk(60, 120))
+        day = _dt.datetime(2024, 1, 3)
+        cat_plan = t.scan_plan([("cat", "=", "c1")])
+        day_plan = t.scan_plan(
+            [("ts", ">=", day), ("ts", "<", day + _dt.timedelta(days=1))]
+        )
+        rows_c1 = t.read(filters=[("cat", "=", "c1")]).count()
+        rows_day3 = t.read(
+            filters=[("ts", ">=", day), ("ts", "<", day + _dt.timedelta(days=1))]
+        ).count()
+        # bucket-width evolution isolation on a second table
+        t2 = lake.create_table(
+            "lab.spec_bw", schema="id bigint", partition_by="bucket(4, id)"
+        )
+        t2.append(spark.range(0, 40).select("id"))
+        t2.drop_partition_field("bucket(4, id)")
+        t2.add_partition_field("bucket(8, id)")
+        t2.append(spark.range(40, 80).select("id"))
+        isolated = all(
+            t2.read(filters=[("id", "=", p)]).count() == 1 for p in (0, 7, 39, 40, 77)
+        )
+        return (
+            [
+                (
+                    t.read().count(),
+                    bool(cat_plan["files_pruned_by_partition"] > 0),
+                    bool(day_plan["files_pruned_by_partition"] > 0),
+                    rows_c1,
+                    rows_day3,
+                    isolated,
+                )
+            ],
+            "rows_total bigint, old_era_prunes boolean, new_era_prunes boolean, "
+            "rows_cat_c1 bigint, rows_day3 bigint, bucket_isolated boolean",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_views",
+    # TRUE cross-engine oracle: the view definitions are plain SQL over
+    # the nation fixture, so DuckDB runs the INLINED definitions —
+    # exactly what reference-time expansion produces.
+    oracle="""
+        WITH big AS (
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+            WHERE n_nationkey >= 10
+        ),
+        per_region AS (
+            SELECT n_regionkey, COUNT(*) AS n FROM big GROUP BY n_regionkey
+        )
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               CAST(n AS BIGINT) AS n
+        FROM per_region ORDER BY n_regionkey
+    """,
+    tags=("lakehouse", "views", "sql"),
+    doc="Catalog-persisted SQL views (the Nessie view-catalog analog): "
+    "CREATE VIEW over a lakehouse table, a second view stacked on the "
+    "first, queried through the statement router — definitions expand "
+    "at reference time, so the oracle is simply the INLINED SQL on the "
+    "same fixture (a genuine cross-engine recomputation, the EP3 "
+    "two-engine pattern applied to the view layer).",
+)
+def lakehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.nation_v",
+            schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+        t.append(nation)
+        sql = LakehouseSQL(lake)
+        sql.sql(
+            "CREATE VIEW lab.big AS SELECT n_nationkey, n_name, n_regionkey "
+            "FROM lab.nation_v WHERE n_nationkey >= 10"
+        )
+        sql.sql(
+            "CREATE VIEW lab.per_region AS SELECT n_regionkey, COUNT(*) AS n "
+            "FROM lab.big GROUP BY n_regionkey"
+        )
+        rows = sql.sql(
+            "SELECT n_regionkey, n FROM lab.per_region ORDER BY n_regionkey"
+        ).collect()
+        return (
+            [(r.n_regionkey, r.n) for r in rows],
+            "n_regionkey bigint, n bigint",
+        )
+
+    return _with_lake(spark, run)
