@@ -98,6 +98,10 @@ FILES_SCHEMA = T.StructType(
             T.MapType(T.StringType(), T.ArrayType(T.StringType(), True)),
             True,
         ),
+        # the manifest partition tuple (null for unpartitioned/adopted)
+        T.StructField(
+            "partition", T.MapType(T.StringType(), T.StringType()), True
+        ),
     ]
 )
 
@@ -1031,6 +1035,7 @@ class LakehouseTable:
                     if fi.stats
                     else None
                 ),
+                fi.partition or None,
             )
             for fi in self.log.state_at(version).values()
         ]
@@ -1153,6 +1158,7 @@ class LakehouseTable:
                     if fi.stats
                     else None
                 ),
+                fi.partition or None,
             )
             for fi in seen.values()
         ]
