@@ -1142,3 +1142,28 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
         "added_records": sum(fi.row_count for fi in infos),
         "snapshot_id": e.snapshot_id,
     }
+
+
+def snapshot_table(lake, source_dir: str, identifier: str) -> dict:
+    """Iceberg's `snapshot` procedure: create a NEW lakehouse table
+    whose first snapshot adopts an existing parquet directory in place
+    (schema inferred from the source footers, files hard-linked via
+    add_files — zero rewrite, source untouched). The try-before-migrate
+    path: the snapshot table gets time travel/metadata/maintenance
+    while the original directory keeps serving whatever reads it today.
+    """
+    ns, _ = identifier.split(".", 1)
+    if ns not in lake.namespaces():
+        raise MaintenanceError(f"namespace {ns} does not exist")
+    schema = lake.spark.read.parquet(source_dir).schema
+    t = lake.create_table(identifier, schema=schema)
+    try:
+        res = add_files(t, source_dir)
+    except BaseException:
+        lake.drop_table(identifier)  # no half-created snapshot table
+        raise
+    return {
+        "table": identifier,
+        "added_files": res["added_files"],
+        "added_records": res["added_records"],
+    }

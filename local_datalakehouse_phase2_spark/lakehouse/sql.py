@@ -343,6 +343,19 @@ class LakehouseSQL:
             args[am.group(1).lower()] = _parse_value(am.group(2))
         if "table" not in args:
             raise SqlError(f"CALL {proc}: missing table => argument")
+        if proc == "snapshot":
+            # creates the table — must not resolve it first
+            if "source_dir" not in args:
+                raise SqlError("snapshot: missing source_dir => argument")
+            try:
+                result = maintenance.snapshot_table(
+                    self.lake, str(args.pop("source_dir")), str(args.pop("table"))
+                )
+            except (maintenance.MaintenanceError, CatalogError) as e:
+                raise SqlError(str(e)) from e
+            if args:
+                raise SqlError(f"CALL snapshot: unexpected arguments {sorted(args)}")
+            return self._result_frame(result)
         table = self.lake.table(str(args.pop("table")))
         options = args.pop("options", {})
         if not isinstance(options, dict):

@@ -171,3 +171,37 @@ def test_adopted_links_are_sweep_safe(spark, lake, tmp_path):
     _os.remove(_os.path.join(t.table_dir, "metadata", f"{head:010d}.json"))
     assert remove_orphan_files(t)["deleted_files"] == 0
     assert _os.path.exists(full)  # staged adoption survived the sweep
+
+
+def test_snapshot_table_procedure(spark, lake, tmp_path):
+    from local_datalakehouse_phase2_spark.lakehouse.maintenance import snapshot_table
+
+    src = str(tmp_path / "legacy")
+    _mk(spark, 0, 50).coalesce(2).write.parquet(src)
+    lake.create_namespace("lab")
+    res = snapshot_table(lake, src, "lab.snap")
+    assert res["added_files"] == 2 and res["added_records"] == 50
+    t = lake.table("lab.snap")
+    assert t.read().count() == 50
+    assert [f.name for f in t.schema().fields] == ["k", "v"]
+    # the source keeps serving its own readers untouched
+    assert spark.read.parquet(src).count() == 50
+    # failure rolls the table back out (no half-created snapshot table)
+    import pytest as _pt
+
+    from local_datalakehouse_phase2_spark.lakehouse import MaintenanceError
+
+    with _pt.raises(Exception):
+        snapshot_table(lake, src, "lab.snap")  # already exists
+
+
+def test_snapshot_sql_procedure(spark, lake, tmp_path):
+    src = str(tmp_path / "legacy2")
+    _mk(spark, 0, 12).coalesce(1).write.parquet(src)
+    lake.create_namespace("lab")
+    sql = LakehouseSQL(lake)
+    res = sql.sql(
+        f"CALL nessie.system.snapshot(table => 'lab.snap2', source_dir => '{src}')"
+    ).first()
+    assert res.added_records == 12
+    assert lake.table("lab.snap2").read().count() == 12
