@@ -46,7 +46,7 @@ from .partition import PROP_PARTITION_SPEC, PROP_PARTITION_SPEC_HISTORY
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
 PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
-PROP_DISTRIBUTION_MODE = "write.distribution-mode"  # none | hash
+PROP_DISTRIBUTION_MODE = "write.distribution-mode"  # none | hash | range
 PROP_HASH_COLUMNS = "write.hash-columns"  # comma list for hash mode
 PROP_GC_ENABLED = "gc.enabled"  # guide :218-224
 # Iceberg's write.delete.mode TBLPROPERTY: the reference declares
@@ -2139,6 +2139,17 @@ class LakehouseTable:
             if mode == "hash":
                 cols = hash_cols or frame.columns[:1]
                 return frame.repartition(n, *[F.col(c) for c in cols])
+            if mode == "range":
+                # Iceberg's range distribution: files hold DISJOINT key
+                # ranges (keys from write.sort-order, else hash-columns,
+                # else the first column), so footer min/max prune hard
+                # from the first write — the write-time half of what
+                # sort-strategy compaction does after the fact
+                so = props.get(PROP_SORT_ORDER, "")
+                cols = [p.split()[0] for p in so.split(",") if p.strip()] or (
+                    hash_cols or frame.columns[:1]
+                )
+                return frame.repartitionByRange(n, *[F.col(c) for c in cols])
             return frame.repartition(n)
 
         def write_dir(frame: DataFrame) -> str:
@@ -2191,7 +2202,10 @@ class LakehouseTable:
         # force an RDD conversion (plan compilation + codegen barrier)
         # just to count partitions
         n_staged = self.spark.sparkContext.defaultParallelism
-        staged_dir = write_dir(df if mode != "hash" else shape(df, n_staged))
+        # hash AND range modes pre-shuffle the staged write so even the
+        # measurement pass is clustered (a small range write that needs
+        # no split must STILL come out range-clustered)
+        staged_dir = write_dir(df if mode == "none" else shape(df, n_staged))
         staged = scan(staged_dir)
         total = sum(fi.size_bytes for fi in staged)
         n_split = math.ceil(total / target)

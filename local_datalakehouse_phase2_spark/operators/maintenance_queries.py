@@ -1323,3 +1323,69 @@ def lakehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_sort_order_writes",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), TRUE, TRUE, TRUE, CAST(1 AS BIGINT))
+        ) AS t(files_scanned, many_files, pruned_all_but_one,
+               rows_sorted_in_file, rows_k42)
+    """,
+    tags=("lakehouse", "write", "clustering"),
+    doc="Range distribution + table sort order (write.distribution-"
+    "mode=range, WRITE ORDERED BY k): a SHUFFLED 4000-row append comes "
+    "out as range-clustered, in-file-sorted parquet — a point lookup "
+    "then scans 1 of 8 files from footer stats alone, on the very "
+    "first write (no compaction pass needed). The write-time half of "
+    "sort-strategy compaction. All quantities pinned.",
+)
+def lakehouse_sort_order_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.rangew",
+            schema="k bigint, v string",
+            properties={
+                "write.distribution-mode": "range",
+                "write.sort-order": "k",
+                "write.target-file-size-bytes": "16384",
+            },
+        )
+        # deliberately shuffled input: clustering must come from the writer
+        t.append(
+            spark.range(0, 4000)
+            .select(
+                F.pmod(F.col("id") * 2654435761, F.lit(4000)).alias("k"),
+                F.concat(F.lit("v"), F.col("id")).alias("v"),
+            )
+            .repartition(8)
+        )
+        plan = t.scan_plan([("k", "=", 42)])
+        # in-file sortedness: read one file raw and check ordering
+        fi = sorted(t.log.state_at().values(), key=lambda f: f.path)[0]
+        ks = [
+            r.k
+            for r in spark.read.parquet(f"{t.table_dir}/{fi.path}")
+            .select("k")
+            .collect()
+        ]
+        rows_k42 = t.read(filters=[("k", "=", 42)]).count()
+        return (
+            [
+                (
+                    plan["files_scanned"],
+                    # file COUNT tracks the writer parallelism (env-
+                    # dependent); the invariants are: many clustered
+                    # files, a point lookup scans exactly one
+                    bool(plan["files_total"] >= 4),
+                    bool(plan["files_pruned"] == plan["files_total"] - 1),
+                    ks == sorted(ks),
+                    rows_k42,
+                )
+            ],
+            "files_scanned bigint, many_files boolean, pruned_all_but_one boolean, "
+            "rows_sorted_in_file boolean, rows_k42 bigint",
+        )
+
+    return _with_lake(spark, run)
