@@ -98,6 +98,12 @@ class TransactionLog:
         self.metadata_dir = metadata_dir
         self.io = io or LocalFileIO()
         self.io.makedirs(metadata_dir)
+        # resolved-state memo: a FIXED version's state never changes
+        # (the log is append-only; expiry checkpoints before dropping
+        # entries, so replay stays equivalent for surviving versions).
+        # Callers get a shallow COPY — several fold the returned dict
+        # in place. Bounded: newest few versions only.
+        self._state_cache: dict[int, dict[str, FileInfo]] = {}
 
     # ---- reading -----------------------------------------------------
 
@@ -169,6 +175,9 @@ class TransactionLog:
             version = self.latest_version()
         if version is None:
             return {}
+        cached = self._state_cache.get(version)
+        if cached is not None:
+            return dict(cached)
         state: dict[str, FileInfo] = {}
         start = 0
         cp = self.latest_checkpoint_version(upto=version)
@@ -188,6 +197,9 @@ class TransactionLog:
                 state.pop(p, None)
             for fi in entry.added_files:
                 state[fi.path] = fi
+        while len(self._state_cache) >= 8:
+            self._state_cache.pop(next(iter(self._state_cache)))
+        self._state_cache[version] = dict(state)
         return state
 
     def _read_checkpoint(self, version: int | None = None) -> dict | None:
