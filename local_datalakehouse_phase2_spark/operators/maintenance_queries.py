@@ -1389,3 +1389,172 @@ def lakehouse_sort_order_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_tpch_q6_partitioned",
+    # TRUE cross-engine oracle: plain TPC-H Q6 on the fixture — the
+    # lakehouse round-trip (CTAS + hidden partitioning + pruned read)
+    # must be semantically invisible
+    oracle="""
+        SELECT CAST(SUM(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+          AND l_shipdate < DATE '1995-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("lakehouse", "tpch", "partition", "composition"),
+    doc="TPC-H Q6 served FROM a lakehouse-managed table: lineitem lands "
+    "via CTAS under hidden year(l_shipdate) partitioning, and the Q6 "
+    "date range resolves through PARTITION PRUNING before any Spark "
+    "job (the scan touches one year's files) — the composition the "
+    "whole engine exists for: managed tables + metadata planning "
+    "serving standard analytics with identical answers.",
+)
+def lakehouse_tpch_q6_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+
+    def run(lake: Lakehouse):
+        t = lake.create_table(
+            "lab.lineitem_p",
+            schema="l_shipdate timestamp, l_discount double, "
+            "l_quantity double, l_extendedprice double",
+            partition_by="year(l_shipdate)",
+        )
+        t.append(
+            li.select(
+                F.col("l_shipdate").cast("timestamp"),
+                F.col("l_discount").cast("double"),
+                F.col("l_quantity").cast("double"),
+                F.col("l_extendedprice").cast("double"),
+            )
+        )
+        lo, hi = _dt.datetime(1994, 1, 1), _dt.datetime(1995, 1, 1)
+        plan = t.scan_plan([("l_shipdate", ">=", lo), ("l_shipdate", "<", hi)])
+        assert plan["files_pruned_by_partition"] > 0  # pruning engaged
+        df = (
+            t.read(filters=[("l_shipdate", ">=", lo), ("l_shipdate", "<", hi)])
+            .filter("l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+            .agg(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                .cast("double")
+                .alias("revenue")
+            )
+        )
+        return [tuple(r) for r in df.collect()], "revenue double"
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_stream_matview",
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT),
+             CAST(1 AS BIGINT), TRUE)
+        ) AS t(windows_after, day1_count, day2_count, day3_count,
+               replay_was_noop)
+    """,
+    tags=("lakehouse", "streaming", "matview", "composition"),
+    doc="Streaming MATERIALIZED VIEW into the lakehouse: an update-mode "
+    "tumbling-window count stream upserts per-window rows via "
+    "foreachBatch MERGE under the exactly-once batch watermark — a "
+    "second drain carrying MORE day-2 events UPDATES the stored day-2 "
+    "row in place while day-1 stands untouched. "
+    "The lakehouse table IS the continuously-maintained aggregate; "
+    "every epoch is one snapshot commit, replay is a no-op. Pinned.",
+)
+def lakehouse_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..streaming.ingest import (
+        STREAM_QUERY_KEY,
+        last_committed_batch,
+        merge_stream_batch,
+    )
+
+    def run(lake: Lakehouse):
+        tmp = _tf.mkdtemp(prefix="matview_q_")
+        try:
+            t = lake.create_table(
+                "lab.daily_counts", schema="window_start timestamp, n bigint"
+            )
+            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+
+            def feed(rows):
+                spark.createDataFrame(rows, "ts timestamp, user string").coalesce(
+                    1
+                ).write.mode("append").parquet(src)
+
+            def drain():
+                agg = (
+                    spark.readStream.schema("ts timestamp, user string")
+                    .parquet(src)
+                    .withWatermark("ts", "0 seconds")
+                    .groupBy(F.window("ts", "1 day").alias("w"))
+                    .agg(F.count("*").alias("n"))
+                    .select(F.col("w.start").alias("window_start"), "n")
+                )
+
+                def sink(batch_df, batch_id):
+                    qid = "registry-matview"
+                    for q in batch_df.sparkSession.streams.active:
+                        if q.name == "registry-matview":
+                            qid = f"registry-matview:{q.id}"
+                    merge_stream_batch(
+                        t, batch_df, batch_id, qid, key_cols=["window_start"]
+                    )
+
+                q = (
+                    agg.writeStream.outputMode("update")
+                    .foreachBatch(sink)
+                    .queryName("registry-matview")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+
+            import datetime as _dt
+
+            d1, d2, d3 = (
+                _dt.datetime(2024, 5, 1, 10),
+                _dt.datetime(2024, 5, 2, 10),
+                _dt.datetime(2024, 5, 3, 10),
+            )
+            feed([(d1, f"u{i}") for i in range(5)] + [(d2, "a"), (d2, "b")])
+            drain()
+            feed([(d2, "c"), (d2, "d"), (d3, "x")])
+            drain()
+            r = {row.window_start.day: row.n for row in t.read().collect()}
+            qid = next(
+                e.extra[STREAM_QUERY_KEY]
+                for e in reversed(t.log.entries())
+                if e.extra and e.extra.get(STREAM_QUERY_KEY)
+            )
+            replay = not merge_stream_batch(
+                t, t.read().limit(1), 0, qid, key_cols=["window_start"]
+            )
+            return (
+                [
+                    (
+                        len(r),
+                        r.get(1, -1),
+                        r.get(2, -1),
+                        r.get(3, -1),
+                        replay,
+                    )
+                ],
+                "windows_after bigint, day1_count bigint, day2_count bigint, "
+                "day3_count bigint, replay_was_noop boolean",
+            )
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
+
+    return _with_lake(spark, run)
