@@ -2177,10 +2177,19 @@ class LakehouseTable:
                 "*", *[t.expr(df).alias(t.pname) for t in spec]
             )
             if not shaped:
-                aug = ordered(
-                    aug.repartition(*[F.col(n) for n in pnames]),
-                    prefix=tuple(pnames),
-                )
+                if mode == "range":
+                    # range distribution UNDER a partition spec: range-
+                    # shuffle on (partition cols, sort keys) so each
+                    # hive partition's files hold disjoint key ranges —
+                    # partition pruning AND stats pruning compose
+                    so = props.get(PROP_SORT_ORDER, "")
+                    rcols = [p.split()[0] for p in so.split(",") if p.strip()] or hash_cols
+                    aug = aug.repartitionByRange(
+                        *[F.col(n) for n in pnames], *[F.col(c) for c in rcols]
+                    )
+                else:
+                    aug = aug.repartition(*[F.col(n) for n in pnames])
+                aug = ordered(aug, prefix=tuple(pnames))
             out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
             aug.write.mode("error").partitionBy(*pnames).parquet(out)
             return scan(out)

@@ -205,3 +205,48 @@ def test_snapshot_sql_procedure(spark, lake, tmp_path):
     ).first()
     assert res.added_records == 12
     assert lake.table("lab.snap2").read().count() == 12
+
+
+def test_range_mode_under_partition_spec(spark, lake):
+    """Range distribution composes with a partition spec: each hive
+    partition's files hold disjoint sort-key ranges, so partition
+    pruning and stats pruning stack."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.rps",
+        schema="k bigint, cat string",
+        properties={
+            "partition.spec": "cat",
+            "write.distribution-mode": "range",
+            "write.sort-order": "k",
+        },
+    )
+    # tiny fixture: stop AQE from coalescing the range shuffle into one
+    # partition per cat (at real scale the ranges are genuine)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.append(
+            spark.range(0, 2000).select(
+                F.pmod(F.col("id") * 2654435761, F.lit(2000)).alias("k"),
+                F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("cat"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    plan = t.scan_plan([("cat", "=", "c1"), ("k", "=", 42)])
+    # partition pruning drops the other cat; stats pruning drops the
+    # non-matching ranges within c1 (requires >1 file per partition
+    # from the range shuffle)
+    assert plan["files_pruned_by_partition"] > 0
+    assert plan["files_scanned"] < plan["files_total"] - plan["files_pruned_by_partition"]
+    got = t.read(filters=[("cat", "=", "c1"), ("k", "=", 42)]).count()
+    want = (
+        spark.range(0, 2000)
+        .select(
+            F.pmod(F.col("id") * 2654435761, F.lit(2000)).alias("k"),
+            F.concat(F.lit("c"), (F.col("id") % 2).cast("string")).alias("cat"),
+        )
+        .filter("cat = 'c1' AND k = 42")
+        .count()
+    )
+    assert got == want
