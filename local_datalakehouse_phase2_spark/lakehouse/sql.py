@@ -1056,6 +1056,21 @@ class LakehouseSQL:
             return self.spark.createDataFrame(
                 [(ns, t) for t in self.lake.tables(ns)], "namespace string, tableName string"
             )
+        m = re.fullmatch(
+            rf"(?is)SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
+            rf"(?:\s*\(\s*'([^']+)'\s*\))?",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            props = t.properties()
+            if m.group(2) is not None:
+                rows = [(m.group(2), props.get(m.group(2)))]
+            else:
+                rows = sorted(props.items())
+            return self.spark.createDataFrame(
+                rows or [], "key string, value string"
+            )
         m = re.fullmatch(rf"(?is)SHOW\s+VIEWS\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
         if m:
             ns = m.group(1)

@@ -1188,10 +1188,11 @@ class LakehouseTable:
             F.col("_metadata.file_path").alias("delete_file_path"),
         )
 
-    def partitions(self) -> DataFrame:
+    def partitions(self, version: int | None = None) -> DataFrame:
         """The `<t>.partitions` metadata relation (Iceberg's partitions
         table): one row per live partition with file/record/byte
-        counts — metadata-only, no data scan."""
+        counts — metadata-only, no data scan. Time-travels by
+        `version` like `.files`."""
         schema = T.StructType(
             [
                 T.StructField(
@@ -1203,7 +1204,7 @@ class LakehouseTable:
             ]
         )
         agg: dict[tuple, list[int]] = {}
-        for fi in self.log.state_at().values():
+        for fi in self.log.state_at(version).values():
             if fi.content != 0:
                 continue
             key = tuple(sorted((fi.partition or {}).items()))

@@ -694,3 +694,16 @@ def test_truncate_table(spark, lsql):
     assert t.read().count() == 0
     # snapshot semantics: pre-truncate data still time-travels
     assert t.read(version=v1).count() == 7
+
+
+def test_show_tblproperties(spark, lsql):
+    lsql.sql("CREATE NAMESPACE IF NOT EXISTS lab")
+    lsql.sql(
+        "CREATE TABLE lab.props (k bigint) "
+        "TBLPROPERTIES ('write.target-file-size-bytes'='65536', 'owner'='me')"
+    )
+    rows = {r.key: r.value for r in lsql.sql("SHOW TBLPROPERTIES lab.props").collect()}
+    assert rows["owner"] == "me"
+    assert rows["write.target-file-size-bytes"] == "65536"
+    one = lsql.sql("SHOW TBLPROPERTIES lab.props ('owner')").collect()
+    assert [(r.key, r.value) for r in one] == [("owner", "me")]
