@@ -247,3 +247,137 @@ def hourly_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value",
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT
+            (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS users_total,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users_viewed,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS users_clicked_after,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS users_purchased_after,
+            ROUND((SELECT COUNT(*) FROM s3) * 1.0
+                  / (SELECT COUNT(*) FROM s1), 6) AS view_to_purchase_rate
+    """,
+    tags=("events", "funnel", "analytics"),
+    doc="Ordered funnel conversion (view -> click -> purchase, each "
+    "step strictly AFTER the previous): three per-user conditional-min "
+    "aggregations chained by equi-joins on user_id — every stage hash-"
+    "shuffles on the SAME key, so Catalyst reuses the partitioning and "
+    "the funnel costs ~one shuffle of the events table regardless of "
+    "depth. The product-analytics primitive (sequence matching without "
+    "a per-user sort or any UDF).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter("event_type = 'view'")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter("event_type = 'click'")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter("event_type = 'purchase'")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users_total = ev.select("user_id").distinct().count()
+    n1, n2, n3 = s1.count(), s2.count(), s3.count()
+    return spark.createDataFrame(
+        [
+            (
+                users_total,
+                n1,
+                n2,
+                n3,
+                round(n3 * 1.0 / n1, 6) if n1 else None,
+            )
+        ],
+        "users_total bigint, users_viewed bigint, users_clicked_after bigint, "
+        "users_purchased_after bigint, view_to_purchase_rate double",
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, c.cohort_day,
+                   datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN cohorts c USING (user_id)
+            WHERE CAST(e.ts AS DATE) >= c.cohort_day
+        )
+        SELECT CAST(cohort_day AS DATE) AS cohort_day,
+               CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS active_users
+        FROM activity
+        WHERE day_offset <= 3
+        GROUP BY cohort_day, day_offset
+        ORDER BY cohort_day, day_offset
+    """,
+    tags=("events", "retention", "analytics"),
+    doc="Cohort retention: users bucketed by signup day, activity "
+    "counted per (cohort, days-since-signup) offset — one broadcast-"
+    "able cohort map joined to one distinct-per-day scan, the "
+    "engagement-analytics primitive. Offsets capped at 3 days to keep "
+    "the relation driver-small; the shape is offset-count-independent.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    cohorts = (
+        ev.filter("event_type = 'signup'")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    )
+    activity = (
+        ev.join(cohorts, "user_id")
+        .filter(F.col("ts").cast("date") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter("day_offset <= 3")
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            "cohort_day",
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+            "active_users",
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
