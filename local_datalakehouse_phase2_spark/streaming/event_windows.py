@@ -381,3 +381,82 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "gapfill_forward",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d, ROUND(SUM(value), 2) AS v
+            FROM events WHERE event_type IN ('view', 'purchase')
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        days AS (
+            SELECT CAST(unnest(generate_series(
+                       (SELECT MIN(d) FROM daily),
+                       (SELECT MAX(d) FROM daily),
+                       INTERVAL 1 DAY)) AS DATE) AS d
+        ),
+        calendar AS (
+            SELECT t.event_type, days.d
+            FROM (SELECT DISTINCT event_type FROM daily) t, days
+        ),
+        joined AS (
+            SELECT c.event_type, c.d, daily.v,
+                   CASE WHEN daily.v IS NULL THEN 0 ELSE 1 END AS observed
+            FROM calendar c LEFT JOIN daily
+              ON daily.event_type = c.event_type AND daily.d = c.d
+        )
+        SELECT event_type, d,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+               CAST(observed AS BIGINT) AS observed
+        FROM joined
+        ORDER BY event_type, d
+    """,
+    tags=("events", "timeseries", "analytics"),
+    doc="Time-series gap filling with forward fill: a dense per-series "
+    "calendar (sequence + explode) left-joins the observed daily sums, "
+    "then last-non-null-value-wins per series (window IGNORE NULLS) — "
+    "the standard dashboard/feature-engineering densification. Series "
+    "count bounds the calendar explode; the window partitions per "
+    "series so nothing funnels through one task.",
+)
+def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).first()
+    calendar = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.sql(
+                f"SELECT explode(sequence(DATE'{bounds.lo}', DATE'{bounds.hi}', "
+                "interval 1 day)) AS d"
+            )
+        )
+    )
+    joined = calendar.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        "d",
+        "v",
+        F.when(F.col("v").isNull(), 0).otherwise(1).cast("bigint").alias("observed"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        joined.withColumn("v_filled", F.last("v", ignorenulls=True).over(w))
+        .select("event_type", "d", "v_filled", "observed")
+        .orderBy("event_type", "d")
+    )
