@@ -224,8 +224,10 @@ class LakehouseSQL:
                 raise SqlError(f"unsupported TRUNCATE syntax: {s!r}")
             t = self.lake.table(self._strip_catalog(m.group(1)))
             # a snapshot commit like any other: time travel still sees
-            # the pre-truncate data until expiry (Iceberg's TRUNCATE)
-            entry = t.delete_where("true", mode="copy-on-write")
+            # the pre-truncate data until expiry (Iceberg's TRUNCATE).
+            # Dedicated path (not DELETE WHERE true): removes delete
+            # files too, so no tombstone survives the truncate
+            entry = t.truncate()
             return self._result_frame(
                 {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
             )

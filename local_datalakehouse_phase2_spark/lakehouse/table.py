@@ -1279,6 +1279,26 @@ class LakehouseTable:
             extra={"schema": ddl} if cur is None or ddl != cur.simpleString() else None,
         )
 
+    def truncate(self) -> LogEntry:
+        """TRUNCATE TABLE: one metadata commit removing EVERY live
+        file — data AND delete files (a bare `DELETE WHERE true` in
+        copy-on-write would drop the data files but leave merge-on-read
+        tombstones dangling until maintenance). No file bytes move;
+        time travel still reaches the pre-truncate snapshots."""
+
+        def make(version: int) -> LogEntry:
+            live = self.log.state_at()
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="delete",
+                removed_files=tuple(live),
+                extra={"truncate": True},
+            )
+
+        return self.log.append(make)
+
     def overwrite_partitions(self, df: DataFrame) -> LogEntry:
         """Dynamic partition overwrite (Iceberg/Spark
         `spark.sql.sources.partitionOverwriteMode=dynamic`, INSERT

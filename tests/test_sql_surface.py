@@ -707,3 +707,20 @@ def test_show_tblproperties(spark, lsql):
     assert rows["write.target-file-size-bytes"] == "65536"
     one = lsql.sql("SHOW TBLPROPERTIES lab.props ('owner')").collect()
     assert [(r.key, r.value) for r in one] == [("owner", "me")]
+
+
+def test_truncate_clears_tombstones(spark, lsql):
+    lsql.sql("CREATE NAMESPACE IF NOT EXISTS lab")
+    lsql.sql(
+        "CREATE TABLE lab.tmor (k bigint) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')"
+    )
+    lsql.sql("INSERT INTO lab.tmor SELECT id FROM range(0, 10)")
+    lsql.sql("DELETE FROM lab.tmor WHERE k = 3")  # MOR tombstone
+    t = lsql.lake.table("lab.tmor")
+    assert any(fi.content == 1 for fi in t.log.state_at().values())
+    lsql.sql("TRUNCATE TABLE lab.tmor")
+    assert t.read().count() == 0
+    assert t.log.state_at() == {}  # no data files AND no tombstones
+    lsql.sql("INSERT INTO lab.tmor VALUES (7)")
+    assert t.read().count() == 1
