@@ -71,6 +71,9 @@ def test_no_cartesian_products_in_registry(spark, sf_small):
                 # the exact-cosine truth side)
                 "pq_adc_topk",
                 "pq_recall_vs_exact",
+                # dense-calendar construction: (distinct series) x
+                # (generated days) — both sides metadata-sized
+                "gapfill_forward",
                 # scalar-subquery comparisons against a ONE-ROW broadcast
                 # side (avg balance / stock-value threshold) — NL over 1
                 # row is a constant filter
