@@ -113,6 +113,11 @@ class Lakehouse:
         ns, _ = self._split(identifier)
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
+        if self.io.exists(self._view_path(identifier)):
+            # one namespace of names: the SQL router expands views
+            # BEFORE tables, so a same-named table would be silently
+            # shadowed by the view in every statement
+            raise CatalogError(f"a view named {identifier} already exists")
         table_dir = self._table_dir(identifier)
         t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
         if t.log.latest_version() is not None:
@@ -222,6 +227,10 @@ class Lakehouse:
         ns, _ = self._split(identifier)
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
+        if self.io.is_dir(os.path.join(self._table_dir(identifier), "metadata")):
+            # mirror of the create_table guard: tables and views share
+            # one identifier namespace (Nessie catalog uniqueness)
+            raise CatalogError(f"a table named {identifier} already exists")
         path = self._view_path(identifier)
         if self.io.exists(path) and not replace:
             raise CatalogError(f"view {identifier} already exists")

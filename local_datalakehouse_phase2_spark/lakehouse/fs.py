@@ -128,6 +128,12 @@ class FileIO(abc.ABC):
     def parquet_row_count(self, path: str) -> int:
         """Exact row count from the parquet footer (no Spark job)."""
 
+    def parquet_arrow_schema(self, path: str):
+        """Arrow schema reconstructed from the parquet footer (no data
+        read) — `add_files` validates adopted files' column TYPES (not
+        just names) against the table schema with this."""
+        raise NotImplementedError
+
     @abc.abstractmethod
     def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
         """(row_count, column stats) from the parquet footer — the same
@@ -325,6 +331,9 @@ class LocalFileIO(FileIO):
     def parquet_column_names(self, path: str) -> list[str]:
         md = pq.ParquetFile(path).metadata
         return sorted({md.schema.column(i).path.split(".")[0] for i in range(md.num_columns)})
+
+    def parquet_arrow_schema(self, path: str):
+        return pq.read_schema(path)
 
     def parquet_row_count(self, path: str) -> int:
         return pq.ParquetFile(path).metadata.num_rows
@@ -530,6 +539,9 @@ class HadoopFileIO(FileIO):
     def parquet_column_names(self, path: str) -> list[str]:
         md = self._footer_metadata(path)
         return sorted({md.schema.column(i).path.split(".")[0] for i in range(md.num_columns)})
+
+    def parquet_arrow_schema(self, path: str):
+        return self._footer_metadata(path).schema.to_arrow_schema()
 
     def parquet_row_count(self, path: str) -> int:
         return self._footer_metadata(path).num_rows

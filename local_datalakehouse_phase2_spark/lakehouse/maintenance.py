@@ -339,6 +339,24 @@ def rewrite_data_files(
             p for p, c in counts.items() if c >= delete_file_threshold
         )
 
+    # Layout migration: on a partitioned table, any live data file NOT
+    # laid out under the CURRENT spec (pre-spec, adopted via add_files,
+    # or written before spec evolution) is a forced candidate — like
+    # the delete-file threshold, rewriting 1 file into 1 file is NOT a
+    # no-op when it moves the file into the current partition layout.
+    # Without this, a lone old-spec file per partition never groups
+    # (the >1-file idempotency gate) and the table is permanently
+    # stuck: overwrite_partitions demands migration, compaction
+    # refuses to perform it. Still idempotent: once migrated, the file
+    # carries every current pname and is never forced again.
+    cur_spec = table.partition_spec()
+    if cur_spec:
+        forced = forced | frozenset(
+            p
+            for p, fi in data_state.items()
+            if any(t.pname not in (fi.partition or {}) for t in cur_spec)
+        )
+
     # Iceberg plans rewrites PER PARTITION: a file group never mixes
     # partitions, so rewritten files keep their partition dirs and a
     # conflict in one partition's group can't touch another's
@@ -1061,6 +1079,41 @@ def rewrite_equality_deletes(table: LakehouseTable) -> dict:
     }
 
 
+# What Spark 4.x's vectorized parquet reader will widen at scan time
+# (measured on this Spark: int32 reads fine under int/bigint/double
+# schemas; string-under-bigint throws PARQUET_COLUMN_DATA_TYPE_MISMATCH
+# on the first read AFTER the adopting commit). Anything outside the
+# map must match exactly.
+_ADOPT_WIDENINGS = {
+    "tinyint": {"smallint", "int", "bigint", "double"},
+    "smallint": {"int", "bigint", "double"},
+    "int": {"bigint", "double"},
+    "float": {"double"},
+}
+
+
+def _incompatible_columns(io, path: str, table_types: dict[str, str]):
+    """(name, file_type, table_type) for every adopted-file column whose
+    footer type cannot be read under the table schema. Footer-only —
+    no data pages, no Spark job. A file column with an arrow type Spark
+    can't represent at all (uint64, …) is incompatible by definition."""
+    from pyspark.sql.pandas.types import from_arrow_type
+
+    bad = []
+    for field in io.parquet_arrow_schema(path):
+        tt = table_types.get(field.name)
+        if tt is None:
+            continue  # extra column: reads project it away
+        try:
+            ft = from_arrow_type(field.type).simpleString()
+        except Exception:
+            bad.append((field.name, str(field.type), tt))
+            continue
+        if ft != tt and tt not in _ADOPT_WIDENINGS.get(ft, ()):  # noqa: SIM201
+            bad.append((field.name, ft, tt))
+    return bad
+
+
 def add_files(table: LakehouseTable, source_dir: str) -> dict:
     """Iceberg's `add_files` procedure: ADOPT existing parquet files
     into the table as a snapshot commit — zero rewrite (hard links on
@@ -1071,19 +1124,27 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
     touching data bytes.
 
     Validation: every adopted file's footer must contain ALL table
-    columns. This rejects hive-layout sources whose writers dropped the
-    partition column from the files (the value lives only in the dir
-    name there) — adopting one would silently null that column; use
-    INSERT INTO ... SELECT for those. Extra columns are fine (reads
-    project through the table schema). Adopted files carry no partition
-    tuple, so on a partitioned table they are always scanned (pruning
-    is advisory); the next compaction migrates them into the current
-    spec's layout.
+    columns, AND each shared column's footer type must be readable
+    under the table schema (exact match, or a widening Spark's parquet
+    reader performs: integer widening, int->double, float->double).
+    Name-only validation would let a string-typed file into a bigint
+    column — the commit succeeds, then EVERY subsequent scan fails
+    (`PARQUET_COLUMN_DATA_TYPE_MISMATCH`), leaving the table unreadable
+    until manual repair; Iceberg's add_files checks compatibility for
+    the same reason. This rejects hive-layout sources whose writers
+    dropped the partition column from the files (the value lives only
+    in the dir name there) — adopting one would silently null that
+    column; use INSERT INTO ... SELECT for those. Extra columns are
+    fine (reads project through the table schema). Adopted files carry
+    no partition tuple, so on a partitioned table they are always
+    scanned (pruning is advisory); the next compaction migrates them
+    into the current spec's layout.
     """
     schema = table.schema() or table._schema()
     need = {f.name for f in schema.fields}
     if not need:
         raise MaintenanceError("add_files: table has no schema to validate against")
+    table_types = {f.name: f.dataType.simpleString() for f in schema.fields}
     io = table.io
     src_root = os.path.abspath(source_dir)
     if (src_root + os.sep).startswith(os.path.abspath(table.table_dir) + os.sep) or src_root == os.path.abspath(table.table_dir):
@@ -1102,6 +1163,16 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
                 f"add_files: {p!r} lacks table column(s) {missing} — hive-"
                 "partitioned sources whose files dropped the partition column "
                 "must be re-written (INSERT INTO ... SELECT), not adopted"
+            )
+        bad = _incompatible_columns(io, p, table_types)
+        if bad:
+            detail = "; ".join(
+                f"{name}: file has {ft}, table needs {tt}" for name, ft, tt in bad
+            )
+            raise MaintenanceError(
+                f"add_files: {p!r} has incompatible column type(s) ({detail}) — "
+                "adopting it would make every subsequent scan fail; re-write "
+                "via INSERT INTO ... SELECT with casts instead"
             )
     out_dir = os.path.join(table.data_dir, f"v{uuid.uuid4().hex[:12]}")
     infos = []

@@ -375,10 +375,22 @@ def parse_partition_from_path(rel_path: str) -> dict[str, str] | None:
 def prune_state(state: dict, filters, spec: list[Transform]) -> tuple[dict, int]:
     """Drop data files whose partition values prove no row can satisfy
     the conjunctive filters. Same contract as pruning.prune_files:
-    advisory-only, one-sided, metadata-only."""
+    advisory-only, one-sided, metadata-only.
+
+    Legacy pname alias: bucket/truncate dirs written before the
+    parameter was encoded in the pname (`__p_id_bucket`, an on-disk
+    layout predating `__p_id_bucket16`) still prune — but ONLY when the
+    spec union contains exactly one transform of that (source, kind),
+    so the legacy name unambiguously identifies the parameter it was
+    written with. Two bucket widths in the history make the bare name
+    ambiguous; those files degrade to "scan", never to a wrong prune."""
     by_source: dict[str, list[Transform]] = {}
+    legacy_counts: dict[str, int] = {}
     for t in spec:
         by_source.setdefault(t.source, []).append(t)
+        if t.kind in ("bucket", "truncate"):
+            legacy = f"__p_{t.source}_{t.kind}"
+            legacy_counts[legacy] = legacy_counts.get(legacy, 0) + 1
     kept = {}
     for p, fi in state.items():
         part = getattr(fi, "partition", None)
@@ -389,6 +401,10 @@ def prune_state(state: dict, filters, spec: list[Transform]) -> tuple[dict, int]
         for col, op, val in filters:
             for t in by_source.get(col, ()):  # every transform of this col may prune
                 pv = part.get(t.pname)
+                if pv is None and t.kind in ("bucket", "truncate"):
+                    legacy = f"__p_{t.source}_{t.kind}"
+                    if legacy_counts.get(legacy) == 1:
+                        pv = part.get(legacy)
                 if pv is not None and not t.may_match(op, val, pv):
                     ok = False
                     break

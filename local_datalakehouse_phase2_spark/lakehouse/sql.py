@@ -554,13 +554,24 @@ class LakehouseSQL:
             ]
         )
         if overwrite:
-            # partitioned table: DYNAMIC overwrite (replace only the
-            # partitions the new data touches — the idempotent-backfill
-            # semantics Iceberg recommends); unpartitioned: full replace
+            # Which partitions does INSERT OVERWRITE replace? Same knob
+            # as Spark/Iceberg: `spark.sql.sources.partitionOverwriteMode`
+            # — STATIC (the Spark default, and the reference stack's
+            # behavior at /root/reference/spark/conf/spark-defaults.conf,
+            # which never overrides it) replaces the WHOLE table;
+            # DYNAMIC replaces only the partitions the new data touches
+            # (the idempotent-backfill semantics Iceberg recommends
+            # enabling). Unpartitioned tables always fully replace.
+            mode = (
+                self.spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                or "static"
+            ).lower()
             try:
                 entry = (
                     t.overwrite_partitions(aligned)
-                    if t.partition_spec()
+                    if t.partition_spec() and mode == "dynamic"
                     else t.overwrite(aligned)
                 )
             except ValueError as e:

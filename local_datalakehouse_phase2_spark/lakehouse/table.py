@@ -1360,8 +1360,16 @@ class LakehouseTable:
 
         def file_key(fi: FileInfo) -> tuple | None:
             part = fi.partition or {}
-            if not part:
-                return None  # pre-spec/adopted file: not partition-addressed
+            # A file is partition-addressed ONLY if its tuple carries
+            # every CURRENT-spec pname. After spec evolution, old-spec
+            # files have a non-empty dict that lacks the new pnames —
+            # keying those with None-padding would (a) fail to doom them
+            # when their partition is replaced (silent duplication) and
+            # (b) wrongly match an all-null touched partition (data
+            # loss). Missing pname => not addressable, handled by the
+            # unaddressed guard below.
+            if any(t.pname not in part for t in spec):
+                return None
             vals = []
             for t in spec:
                 v = part.get(t.pname)
@@ -1379,16 +1387,21 @@ class LakehouseTable:
             if fi.content == 0 and file_key(fi) in touched_set
         )
         unaddressed = [
-            p for p, fi in state.items() if fi.content == 0 and not fi.partition
+            p for p, fi in state.items() if fi.content == 0 and file_key(fi) is None
         ]
         if unaddressed:
-            # a file with no partition tuple may hold rows of a touched
-            # partition: replacing "the partition" while such files
-            # survive would duplicate rows. Compaction migrates them.
+            # a file with no (current-spec) partition tuple may hold rows
+            # of a touched partition: pre-spec/adopted files have no
+            # tuple at all, and spec evolution leaves old-spec files
+            # whose tuple lacks the current pnames. Replacing "the
+            # partition" while such files survive would duplicate rows
+            # (or, None-keyed, delete the wrong ones). Compaction
+            # migrates them to the current layout.
             raise ValueError(
                 f"overwrite_partitions: {len(unaddressed)} live file(s) carry no "
-                "partition tuple (pre-spec or adopted); run rewrite_data_files "
-                "to migrate the layout first"
+                "current-spec partition tuple (pre-spec, adopted, or written "
+                "under an evolved-away spec); run rewrite_data_files to "
+                "migrate the layout first"
             )
         planned = frozenset(doomed)
 

@@ -250,3 +250,40 @@ def test_range_mode_under_partition_spec(spark, lake):
         .count()
     )
     assert got == want
+
+
+def test_add_files_rejects_incompatible_types(spark, lake, tmp_path):
+    """Name-only validation would admit a string-typed file into a
+    bigint column: the adopting commit succeeds and every LATER scan
+    throws PARQUET_COLUMN_DATA_TYPE_MISMATCH — an unreadable table.
+    Footer types must be checked at adopt time."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.typed", schema="k bigint, v string")
+    bad = str(tmp_path / "bad")
+    spark.range(3).selectExpr("CAST(id AS STRING) AS k", "'x' AS v").write.parquet(bad)
+    with pytest.raises(MaintenanceError, match="incompatible column type"):
+        add_files(t, bad)
+    assert t.read().count() == 0  # nothing committed
+    # widening the reader performs is fine: int32 file -> bigint column
+    ok = str(tmp_path / "ok")
+    spark.range(3).selectExpr("CAST(id AS INT) AS k", "'x' AS v").write.parquet(ok)
+    add_files(t, ok)
+    assert t.read().count() == 3
+    assert t.read().agg(F.sum("k")).first()[0] == 3
+
+
+def test_add_files_rejects_incompatible_nested_types(spark, lake, tmp_path):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.nested", schema="k bigint, emb array<float>")
+    bad = str(tmp_path / "badnested")
+    spark.range(2).selectExpr(
+        "id AS k", "array(CAST(id AS STRING)) AS emb"
+    ).write.parquet(bad)
+    with pytest.raises(MaintenanceError, match="incompatible column type"):
+        add_files(t, bad)
+    ok = str(tmp_path / "oknested")
+    spark.range(2).selectExpr(
+        "id AS k", "array(CAST(id AS FLOAT)) AS emb"
+    ).write.parquet(ok)
+    add_files(t, ok)
+    assert t.read().count() == 2

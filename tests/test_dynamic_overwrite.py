@@ -118,7 +118,7 @@ def test_dynamic_overwrite_guards(spark, lake, tmp_path):
     src = str(tmp_path / "src")
     _mk(spark, 0, 10).coalesce(1).write.parquet(src)
     add_files(t, src)
-    with pytest.raises(ValueError, match="no partition tuple"):
+    with pytest.raises(ValueError, match="no current-spec partition tuple"):
         t.overwrite_partitions(
             spark.createDataFrame([(1, "c1", "x")], "k bigint, cat string, v string")
         )
@@ -144,13 +144,29 @@ def test_insert_overwrite_sql_routing(spark, lake):
     )
     t.append(_mk(spark, 0, 30))
     sql = LakehouseSQL(lake)
+    # Spark's default partitionOverwriteMode=static: INSERT OVERWRITE
+    # replaces the WHOLE table, even partitioned — matching what the
+    # reference stack (which never overrides the conf) would do
     sql.sql(
         "INSERT OVERWRITE lab.iow VALUES (900, 'c2', 'ow1'), (901, 'c2', 'ow2')"
     )
     r = t.read()
-    assert r.filter("cat = 'c2'").count() == 2  # dynamic: only c2 replaced
+    assert r.count() == 2
+    assert r.filter("cat = 'c0'").count() == 0  # static: c0 gone too
+    # dynamic mode (session conf opt-in): only touched partitions replaced
+    t.append(_mk(spark, 0, 30))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        sql.sql(
+            "INSERT OVERWRITE lab.iow VALUES (902, 'c1', 'dyn1'), (903, 'c1', 'dyn2')"
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    r = t.read()
+    assert r.filter("cat = 'c1'").count() == 2  # dynamic: only c1 replaced
     assert r.filter("cat = 'c0'").count() == 10
-    # unpartitioned: full replacement
+    assert r.filter("cat = 'c2'").count() == 12  # 10 + the 2 static rows
+    # unpartitioned: full replacement in either mode
     u = lake.create_table("lab.iow2", schema="k bigint, v string")
     u.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
     sql.sql("INSERT OVERWRITE lab.iow2 VALUES (9, 'z')")

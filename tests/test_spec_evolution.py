@@ -169,3 +169,77 @@ def test_sql_add_drop_partition_field(spark, lake):
 
     with pytest.raises(SqlError, match="not in spec"):
         sql.sql("ALTER TABLE lab.sqe DROP PARTITION FIELD bucket(4, id)")
+
+
+def test_overwrite_partitions_rejects_old_spec_files(spark, lake):
+    """INSERT OVERWRITE safety after spec evolution: files written
+    under the old spec carry partition tuples WITHOUT the current
+    pnames — keying them under the current spec would either miss them
+    (silent duplication when their partition is replaced) or match an
+    all-null touched partition (data loss). They must hard-stop the
+    overwrite until compaction migrates the layout."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.evow",
+        schema="id bigint, cat string, ts timestamp",
+        properties={"partition.spec": "cat"},
+    )
+    t.append(_mk(spark, 0, 30))  # old-spec files: only __p_cat
+    t.add_partition_field("day(ts)")  # current spec: cat, day(ts)
+    with pytest.raises(ValueError, match="current-spec partition tuple"):
+        t.overwrite_partitions(_mk(spark, 0, 5))
+    # compaction migrates everything to the current layout; then the
+    # dynamic overwrite plans and commits normally
+    rewrite_data_files(t, strategy="binpack", min_input_files=1)
+    before_untouched = t.read().filter("cat <> 'c0'").count()
+    # spec is now (cat, day(ts)): the backfill (ids 0 and 3 of
+    # range(0,5), days 01-01 and 01-04) replaces only those two
+    # (c0, day) tuples; c0 rows on other days survive
+    t.overwrite_partitions(_mk(spark, 0, 5).filter("cat = 'c0'"))
+    r = t.read()
+    assert r.filter("cat <> 'c0'").count() == before_untouched
+    replaced_days = "('2024-01-01', '2024-01-04')"
+    assert r.filter(f"cat = 'c0' AND to_date(ts) IN {replaced_days}").count() == 2
+    assert r.filter(f"cat = 'c0' AND to_date(ts) NOT IN {replaced_days}").count() == 6
+
+
+def test_legacy_pname_alias_still_prunes(spark, lake):
+    """Bucket dirs written before the parameter was encoded in the
+    pname (`__p_id_bucket` vs `__p_id_bucket16`) keep pruning when the
+    spec union has exactly one bucket transform on that source."""
+    from local_datalakehouse_phase2_spark.lakehouse.partition import (
+        parse_spec,
+        prune_state,
+    )
+
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.legacy",
+        schema="id bigint, cat string, ts timestamp",
+        properties={"partition.spec": "bucket(4, id)"},
+    )
+    t.append(_mk(spark, 0, 40))
+    state = t.log.state_at()
+    spec = parse_spec("bucket(4, id)")
+    pname = spec[0].pname  # __p_id_bucket4
+    legacy = "__p_id_bucket"
+    import dataclasses
+
+    legacy_state = {
+        p: dataclasses.replace(
+            fi, partition={legacy: v for _, v in fi.partition.items()}
+        )
+        for p, fi in state.items()
+        if fi.partition and pname in fi.partition
+    }
+    assert legacy_state
+    kept, pruned = prune_state(legacy_state, [("id", "==", 7)], spec)
+    assert pruned > 0  # legacy dirs still prune via the alias
+    import zlib
+
+    want = zlib.crc32(b"7") % 4
+    assert all(fi.partition[legacy] == str(want) for fi in kept.values())
+    # ambiguity guard: two bucket widths on the same source => no alias
+    two = parse_spec("bucket(4, id)") + parse_spec("bucket(8, id)")
+    kept2, pruned2 = prune_state(legacy_state, [("id", "==", 7)], two)
+    assert pruned2 == 0  # ambiguous legacy name degrades to scan

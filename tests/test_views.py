@@ -84,3 +84,17 @@ def test_invalid_view_definition_rejected(spark, lake, sql):
     with pytest.raises(Exception):
         sql.sql("CREATE VIEW lab.bad AS SELECT nope FROM lab.base")
     assert lake.views("lab") == []  # nothing persisted
+
+
+def test_view_table_name_collision_rejected(spark, lake, sql):
+    """Tables and views share one identifier namespace (Nessie catalog
+    uniqueness): the SQL router expands views BEFORE tables, so a
+    same-named view would silently shadow the table in every statement."""
+    _seed(spark, lake)
+    with pytest.raises(CatalogError, match="a table named"):
+        lake.create_view("lab.base", "SELECT 1 AS k")
+    with pytest.raises(SqlError, match="a table named"):
+        sql.sql("CREATE VIEW lab.base AS SELECT k FROM lab.base")
+    lake.create_view("lab.v_only", "SELECT 1 AS k")
+    with pytest.raises(CatalogError, match="a view named"):
+        lake.create_table("lab.v_only", schema="k bigint")
