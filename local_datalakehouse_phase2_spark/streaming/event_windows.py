@@ -306,20 +306,30 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )
-    users_total = ev.select("user_id").distinct().count()
-    n1, n2, n3 = s1.count(), s2.count(), s3.count()
-    return spark.createDataFrame(
-        [
-            (
-                users_total,
-                n1,
-                n2,
-                n3,
-                round(n3 * 1.0 / n1, 6) if n1 else None,
-            )
-        ],
-        "users_total bigint, users_viewed bigint, users_clicked_after bigint, "
-        "users_purchased_after bigint, view_to_purchase_rate double",
+    # ONE driver action for the whole funnel: left-join the step frames
+    # onto the user universe and count non-nulls in a single aggregate.
+    # Every join keys on user_id, so each stage reuses the same hash
+    # partitioning, and the s1/s2 subtrees shared between branches
+    # collapse via ReuseExchange — versus four separate .count()
+    # actions, which re-executed the chain's upstream stages (~6 scans
+    # of the events table for one output row; invisible at sf0.1,
+    # ruinous at 100 TB).
+    return (
+        ev.select("user_id")
+        .distinct()
+        .join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("users_total"),
+            F.count("t1").alias("users_viewed"),
+            F.count("t2").alias("users_clicked_after"),
+            F.count("t3").alias("users_purchased_after"),
+            F.when(
+                F.count("t1") > 0,
+                F.round(F.count("t3") * F.lit(1.0) / F.count("t1"), 6),
+            ).alias("view_to_purchase_rate"),
+        )
     )
 
 
