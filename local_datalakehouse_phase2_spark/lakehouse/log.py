@@ -30,6 +30,7 @@ import os
 import re
 import time as _time
 from dataclasses import asdict, dataclass
+from dataclasses import replace as _dc_replace
 from typing import Any
 
 from .fs import FileIO, LocalFileIO
@@ -193,6 +194,11 @@ class TransactionLog:
                 # the log (auditable, time-travelable by version) but
                 # is NOT part of the main lineage until published
                 continue
+            if entry.extra and entry.extra.get("branch"):
+                # branch commit (Nessie-style write on a ref): lives in
+                # the same total-ordered log but is OUTSIDE the main
+                # lineage until merge_branch publishes its net effect
+                continue
             for p in entry.removed_files:
                 state.pop(p, None)
             for fi in entry.added_files:
@@ -216,6 +222,8 @@ class TransactionLog:
         snapshot properties exactly so expiry can't reset a table to
         defaults."""
         for entry in reversed(self.entries(upto=version)):
+            if entry.extra and entry.extra.get("branch"):
+                continue  # branch commits never define main metadata
             if entry.properties is not None:
                 return dict(entry.properties)
         cp = self._read_checkpoint(version)
@@ -230,6 +238,8 @@ class TransactionLog:
         add_column / evolving append — can't silently drop evolved
         columns)."""
         for entry in reversed(self.entries(upto=version)):
+            if entry.extra and entry.extra.get("branch"):
+                continue  # branch commits cannot evolve the schema
             if entry.extra and entry.extra.get("schema"):
                 return entry.extra["schema"]
         cp = self._read_checkpoint(version)
@@ -239,23 +249,98 @@ class TransactionLog:
 
     # ---- writing -----------------------------------------------------
 
-    def append(self, make_entry) -> LogEntry:
+    def append(self, make_entry, branch: str | None = None) -> LogEntry:
         """Atomically commit the entry produced by `make_entry(version)`.
 
         `make_entry` is re-invoked on version conflict so the caller can
         re-resolve against the new latest state (optimistic concurrency).
+
+        `branch` — commit onto a named branch ref instead of main
+        (Nessie's write-on-ref; the reference stack's
+        `spark.sql.catalog.nessie.ref` knob). The entry lands in the
+        SAME total-ordered log (one global version sequence arbitrated
+        by the same O_EXCL primitive, so cross-branch races still
+        serialize) tagged `extra.branch = <name>`, which every
+        main-lineage fold skips; the branch ref's head then advances to
+        it. Main stays byte-identical until merge_branch.
         """
+        if branch is not None:
+            ref = self.refs().get(branch)
+            if ref is None:
+                raise ValueError(f"branch {branch!r} does not exist")
+            if ref["kind"] != "branch":
+                raise ValueError(f"ref {branch!r} is a tag — tags are immutable")
         while True:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
             entry: LogEntry = make_entry(version)
+            if branch is not None:
+                entry = _dc_replace(
+                    entry, extra={**(entry.extra or {}), "branch": branch}
+                )
             raw = asdict(entry)
             raw["added_files"] = [asdict(fi) for fi in entry.added_files]
             raw["removed_files"] = list(entry.removed_files)
             path = os.path.join(self.metadata_dir, f"{version:010d}.json")
             if self.io.create_exclusive(path, json.dumps(raw, indent=1)):
+                if branch is not None:
+                    self._advance_branch(branch, version)
                 return entry
             continue  # lost the race: recompute against new latest
+
+    # ---- branch lineage (Nessie write-on-ref analog) ------------------
+
+    def branch_info(self, name: str) -> tuple[int, int, list[int]]:
+        """(base, head, branch_commit_versions) for a branch ref.
+
+        base = the main-lineage snapshot the branch forked from (the
+        ref's recorded `base`, defaulting to its pointer for a branch
+        with no commits yet); head = the ref pointer; the commit list
+        is every entry tagged with this branch name in (base, head],
+        in version order — the replay chain. Entries tagged with the
+        name but <= base belong to a PREVIOUS branch of the same name
+        (dropped and re-created) and are excluded by construction."""
+        ref = self.refs().get(name)
+        if ref is None:
+            raise ValueError(f"ref {name!r} does not exist")
+        if ref["kind"] != "branch":
+            raise ValueError(f"ref {name!r} is a tag, not a branch")
+        head = ref["snapshot_id"]
+        base = ref.get("base", head)
+        chain = [
+            e.version
+            for e in self.entries(upto=head)
+            if base < e.version and e.extra and e.extra.get("branch") == name
+        ]
+        return base, head, chain
+
+    def state_at_branch(self, name: str) -> dict[str, FileInfo]:
+        """Live file set on a branch: main state folded to the fork
+        base, then the branch's own commits replayed in version order."""
+        base, _head, chain = self.branch_info(name)
+        state = self.state_at(base)
+        for v in chain:
+            entry = self.read_entry(v)
+            for p in entry.removed_files:
+                state.pop(p, None)
+            for fi in entry.added_files:
+                state[fi.path] = fi
+        return state
+
+    def _advance_branch(self, name: str, new_head: int) -> None:
+        """Move a branch ref's head to a just-committed branch entry,
+        recording the fork base on first advance. Monotonic: two branch
+        commits racing on the ref file can apply their head updates in
+        either order, and resolution replays the whole (base, head]
+        range, so the LARGER head must win for both commits to be
+        visible."""
+        ref = self.refs().get(name)
+        if ref is None:
+            raise ValueError(f"branch {name!r} vanished mid-commit")
+        base = ref.get("base", ref["snapshot_id"])
+        head = max(ref["snapshot_id"], new_head)
+        raw = {"name": name, "snapshot_id": head, "kind": "branch", "base": base}
+        self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize resolved state at `version` (default latest) —
