@@ -9,6 +9,7 @@ from .maintenance import (
     add_files,
     cherrypick_snapshot,
     expire_snapshots,
+    merge_branch,
     publish_changes,
     remove_orphan_files,
     rewrite_data_files,
@@ -20,6 +21,7 @@ from .maintenance import (
     set_current_snapshot,
 )
 from .sql import LakehouseSQL, SqlError
+from .transaction import Transaction, TransactionError
 from .table import LakehouseTable
 
 __all__ = [
@@ -47,5 +49,8 @@ __all__ = [
     "rollback_to_timestamp",
     "set_current_snapshot",
     "cherrypick_snapshot",
+    "merge_branch",
     "publish_changes",
+    "Transaction",
+    "TransactionError",
 ]

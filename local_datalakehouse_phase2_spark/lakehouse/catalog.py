@@ -43,6 +43,14 @@ class Lakehouse:
         self.io = io or LocalFileIO()
         self.io.makedirs(warehouse_dir)
 
+    def transaction(self, txn_id: str | None = None):
+        """Open a multi-table atomic transaction (see transaction.py):
+        stage writes across tables, publish them with one atomic
+        marker flip — the Nessie-catalog cross-table commit analog."""
+        from .transaction import Transaction
+
+        return Transaction(self, txn_id=txn_id)
+
     # ---- namespaces --------------------------------------------------
 
     def create_namespace(
@@ -217,6 +225,20 @@ class Lakehouse:
     # reference time — storage-level, so it survives sessions and is
     # visible to every engine reading the warehouse.
 
+    def _committed_table_exists(self, identifier: str) -> bool:
+        """True only for a table with at least one committed log entry
+        or checkpoint — WITHOUT constructing LakehouseTable (whose log
+        __init__ creates metadata/, worsening the phantom problem)."""
+        meta = os.path.join(self._table_dir(identifier), "metadata")
+        if not self.io.is_dir(meta):
+            return False
+        import re as _re
+
+        for name in self.io.listdir(meta):
+            if _re.match(r"^(\d{10}|checkpoint-\d{10})\.json$", name):
+                return True
+        return False
+
     def _view_path(self, identifier: str) -> str:
         ns, name = self._split(identifier)
         return os.path.join(self.warehouse_dir, ns, ".views", f"{name}.json")
@@ -227,9 +249,14 @@ class Lakehouse:
         ns, _ = self._split(identifier)
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
-        if self.io.is_dir(os.path.join(self._table_dir(identifier), "metadata")):
+        if self._committed_table_exists(identifier):
             # mirror of the create_table guard: tables and views share
-            # one identifier namespace (Nessie catalog uniqueness)
+            # one identifier namespace (Nessie catalog uniqueness).
+            # COMMITTED existence, not a bare is_dir: a failed
+            # create_table (invalid partition spec raised after
+            # TransactionLog.__init__ made metadata/) leaves a phantom
+            # empty dir that must not squat on the name forever —
+            # create_table itself tolerates phantoms the same way.
             raise CatalogError(f"a table named {identifier} already exists")
         path = self._view_path(identifier)
         if self.io.exists(path) and not replace:

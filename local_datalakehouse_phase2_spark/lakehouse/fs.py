@@ -128,11 +128,11 @@ class FileIO(abc.ABC):
     def parquet_row_count(self, path: str) -> int:
         """Exact row count from the parquet footer (no Spark job)."""
 
+    @abc.abstractmethod
     def parquet_arrow_schema(self, path: str):
         """Arrow schema reconstructed from the parquet footer (no data
         read) — `add_files` validates adopted files' column TYPES (not
         just names) against the table schema with this."""
-        raise NotImplementedError
 
     @abc.abstractmethod
     def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:

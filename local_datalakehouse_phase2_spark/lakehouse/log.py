@@ -105,6 +105,8 @@ class TransactionLog:
         # Callers get a shallow COPY — several fold the returned dict
         # in place. Bounded: newest few versions only.
         self._state_cache: dict[int, dict[str, FileInfo]] = {}
+        # decided (committed/aborted) transaction-marker states only
+        self._txn_cache: dict[str, str] = {}
 
     # ---- reading -----------------------------------------------------
 
@@ -115,6 +117,65 @@ class TransactionLog:
             if m:
                 out.append(int(m.group(1)))
         return sorted(out)
+
+    def latest_main_version(self) -> int | None:
+        """Newest MAIN-lineage version: skips branch commits (which
+        live outside main until merged), unpublished stage snapshots,
+        and uncommitted multi-table-transaction entries — the snapshot
+        a ref may anchor at or a main read means by "current"."""
+        for v in reversed(self.versions()):
+            if self.in_main_lineage(self.read_entry(v)):
+                return v
+        return None
+
+    # ---- multi-table transaction markers ------------------------------
+    # A multi-table transaction (see transaction.py) stages one entry
+    # per table tagged `extra.txn = <id>`; ALL of them become visible
+    # at once when the single marker file <warehouse>/.txns/<id>.json
+    # is created with status "committed" — the one-pointer-swap that
+    # makes the cross-table commit atomic (the role Nessie's global
+    # commit plays for the reference stack's catalog,
+    # /root/reference/docker-compose.yml:6). The marker dir is derived
+    # from the warehouse layout (<warehouse>/<ns>/<table>/metadata), so
+    # every reader of a table — through the catalog or standalone —
+    # resolves the same marker.
+
+    @property
+    def txn_dir(self) -> str:
+        return os.path.normpath(
+            os.path.join(self.metadata_dir, os.pardir, os.pardir, os.pardir, ".txns")
+        )
+
+    def txn_status(self, txn_id: str) -> str:
+        """'pending' | 'committed' | 'aborted'. Decided states are
+        immutable (the marker is created exactly once with O_EXCL), so
+        they cache; pending re-reads every time."""
+        cached = self._txn_cache.get(txn_id)
+        if cached is not None:
+            return cached
+        path = os.path.join(self.txn_dir, f"{txn_id}.json")
+        try:
+            status = json.loads(self.io.read_text(path)).get("status", "pending")
+        except (OSError, ValueError):
+            return "pending"
+        if status in ("committed", "aborted"):
+            self._txn_cache[txn_id] = status
+        return status
+
+    def in_main_lineage(self, entry: LogEntry) -> bool:
+        """Does this entry participate in main-lineage state folds?
+        False for write-audit-publish stage snapshots (await publish),
+        branch commits (await merge), and transaction entries whose
+        marker isn't committed (pending or aborted)."""
+        if entry.operation == "stage":
+            return False
+        extra = entry.extra or {}
+        if extra.get("branch"):
+            return False
+        tx = extra.get("txn")
+        if tx is not None and self.txn_status(tx) != "committed":
+            return False
+        return True
 
     def latest_version(self) -> int | None:
         vs = self.versions()
@@ -186,26 +247,30 @@ class TransactionLog:
             cp_raw = json.loads(self.io.read_text(os.path.join(self.metadata_dir, f"checkpoint-{cp:010d}.json")))
             state = {fi["path"]: FileInfo(**fi) for fi in cp_raw["files"]}
             start = cp + 1
+        saw_pending_txn = False
         for entry in self.entries(upto=version):
             if entry.version < start:
                 continue
-            if entry.operation == "stage":
-                # write-audit-publish staging: the snapshot exists in
-                # the log (auditable, time-travelable by version) but
-                # is NOT part of the main lineage until published
-                continue
-            if entry.extra and entry.extra.get("branch"):
-                # branch commit (Nessie-style write on a ref): lives in
-                # the same total-ordered log but is OUTSIDE the main
-                # lineage until merge_branch publishes its net effect
+            if not self.in_main_lineage(entry):
+                # outside the main lineage: write-audit-publish stage
+                # (until published), branch commit (until merged), or
+                # transaction entry whose marker isn't committed. A
+                # PENDING transaction may still commit and retro-apply
+                # at this version — the resolved state is not final, so
+                # it must not be memoized.
+                saw_pending_txn = saw_pending_txn or (
+                    (entry.extra or {}).get("txn") is not None
+                    and self.txn_status(entry.extra["txn"]) == "pending"
+                )
                 continue
             for p in entry.removed_files:
                 state.pop(p, None)
             for fi in entry.added_files:
                 state[fi.path] = fi
-        while len(self._state_cache) >= 8:
-            self._state_cache.pop(next(iter(self._state_cache)))
-        self._state_cache[version] = dict(state)
+        if not saw_pending_txn:
+            while len(self._state_cache) >= 8:
+                self._state_cache.pop(next(iter(self._state_cache)))
+            self._state_cache[version] = dict(state)
         return state
 
     def _read_checkpoint(self, version: int | None = None) -> dict | None:
@@ -222,8 +287,8 @@ class TransactionLog:
         snapshot properties exactly so expiry can't reset a table to
         defaults."""
         for entry in reversed(self.entries(upto=version)):
-            if entry.extra and entry.extra.get("branch"):
-                continue  # branch commits never define main metadata
+            if not self.in_main_lineage(entry):
+                continue  # only main-lineage entries define metadata
             if entry.properties is not None:
                 return dict(entry.properties)
         cp = self._read_checkpoint(version)
@@ -238,8 +303,8 @@ class TransactionLog:
         add_column / evolving append — can't silently drop evolved
         columns)."""
         for entry in reversed(self.entries(upto=version)):
-            if entry.extra and entry.extra.get("branch"):
-                continue  # branch commits cannot evolve the schema
+            if not self.in_main_lineage(entry):
+                continue  # branch/stage/uncommitted-txn entries cannot evolve the schema
             if entry.extra and entry.extra.get("schema"):
                 return entry.extra["schema"]
         cp = self._read_checkpoint(version)
@@ -296,10 +361,13 @@ class TransactionLog:
         base = the main-lineage snapshot the branch forked from (the
         ref's recorded `base`, defaulting to its pointer for a branch
         with no commits yet); head = the ref pointer; the commit list
-        is every entry tagged with this branch name in (base, head],
-        in version order — the replay chain. Entries tagged with the
-        name but <= base belong to a PREVIOUS branch of the same name
-        (dropped and re-created) and are excluded by construction."""
+        is the ref's EXPLICIT `commits` list — the replay chain,
+        recorded commit-by-commit under the ref lock. Selecting by tag
+        name over (base, head] instead would resurrect stale commits
+        after a rewind (update_ref back past them) or a drop/re-create
+        of the same branch name, because those entries stay in the
+        append-only log; the explicit list makes the chain exactly
+        what this incarnation of the branch committed."""
         ref = self.refs().get(name)
         if ref is None:
             raise ValueError(f"ref {name!r} does not exist")
@@ -307,11 +375,7 @@ class TransactionLog:
             raise ValueError(f"ref {name!r} is a tag, not a branch")
         head = ref["snapshot_id"]
         base = ref.get("base", head)
-        chain = [
-            e.version
-            for e in self.entries(upto=head)
-            if base < e.version and e.extra and e.extra.get("branch") == name
-        ]
+        chain = sorted(ref.get("commits", []))
         return base, head, chain
 
     def state_at_branch(self, name: str) -> dict[str, FileInfo]:
@@ -327,28 +391,85 @@ class TransactionLog:
                 state[fi.path] = fi
         return state
 
+    def _with_ref_lock(self, name: str, fn):
+        """Run `fn` holding an exclusive per-ref advisory lock.
+
+        Read-modify-write of a ref file (head + commits list) is not
+        atomic on its own: two branch commits racing the update could
+        each read the old ref and the second writer would drop the
+        first's commit from the list. The lock file is created with the
+        same O_EXCL primitive as commits, turning the update into an
+        effective compare-and-swap on POSIX/HDFS. A lock older than 60 s
+        is presumed abandoned (crashed writer) and stolen. On raw S3
+        create-exclusive is check-then-put — same documented caveat as
+        the commit arbiter (fs.py): pair with a catalog service there."""
+        lock = self._ref_path(name) + ".lock"
+        deadline = _time.monotonic() + 30.0
+        while not self.io.create_exclusive(lock, str(os.getpid())):
+            try:
+                if _time.time() - self.io.mtime(lock) > 60.0:
+                    self.io.remove(lock)
+                    continue
+            except OSError:
+                continue  # lock vanished between create and mtime
+            if _time.monotonic() >= deadline:
+                raise RuntimeError(f"timed out waiting for ref lock on {name!r}")
+            _time.sleep(0.01)
+        try:
+            return fn()
+        finally:
+            try:
+                self.io.remove(lock)
+            except OSError:
+                pass
+
     def _advance_branch(self, name: str, new_head: int) -> None:
-        """Move a branch ref's head to a just-committed branch entry,
-        recording the fork base on first advance. Monotonic: two branch
-        commits racing on the ref file can apply their head updates in
-        either order, and resolution replays the whole (base, head]
-        range, so the LARGER head must win for both commits to be
-        visible."""
-        ref = self.refs().get(name)
-        if ref is None:
-            raise ValueError(f"branch {name!r} vanished mid-commit")
-        base = ref.get("base", ref["snapshot_id"])
-        head = max(ref["snapshot_id"], new_head)
-        raw = {"name": name, "snapshot_id": head, "kind": "branch", "base": base}
-        self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+        """Record a just-committed branch entry on its ref: append the
+        version to the ref's explicit `commits` chain and advance the
+        head to the largest recorded commit. Runs under the ref lock so
+        two racing branch commits both land in the chain regardless of
+        the order their ref updates apply."""
+
+        def update():
+            ref = self.refs().get(name)
+            if ref is None:
+                raise ValueError(f"branch {name!r} vanished mid-commit")
+            base = ref.get("base", ref["snapshot_id"])
+            commits = sorted(set(ref.get("commits", [])) | {new_head})
+            raw = {
+                "name": name,
+                "snapshot_id": max(ref["snapshot_id"], commits[-1]),
+                "kind": "branch",
+                "base": base,
+                "commits": commits,
+            }
+            self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+
+        self._with_ref_lock(name, update)
 
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize resolved state at `version` (default latest) —
-        our `rewrite_manifests` (SURVEY.md §2.10 M2)."""
+        our `rewrite_manifests` (SURVEY.md §2.10 M2).
+
+        Clamped below the earliest PENDING transaction entry: a
+        checkpoint freezes the fold, and a pending multi-table txn that
+        later commits must retro-apply at its own version — a
+        checkpoint past it would silently drop the committed txn's
+        files from every replay. (Committed/aborted txn entries are
+        final and checkpoint normally.)"""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise ValueError("cannot checkpoint an empty log")
+        for e in self.entries(upto=version):
+            tx = (e.extra or {}).get("txn")
+            if tx is not None and self.txn_status(tx) == "pending":
+                if e.version == 0:
+                    raise ValueError(
+                        "cannot checkpoint: transaction pending at version 0"
+                    )
+                version = e.version - 1
+                break
         state = self.state_at(version)
         path = os.path.join(self.metadata_dir, f"checkpoint-{version:010d}.json")
         self.io.write_text_atomic(
@@ -400,10 +521,25 @@ class TransactionLog:
     def _check_ref_target(self, snapshot_id: int) -> None:
         if snapshot_id not in self.versions():
             raise ValueError(f"snapshot {snapshot_id} does not exist (expired?)")
-        if self.read_entry(snapshot_id).operation == "stage":
+        entry = self.read_entry(snapshot_id)
+        if entry.operation == "stage":
             raise ValueError(
                 f"snapshot {snapshot_id} is an unpublished stage snapshot — "
                 "refs may only point at main-lineage snapshots"
+            )
+        if entry.extra and entry.extra.get("branch"):
+            raise ValueError(
+                f"snapshot {snapshot_id} is a branch commit (on "
+                f"{entry.extra['branch']!r}) — refs may only be created at / "
+                "re-anchored to main-lineage snapshots; branch heads advance "
+                "through branch commits themselves"
+            )
+        tx = (entry.extra or {}).get("txn")
+        if tx is not None and self.txn_status(tx) != "committed":
+            raise ValueError(
+                f"snapshot {snapshot_id} belongs to {self.txn_status(tx)} "
+                f"transaction {tx!r} — refs may only point at main-lineage "
+                "snapshots"
             )
 
     def create_ref(self, name: str, snapshot_id: int, kind: str = "branch") -> dict:
@@ -411,20 +547,43 @@ class TransactionLog:
             raise ValueError(f"ref kind must be branch or tag, got {kind!r}")
         self._check_ref_target(snapshot_id)
         raw = {"name": name, "snapshot_id": snapshot_id, "kind": kind}
+        if kind == "branch":
+            # fork point + explicit (initially empty) commit chain —
+            # see branch_info for why the chain is explicit
+            raw["base"] = snapshot_id
+            raw["commits"] = []
         if not self.io.create_exclusive(self._ref_path(name), json.dumps(raw)):
             raise ValueError(f"ref {name!r} already exists")
         return raw
 
     def update_ref(self, name: str, snapshot_id: int) -> dict:
-        """Advance (or rewind) a BRANCH pointer; tags are immutable."""
+        """Re-anchor a BRANCH pointer at a main-lineage snapshot
+        (advance or rewind); tags are immutable.
+
+        Re-anchoring resets the branch's fork base to the target and
+        CLEARS its commit chain: pointing a branch at main snapshot N
+        means "this branch is now exactly main-as-of-N". Any branch
+        commits the old chain held are abandoned — they stay in the
+        append-only log (expire_snapshots reclaims them once no live
+        ref lists them) but can never resurface in branch_info, because
+        the chain is the ref's explicit list, not a tag scan."""
         cur = self.refs().get(name)
         if cur is None:
             raise ValueError(f"ref {name!r} does not exist")
         if cur["kind"] != "branch":
             raise ValueError(f"ref {name!r} is a tag — tags are immutable")
         self._check_ref_target(snapshot_id)
-        raw = {"name": name, "snapshot_id": snapshot_id, "kind": "branch"}
-        self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+        raw = {
+            "name": name,
+            "snapshot_id": snapshot_id,
+            "kind": "branch",
+            "base": snapshot_id,
+            "commits": [],
+        }
+        self._with_ref_lock(
+            name,
+            lambda: self.io.write_text_atomic(self._ref_path(name), json.dumps(raw)),
+        )
         return raw
 
     def delete_ref(self, name: str) -> None:

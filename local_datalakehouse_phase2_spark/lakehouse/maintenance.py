@@ -608,10 +608,27 @@ def expire_snapshots(
     if not entries:
         return {"expired_snapshots": 0, "deleted_files": 0}
     versions = [e.version for e in entries]
-    current = versions[-1]
+    # "current" = the newest MAIN-lineage snapshot (the raw newest
+    # entry can be a branch commit or an aborted txn entry). The raw
+    # newest entry is ALSO always kept: removing it would rewind
+    # latest_version and the next commit would REUSE its version
+    # number — stale ref targets, cache keys, and file-dir names would
+    # silently alias across incarnations.
+    current = table.log.latest_main_version()
 
-    keep = {current}
+    keep = {versions[-1]}
+    if current is not None:
+        keep.add(current)
     keep.update(r["snapshot_id"] for r in table.log.refs().values())
+    # a live BRANCH pins its whole replay lineage, not just its head:
+    # state_at_branch folds main-at-base plus every chain commit, so
+    # expiring the fork base or an intermediate branch commit would
+    # silently drop its effect from (or break) every branch read and
+    # the eventual merge
+    for r in table.log.refs().values():
+        if r.get("kind") == "branch":
+            keep.add(r.get("base", r["snapshot_id"]))
+            keep.update(r.get("commits", []))
     # unpublished write-audit-publish stage snapshots must survive:
     # expiring one would break its pending publish_changes AND strip
     # its files of orphan-sweep protection (data loss, not cleanup)
@@ -624,6 +641,16 @@ def expire_snapshots(
         e.version
         for e in entries
         if e.operation == "stage" and (e.extra or {}).get("wap_id") not in published
+    )
+    # PENDING multi-table-transaction entries may still commit and
+    # retro-apply — expiring one would tear the transaction apart
+    # (committed ones are ordinary main commits, aborted ones are
+    # reclaimable garbage)
+    keep.update(
+        e.version
+        for e in entries
+        if (e.extra or {}).get("txn")
+        and table.log.txn_status(e.extra["txn"]) == "pending"
     )
     if retain_last is not None:
         keep.update(versions[-retain_last:])
@@ -688,10 +715,19 @@ def remove_orphan_files(
     referenced: set[str] = set()
     for v in table.log.versions():
         referenced.update(table.log.state_at(v).keys())
-    # staged (write-audit-publish) snapshots are outside every state
-    # fold but their files are NOT orphans — they are awaiting publish
+    # staged (write-audit-publish) snapshots and BRANCH commits are
+    # outside every state fold but their files are NOT orphans — stages
+    # await publish, branch files are reachable through read(ref=...)
+    # and the eventual merge_branch. Every branch-tagged entry still in
+    # the log is protected (even after its branch is dropped/rewound):
+    # the safe direction — expire_snapshots reclaims the entries once
+    # no live ref lists them, and THEN the sweep may collect the files.
     for e in table.log.entries():
-        if e.operation == "stage":
+        if (
+            e.operation == "stage"
+            or (e.extra or {}).get("branch")
+            or (e.extra or {}).get("txn")
+        ):
             referenced.update(fi.path for fi in e.added_files)
 
     deleted = 0
@@ -739,6 +775,11 @@ def rollback_to_snapshot(table: LakehouseTable, snapshot_id: int) -> dict:
             f"snapshot {snapshot_id} is an unpublished stage (write-audit-publish) "
             "snapshot — not part of the main lineage; publish it instead"
         )
+    if not table.log.in_main_lineage(target_entry):
+        raise MaintenanceError(
+            f"snapshot {snapshot_id} is not a main-lineage snapshot (branch "
+            "commit or uncommitted transaction entry) — merge/commit it first"
+        )
 
     def make(version: int) -> LogEntry:
         current = table.log.state_at()
@@ -763,9 +804,9 @@ def rollback_to_timestamp(table: LakehouseTable, timestamp: float) -> dict:
     eligible = [
         e.version
         for e in table.log.entries()
-        # stage snapshots are outside the main lineage — never a
-        # rollback target
-        if e.committed_at <= timestamp and e.operation != "stage"
+        # only main-lineage snapshots (not stage/branch/uncommitted
+        # txn entries) are rollback targets
+        if e.committed_at <= timestamp and table.log.in_main_lineage(e)
     ]
     if not eligible:
         raise MaintenanceError(f"no snapshot at or before {timestamp}")
@@ -875,6 +916,93 @@ def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
         {"published_wap": wap_id, "staged_snapshot": entry.snapshot_id},
     )
     return {"published_wap": wap_id, "new_snapshot_id": e.snapshot_id}
+
+
+def merge_branch(table: LakehouseTable, name: str) -> dict:
+    """Publish a branch's commits onto main — the Nessie merge that
+    completes the write-on-ref flow (`append(ref=...)` /
+    `read(ref=...)`; the reference pins `ref=main` in
+    /root/reference/spark/conf/spark-defaults.conf:9 against the Nessie
+    service of docker-compose.yml:6).
+
+    One new main commit carries the branch chain's NET file effect
+    (files added then removed within the branch cancel out). When main
+    has not advanced past the fork base this is a fast-forward; either
+    way the commit goes through the standard conflict validation:
+    every file the branch removed must still be live on main (a
+    concurrent main delete/compaction that touched them fails the
+    merge with CommitConflictError — Nessie's content-conflict
+    rejection), and none of the branch's files may already be live
+    (double-apply guard). Added files re-stamp their data sequence
+    number to the merge version: the rows enter the main lineage NOW,
+    so equality deletes committed between branch write and merge must
+    not apply to them (same rule as publish_changes).
+
+    After the merge the branch is re-anchored at the merge commit
+    (base = head = merge version, empty chain), so merging is
+    exactly-once: a second merge_branch is a no-op and the branch can
+    keep taking writes from the new anchor."""
+    base, head, chain = table.log.branch_info(name)
+    if not chain:
+        return {"merged_commits": 0, "new_snapshot_id": None, "fast_forward": False}
+    added: dict[str, FileInfo] = {}
+    removed: set[str] = set()
+    for v in chain:
+        entry = table.log.read_entry(v)
+        for p in entry.removed_files:
+            if p in added:
+                added.pop(p)  # branch-internal churn: never reached main
+            else:
+                removed.add(p)
+        for fi in entry.added_files:
+            added[fi.path] = fi
+    fast_forward = not any(
+        e.version > base and table.log.in_main_lineage(e)
+        for e in table.log.entries()
+    )
+
+    def make(version: int) -> LogEntry:
+        live = table.log.state_at()
+        gone = [p for p in removed if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"merge_branch {name!r}: {len(gone)} file(s) the branch "
+                f"removed are no longer live on main (e.g. {gone[0]!r}) — a "
+                "concurrent main commit replaced them; rebase the branch "
+                "(update_ref to a new fork point) and re-apply its changes"
+            )
+        clash = [p for p in added if p in live]
+        if clash:
+            raise CommitConflictError(
+                f"merge_branch {name!r}: {len(clash)} branch file(s) already "
+                f"live on main (e.g. {clash[0]!r}) — branch already merged?"
+            )
+        return LogEntry(
+            version=version,
+            snapshot_id=version,
+            committed_at=time.time(),
+            operation="merge",
+            added_files=tuple(
+                _dc_replace(fi, seq=version) for fi in added.values()
+            ),
+            removed_files=tuple(sorted(removed)),
+            extra={
+                "merge_branch": name,
+                "branch_base": base,
+                "branch_head": head,
+                "merged_commits": list(chain),
+                "fast_forward": fast_forward,
+            },
+        )
+
+    e = table.log.append(make)
+    # re-anchor: branch == main-as-of-merge, chain cleared => idempotent
+    table.log.update_ref(name, e.version)
+    return {
+        "merged_commits": len(chain),
+        "new_snapshot_id": e.snapshot_id,
+        "fast_forward": fast_forward,
+    }
 
 
 def rewrite_position_deletes(table: LakehouseTable) -> dict:
@@ -1092,11 +1220,41 @@ _ADOPT_WIDENINGS = {
 }
 
 
+def _adoptable_type(ft, tt) -> bool:
+    """Structural widening check: can a file column of Spark type `ft`
+    be read under table type `tt`? Applies _ADOPT_WIDENINGS element-
+    wise through array/map/struct (measured: Spark 4's vectorized
+    reader upcasts array<int> under array<bigint>, map values, and
+    struct fields the same as top-level primitives — ADVICE r7 flagged
+    the flat simpleString compare as over-strict for exactly these).
+    Struct fields the table lacks project away; table struct fields the
+    file lacks would read as null-for-every-row, which silently drops
+    data a name-level check promised — incompatible."""
+    from pyspark.sql import types as T
+
+    if ft == tt:
+        return True
+    if isinstance(ft, T.ArrayType) and isinstance(tt, T.ArrayType):
+        return _adoptable_type(ft.elementType, tt.elementType)
+    if isinstance(ft, T.MapType) and isinstance(tt, T.MapType):
+        return _adoptable_type(ft.keyType, tt.keyType) and _adoptable_type(
+            ft.valueType, tt.valueType
+        )
+    if isinstance(ft, T.StructType) and isinstance(tt, T.StructType):
+        file_fields = {f.name: f.dataType for f in ft.fields}
+        return all(
+            f.name in file_fields and _adoptable_type(file_fields[f.name], f.dataType)
+            for f in tt.fields
+        )
+    return tt.simpleString() in _ADOPT_WIDENINGS.get(ft.simpleString(), ())
+
+
 def _incompatible_columns(io, path: str, table_types: dict[str, str]):
     """(name, file_type, table_type) for every adopted-file column whose
     footer type cannot be read under the table schema. Footer-only —
     no data pages, no Spark job. A file column with an arrow type Spark
     can't represent at all (uint64, …) is incompatible by definition."""
+    from pyspark.sql import types as T
     from pyspark.sql.pandas.types import from_arrow_type
 
     bad = []
@@ -1105,12 +1263,12 @@ def _incompatible_columns(io, path: str, table_types: dict[str, str]):
         if tt is None:
             continue  # extra column: reads project it away
         try:
-            ft = from_arrow_type(field.type).simpleString()
+            ft = from_arrow_type(field.type)
         except Exception:
             bad.append((field.name, str(field.type), tt))
             continue
-        if ft != tt and tt not in _ADOPT_WIDENINGS.get(ft, ()):  # noqa: SIM201
-            bad.append((field.name, ft, tt))
+        if not _adoptable_type(ft, T._parse_datatype_string(tt)):
+            bad.append((field.name, ft.simpleString(), tt))
     return bad
 
 

@@ -438,6 +438,16 @@ class LakehouseSQL:
             if "wap_id" not in args:
                 raise SqlError("publish_changes: missing wap_id =>")
             result = maintenance.publish_changes(table, str(args.pop("wap_id")))
+        elif proc == "merge_branch":
+            # Nessie's merge (the service behind the reference's
+            # `ref=main` catalog pin): publish a branch's commits onto
+            # main as one conflict-validated commit
+            if "branch" not in args:
+                raise SqlError("merge_branch: missing branch => argument")
+            try:
+                result = maintenance.merge_branch(table, str(args.pop("branch")))
+            except ValueError as e:
+                raise SqlError(str(e)) from e
         elif proc == "scan_plan":
             # observability for stats-based scan planning: how many
             # files would a filtered read open? (Iceberg exposes the

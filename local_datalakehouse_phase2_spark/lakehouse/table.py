@@ -252,28 +252,61 @@ class LakehouseTable:
         only the files whose key range overlaps the filter.
 
         `ref` — read at a named branch/tag pointer (`VERSION AS OF
-        'ref'`; the Nessie `ref=` analog, see create_branch)."""
+        'ref'`; the Nessie `ref=` analog, see create_branch). A branch
+        that carries its own commits (append(..., ref=...)) reads the
+        BRANCH state: main-as-of-fork-base plus the branch chain —
+        invisible on main until merge_branch."""
+        branch_state: dict[str, FileInfo] | None = None
         if ref is not None:
             if version is not None or as_of is not None:
                 raise ValueError("pass only one of ref / version / as_of")
-            version = self.log.resolve_ref(ref)
+            r = self.log.refs().get(ref)
+            if r is None:
+                raise ValueError(f"ref {ref!r} does not exist")
+            version = r["snapshot_id"]
+            if r["kind"] == "branch":
+                _base, _head, chain = self.log.branch_info(ref)
+                if chain:
+                    # the head is a branch commit — outside every main
+                    # fold, so state_at(version) would silently read
+                    # main instead; assemble the branch lineage state
+                    branch_state = self.log.state_at_branch(ref)
         if as_of is not None:
             eligible = [
                 e.version
                 for e in self.log.entries()
-                # stage snapshots are outside the main lineage: only an
-                # explicit by-version audit read may address one —
-                # timestamp travel must never leak unpublished data
-                if e.committed_at <= as_of and e.operation != "stage"
+                # timestamp travel resolves on the MAIN lineage only:
+                # stage snapshots await publish, branch commits await
+                # merge, uncommitted transaction entries await their
+                # marker — none may leak into an as-of read
+                if e.committed_at <= as_of and self.log.in_main_lineage(e)
             ]
             if not eligible:
                 raise ValueError(f"no snapshot at or before {as_of}")
             version = max(eligible)
         elif version is not None and version not in self.log.versions():
             raise ValueError(f"snapshot {version} does not exist (expired?)")
-        state = self.log.state_at(version)
-        if version is not None:
+        state = branch_state if branch_state is not None else self.log.state_at(version)
+        if branch_state is None and version is not None:
             entry = self.log.read_entry(version)
+            if entry.extra and entry.extra.get("branch"):
+                # a by-version fold would silently skip this entry and
+                # show main — misleading; branch lineage reads resolve
+                # through the ref (base + explicit chain)
+                raise ValueError(
+                    f"snapshot {version} is a branch commit on "
+                    f"{entry.extra['branch']!r} — read the branch with "
+                    f"read(ref={entry.extra['branch']!r})"
+                )
+            tx = (entry.extra or {}).get("txn")
+            if tx is not None and self.log.txn_status(tx) != "committed":
+                # a by-version fold would skip the entry and silently
+                # show main-without-it; in-flight txn data has no
+                # committed identity to read yet
+                raise ValueError(
+                    f"snapshot {version} belongs to {self.log.txn_status(tx)} "
+                    f"transaction {tx!r} — commit the transaction first"
+                )
             if entry.operation == "stage":
                 # the AUDIT read of write-audit-publish: addressing a
                 # stage snapshot by version shows main-as-of-then PLUS
@@ -764,12 +797,20 @@ class LakehouseTable:
         if to_version is None:
             to_version = self.log.latest_version()
         entries = [
-            e for e in self.log.entries() if from_version < e.version <= to_version
+            e
+            for e in self.log.entries()
+            if from_version < e.version <= to_version
+            # branch commits and uncommitted-txn entries are not main
+            # deltas; stage entries stay listed (path-excluded below)
+            and (e.operation == "stage" or self.log.in_main_lineage(e))
         ]
         rewriting = [
             e.operation
             for e in entries
             if e.operation not in ("append", "create", "set_properties", "add_column", "stage")
+            # an append-only branch merge adds files without removing
+            # any — file-granular deltas stay sound
+            and not (e.operation == "merge" and not e.removed_files)
         ]
         if rewriting:
             raise ValueError(
@@ -823,7 +864,11 @@ class LakehouseTable:
         commits = [
             e
             for e in self.log.entries()
-            if from_version < e.version <= to_version and e.operation not in meta_ops
+            if from_version < e.version <= to_version
+            and e.operation not in meta_ops
+            # branch commits / uncommitted txn entries never changed
+            # main's visible rows — no changelog events
+            and self.log.in_main_lineage(e)
         ]
 
         def scoped(paths: set[str], state: dict[str, FileInfo]) -> DataFrame:
@@ -963,7 +1008,9 @@ class LakehouseTable:
     def _head_or(self, at: int | None) -> int:
         if at is not None:
             return at
-        head = self.log.latest_version()
+        # refs anchor on MAIN lineage: with branch/stage commits in the
+        # log, the newest raw version may be outside it
+        head = self.log.latest_main_version()
         if head is None:
             raise ValueError("table has no snapshots")
         return head
@@ -998,7 +1045,11 @@ class LakehouseTable:
             self.log.state_at(entries[0].version) if entries else {}
         )
         for i, e in enumerate(entries):
-            if i > 0 and e.operation != "stage":
+            # only main-lineage entries advance the running state:
+            # stage/branch/uncommitted-txn snapshots are listed (their
+            # row shows operation + own file counts) but don't change
+            # main's totals
+            if i > 0 and self.log.in_main_lineage(e):
                 for p in e.removed_files:
                     state.pop(p, None)
                 for fi in e.added_files:
@@ -1059,7 +1110,7 @@ class LakehouseTable:
                 T.StructField("is_current_ancestor", T.BooleanType(), False),
             ]
         )
-        main = [e for e in self.log.entries() if e.operation != "stage"]
+        main = [e for e in self.log.entries() if self.log.in_main_lineage(e)]
         parent: dict[int, int | None] = {}
         prev: int | None = None
         for e in main:
@@ -1220,8 +1271,24 @@ class LakehouseTable:
 
     # ---- writes ------------------------------------------------------
 
-    def append(self, df: DataFrame, extra: dict | None = None) -> LogEntry:
+    def append(
+        self, df: DataFrame, extra: dict | None = None, ref: str | None = None
+    ) -> LogEntry:
+        """Append `df` as a new snapshot. `ref` — commit onto a named
+        branch instead of main (Nessie's write-on-ref, the reference's
+        `spark.sql.catalog.nessie.ref` knob): the data lands in the
+        branch lineage only, invisible to main reads until
+        `merge_branch` publishes the chain. Branch commits cannot
+        evolve the table schema — schema metadata is main-lineage-only
+        (the log's newest-schema-wins lookup skips branch entries), so
+        an evolving branch write would silently read back with the old
+        schema; evolve on main first, then write to the branch."""
         df, schema_ddl = self._align_for_write(df)
+        if ref is not None and schema_ddl and self.schema() is not None:
+            raise ValueError(
+                "a branch write cannot evolve the table schema; "
+                "run add_column / an evolving append on main first"
+            )
         merged = dict(extra or {})
         if schema_ddl:
             merged["schema"] = schema_ddl
@@ -1230,6 +1297,7 @@ class LakehouseTable:
             operation="append",
             removed=(),
             extra=merged or None,
+            branch=ref,
         )
 
     def stage_append(self, df: DataFrame, wap_id: str) -> LogEntry:
@@ -1266,12 +1334,30 @@ class LakehouseTable:
             df, operation="stage", removed=(), extra={"wap_id": wap_id}
         )
 
-    def overwrite(self, df: DataFrame) -> LogEntry:
+    def overwrite(self, df: DataFrame, ref: str | None = None) -> LogEntry:
         # overwrite replaces the data wholesale, so the write schema
-        # BECOMES the table schema (no evolution constraints)
-        removed = tuple(self.log.state_at().keys())
+        # BECOMES the table schema (no evolution constraints). On a
+        # branch (`ref`): replaces the BRANCH lineage's files — the
+        # removal set merge_branch later validates against main, which
+        # is what makes a main commit that touched the same files a
+        # merge conflict. Branch overwrites cannot change the schema
+        # (schema metadata is main-lineage-only; see append).
         cur = self.schema()
+        if ref is not None:
+            # align like append (narrower data upcasts to the table
+            # type); anything that would EVOLVE the schema is rejected
+            df, schema_ddl = self._align_for_write(df)
+            if schema_ddl and cur is not None:
+                raise ValueError(
+                    "a branch overwrite cannot change the table schema; "
+                    "evolve on main first"
+                )
+            removed = tuple(self.log.state_at_branch(ref).keys())
+            return self._commit_write(
+                df, operation="overwrite", removed=removed, branch=ref
+            )
         ddl = df.schema.simpleString()
+        removed = tuple(self.log.state_at().keys())
         return self._commit_write(
             df,
             operation="overwrite",
@@ -2067,6 +2153,7 @@ class LakehouseTable:
         extra: dict | None = None,
         deletes_fingerprint: tuple[str, ...] | None = None,
         extra_validation=None,
+        branch: str | None = None,
     ) -> LogEntry:
         files = self._write_files(df, input_bytes=input_bytes)
 
@@ -2077,8 +2164,14 @@ class LakehouseTable:
             # removed any of those files, committing stale removals
             # would resurrect/duplicate rows. make() re-runs on every
             # optimistic retry, so this check always sees the state the
-            # commit will actually apply to.
-            live = self.log.state_at()
+            # commit will actually apply to. A branch commit validates
+            # against the BRANCH lineage state — the files it plans
+            # against live there, not on main.
+            live = (
+                self.log.state_at_branch(branch)
+                if branch is not None
+                else self.log.state_at()
+            )
             if removed:
                 gone = [p for p in removed if p not in live]
                 if gone:
@@ -2114,7 +2207,7 @@ class LakehouseTable:
                 extra=extra,
             )
 
-        return self.log.append(make)
+        return self.log.append(make, branch=branch)
 
     def _write_files(
         self, df: DataFrame, input_bytes: int | None = None, shaped: bool = False

@@ -501,6 +501,152 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_branch_write_merge",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('fork',             CAST(5  AS BIGINT), CAST(5  AS BIGINT), 'branch == main at fork'),
+            ('branch_writes',    CAST(8  AS BIGINT), CAST(15 AS BIGINT), 'invisible on main'),
+            ('merged',           CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'replay; fast_forward=False'),
+            ('second_merge',     CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'no-op; merged_commits=0'),
+            ('conflict_rejected', CAST(1 AS BIGINT), CAST(2  AS BIGINT), 'CommitConflictError')
+        ) AS t(step, main_rows, branch_rows, detail)
+        ORDER BY step
+    """,
+    tags=("lakehouse", "branch", "metadata"),
+    doc="Nessie write-on-ref end to end (the reference pins ref=main, "
+    "spark-defaults.conf:9, against the Nessie service of "
+    "docker-compose.yml:6): append(ref='dev') lands in the branch "
+    "lineage only; read(ref='dev') folds fork base + branch chain; "
+    "merge_branch publishes the chain's net effect as ONE "
+    "conflict-validated main commit exactly once (second merge is a "
+    "no-op); a branch whose removals lost a race to a main commit is "
+    "rejected with CommitConflictError and main stays untouched.",
+)
+def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        from ..lakehouse import CommitConflictError, merge_branch
+
+        t = lake.create_table("lab.branch_q", schema="n_nationkey bigint, n_name string")
+        t.append(nation.filter(F.col("n_nationkey") < 5))
+        t.create_branch("dev")
+        rows = [("fork", t.read().count(), t.read(ref="dev").count(), "branch == main at fork")]
+
+        # two branch commits + concurrent main progress
+        t.append(nation.filter(F.col("n_nationkey").between(5, 9)), ref="dev")
+        t.append(nation.filter(F.col("n_nationkey").between(10, 14)), ref="dev")
+        t.append(nation.filter(F.col("n_nationkey").between(22, 24)))  # main moves
+        rows.append(
+            ("branch_writes", t.read().count(), t.read(ref="dev").count(), "invisible on main")
+        )
+
+        res = merge_branch(t, "dev")
+        rows.append(
+            (
+                "merged",
+                t.read().count(),
+                t.read(ref="dev").count(),
+                f"replay; fast_forward={res['fast_forward']}",
+            )
+        )
+        res2 = merge_branch(t, "dev")
+        rows.append(
+            (
+                "second_merge",
+                t.read().count(),
+                t.read(ref="dev").count(),
+                f"no-op; merged_commits={res2['merged_commits']}",
+            )
+        )
+
+        # conflict: branch overwrite plans removals of files a main
+        # commit replaces first -> the merge must reject, atomically
+        c = lake.create_table("lab.branch_cfl", schema="n_nationkey bigint, n_name string")
+        c.append(nation.filter(F.col("n_nationkey") < 2))
+        c.create_branch("dev")
+        c.overwrite(nation.filter(F.col("n_nationkey") < 2), ref="dev")
+        c.overwrite(nation.filter(F.col("n_nationkey") == 0))  # main wins the race
+        try:
+            merge_branch(c, "dev")
+            detail = "MERGE UNEXPECTEDLY SUCCEEDED"
+        except CommitConflictError:
+            detail = "CommitConflictError"
+        rows.append(("conflict_rejected", c.read().count(), c.read(ref="dev").count(), detail))
+
+        return (
+            sorted(rows),
+            "step string, main_rows bigint, branch_rows bigint, detail string",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
+    "lakehouse_multi_table_txn",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('staged',    CAST(5  AS BIGINT), CAST(1 AS BIGINT), 'undecided: both invisible'),
+            ('committed', CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'one marker flip: both visible'),
+            ('conflict',  CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'CommitConflictError: nothing published')
+        ) AS t(step, orders_rows, agg_rows, detail)
+        ORDER BY step
+    """,
+    tags=("lakehouse", "transaction", "metadata"),
+    doc="Multi-table atomic commit (the Nessie-catalog global-commit "
+    "analog, docker-compose.yml:6): a transaction stages writes on an "
+    "orders table AND its downstream aggregate; both invisible until "
+    "ONE O_EXCL marker flip publishes them together; a conflicting "
+    "concurrent commit on either table aborts the whole transaction "
+    "with nothing published on any member.",
+)
+def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        from ..lakehouse import CommitConflictError
+
+        orders_t = lake.create_table("lab.txn_orders", schema="n_nationkey bigint, n_name string")
+        agg_t = lake.create_table("lab.txn_agg", schema="n_cnt bigint")
+        orders_t.append(nation.filter(F.col("n_nationkey") < 5))
+        agg_t.append(spark.range(1).select(F.lit(5).cast("long").alias("n_cnt")))
+
+        # pipeline step: append a batch AND its aggregate, atomically
+        txn = lake.transaction()
+        txn.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(5, 9)))
+        txn.append("lab.txn_agg", spark.range(1).select(F.lit(10).cast("long").alias("n_cnt")))
+        rows = [
+            ("staged", orders_t.read().count(), agg_t.read().count(), "undecided: both invisible")
+        ]
+        txn.commit()
+        rows.append(
+            ("committed", orders_t.read().count(), agg_t.read().count(), "one marker flip: both visible")
+        )
+
+        # conflict path: stage an overwrite on the aggregate, lose the
+        # race to a direct writer -> the whole txn aborts
+        txn2 = lake.transaction()
+        txn2.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(10, 14)))
+        txn2.overwrite("lab.txn_agg", spark.range(1).select(F.lit(15).cast("long").alias("n_cnt")))
+        agg_t.overwrite(
+            agg_t.read().withColumn("n_cnt", F.col("n_cnt"))
+        )  # concurrent rewrite wins
+        try:
+            txn2.commit()
+            detail = "TXN UNEXPECTEDLY COMMITTED"
+        except CommitConflictError:
+            detail = "CommitConflictError: nothing published"
+        rows.append(("conflict", orders_t.read().count(), agg_t.read().count(), detail))
+
+        return (
+            sorted(rows),
+            "step string, orders_rows bigint, agg_rows bigint, detail string",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_merge_when",
     oracle="""
         SELECT * FROM (VALUES

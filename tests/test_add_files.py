@@ -287,3 +287,36 @@ def test_add_files_rejects_incompatible_nested_types(spark, lake, tmp_path):
     ).write.parquet(ok)
     add_files(t, ok)
     assert t.read().count() == 2
+
+
+def test_add_files_widens_nested_element_types(spark, lake, tmp_path):
+    """ADVICE r7: the widening map must apply ELEMENT-WISE through
+    array/map/struct — Spark's vectorized reader upcasts array<int>
+    under array<bigint> (verified on this Spark), so refusing such
+    files was over-strict. Struct fields missing from the file are
+    still incompatible (they'd silently read all-null)."""
+    lake.create_namespace("lab")
+    t = lake.create_table(
+        "lab.widen",
+        schema="k bigint, arr array<bigint>, m map<string,bigint>, s struct<x:bigint,y:double>",
+    )
+    src = str(tmp_path / "narrow")
+    spark.range(3).selectExpr(
+        "CAST(id AS INT) AS k",
+        "array(CAST(id AS INT)) AS arr",
+        "map('a', CAST(id AS INT)) AS m",
+        "named_struct('x', CAST(id AS INT), 'y', CAST(id AS FLOAT)) AS s",
+    ).write.parquet(src)
+    add_files(t, src)
+    got = t.read().orderBy("k").collect()
+    assert [r.k for r in got] == [0, 1, 2]
+    assert got[2].arr == [2] and got[2].m == {"a": 2} and got[2].s.x == 2
+
+    # struct missing a table field: all-null silent data loss — reject
+    t2 = lake.create_table("lab.widen2", schema="k bigint, s struct<x:bigint,y:double>")
+    bad = str(tmp_path / "missingfield")
+    spark.range(2).selectExpr(
+        "id AS k", "named_struct('x', CAST(id AS INT)) AS s"
+    ).write.parquet(bad)
+    with pytest.raises(MaintenanceError, match="incompatible column type"):
+        add_files(t2, bad)

@@ -253,11 +253,11 @@ def _inject_before_append(t, inject):
     orig = t.log.append
     state = {"done": False}
 
-    def wrapped(make):
+    def wrapped(make, **kwargs):
         if not state["done"]:
             state["done"] = True
             inject()
-        return orig(make)
+        return orig(make, **kwargs)
 
     t.log.append = wrapped
     return orig

@@ -98,3 +98,21 @@ def test_view_table_name_collision_rejected(spark, lake, sql):
     lake.create_view("lab.v_only", "SELECT 1 AS k")
     with pytest.raises(CatalogError, match="a view named"):
         lake.create_table("lab.v_only", schema="k bigint")
+
+
+def test_failed_create_table_does_not_squat_view_name(spark, lake, sql):
+    """ADVICE r7: create_table constructs the table (its log __init__
+    makedirs metadata/) BEFORE spec validation can raise — the phantom
+    empty metadata dir must not permanently block a same-named view."""
+    _seed(spark, lake)
+    with pytest.raises(CatalogError):
+        lake.create_table(
+            "lab.ghost",
+            schema="k bigint",
+            partition_by="days(k)",  # invalid: days() needs date/timestamp
+        )
+    lake.create_view("lab.ghost", "SELECT 1 AS k")  # must not be blocked
+    assert sql.sql("SELECT * FROM lab.ghost").collect()[0].k == 1
+    # and a REAL committed table still blocks a same-named view
+    with pytest.raises(CatalogError, match="a table named"):
+        lake.create_view("lab.base", "SELECT 1 AS k")
