@@ -151,20 +151,39 @@ _SWEEP_PRIORITY: tuple[str, ...] = (
 
 
 def _sweep_rank() -> dict[str, int]:
-    """Per-query sweep priority from the driver's own verdicts.
+    """Per-query sweep priority from the driver's own verdicts,
+    CHANGE-AWARE: a green verdict only counts for the source that was
+    actually swept.
 
     Merges every CORRECTNESS_r*.json at the repo root (newest round
     wins per query) into a rank: 0 = erred or hash-mismatched last
-    time (must re-prove), 1 = never swept, 2 = swept rows-only
-    (no oracle), 3 = green. Files absent / unreadable => everything
-    ranks 1 and the static seed order applies unchanged."""
+    time, OR green but the query's source changed after that sweep
+    (must re-prove), 1 = never swept, 2 = swept rows-only (no oracle),
+    3 = green on the current source. Files absent / unreadable =>
+    everything ranks 1 and the static seed order applies unchanged.
+
+    Change tracking: SWEEP_HASHES.json maps each query name to the md5
+    of its registered callable's source plus the earliest round whose
+    sweep could have seen that source (current max round + 1 at the
+    moment the hash first appears). A green verdict from round R is
+    trusted only when R >= that round AND the stored hash still equals
+    the current source's — otherwise the green predates the code and
+    the query re-proves (rank 0). This closes the round-7 gap where 5
+    changed query paths ranked "green" and were deprioritized by the
+    very sweep that should have re-checked them."""
     import glob
     import json
     import os
+    import re as _re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     status: dict[str, int] = {}
+    swept_round: dict[str, int] = {}
+    max_round = 0
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        max_round = max(max_round, rnd)
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -175,6 +194,7 @@ def _sweep_rank() -> dict[str, int]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
+            swept_round[name] = rnd
             if row.get("err") == "no_oracle":
                 status[name] = 2
             elif row.get("err") is not None:
@@ -183,7 +203,56 @@ def _sweep_rank() -> dict[str, int]:
                 status[name] = 3
             else:
                 status[name] = 0
+
+    hashes = _source_hashes()
+    sidecar_path = os.path.join(root, "SWEEP_HASHES.json")
+    bootstrap = False
+    try:
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+        if not isinstance(sidecar, dict):
+            sidecar = {}
+    except (OSError, ValueError):
+        sidecar = {}
+        bootstrap = True
+    dirty = False
+    for name, cur in hashes.items():
+        stored = sidecar.get(name)
+        if not isinstance(stored, dict) or stored.get("hash") != cur:
+            # new or changed source: only a sweep from max_round+1 on
+            # can prove it. On FIRST sidecar creation there is no hash
+            # history — current sources are trusted as-swept (round 0)
+            # rather than flooding rank 0 with every green query, which
+            # would crowd genuinely-new entries out of the sweep budget.
+            sidecar[name] = {"hash": cur, "round": 0 if bootstrap else max_round + 1}
+            dirty = True
+        stored = sidecar[name]
+        if status.get(name) == 3 and swept_round.get(name, 0) < stored["round"]:
+            status[name] = 0  # green verdict predates this source
+    if dirty:
+        try:
+            with open(sidecar_path, "w") as f:
+                json.dump(sidecar, f, indent=0, sort_keys=True)
+        except OSError:
+            pass  # read-only checkout: rank conservatively, don't crash
     return status
+
+
+def _source_hashes() -> dict[str, str]:
+    """md5 of each registered callable's source text. Queries whose
+    source can't be resolved (exec'd, REPL) hash to a constant so they
+    behave as 'unchanged' rather than re-proving every round."""
+    import hashlib
+    import inspect
+
+    out: dict[str, str] = {}
+    for name, spec in _REGISTRY.items():
+        try:
+            src = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            src = name
+        out[name] = hashlib.md5(src.encode()).hexdigest()
+    return out
 
 
 def _load_all() -> None:
