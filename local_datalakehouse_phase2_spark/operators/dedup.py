@@ -63,6 +63,23 @@ def _shingle_hashes(col: str = "text"):
     return F.expr(f"transform({_shingles_sql(col)}, s -> xxhash64(s))")
 
 
+def _has_shingles(col: str = "text"):
+    """Pushdown-SAFE equivalent of `size(_shingle_hashes()) > 0`: a doc
+    has shingles iff it has >= SHINGLE words.
+
+    Why not filter on the hash array directly: Catalyst substitutes the
+    full shingle projection into the filter and pushes it below the
+    parallel_scan repartition Exchange — the ENTIRE shingle pipeline
+    (split -> transform -> concat_ws -> xxhash64 per shingle) then
+    evaluates in the pre-shuffle stage, which on a single-file source
+    is ONE task: the most expensive expression in the query running
+    serially, and then AGAIN post-shuffle as the UDF's input
+    projection. Measured at sf0.1 (round 8): the signature stage alone
+    dropped ~1.5 s -> ~0.1 s once the filter became this cheap
+    word-count check that can sit below the Exchange harmlessly."""
+    return F.expr(f"size(split({col}, ' ')) >= {SHINGLE}")
+
+
 # Deterministic 2-universal hash family over a 31-bit Mersenne prime:
 # a_i * h32 + b_i mod P fits 64-bit arithmetic (a,b < 2^31, h32 < 2^32).
 # Parameters come from a seeded SHA-256 counter stream — stable across
@@ -144,7 +161,7 @@ def with_minhash(d: DataFrame) -> DataFrame:
     Docs with NO shingles (shorter than SHINGLE words) are dropped
     before the UDF: they have nothing to compare, and an empty segment
     would break the reduceat segment math."""
-    hs = d.select("doc_id", _shingle_hashes().alias("hs")).filter(F.size("hs") > 0)
+    hs = d.filter(_has_shingles()).select("doc_id", _shingle_hashes().alias("hs"))
     return hs.select("doc_id", _minhash_sigs("hs").alias("sig"))
 
 
@@ -425,8 +442,8 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
     # vectorized, zero Python-level hashing.
     sigs = (
-        d.select("doc_id", _shingle_hashes().alias("hs"))
-        .filter(F.size("hs") > 0)  # shingle-less docs: nothing to compare
+        d.filter(_has_shingles())  # shingle-less docs: nothing to compare
+        .select("doc_id", _shingle_hashes().alias("hs"))
         .select("doc_id", _simhash64("hs").alias("simhash"))
     )
     # Multi-block keys: 8 blocks of 8 bits. A single 8-bit block key has

@@ -455,11 +455,16 @@ def _word_ngrams_sql(col: str, n: int) -> str:
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
+    # cheap word-count filter instead of size(gs) > 0: Catalyst would
+    # substitute the whole n-gram projection into the filter and
+    # evaluate it twice (see dedup._has_shingles for the measured cost)
+    grams = d.filter(
+        F.expr(f"size(split(text, ' ')) >= {NGRAM_CONTAM}")
+    ).select(
         "doc_id",
         "source",
         F.expr(_word_ngrams_sql("text", NGRAM_CONTAM)).alias("gs"),
-    ).filter(F.size("gs") > 0)
+    )
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("gs").alias("g"))
