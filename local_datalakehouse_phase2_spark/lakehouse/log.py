@@ -296,6 +296,36 @@ class TransactionLog:
             return dict(cp.get("properties") or {})
         return {}
 
+    def renames_upto(self, version: int | None = None) -> list[dict]:
+        """Ordered column-rename history at `version`: [{"version",
+        "from", "to"}, ...] — the name-mapping layer (Iceberg's
+        `schema.name-mapping.default` analog) that lets files written
+        before a RENAME COLUMN resolve their old physical names to the
+        current schema. Replay starts from the newest checkpoint at or
+        before `version` (checkpoints snapshot the cumulative list, so
+        expiring the rename commit itself can't orphan old files'
+        physical names) plus the surviving suffix entries."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        out: list[dict] = []
+        start = 0
+        cp = self.latest_checkpoint_version(upto=version)
+        if cp is not None:
+            cp_raw = self._read_checkpoint(version)
+            out = list(cp_raw.get("renames") or [])
+            start = cp + 1
+        for entry in self.entries(upto=version):
+            if entry.version < start:
+                continue
+            if not self.in_main_lineage(entry):
+                continue
+            r = (entry.extra or {}).get("rename")
+            if r:
+                out.append({"version": entry.version, "from": r["from"], "to": r["to"]})
+        return out
+
     def schema_ddl_at(self, version: int | None = None) -> str | None:
         """Schema DDL recorded at `version`: newest schema-bearing entry
         wins; falls back to the newest checkpoint (which snapshots the
@@ -478,10 +508,13 @@ class TransactionLog:
                 {
                     "version": version,
                     "files": [asdict(fi) for fi in state.values()],
-                    # schema + properties ride along so log entries can
-                    # be expired without losing table metadata
+                    # schema + properties + rename history ride along so
+                    # log entries can be expired without losing table
+                    # metadata (renames: old files' physical names must
+                    # stay resolvable forever)
                     "schema": self.schema_ddl_at(version),
                     "properties": self.properties_at(version),
+                    "renames": self.renames_upto(version),
                 }
             ),
         )

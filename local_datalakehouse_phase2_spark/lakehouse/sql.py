@@ -293,6 +293,31 @@ class LakehouseSQL:
                 if re.search(pat, s):
                     view = self._fresh_view(frame(), f"{ns}_{tbl}_{suffix}")
                     s = re.sub(pat, view, s)
+            # Iceberg branch/tag identifiers: ns.t.branch_<name> /
+            # ns.t.tag_<name> read at the ref — the SQL spelling of
+            # read(ref=...) (Iceberg resolves the same suffixes). Must
+            # substitute BEFORE the plain-base match, which would
+            # otherwise swallow the `ns.t` prefix of the longer form.
+            def _ref_suffix_sub(m: re.Match) -> str:
+                kind, name = m.group(1).lower(), m.group(2)
+                actual = t.log.refs().get(name, {}).get("kind")
+                if actual is not None and actual != kind:
+                    raise SqlError(
+                        f"ref {name!r} is a {actual}, not a {kind} — "
+                        f"use {ns}.{tbl}.{actual}_{name}"
+                    )
+                try:
+                    df = t.read(ref=name)
+                except ValueError as e:
+                    raise SqlError(str(e)) from e
+                return self._fresh_view(df, f"{ns}_{tbl}_refsfx")
+
+            s = re.sub(
+                rf"(?i)\b{base}\.(branch|tag)_([A-Za-z0-9_-]+)\b",
+                _ref_suffix_sub,
+                s,
+            )
+
             # time travel: VERSION AS OF n | 'ref' | TIMESTAMP AS OF ...
             def _version_sub(m: re.Match) -> str:
                 return self._fresh_view(
@@ -539,13 +564,27 @@ class LakehouseSQL:
     def _insert(self, s: str) -> DataFrame:
         m = re.fullmatch(
             rf"(?is)INSERT\s+(INTO|OVERWRITE(?:\s+TABLE)?)\s+"
-            rf"((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+(VALUES\s+.*|SELECT\s+.*)",
+            rf"((?:{_IDENT}\.)?{_IDENT}\.{_IDENT}(?:\.{_IDENT})?)\s+(VALUES\s+.*|SELECT\s+.*)",
             s,
         )
         if not m:
             raise SqlError(f"unsupported INSERT syntax: {s!r}")
         overwrite = m.group(1).upper().startswith("OVERWRITE")
-        t = self.lake.table(self._strip_catalog(m.group(2)))
+        # Iceberg branch write: INSERT INTO ns.t.branch_<name> targets
+        # the branch lineage (invisible on main until merge_branch).
+        # A literal table whose name starts with branch_ wins: the
+        # suffix interpretation only applies when the full identifier
+        # does not resolve as a table.
+        ident, branch = m.group(2), None
+        try:
+            t = self.lake.table(self._strip_catalog(ident))
+        except (CatalogError, SqlError):
+            parts = ident.split(".")
+            bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
+            if bm is None or len(parts) < 3:
+                raise
+            branch = bm.group(1)
+            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
         body = m.group(3)
         if body[:6].upper() == "VALUES":
             src = self.spark.sql(f"SELECT * FROM ({body})")
@@ -579,15 +618,26 @@ class LakehouseSQL:
                 or "static"
             ).lower()
             try:
-                entry = (
-                    t.overwrite_partitions(aligned)
-                    if t.partition_spec() and mode == "dynamic"
-                    else t.overwrite(aligned)
-                )
+                if branch is not None:
+                    if t.partition_spec() and mode == "dynamic":
+                        raise SqlError(
+                            "dynamic partition overwrite is not supported on a "
+                            "branch; overwrite the branch fully or merge first"
+                        )
+                    entry = t.overwrite(aligned, ref=branch)
+                else:
+                    entry = (
+                        t.overwrite_partitions(aligned)
+                        if t.partition_spec() and mode == "dynamic"
+                        else t.overwrite(aligned)
+                    )
             except ValueError as e:
                 raise SqlError(str(e)) from e
         else:
-            entry = t.append(aligned)
+            try:
+                entry = t.append(aligned, ref=branch)
+            except ValueError as e:
+                raise SqlError(str(e)) from e
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "added_files": len(entry.added_files)}
         )
@@ -965,6 +1015,19 @@ class LakehouseSQL:
             t = self.lake.table(self._strip_catalog(m.group(1)))
             try:
                 entry = t.drop_column(m.group(2))
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame({"snapshot_id": entry.snapshot_id})
+        # Iceberg column rename: ALTER TABLE t RENAME COLUMN old TO new
+        m = re.fullmatch(
+            rf"(?is)ALTER\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+"
+            rf"RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})",
+            s,
+        )
+        if m:
+            t = self.lake.table(self._strip_catalog(m.group(1)))
+            try:
+                entry = t.rename_column(m.group(2), m.group(3))
             except ValueError as e:
                 raise SqlError(str(e)) from e
             return self._result_frame({"snapshot_id": entry.snapshot_id})

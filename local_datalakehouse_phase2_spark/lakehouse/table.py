@@ -28,6 +28,7 @@ import bisect as _bisect
 import datetime as _dt
 import math
 import os
+import re
 import time
 import uuid
 from dataclasses import replace as _dc_replace
@@ -333,6 +334,21 @@ class LakehouseTable:
             # runs first (cheapest: one dict lookup per file), stats
             # min/max second; both advisory-only. The UNION spec covers
             # files written under evolved-away specs too.
+            renames = self.log.renames_upto(version)
+            if renames:
+                # pre-rename files' footer stats are keyed by PHYSICAL
+                # names — consulting them under current names could
+                # wrongly prune (a retired name aliasing a different
+                # historical column's range). Safe direction: those
+                # files scan unpruned until compaction migrates them.
+                data_state = {
+                    p: (
+                        _dc_replace(fi, stats=None)
+                        if any(r["version"] > self._seq_of(fi) for r in renames)
+                        else fi
+                    )
+                    for p, fi in data_state.items()
+                }
             spec = self.partition_spec_union()
             if spec:
                 pruning.validate_filters(filters)
@@ -485,22 +501,23 @@ class LakehouseTable:
         def abs_paths(rels) -> list[str]:
             return [os.path.join(self.table_dir, p) for p in rels]
 
-        def tag(df: DataFrame) -> DataFrame:
-            return df.select(
-                "*",
-                self._rel_path_expr(F.col("_metadata.file_path")).alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
-            )
+        # (abs path -> seq) so the rename-aware read resolves each
+        # file's physical column names through its epoch
+        seqs = {
+            os.path.join(self.table_dir, p): fi.seq for p, fi in data_state.items()
+        }
 
         out_cols = cols + (["__file", "__pos"] if tagged else [])
         parts: list[DataFrame] = []
         if clean:
-            cdf = self._read_paths(abs_paths(clean), version=version)
-            if tagged:
-                cdf = tag(cdf)
+            cdf = self._read_paths(
+                abs_paths(clean), version=version, seqs=seqs, tagged=tagged
+            )
             parts.append(cdf.select(*out_cols))
         if dirty:
-            ddf = tag(self._read_paths(abs_paths(sorted(dirty)), version=version))
+            ddf = self._read_paths(
+                abs_paths(sorted(dirty)), version=version, seqs=seqs, tagged=True
+            )
             if live_pos:
                 dels = self.spark.read.schema(POS_DELETE_SCHEMA).parquet(
                     *abs_paths(fi.path for fi in live_pos)
@@ -615,17 +632,73 @@ class LakehouseTable:
             "rows_scanned_max": sum(fi.row_count for fi in kept.values()),
         }
 
-    def _read_paths(self, paths: list[str], version: int | None = None) -> DataFrame:
+    def _tag_cols(self, df: DataFrame) -> DataFrame:
+        """Append `__file` (table-relative path) / `__pos` (row ordinal)
+        from the scan's `_metadata` — must run while the frame is still
+        a direct file scan (or a projection of one): metadata columns
+        do not survive a union."""
+        return df.select(
+            "*",
+            self._rel_path_expr(F.col("_metadata.file_path")).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+
+    def _read_paths(
+        self,
+        paths: list[str],
+        version: int | None = None,
+        seqs: dict[str, int | None] | None = None,
+        tagged: bool = False,
+    ) -> DataFrame:
         """Scan data files through the log-recorded schema (Iceberg
         keeps schema in table metadata the same way): files written
         before an added column project it as null; no footer-merge pass
         needed. Falls back to parquet self-description for tables that
-        never recorded a schema."""
+        never recorded a schema.
+
+        Rename-aware (Iceberg's name-mapping analog): a file written
+        before RENAME COLUMN carries the OLD physical name, and a
+        name-based schema read would silently null the column. Files
+        group by rename epoch (which renames postdate their data
+        sequence number, from `seqs`: abs path -> seq); each group
+        reads under its physical names and aliases to the current
+        schema, then the groups union. Epoch count = rename commits +
+        1 — compaction rewrites files under current names, so epochs
+        wash out over time. `tagged` appends `__file`/`__pos` per group
+        BEFORE the union (metadata columns don't survive unions)."""
         st = self.schema(version)
-        reader = self.spark.read
-        if st is not None:
-            reader = reader.schema(st)
-        return reader.parquet(*paths)
+        renames = self.log.renames_upto(version) if st is not None else []
+        if not renames:
+            reader = self.spark.read
+            if st is not None:
+                reader = reader.schema(st)
+            df = reader.parquet(*paths)
+            return self._tag_cols(df) if tagged else df
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            s = (seqs or {}).get(p)
+            s = -1 if s is None else s
+            applicable = tuple(
+                (r["from"], r["to"]) for r in renames if r["version"] > s
+            )
+            groups.setdefault(applicable, []).append(p)
+        parts: list[DataFrame] = []
+        for applicable, group in sorted(groups.items()):
+            phys = {}
+            for f in st.fields:
+                name = f.name
+                # walk newest -> oldest: current name back to physical
+                for frm, to in reversed(applicable):
+                    if name == to:
+                        name = frm
+                phys[f.name] = name
+            read_schema = T.StructType(
+                [T.StructField(phys[f.name], f.dataType, True) for f in st.fields]
+            )
+            df = self.spark.read.schema(read_schema).parquet(*group)
+            df = df.select(*[F.col(phys[f.name]).alias(f.name) for f in st.fields])
+            parts.append(self._tag_cols(df) if tagged else df)
+        return _reduce(DataFrame.unionByName, parts)
 
     def add_column(self, name: str, data_type: str) -> LogEntry:
         """ALTER TABLE ... ADD COLUMN analog: records the widened schema
@@ -634,6 +707,12 @@ class LakehouseTable:
         current = self.schema() or self._schema()
         if any(f.name == name for f in current.fields):
             raise ValueError(f"column {name} already exists")
+        if name in self._retired_names():
+            raise ValueError(
+                f"column name {name} was retired by an earlier rename; old "
+                "files still carry it physically and would leak their stale "
+                "bytes into the new column — pick a different name"
+            )
         evolved = T.StructType(
             list(current.fields)
             + [T.StructField(name, T._parse_datatype_string(data_type), True)]
@@ -651,6 +730,89 @@ class LakehouseTable:
 
         return self.log.append(make)
 
+    def _retired_names(self) -> set[str]:
+        """Physical column names retired by RENAME COLUMN history.
+        Neither add_column nor a rename target may reuse one: an old
+        file still carries the retired PHYSICAL name, and a new
+        same-named logical column would resolve to those stale bytes
+        instead of null (Iceberg avoids this with field IDs; a
+        name-mapping layer must refuse the ambiguity instead)."""
+        return {r["from"] for r in self.log.renames_upto()}
+
+    def rename_column(self, old: str, new: str) -> LogEntry:
+        """ALTER TABLE ... RENAME COLUMN — metadata-only, via a name
+        mapping (Iceberg's `schema.name-mapping.default` analog): the
+        commit records {from, to} plus the renamed schema; files keep
+        their bytes and their old physical column name, and the read
+        path resolves each file's physical names through its rename
+        epoch (see `_read_paths`). Time travel before the rename shows
+        the old name; compaction rewrites files under current names so
+        the mapping washes out of the hot path over time.
+
+        Guards mirror drop_column (partition-spec source, write
+        sort-order, live equality-delete keys all reject) plus the
+        name-mapping ambiguity rule: the target may not be a live
+        column OR a retired physical name. Stats-based file pruning on
+        pre-rename files is disabled for safety (their footer stats are
+        keyed by physical names — see read()); pruning recovers as
+        compaction migrates files."""
+        current = self.schema() or self._schema()
+        if not any(f.name == old for f in current.fields):
+            raise ValueError(f"column {old} does not exist")
+        if any(f.name == new for f in current.fields):
+            raise ValueError(f"column {new} already exists")
+        if new in self._retired_names():
+            raise ValueError(
+                f"column name {new} was retired by an earlier rename; old "
+                "files still carry it physically — pick a different name "
+                "(or compact all pre-rename files first)"
+            )
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
+            raise ValueError(f"invalid column name {new!r}")
+        spec = self.partition_spec() or []
+        if any(t.source == old for t in spec):
+            raise ValueError(
+                f"column {old} is a partition source; "
+                "drop the partition field first"
+            )
+        so = self.log.properties_at().get(PROP_SORT_ORDER, "")
+        if any(part.split()[0] == old for part in so.split(",") if part.strip()):
+            raise ValueError(
+                f"column {old} is in write.sort-order; WRITE UNORDERED "
+                "or re-order first"
+            )
+        live_eq = [
+            fi
+            for fi in self.log.state_at().values()
+            if fi.content == 2 and old in (fi.eq_cols or [])
+        ]
+        if live_eq:
+            raise ValueError(
+                f"column {old} keys {len(live_eq)} live equality-delete "
+                "file(s); rewrite_equality_deletes first"
+            )
+        renamed = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in current.fields
+            ]
+        )
+
+        def make(version: int) -> LogEntry:
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="rename_column",
+                properties=self.log.properties_at() or None,
+                extra={
+                    "schema": renamed.simpleString(),
+                    "rename": {"from": old, "to": new},
+                },
+            )
+
+        return self.log.append(make)
+
     def drop_column(self, name: str) -> LogEntry:
         """ALTER TABLE ... DROP COLUMN: metadata-only — the narrowed
         schema commits to the log, reads stop projecting the column,
@@ -659,12 +821,7 @@ class LakehouseTable:
         schema). Guarded against every live structure that still
         addresses the column: the current partition spec, the write
         sort order, and live equality-delete files keyed on it (their
-        read-side application would have no type to project).
-
-        RENAME COLUMN is deliberately absent: Iceberg renames via field
-        IDs, which parquet name-based resolution cannot replicate — a
-        name-mapped rename here would silently null the column for
-        every pre-rename file. Add-new + backfill + drop-old instead."""
+        read-side application would have no type to project)."""
         current = self.schema() or self._schema()
         if not any(f.name == name for f in current.fields):
             raise ValueError(f"column {name} does not exist")
@@ -807,7 +964,7 @@ class LakehouseTable:
         rewriting = [
             e.operation
             for e in entries
-            if e.operation not in ("append", "create", "set_properties", "add_column", "stage")
+            if e.operation not in ("append", "create", "set_properties", "add_column", "rename_column", "stage")
             # an append-only branch merge adds files without removing
             # any — file-granular deltas stay sound
             and not (e.operation == "merge" and not e.removed_files)
@@ -817,15 +974,15 @@ class LakehouseTable:
                 f"incremental read over non-append operations {rewriting}: "
                 "file-granular deltas are only sound for append-only ranges"
             )
-        paths = [
-            os.path.join(self.table_dir, fi.path)
+        path_seqs = {
+            os.path.join(self.table_dir, fi.path): fi.seq
             for e in entries
             if e.operation != "stage"  # staged files aren't on main yet
             for fi in e.added_files
-        ]
-        if not paths:
+        }
+        if not path_seqs:
             return self.spark.createDataFrame([], self.schema(to_version) or self._schema())
-        return self._read_paths(paths, version=to_version)
+        return self._read_paths(list(path_seqs), version=to_version, seqs=path_seqs)
 
     def read_changelog(
         self,
@@ -860,7 +1017,7 @@ class LakehouseTable:
             to_version = self.log.latest_version()
         schema = self.schema(to_version) or self._schema()
         cols = [f.name for f in schema.fields]
-        meta_ops = ("create", "set_properties", "add_column", "stage")
+        meta_ops = ("create", "set_properties", "add_column", "rename_column", "stage")
         commits = [
             e
             for e in self.log.entries()

@@ -583,6 +583,93 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_rename_column",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('renamed_schema',   'n_nationkey,label',  CAST(5  AS BIGINT), 'metadata-only commit'),
+            ('mixed_epoch_read', 'n_nationkey,label',  CAST(10 AS BIGINT), 'old files resolve physical n_name'),
+            ('time_travel',      'n_nationkey,n_name', CAST(5  AS BIGINT), 'as-of schema shows old name'),
+            ('chained',          'n_nationkey,title',  CAST(15 AS BIGINT), 'n_name->label->title across 3 epochs'),
+            ('filtered',         'n_nationkey,title',  CAST(3  AS BIGINT), 'filter on renamed col spans epochs')
+        ) AS t(step, cols, n_rows, detail)
+        ORDER BY step
+    """,
+    tags=("lakehouse", "schema", "metadata"),
+    doc="RENAME COLUMN via name mapping (Iceberg's schema.name-mapping."
+    "default analog over parquet name resolution): metadata-only commit; "
+    "files keep their physical names and each read resolves them through "
+    "its rename epoch; time travel shows the as-of name; chained renames "
+    "compose; filters on the renamed column stay correct across epochs "
+    "(pre-rename files scan unpruned — their footer stats are keyed by "
+    "physical names).",
+)
+def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        t = lake.create_table("lab.rn_q", schema="n_nationkey bigint, n_name string")
+        t.append(nation.filter(F.col("n_nationkey") < 5))
+        v_before = t.log.latest_version()
+        t.rename_column("n_name", "label")
+        rows = [
+            (
+                "renamed_schema",
+                ",".join(f.name for f in t.schema().fields),
+                t.read().count(),
+                "metadata-only commit",
+            )
+        ]
+        t.append(
+            nation.filter(F.col("n_nationkey").between(5, 9)).withColumnRenamed(
+                "n_name", "label"
+            )
+        )
+        rows.append(
+            (
+                "mixed_epoch_read",
+                ",".join(t.read().columns),
+                t.read().count(),
+                "old files resolve physical n_name",
+            )
+        )
+        old = t.read(version=v_before)
+        rows.append(
+            ("time_travel", ",".join(old.columns), old.count(), "as-of schema shows old name")
+        )
+        t.rename_column("label", "title")
+        t.append(
+            nation.filter(F.col("n_nationkey").between(10, 14)).withColumnRenamed(
+                "n_name", "title"
+            )
+        )
+        rows.append(
+            (
+                "chained",
+                ",".join(t.read().columns),
+                t.read().count(),
+                "n_name->label->title across 3 epochs",
+            )
+        )
+        # one match per epoch: key 1 (pre-rename file), 7 (label epoch),
+        # 12 (title epoch)
+        filt = t.read().filter(F.col("title").rlike("NATION_(1|7|12)$"))
+        rows.append(
+            (
+                "filtered",
+                ",".join(filt.columns),
+                filt.count(),
+                "filter on renamed col spans epochs",
+            )
+        )
+        return (
+            sorted(rows),
+            "step string, cols string, n_rows bigint, detail string",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_multi_table_txn",
     oracle="""
         SELECT * FROM (VALUES

@@ -1,0 +1,195 @@
+"""RENAME COLUMN via name mapping (VERDICT r7 stretch item).
+
+Iceberg renames through field IDs; over parquet name resolution the
+same capability needs a name-mapping layer (Iceberg's
+`schema.name-mapping.default` analog): the rename is metadata-only,
+old files keep their physical column names, and every read resolves
+each file's physical names through its rename epoch. These tests pin
+the mapping across mixed-epoch reads, time travel, chained renames,
+expiry (checkpoints carry the rename history), compaction wash-out,
+the ambiguity guards, and correctness of stats pruning on pre-rename
+files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    Lakehouse,
+    expire_snapshots,
+    rewrite_data_files,
+    rewrite_manifests,
+)
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    lk = Lakehouse(spark, str(tmp_path / "warehouse"))
+    lk.create_namespace("lab")
+    return lk
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_rename_reads_old_and_new_files(spark, lake):
+    t = lake.create_table("lab.rn", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "old1"), (2, "old2")], "k bigint, v string"))
+    t.rename_column("v", "label")
+    assert [f.name for f in t.schema().fields] == ["k", "label"]
+    # pre-rename file resolves its physical 'v' into 'label'
+    assert _rows(t.read()) == {(1, "old1"), (2, "old2")}
+
+    # post-rename writes use the new name; mixed-epoch read unions
+    t.append(spark.createDataFrame([(3, "new3")], "k bigint, label string"))
+    assert _rows(t.read()) == {(1, "old1"), (2, "old2"), (3, "new3")}
+    assert _rows(t.read().select("label")) == {("old1",), ("old2",), ("new3",)}
+
+    # a write still using the old name is now missing a column
+    with pytest.raises(ValueError, match="missing table columns"):
+        t.append(spark.createDataFrame([(4, "x")], "k bigint, v string"))
+
+
+def test_rename_time_travel_shows_old_name(spark, lake):
+    t = lake.create_table("lab.tt", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    v_before = t.log.latest_version()
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, w string"))
+
+    old = t.read(version=v_before)
+    assert old.columns == ["k", "v"]
+    assert _rows(old) == {(1, "a")}
+    assert t.read().columns == ["k", "w"]
+
+
+def test_chained_renames(spark, lake):
+    t = lake.create_table("lab.chain", schema="k bigint, a string")
+    t.append(spark.createDataFrame([(1, "epoch0")], "k bigint, a string"))
+    t.rename_column("a", "b")
+    t.append(spark.createDataFrame([(2, "epoch1")], "k bigint, b string"))
+    t.rename_column("b", "c")
+    t.append(spark.createDataFrame([(3, "epoch2")], "k bigint, c string"))
+    # three epochs resolve: physical a -> c, b -> c, c -> c
+    assert _rows(t.read()) == {(1, "epoch0"), (2, "epoch1"), (3, "epoch2")}
+    assert _rows(t.read().select("c")) == {("epoch0",), ("epoch1",), ("epoch2",)}
+
+
+def test_retired_names_cannot_be_reused(spark, lake):
+    t = lake.create_table("lab.retire", schema="k bigint, a string")
+    t.append(spark.createDataFrame([(1, "x")], "k bigint, a string"))
+    t.rename_column("a", "b")
+    # the old file physically carries 'a' = b's data: a new logical 'a'
+    # would resolve to those stale bytes instead of null
+    with pytest.raises(ValueError, match="retired"):
+        t.add_column("a", "string")
+    t.add_column("c", "double")
+    with pytest.raises(ValueError, match="retired"):
+        t.rename_column("c", "a")
+
+
+def test_rename_guards(spark, lake):
+    t = lake.create_table(
+        "lab.guard",
+        schema="k bigint, ts timestamp, v string",
+        partition_by="days(ts)",
+    )
+    with pytest.raises(ValueError, match="partition source"):
+        t.rename_column("ts", "event_ts")
+    with pytest.raises(ValueError, match="does not exist"):
+        t.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("v", "k")
+
+
+def test_rename_survives_expiry_via_checkpoint(spark, lake):
+    t = lake.create_table(
+        "lab.exp", schema="k bigint, v string", properties={"gc.enabled": "true"}
+    )
+    t.append(spark.createDataFrame([(1, "old")], "k bigint, v string"))
+    t.rename_column("v", "w")
+    for i in range(4):
+        t.append(spark.createDataFrame([(10 + i, "n")], "k bigint, w string"))
+    rewrite_manifests(t)  # checkpoint snapshots the rename history
+    expire_snapshots(t, retain_last=1)
+    # the rename commit is gone from the log, but the pre-rename file
+    # must still resolve its physical 'v' through the checkpoint
+    assert (1, "old") in _rows(t.read())
+    assert t.read().count() == 5
+
+
+def test_compaction_washes_out_rename_epochs(spark, lake):
+    t = lake.create_table("lab.compact", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(3, "c")], "k bigint, w string"))
+    rewrite_data_files(t, target_file_size_bytes=1 << 30, min_input_files=1)
+    # rewritten files carry the CURRENT physical name: every live file's
+    # epoch is now empty (no rename postdates its seq)
+    renames = t.log.renames_upto()
+    for fi in t.log.state_at().values():
+        assert not any(r["version"] > (fi.seq or -1) for r in renames)
+    assert _rows(t.read()) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_stats_pruning_stays_correct_after_rename(spark, lake):
+    """Pre-rename files' footer stats are keyed by physical names; the
+    scan must not consult them under the new name (they are stripped),
+    so a filter on the renamed column still returns every matching row
+    from old files."""
+    t = lake.create_table("lab.prune", schema="k bigint, v bigint")
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(8)], "k bigint, v bigint"))
+    t.rename_column("v", "metric")
+    t.append(
+        spark.createDataFrame([(100, 1000)], "k bigint, metric bigint")
+    )
+    got = t.read(filters=[("metric", ">=", 50)])
+    assert _rows(got) == {(5, 50), (6, 60), (7, 70), (100, 1000)}
+    # and scan planning on the NEW file still prunes by stats
+    plan = t.scan_plan([("metric", ">=", 5000)])
+    assert plan["files_total"] >= 2
+
+
+def test_rename_with_mor_deletes(spark, lake):
+    """Merge-on-read position deletes reference (file, pos) — rename
+    must not disturb their application across epochs."""
+    t = lake.create_table(
+        "lab.mor",
+        schema="k bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(spark.createDataFrame([(i, f"r{i}") for i in range(6)], "k bigint, v string"))
+    t.delete_where("k >= 4")  # position-delete tombstones on the old-epoch file
+    t.rename_column("v", "w")
+    assert _rows(t.read()) == {(i, f"r{i}") for i in range(4)}
+    t.delete_where("k = 0")  # tombstone written AFTER the rename
+    assert _rows(t.read()) == {(1, "r1"), (2, "r2"), (3, "r3")}
+
+
+def test_rename_sql_surface(spark, lake):
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL, SqlError
+
+    sql = LakehouseSQL(lake)
+    t = lake.create_table("lab.sqlr", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    sql.sql("ALTER TABLE lab.sqlr RENAME COLUMN v TO label")
+    assert _rows(sql.sql("SELECT k, label FROM lab.sqlr")) == {(1, "a")}
+    with pytest.raises(SqlError, match="does not exist"):
+        sql.sql("ALTER TABLE lab.sqlr RENAME COLUMN v TO again")
+
+
+def test_changelog_and_incremental_after_rename(spark, lake):
+    t = lake.create_table("lab.cdc", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    v0 = t.log.latest_version()
+    t.rename_column("v", "w")
+    t.append(spark.createDataFrame([(2, "b")], "k bigint, w string"))
+    inc = t.read_incremental(from_version=v0)
+    assert inc.columns == ["k", "w"]
+    assert _rows(inc) == {(2, "b")}
+    ch = t.read_changelog(from_version=0)
+    got = {(r.k, r.w, r._change_type) for r in ch.collect()}
+    assert got == {(1, "a", "insert"), (2, "b", "insert")}
