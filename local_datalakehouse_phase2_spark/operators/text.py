@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.loaders import load_table
+from ..sources.loaders import load_table, parallel_scan
 
 # Tiny stopword list used for quality scoring (documents are lowercase,
 # single-space tokenized word salad — see FIXTURES.md).
@@ -43,7 +43,7 @@ def tokens_col(col: str = "text"):
     doc="Token counting + length stats per language: the basic corpus census.",
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     ntok = F.size(tokens_col())
     return (
         d.select("lang", "n_chars", ntok.alias("ntok"))
@@ -94,7 +94,7 @@ def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle proportional to vocabulary, not corpus size.",
 )
 def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     return (
         d.select(F.explode(tokens_col()).alias("token"))
         .groupBy("token")
@@ -119,7 +119,7 @@ def token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     "census per source — the first pass of any dedup pipeline.",
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     fp = F.md5(F.col("text"))
     return d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -153,7 +153,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all computed with array lambdas in one projection.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    d = parallel_scan(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     toks = tokens_col()
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     ntok = F.size(toks)
@@ -228,7 +228,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n-gram heuristic — no external model.",
 )
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     # distinct char 3-grams of the first 200 chars: array_distinct runs
     # per-doc INSIDE the projection, so the corpus-wide DISTINCT shuffle
     # the naive formulation needs simply doesn't exist — at 100 TB that
@@ -290,7 +290,7 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "identically.",
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     # idx=0 => whole-match extraction (the default idx=1 wants a capture group)
     bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
     n_bpe = F.size(bpe)
@@ -379,7 +379,7 @@ def winnowed_fingerprints(d: DataFrame) -> DataFrame:
     "join (corpus-linear), never a doc cross join.",
 )
 def winnow_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     fps = winnowed_fingerprints(d)
     buckets = (
         fps.groupBy("fp")
@@ -454,7 +454,7 @@ def _word_ngrams_sql(col: str, n: int) -> str:
     "overlap 1.0, proving the detector fires.",
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     # cheap word-count filter instead of size(gs) > 0: Catalyst would
     # substitute the whole n-gram projection into the filter and
     # evaluate it twice (see dedup._has_shingles for the measured cost)
@@ -545,7 +545,7 @@ PHONE_RE = "[0-9]{3}-[0-9]{4}"
     "evaluate identically.",
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     enriched = d.select(
         "source",
         F.concat(
@@ -650,7 +650,7 @@ MIN_BIGRAM_DIVERSITY = 0.90
     "oracle-check exactly.",
 )
 def doc_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = parallel_scan(spark, sf_dir, "documents")
     words = d.select("doc_id", "lang", F.explode(tokens_col()).alias("w"))
     uni = (
         words.groupBy("doc_id", "lang", "w")

@@ -244,6 +244,43 @@ def test_orphan_sweep_protects_branch_files(spark, lake, monkeypatch):
     assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "b")}
 
 
+def test_branch_sql_surface(spark, lake):
+    """Iceberg identifier suffixes end to end through SQL: INSERT INTO
+    t.branch_<name> writes the branch, SELECT FROM t.branch_<name> /
+    t.tag_<name> reads the ref, CALL merge_branch publishes."""
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL, SqlError
+
+    sql = LakehouseSQL(lake, catalog_name="nessie")
+    lake.create_namespace("sq")
+    t = lake.create_table("sq.t", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.create_tag("rel")
+
+    sql.sql("INSERT INTO sq.t.branch_dev VALUES (2, 'b')")
+    assert {tuple(r) for r in sql.sql("SELECT * FROM sq.t.branch_dev").collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+    assert sql.sql("SELECT * FROM sq.t").count() == 1  # main unchanged
+    assert sql.sql("SELECT * FROM sq.t.tag_rel").count() == 1
+    with pytest.raises(SqlError, match="is a tag"):
+        sql.sql("SELECT * FROM sq.t.branch_rel")
+    with pytest.raises(Exception):
+        sql.sql("INSERT INTO sq.t.branch_nope VALUES (9, 'z')")
+
+    res = sql.sql(
+        "CALL nessie.system.merge_branch(table => 'sq.t', branch => 'dev')"
+    ).collect()[0]
+    assert res.merged_commits == 1
+    assert sql.sql("SELECT * FROM sq.t").count() == 2
+
+    # INSERT OVERWRITE on the branch replaces the branch only
+    sql.sql("INSERT OVERWRITE sq.t.branch_dev VALUES (7, 'B')")
+    assert sql.sql("SELECT * FROM sq.t.branch_dev").count() == 1
+    assert sql.sql("SELECT * FROM sq.t").count() == 2
+
+
 def test_concurrent_branch_commits_both_recorded(spark, lake):
     """ADVICE r7: _advance_branch was read-modify-write; two racing
     branch commits could drop one head update. The ref lock + explicit
