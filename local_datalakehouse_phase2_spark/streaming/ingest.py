@@ -69,19 +69,30 @@ def last_committed_batch(table: LakehouseTable, query_id: str) -> int | None:
 
 
 def append_stream_batch(
-    table: LakehouseTable, batch_df: DataFrame, batch_id: int, query_id: str
+    table: LakehouseTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    query_id: str,
+    ref: str | None = None,
 ) -> bool:
     """Idempotently append one micro-batch: returns True if committed,
     False if `batch_id` was already in the log (replay after failure).
     The check re-reads the log INSIDE the call, so a crash between the
     data write and the log commit is safe — the orphaned files are
     unreferenced (remove_orphan_files sweeps them) and the replay
-    commits cleanly."""
+    commits cleanly.
+
+    `ref` — land the stream on a BRANCH (the Nessie audit-branch
+    ingestion pattern: ingest to a ref invisible on main, validate,
+    merge_branch to publish). The batch-id watermark scan covers branch
+    entries too, so replay protection holds on either lineage."""
     seen = last_committed_batch(table, query_id)
     if seen is not None and batch_id <= seen:
         return False
     table.append(
-        batch_df, extra={STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id}
+        batch_df,
+        extra={STREAM_BATCH_KEY: int(batch_id), STREAM_QUERY_KEY: query_id},
+        ref=ref,
     )
     return True
 
@@ -205,6 +216,7 @@ def stream_into_table(
     checkpoint_dir: str,
     query_name: str = "lakehouse-ingest",
     available_now: bool = True,
+    ref: str | None = None,
 ) -> StreamingQuery:
     """Wire a streaming DataFrame into snapshot-committing appends.
 
@@ -214,7 +226,9 @@ def stream_into_table(
     per-commit batch-id watermark, not from blind appends."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_stream_batch(table, batch_df, batch_id, _run_scoped_id(batch_df, query_name))
+        append_stream_batch(
+            table, batch_df, batch_id, _run_scoped_id(batch_df, query_name), ref=ref
+        )
 
     writer = (
         source.writeStream.foreachBatch(_sink)

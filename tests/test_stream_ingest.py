@@ -64,6 +64,37 @@ def test_stream_drains_into_snapshots_and_resumes(spark, lake, tmp_path):
     assert len(marked) >= 2
 
 
+def test_stream_into_branch_then_merge(spark, lake, tmp_path):
+    """Nessie audit-branch ingestion: the stream lands on a branch
+    (invisible on main), then merge_branch publishes everything at
+    once — write-audit-publish at stream granularity."""
+    from local_datalakehouse_phase2_spark.lakehouse import merge_branch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = lake.create_table("lab.bring", schema="k bigint, v string")
+    t.append(
+        spark.createDataFrame([(999, "base")], "k bigint, v string")
+    )
+    t.create_branch("ingest")
+
+    _feed(spark, src, 0, 30)
+    q = stream_into_table(
+        spark.readStream.schema("k bigint, v string").parquet(src),
+        t,
+        ckpt,
+        query_name="branch-ingest",
+        ref="ingest",
+    )
+    q.awaitTermination(120)
+    assert t.read().count() == 1  # main untouched
+    assert t.read(ref="ingest").count() == 31
+
+    merge_branch(t, "ingest")
+    assert t.read().count() == 31
+    assert sorted(r.k for r in t.read().collect())[:3] == [0, 1, 2]
+
+
 def test_replayed_batch_is_noop(spark, lake):
     t = lake.create_table("lab.replay", schema="k bigint, v string")
     batch = spark.range(0, 10).select(
