@@ -63,7 +63,7 @@ HEADLINE = [
     "lakehouse_delete_merge",
 ]
 
-# Round-6 additions, timed identically but reported OUTSIDE the
+# Round-6+ additions, timed identically but reported OUTSIDE the
 # headline total so `value` stays comparable across rounds.
 EXTRA = [
     "pq_adc_topk",
@@ -73,6 +73,10 @@ EXTRA = [
     "training_data_pipeline",
     "lakehouse_changelog",
     "lakehouse_dynamic_overwrite",
+    # round 8: branch writes + merge, multi-table txn, rename mapping
+    "lakehouse_branch_write_merge",
+    "lakehouse_multi_table_txn",
+    "lakehouse_rename_column",
 ]
 
 

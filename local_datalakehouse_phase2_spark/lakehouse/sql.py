@@ -644,26 +644,56 @@ class LakehouseSQL:
 
     def _delete(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"(?is)DELETE\s+FROM\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})(?:\s+WHERE\s+(.*))?",
+            rf"(?is)DELETE\s+FROM\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT}(?:\.{_IDENT})?)"
+            rf"(?:\s+WHERE\s+(.*))?",
             s,
         )
         if not m:
             raise SqlError(f"unsupported DELETE syntax: {s!r}")
-        t = self.lake.table(self._strip_catalog(m.group(1)))
+        # DELETE FROM ns.t.branch_<name>: row-level delete on the branch
+        # lineage (copy-on-write; invisible on main until merge_branch)
+        ident, branch = m.group(1), None
+        try:
+            t = self.lake.table(self._strip_catalog(ident))
+        except (CatalogError, SqlError):
+            parts = ident.split(".")
+            bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
+            if bm is None or len(parts) < 3:
+                raise
+            branch = bm.group(1)
+            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
         # bare DELETE FROM t = delete every row (SQL standard)
-        entry = t.delete_where(m.group(2) if m.group(2) else "true")
+        try:
+            entry = t.delete_where(
+                m.group(2) if m.group(2) else "true",
+                mode="copy-on-write" if branch else None,
+                ref=branch,
+            )
+        except ValueError as e:
+            raise SqlError(str(e)) from e
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )
 
     def _update(self, s: str) -> DataFrame:
         m = re.fullmatch(
-            rf"(?is)UPDATE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
+            rf"(?is)UPDATE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT}(?:\.{_IDENT})?)\s+"
+            rf"SET\s+(.*?)(?:\s+WHERE\s+(.*))?",
             s,
         )
         if not m:
             raise SqlError(f"unsupported UPDATE syntax: {s!r}")
-        t = self.lake.table(self._strip_catalog(m.group(1)))
+        # UPDATE ns.t.branch_<name> SET ...: branch-lineage update
+        ident, branch = m.group(1), None
+        try:
+            t = self.lake.table(self._strip_catalog(ident))
+        except (CatalogError, SqlError):
+            parts = ident.split(".")
+            bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
+            if bm is None or len(parts) < 3:
+                raise
+            branch = bm.group(1)
+            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
             am = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=\s*(.+?)\s*", part)
@@ -671,7 +701,15 @@ class LakehouseSQL:
                 raise SqlError(f"bad SET clause: {part!r}")
             assignments[am.group(1)] = am.group(2)
         # bare UPDATE t SET ... = update every row (SQL standard)
-        entry = t.update_where(assignments, m.group(3) if m.group(3) else "true")
+        try:
+            entry = t.update_where(
+                assignments,
+                m.group(3) if m.group(3) else "true",
+                mode="copy-on-write" if branch else None,
+                ref=branch,
+            )
+        except ValueError as e:
+            raise SqlError(str(e)) from e
         return self._result_frame(
             {"snapshot_id": entry.snapshot_id, "operation": entry.operation}
         )

@@ -587,24 +587,36 @@ class LakehouseTable:
             ddf = ddf.join(renamed, cond, "left_anti")
         return ddf.drop("__fseq")
 
-    def _tagged_read(self, version: int | None = None) -> DataFrame:
-        """Current (or time-travel) table rows with `__file`/`__pos`
-        columns — deletes applied. The planning read for every row-level
-        operation: `__file` is captured from `_metadata` at the scan, so
-        it stays correct through the joins the operators add on top
-        (input_file_name() would not — it is per-source and undefined
-        after a join)."""
-        data_state, pos_files, eq_files = self._split_state(self.log.state_at(version))
+    def _tagged_read(
+        self, version: int | None = None, ref: str | None = None
+    ) -> DataFrame:
+        """Current (or time-travel, or branch) table rows with
+        `__file`/`__pos` columns — deletes applied. The planning read
+        for every row-level operation: `__file` is captured from
+        `_metadata` at the scan, so it stays correct through the joins
+        the operators add on top (input_file_name() would not — it is
+        per-source and undefined after a join)."""
+        state = (
+            self.log.state_at_branch(ref)
+            if ref is not None
+            else self.log.state_at(version)
+        )
+        data_state, pos_files, eq_files = self._split_state(state)
         return self._assemble_read(
             data_state, pos_files, eq_files, version=version, tagged=True
         )
 
-    def _read_rel(self, rel_paths: list[str], tagged: bool = False) -> DataFrame:
+    def _read_rel(
+        self, rel_paths: list[str], tagged: bool = False, ref: str | None = None
+    ) -> DataFrame:
         """Scan a specific subset of live DATA files with all live
         deletes applied — what copy-on-write rewrites and compaction
         read (reading raw files would resurrect merge-on-read-deleted
-        rows into the rewritten output)."""
-        state = self.log.state_at()
+        rows into the rewritten output). `ref` scopes the live state to
+        a branch lineage."""
+        state = (
+            self.log.state_at_branch(ref) if ref is not None else self.log.state_at()
+        )
         data_state, pos_files, eq_files = self._split_state(state)
         subset = {p: data_state[p] for p in rel_paths if p in data_state}
         return self._assemble_read(subset, pos_files, eq_files, tagged=tagged)
@@ -616,6 +628,19 @@ class LakehouseTable:
         operators can assert pruning without tracing the scan.
         Counts cover DATA files; delete files are never pruned."""
         data_state, _pos, _eq = self._split_state(self.log.state_at(version))
+        renames = self.log.renames_upto(version)
+        if renames:
+            # mirror read(): pre-rename files' stats are keyed by
+            # physical names and must not be consulted — the plan view
+            # has to report what the scan will ACTUALLY touch
+            data_state = {
+                p: (
+                    _dc_replace(fi, stats=None)
+                    if any(r["version"] > self._seq_of(fi) for r in renames)
+                    else fi
+                )
+                for p, fi in data_state.items()
+            }
         spec = self.partition_spec_union()
         part_pruned = 0
         kept = data_state
@@ -1681,7 +1706,9 @@ class LakehouseTable:
         rows = match.select(F.col("__file").alias("src_file")).distinct().collect()
         return sorted(r.src_file for r in rows)
 
-    def delete_where(self, condition, mode: str | None = None) -> LogEntry:
+    def delete_where(
+        self, condition, mode: str | None = None, ref: str | None = None
+    ) -> LogEntry:
         """Row-level DELETE ... WHERE, in either Iceberg v2 delete mode
         (guide :107 format-version 2, :336-340 content classes). `mode`
         defaults to the table's `write.delete.mode` property
@@ -1705,12 +1732,20 @@ class LakehouseTable:
                 f"write.delete.mode must be copy-on-write or merge-on-read, got {mode!r}"
             )
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if ref is not None and mode == "merge-on-read":
+            # branch tombstones would need their own seq lineage through
+            # the merge replay; copy-on-write keeps branch row-level ops
+            # self-contained (rewritten files merge like any other)
+            raise ValueError(
+                "merge-on-read DELETE is not supported on a branch; "
+                "use copy-on-write (mode='copy-on-write') or merge first"
+            )
         if mode == "merge-on-read":
             return self._mor_delete(cond)
         # fingerprint BEFORE planning: a tombstone landing mid-plan must
         # surface as a commit conflict, not get folded away silently
-        fingerprint = self._deletes_fingerprint()
-        tagged = self._tagged_read()
+        fingerprint = self._deletes_fingerprint(ref=ref)
+        tagged = self._tagged_read(ref=ref)
         affected = self._affected_files(tagged.filter(cond))
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
@@ -1719,7 +1754,7 @@ class LakehouseTable:
         # filter() drops — silently deleting NULL-condition rows that
         # share a file with a matched row (merge-on-read gets this right
         # for free because it keeps only cond-IS-TRUE positions).
-        survivors = self._read_rel(affected).filter(
+        survivors = self._read_rel(affected, ref=ref).filter(
             ~F.coalesce(cond.cast("boolean"), F.lit(False))
         )
         # survivors are a subset of the affected files' rows, so the
@@ -1729,11 +1764,12 @@ class LakehouseTable:
             survivors,
             operation="delete",
             removed=tuple(affected),
-            input_bytes=self._logged_bytes(affected),
+            input_bytes=self._logged_bytes(affected, ref=ref),
             deletes_fingerprint=fingerprint,
+            branch=ref,
         )
 
-    def _deletes_fingerprint(self) -> tuple[str, ...]:
+    def _deletes_fingerprint(self, ref: str | None = None) -> tuple[str, ...]:
         """The live delete-file set at PLAN time. Every commit that
         plans row content from a read (COW rewrites, compaction) must
         revalidate this at commit time: a delete file added or removed
@@ -1741,7 +1777,9 @@ class LakehouseTable:
         table (e.g. a concurrent merge-on-read DELETE whose tombstones
         would be silently folded away by our rewrite). Iceberg's
         commit validation checks new delete files the same way."""
-        state = self.log.state_at()
+        state = (
+            self.log.state_at_branch(ref) if ref is not None else self.log.state_at()
+        )
         return tuple(sorted(p for p, fi in state.items() if fi.content != 0))
 
     def _write_pos_deletes(
@@ -1892,7 +1930,11 @@ class LakehouseTable:
         return self.log.append(make)
 
     def update_where(
-        self, assignments: dict[str, object], condition, mode: str | None = None
+        self,
+        assignments: dict[str, object],
+        condition,
+        mode: str | None = None,
+        ref: str | None = None,
     ) -> LogEntry:
         """Row-level UPDATE ... SET ... WHERE, in either Iceberg v2 mode
         (`mode` defaults to the `write.update.mode` property,
@@ -1924,10 +1966,17 @@ class LakehouseTable:
         bad = sorted(set(assignments) - known)
         if bad:
             raise ValueError(f"UPDATE of unknown column(s) {bad}; table has {sorted(known)}")
+        if ref is not None and mode == "merge-on-read":
+            # same scoping rule as delete_where(ref=): branch row-level
+            # ops stay copy-on-write so the merge replay is plain files
+            raise ValueError(
+                "merge-on-read UPDATE is not supported on a branch; "
+                "use copy-on-write (mode='copy-on-write') or merge first"
+            )
         if mode == "merge-on-read":
             return self._mor_update(assignments, cond, schema)
-        fingerprint = self._deletes_fingerprint()
-        tagged = self._tagged_read()
+        fingerprint = self._deletes_fingerprint(ref=ref)
+        tagged = self._tagged_read(ref=ref)
         affected = self._affected_files(tagged.filter(cond))
         if not affected:  # nothing matched: no commit, table unchanged
             return self.log.read_entry(self.log.latest_version())
@@ -1944,13 +1993,14 @@ class LakehouseTable:
                 )
             else:
                 exprs.append(F.col(f.name))
-        rewritten = self._read_rel(affected).select(*exprs)
+        rewritten = self._read_rel(affected, ref=ref).select(*exprs)
         return self._commit_write(
             rewritten,
             operation="update",
             removed=tuple(affected),
-            input_bytes=self._logged_bytes(affected),
+            input_bytes=self._logged_bytes(affected, ref=ref),
             deletes_fingerprint=fingerprint,
+            branch=ref,
         )
 
     def _mor_update(self, assignments: dict, cond, schema: T.StructType) -> LogEntry:
@@ -1994,8 +2044,10 @@ class LakehouseTable:
             {"update-mode": "merge-on-read"},
         )
 
-    def _logged_bytes(self, rel_paths) -> int:
-        state = self.log.state_at()
+    def _logged_bytes(self, rel_paths, ref: str | None = None) -> int:
+        state = (
+            self.log.state_at_branch(ref) if ref is not None else self.log.state_at()
+        )
         return sum(state[p].size_bytes for p in rel_paths if p in state)
 
     def merge(
@@ -2004,6 +2056,7 @@ class LakehouseTable:
         key_cols: list[str],
         extra: dict | None = None,
         mode: str | None = None,
+        ref: str | None = None,
     ) -> LogEntry:
         """MERGE (upsert, full-row): target rows whose key appears in
         `source` are replaced by the source row; unmatched source rows
@@ -2026,22 +2079,33 @@ class LakehouseTable:
             raise ValueError(
                 f"write.merge.mode must be copy-on-write or merge-on-read, got {mode!r}"
             )
+        if ref is not None and mode == "merge-on-read":
+            # same rule as branch DELETE/UPDATE: branch row-level ops
+            # stay copy-on-write so merge_branch replays plain files
+            raise ValueError(
+                "merge-on-read MERGE is not supported on a branch; "
+                "use copy-on-write (mode='copy-on-write') or merge first"
+            )
         self._check_merge_cardinality(source, key_cols)
-        state = self.log.state_at()
+        state = (
+            self.log.state_at_branch(ref) if ref is not None else self.log.state_at()
+        )
         if not state:
-            return self.append(source, extra=extra)
+            return self.append(source, extra=extra, ref=ref)
         if mode == "merge-on-read":
             return self._mor_merge(source, key_cols, extra)
-        fingerprint = self._deletes_fingerprint()
+        fingerprint = self._deletes_fingerprint(ref=ref)
         keys = source.select(*key_cols).distinct()
-        tagged = self._tagged_read()
+        tagged = self._tagged_read(ref=ref)
         matched = tagged.join(F.broadcast(keys), key_cols, "left_semi")
         affected = self._affected_files(matched)
         if affected:
             # schema-aware, deletes-applied read: pre-evolution files
             # project added columns as null, merge-on-read tombstones
             # stay deleted, and carried rows union cleanly with source
-            carried = self._read_rel(affected).join(F.broadcast(keys), key_cols, "left_anti")
+            carried = self._read_rel(affected, ref=ref).join(
+                F.broadcast(keys), key_cols, "left_anti"
+            )
             new_data = carried.unionByName(source)
         else:
             new_data = source
@@ -2052,6 +2116,7 @@ class LakehouseTable:
             input_bytes=self._merge_input_bytes(affected, source),
             extra=extra,
             deletes_fingerprint=fingerprint,
+            branch=ref,
         )
 
     def _mor_merge(

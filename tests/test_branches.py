@@ -281,6 +281,79 @@ def test_branch_sql_surface(spark, lake):
     assert sql.sql("SELECT * FROM sq.t").count() == 2
 
 
+def test_branch_row_level_delete(spark, lake):
+    """Copy-on-write DELETE on a branch: rewrites land in the branch
+    lineage only; the merge publishes the net effect; merge-on-read
+    tombstones are rejected on a branch."""
+    lake.create_namespace("rd", if_not_exists=True)
+    t = lake.create_table("rd.t", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a"), (2, "b"), (3, "c")))
+    t.create_branch("dev")
+
+    t.delete_where("k = 2", ref="dev")
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (3, "c")}
+    assert _rows(t.read()) == {(1, "a"), (2, "b"), (3, "c")}  # main intact
+    with pytest.raises(ValueError, match="not supported on a branch"):
+        t.delete_where("k = 1", mode="merge-on-read", ref="dev")
+
+    from local_datalakehouse_phase2_spark.lakehouse import merge_branch
+
+    merge_branch(t, "dev")
+    assert _rows(t.read()) == {(1, "a"), (3, "c")}
+
+    # and through SQL
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL
+
+    sql = LakehouseSQL(lake)
+    t.append(_df(spark, (9, "z")), ref="dev")
+    sql.sql("DELETE FROM rd.t.branch_dev WHERE k = 9")
+    assert t.read(ref="dev").count() == 2
+    assert t.read().count() == 2
+
+
+def test_branch_row_level_update(spark, lake):
+    """Copy-on-write UPDATE on a branch: the rewrite stays in the
+    branch lineage, main is untouched until the merge."""
+    lake.create_namespace("ru", if_not_exists=True)
+    t = lake.create_table("ru.t", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a"), (2, "b")))
+    t.create_branch("dev")
+
+    t.update_where({"v": "upper(v)"}, "k = 2", ref="dev")
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "B")}
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+    with pytest.raises(ValueError, match="not supported on a branch"):
+        t.update_where({"v": "'x'"}, "k = 1", mode="merge-on-read", ref="dev")
+
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL, merge_branch
+
+    sql = LakehouseSQL(lake)
+    sql.sql("UPDATE ru.t.branch_dev SET v = 'zz' WHERE k = 1")
+    assert _rows(t.read(ref="dev")) == {(1, "zz"), (2, "B")}
+    merge_branch(t, "dev")
+    assert _rows(t.read()) == {(1, "zz"), (2, "B")}
+
+
+def test_branch_merge_upsert(spark, lake):
+    """MERGE (upsert) on a branch: matched keys replace, new keys
+    insert — all in the branch lineage until merge_branch."""
+    lake.create_namespace("rm", if_not_exists=True)
+    t = lake.create_table("rm.t", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a"), (2, "b")))
+    t.create_branch("dev")
+
+    t.merge(_df(spark, (2, "B2"), (3, "c")), ["k"], ref="dev")
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "B2"), (3, "c")}
+    assert _rows(t.read()) == {(1, "a"), (2, "b")}
+    with pytest.raises(ValueError, match="not supported on a branch"):
+        t.merge(_df(spark, (4, "d")), ["k"], mode="merge-on-read", ref="dev")
+
+    from local_datalakehouse_phase2_spark.lakehouse import merge_branch
+
+    merge_branch(t, "dev")
+    assert _rows(t.read()) == {(1, "a"), (2, "B2"), (3, "c")}
+
+
 def test_concurrent_branch_commits_both_recorded(spark, lake):
     """ADVICE r7: _advance_branch was read-modify-write; two racing
     branch commits could drop one head update. The ref lock + explicit

@@ -348,7 +348,7 @@ def test_merge_and_update_reject_bad_forms(lsql):
             "MERGE INTO nessie.bad.t AS t USING nessie.bad.t AS s ON t.k = s.k "
             "WHEN NOT MATCHED AND t.v = 'a' THEN INSERT *"
         )
-    with pytest.raises(ValueError, match="unknown column"):
+    with pytest.raises(SqlError, match="unknown column"):
         lsql.sql("UPDATE nessie.bad.t SET nope = 1 WHERE k = 1")
 
 
