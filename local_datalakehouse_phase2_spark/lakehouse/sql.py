@@ -1209,6 +1209,33 @@ class LakehouseSQL:
             return self.spark.createDataFrame(
                 [(self.catalog_name,), ("spark_catalog",)], "catalog string"
             )
+        m = re.fullmatch(
+            rf"(?is)SHOW\s+CREATE\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})", s
+        )
+        if m:
+            # reconstructed from the log's CURRENT schema + spec +
+            # properties (Spark's SHOW CREATE TABLE does the same from
+            # catalog metadata — the statement round-trips)
+            ident = self._strip_catalog(m.group(1))
+            t = self.lake.table(ident)
+            schema = t.schema() or t._schema()
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in schema.fields
+            )
+            stmt = (
+                f"CREATE TABLE {self.catalog_name}.{ident} (\n  {cols})\n"
+                "USING iceberg"
+            )
+            props = dict(t.properties())
+            spec = props.pop("partition.spec", None)
+            if spec:
+                stmt += f"\nPARTITIONED BY ({spec})"
+            if props:
+                stmt += "\nTBLPROPERTIES (\n  " + ",\n  ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())
+                ) + ")"
+            return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
         raise SqlError(f"unsupported SHOW syntax: {s!r}")
 
     def _set(self, s: str) -> DataFrame:

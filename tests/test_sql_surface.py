@@ -709,6 +709,25 @@ def test_show_tblproperties(spark, lsql):
     assert [(r.key, r.value) for r in one] == [("owner", "me")]
 
 
+def test_show_create_table_round_trips(spark, lsql):
+    """SHOW CREATE TABLE reconstructs a statement the router itself can
+    re-execute: schema, partition spec, and properties all round-trip."""
+    lsql.sql("CREATE NAMESPACE IF NOT EXISTS lab")
+    lsql.sql(
+        "CREATE TABLE lab.sct (k BIGINT, ts TIMESTAMP, v STRING) "
+        "PARTITIONED BY (days(ts)) TBLPROPERTIES ('owner'='me')"
+    )
+    stmt = lsql.sql("SHOW CREATE TABLE lab.sct").collect()[0].createtab_stmt
+    assert "PARTITIONED BY (days(ts))" in stmt
+    assert "'owner'='me'" in stmt
+    # round-trip: run the reconstructed DDL under a new name
+    lsql.sql(stmt.replace("lab.sct", "lab.sct2"))
+    t2 = lsql.lake.table("lab.sct2")
+    assert [f.name for f in t2.schema().fields] == ["k", "ts", "v"]
+    assert t2.properties().get("owner") == "me"
+    assert t2.properties().get("partition.spec") == "days(ts)"
+
+
 def test_truncate_clears_tombstones(spark, lsql):
     lsql.sql("CREATE NAMESPACE IF NOT EXISTS lab")
     lsql.sql(
