@@ -477,6 +477,33 @@ class TransactionLog:
 
         self._with_ref_lock(name, update)
 
+    def reanchor_branch(self, name: str, new_base: int, merged: set[int]) -> dict:
+        """Post-merge ref update: re-anchor the branch at the merge
+        commit, dropping exactly the MERGED chain commits and keeping
+        any branch commit that raced in after the merge captured its
+        chain — update_ref's blank reset would silently orphan such a
+        commit from the branch. Kept commits replay coherently over the
+        new base: the merge re-adds the chain's files under their
+        original paths, so a racer's adds/removals still resolve. Runs
+        under the ref lock (same CAS discipline as _advance_branch)."""
+
+        def update():
+            ref = self.refs().get(name)
+            if ref is None:
+                raise ValueError(f"branch {name!r} vanished mid-merge")
+            kept = sorted(set(ref.get("commits", [])) - set(merged))
+            raw = {
+                "name": name,
+                "snapshot_id": max([new_base, *kept]),
+                "kind": "branch",
+                "base": new_base,
+                "commits": kept,
+            }
+            self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+            return raw
+
+        return self._with_ref_lock(name, update)
+
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize resolved state at `version` (default latest) —
         our `rewrite_manifests` (SURVEY.md §2.10 M2).

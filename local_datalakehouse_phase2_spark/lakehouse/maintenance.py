@@ -996,8 +996,10 @@ def merge_branch(table: LakehouseTable, name: str) -> dict:
         )
 
     e = table.log.append(make)
-    # re-anchor: branch == main-as-of-merge, chain cleared => idempotent
-    table.log.update_ref(name, e.version)
+    # re-anchor at the merge commit, dropping EXACTLY the merged chain:
+    # a branch commit that raced in after the chain was captured stays
+    # on the branch (a blank update_ref reset would silently orphan it)
+    table.log.reanchor_branch(name, e.version, merged=set(chain))
     return {
         "merged_commits": len(chain),
         "new_snapshot_id": e.snapshot_id,

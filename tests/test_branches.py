@@ -354,6 +354,45 @@ def test_branch_merge_upsert(spark, lake):
     assert _rows(t.read()) == {(1, "a"), (2, "B2"), (3, "c")}
 
 
+def test_branch_commit_racing_merge_survives(spark, lake):
+    """A branch commit that lands between merge_branch's chain capture
+    and its re-anchor must STAY on the branch (the old blank-reset
+    update_ref silently orphaned it): after the merge, the racer is
+    still readable on the branch and a second merge publishes it."""
+    lake.create_namespace("rc", if_not_exists=True)
+    t = lake.create_table("rc.t", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.append(_df(spark, (2, "merged")), ref="dev")
+
+    racer = _df(spark, (3, "racer"))
+    orig_append = t.log.append
+    fired = {"done": False}
+
+    def race_once(make, **kwargs):
+        # fire the racing branch commit right before the MERGE commit
+        # enters the log (chain already captured by merge_branch)
+        if not fired["done"] and not kwargs.get("branch"):
+            fired["done"] = True
+            t2 = lake.table("rc.t")
+            t2.append(racer, ref="dev")
+        return orig_append(make, **kwargs)
+
+    t.log.append = race_once
+    try:
+        res = merge_branch(t, "dev")
+    finally:
+        t.log.append = orig_append
+    assert res["merged_commits"] == 1
+    assert _rows(t.read()) == {(1, "a"), (2, "merged")}
+    # the racer survived on the branch...
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "merged"), (3, "racer")}
+    # ...and the next merge publishes exactly it
+    res2 = merge_branch(t, "dev")
+    assert res2["merged_commits"] == 1
+    assert _rows(t.read()) == {(1, "a"), (2, "merged"), (3, "racer")}
+
+
 def test_concurrent_branch_commits_both_recorded(spark, lake):
     """ADVICE r7: _advance_branch was read-modify-write; two racing
     branch commits could drop one head update. The ref lock + explicit
