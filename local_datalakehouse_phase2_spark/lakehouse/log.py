@@ -326,6 +326,35 @@ class TransactionLog:
                 out.append({"version": entry.version, "from": r["from"], "to": r["to"]})
         return out
 
+    def drops_upto(self, version: int | None = None) -> list[dict]:
+        """Column-drop history at `version`: [{"version", "name"},
+        ...] — the other half of the name-mapping layer. A column
+        dropped and later RE-ADDED under the same name must read as
+        null from files that predate the drop (they physically carry
+        the dead lineage's bytes; Iceberg's field IDs give null there,
+        and name resolution must too). Checkpoint-carried like the
+        rename history so expiry can't lose it."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return []
+        out: list[dict] = []
+        start = 0
+        cp = self.latest_checkpoint_version(upto=version)
+        if cp is not None:
+            cp_raw = self._read_checkpoint(version)
+            out = list(cp_raw.get("drops") or [])
+            start = cp + 1
+        for entry in self.entries(upto=version):
+            if entry.version < start:
+                continue
+            if not self.in_main_lineage(entry):
+                continue
+            d = (entry.extra or {}).get("dropped")
+            if d:
+                out.append({"version": entry.version, "name": d})
+        return out
+
     def schema_ddl_at(self, version: int | None = None) -> str | None:
         """Schema DDL recorded at `version`: newest schema-bearing entry
         wins; falls back to the newest checkpoint (which snapshots the
@@ -542,6 +571,7 @@ class TransactionLog:
                     "schema": self.schema_ddl_at(version),
                     "properties": self.properties_at(version),
                     "renames": self.renames_upto(version),
+                    "drops": self.drops_upto(version),
                 }
             ),
         )

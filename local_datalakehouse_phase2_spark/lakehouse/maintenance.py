@@ -645,13 +645,22 @@ def expire_snapshots(
     # PENDING multi-table-transaction entries may still commit and
     # retro-apply — expiring one would tear the transaction apart
     # (committed ones are ordinary main commits, aborted ones are
-    # reclaimable garbage)
-    keep.update(
+    # reclaimable garbage). Everything AT OR ABOVE the earliest pending
+    # entry is kept too: write_checkpoint clamps below pending entries
+    # (a checkpoint must not freeze a pending txn out of the fold), so
+    # a gap checkpoint protecting a kept version above the pending
+    # entry would silently land BELOW it — and the expired entries in
+    # between would vanish from every later fold (data loss, not
+    # cleanup). Pending txns are short-lived; their window pins the
+    # tail of the log until they decide.
+    pending = [
         e.version
         for e in entries
         if (e.extra or {}).get("txn")
         and table.log.txn_status(e.extra["txn"]) == "pending"
-    )
+    ]
+    if pending:
+        keep.update(v for v in versions if v >= min(pending))
     if retain_last is not None:
         keep.update(versions[-retain_last:])
     if older_than is not None:

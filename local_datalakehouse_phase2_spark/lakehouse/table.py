@@ -231,6 +231,31 @@ class LakehouseTable:
 
     # ---- reads -------------------------------------------------------
 
+    def _strip_unreliable_stats(
+        self, data_state: dict[str, FileInfo], version: int | None
+    ) -> dict[str, FileInfo]:
+        """Drop footer stats from files whose column identities shifted
+        after they were written: pre-rename files key stats by PHYSICAL
+        names (a retired name could alias a different column's range),
+        and files predating a drop of a since-RE-ADDED column carry the
+        dead lineage's ranges for it. Either would mis-prune; those
+        files scan unpruned (safe direction) until compaction migrates
+        them. No rename/re-add history => no-op."""
+        renames = self.log.renames_upto(version)
+        names = {f.name for f in (self.schema(version) or self._schema()).fields}
+        readds = [d for d in self.log.drops_upto(version) if d["name"] in names]
+        if not renames and not readds:
+            return data_state
+        cutoffs = [r["version"] for r in renames] + [d["version"] for d in readds]
+        return {
+            p: (
+                _dc_replace(fi, stats=None)
+                if any(c > self._seq_of(fi) for c in cutoffs)
+                else fi
+            )
+            for p, fi in data_state.items()
+        }
+
     def read(
         self,
         version: int | None = None,
@@ -334,21 +359,7 @@ class LakehouseTable:
             # runs first (cheapest: one dict lookup per file), stats
             # min/max second; both advisory-only. The UNION spec covers
             # files written under evolved-away specs too.
-            renames = self.log.renames_upto(version)
-            if renames:
-                # pre-rename files' footer stats are keyed by PHYSICAL
-                # names — consulting them under current names could
-                # wrongly prune (a retired name aliasing a different
-                # historical column's range). Safe direction: those
-                # files scan unpruned until compaction migrates them.
-                data_state = {
-                    p: (
-                        _dc_replace(fi, stats=None)
-                        if any(r["version"] > self._seq_of(fi) for r in renames)
-                        else fi
-                    )
-                    for p, fi in data_state.items()
-                }
+            data_state = self._strip_unreliable_stats(data_state, version)
             spec = self.partition_spec_union()
             if spec:
                 pruning.validate_filters(filters)
@@ -628,19 +639,8 @@ class LakehouseTable:
         operators can assert pruning without tracing the scan.
         Counts cover DATA files; delete files are never pruned."""
         data_state, _pos, _eq = self._split_state(self.log.state_at(version))
-        renames = self.log.renames_upto(version)
-        if renames:
-            # mirror read(): pre-rename files' stats are keyed by
-            # physical names and must not be consulted — the plan view
-            # has to report what the scan will ACTUALLY touch
-            data_state = {
-                p: (
-                    _dc_replace(fi, stats=None)
-                    if any(r["version"] > self._seq_of(fi) for r in renames)
-                    else fi
-                )
-                for p, fi in data_state.items()
-            }
+        # mirror read(): the plan view reports what the scan will touch
+        data_state = self._strip_unreliable_stats(data_state, version)
         spec = self.partition_spec_union()
         part_pruned = 0
         kept = data_state
@@ -693,22 +693,19 @@ class LakehouseTable:
         BEFORE the union (metadata columns don't survive unions)."""
         st = self.schema(version)
         renames = self.log.renames_upto(version) if st is not None else []
-        if not renames:
+        drops = self.log.drops_upto(version) if st is not None else []
+        field_names = {f.name for f in st.fields} if st is not None else set()
+        # a drop matters only when its name can alias a live field's
+        # physical bytes: with no renames, physical == field names
+        drops_matter = bool(renames) or any(d["name"] in field_names for d in drops)
+        if not renames and not drops_matter:
             reader = self.spark.read
             if st is not None:
                 reader = reader.schema(st)
             df = reader.parquet(*paths)
             return self._tag_cols(df) if tagged else df
-        groups: dict[tuple, list[str]] = {}
-        for p in paths:
-            s = (seqs or {}).get(p)
-            s = -1 if s is None else s
-            applicable = tuple(
-                (r["from"], r["to"]) for r in renames if r["version"] > s
-            )
-            groups.setdefault(applicable, []).append(p)
-        parts: list[DataFrame] = []
-        for applicable, group in sorted(groups.items()):
+
+        def physical_map(applicable) -> dict[str, str]:
             phys = {}
             for f in st.fields:
                 name = f.name
@@ -717,11 +714,48 @@ class LakehouseTable:
                     if name == to:
                         name = frm
                 phys[f.name] = name
+            return phys
+
+        groups: dict[tuple, list[str]] = {}
+        for p in paths:
+            s = (seqs or {}).get(p)
+            s = -1 if s is None else s
+            applicable = tuple(
+                (r["from"], r["to"]) for r in renames if r["version"] > s
+            )
+            phys = physical_map(applicable)
+            # a field whose PHYSICAL name was dropped after this file
+            # was written resolves to a DEAD lineage's bytes — the
+            # re-added column reads as null there, exactly as Iceberg's
+            # field IDs would (rename into a dropped name is rejected,
+            # so phys-name equality is the whole rule)
+            nulled = tuple(
+                sorted(
+                    f.name
+                    for f in st.fields
+                    if any(
+                        d["version"] > s and d["name"] == phys[f.name]
+                        for d in drops
+                    )
+                )
+            )
+            groups.setdefault((applicable, nulled), []).append(p)
+        parts: list[DataFrame] = []
+        for (applicable, nulled), group in sorted(groups.items()):
+            phys = physical_map(applicable)
+            live = [f for f in st.fields if f.name not in nulled]
             read_schema = T.StructType(
-                [T.StructField(phys[f.name], f.dataType, True) for f in st.fields]
+                [T.StructField(phys[f.name], f.dataType, True) for f in live]
             )
             df = self.spark.read.schema(read_schema).parquet(*group)
-            df = df.select(*[F.col(phys[f.name]).alias(f.name) for f in st.fields])
+            df = df.select(
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    if f.name in nulled
+                    else F.col(phys[f.name]).alias(f.name)
+                    for f in st.fields
+                ]
+            )
             parts.append(self._tag_cols(df) if tagged else df)
         return _reduce(DataFrame.unionByName, parts)
 
@@ -791,6 +825,12 @@ class LakehouseTable:
                 f"column name {new} was retired by an earlier rename; old "
                 "files still carry it physically — pick a different name "
                 "(or compact all pre-rename files first)"
+            )
+        if any(d["name"] == new for d in self.log.drops_upto()):
+            raise ValueError(
+                f"column name {new} was previously dropped; old files still "
+                "carry its dead lineage physically and the rename would "
+                "alias it — pick a different name (or compact first)"
             )
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", new):
             raise ValueError(f"invalid column name {new!r}")
@@ -883,7 +923,11 @@ class LakehouseTable:
                 committed_at=time.time(),
                 operation="drop_column",
                 properties=self.log.properties_at() or None,
-                extra={"schema": narrowed.simpleString()},
+                # "dropped" feeds the name-mapping layer: if this name
+                # is ever RE-ADDED, files predating the drop still
+                # physically carry the dead lineage's bytes and must
+                # read the new column as null (see _read_paths)
+                extra={"schema": narrowed.simpleString(), "dropped": name},
             )
 
         return self.log.append(make)

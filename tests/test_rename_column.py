@@ -169,6 +169,68 @@ def test_rename_with_mor_deletes(spark, lake):
     assert _rows(t.read()) == {(1, "r1"), (2, "r2"), (3, "r3")}
 
 
+def test_dropped_column_readded_reads_null_not_stale_bytes(spark, lake):
+    """Drop a column, re-add the same name: files predating the drop
+    physically carry the DEAD lineage's bytes under that name — a
+    name-based read used to resurrect them; Iceberg's field IDs give
+    null and so must the name-mapping layer."""
+    t = lake.create_table("lab.readd", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "dead1"), (2, "dead2")], "k bigint, v string"))
+    t.drop_column("v")
+    t.append(spark.createDataFrame([(3,)], "k bigint"))
+    t.add_column("v", "string")
+    t.append(spark.createDataFrame([(4, "live4")], "k bigint, v string"))
+
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, None), (2, None), (3, None), (4, "live4")}
+    # time travel BEFORE the drop still shows the old lineage
+    pre = t.read(version=1)
+    assert {(r.k, r.v) for r in pre.collect()} == {(1, "dead1"), (2, "dead2")}
+
+    # and filters on the re-added column stay correct: the old files'
+    # footer stats (dead ranges) must not prune the scan
+    got2 = {tuple(r) for r in t.read(filters=[("v", "=", "live4")]).collect()}
+    assert got2 == {(4, "live4")}
+
+
+def test_drop_readd_drop_readd_uses_latest_drop(spark, lake):
+    t = lake.create_table("lab.readd2", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "gen1")], "k bigint, v string"))
+    t.drop_column("v")
+    t.add_column("v", "string")
+    t.append(spark.createDataFrame([(2, "gen2")], "k bigint, v string"))
+    t.drop_column("v")
+    t.add_column("v", "string")
+    t.append(spark.createDataFrame([(3, "gen3")], "k bigint, v string"))
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, None), (2, None), (3, "gen3")}
+
+
+def test_rename_into_dropped_name_rejected(spark, lake):
+    t = lake.create_table("lab.rd", schema="k bigint, a string, b string")
+    t.append(
+        spark.createDataFrame([(1, "x", "y")], "k bigint, a string, b string")
+    )
+    t.drop_column("b")
+    with pytest.raises(ValueError, match="previously dropped"):
+        t.rename_column("a", "b")
+
+
+def test_drop_history_survives_expiry(spark, lake):
+    t = lake.create_table(
+        "lab.dexp", schema="k bigint, v string", properties={"gc.enabled": "true"}
+    )
+    t.append(spark.createDataFrame([(1, "dead")], "k bigint, v string"))
+    t.drop_column("v")
+    t.add_column("v", "string")
+    for i in range(4):
+        t.append(spark.createDataFrame([(10 + i, "live")], "k bigint, v string"))
+    rewrite_manifests(t)
+    expire_snapshots(t, retain_last=2)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert (1, None) in got and (13, "live") in got
+
+
 def test_rename_sql_surface(spark, lake):
     from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL, SqlError
 

@@ -157,6 +157,33 @@ def test_pending_txn_survives_expiry_and_orphan_sweep(spark, lake, monkeypatch):
     assert {(2, "pend")} <= _rows(a)
 
 
+def test_expiry_above_pending_txn_keeps_later_commits(spark, lake):
+    """Expiring commits ABOVE a pending txn entry would pair with the
+    checkpoint clamp (gap checkpoints land BELOW the pending entry) to
+    silently drop the expired commits' effects from every later fold.
+    The tail of the log from the earliest pending entry on must be
+    kept until the txn decides."""
+    a = lake.create_table(
+        "lab.gap", schema="k bigint, v string", properties={"gc.enabled": "true"}
+    )
+    a.append(_df(spark, (1, "a")))
+    txn = lake.transaction()
+    txn.append("lab.gap", _df(spark, (2, "pend")))
+    for i in range(4):
+        a.append(_df(spark, (10 + i, "m")))
+    before = _rows(a)
+
+    expire_snapshots(a, retain_last=1)
+    # every post-pending commit's rows still fold
+    assert _rows(a) == before
+    txn.commit()
+    assert _rows(a) == before | {(2, "pend")}
+    # once decided, a later expiry can reclaim normally
+    a.append(_df(spark, (99, "z")))
+    expire_snapshots(a, retain_last=1)
+    assert _rows(a) == before | {(2, "pend"), (99, "z")}
+
+
 def test_checkpoint_never_freezes_out_pending_txn(spark, lake):
     """rewrite_manifests while a txn is pending must not write a
     checkpoint past the pending entry — the committed txn would
