@@ -80,6 +80,15 @@ class FileInfo:
     # analog that plan-time partition pruning consults. None on
     # unpartitioned (or pre-spec) files.
     partition: dict | None = None
+    # the log position whose SCHEMA this file was physically written
+    # under — the rename/drop name-mapping epoch. Unlike `seq`, which
+    # re-stamps when files enter the main lineage later (merge_branch,
+    # publish_changes, cherrypick — the equality-delete ordering rule),
+    # name_epoch is stamped once at the writing commit and preserved
+    # through every replay: physical column names never change after
+    # the bytes are written. None on pre-tracking files — readers fall
+    # back to `seq`.
+    name_epoch: int | None = None
 
 
 @dataclass(frozen=True)

@@ -482,7 +482,7 @@ def rewrite_data_files(
                 # deletes live at plan time are already folded in, and
                 # any equality delete committed later has a higher seq
                 # so it still applies
-                added_files=tuple(_dc_replace(fi, seq=version) for fi in added),
+                added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in added),
                 removed_files=tuple(removed_paths),
             )
 
@@ -876,8 +876,18 @@ def _replay_added_files(
             operation="append",
             # re-stamp the data sequence number: the rows enter the
             # MAIN lineage now, so equality deletes committed between
-            # stage and publish must not apply to them
-            added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
+            # stage and publish must not apply to them. The NAME epoch
+            # stays at the writing commit (physical column names never
+            # change after the bytes exist); pre-tracking files pin it
+            # to their original seq before the re-stamp loses it.
+            added_files=tuple(
+                _dc_replace(
+                    fi,
+                    seq=version,
+                    name_epoch=fi.name_epoch if fi.name_epoch is not None else fi.seq,
+                )
+                for fi in files
+            ),
             extra=extra,
         )
 
@@ -992,7 +1002,12 @@ def merge_branch(table: LakehouseTable, name: str) -> dict:
             committed_at=time.time(),
             operation="merge",
             added_files=tuple(
-                _dc_replace(fi, seq=version) for fi in added.values()
+                _dc_replace(
+                    fi,
+                    seq=version,
+                    name_epoch=fi.name_epoch if fi.name_epoch is not None else fi.seq,
+                )
+                for fi in added.values()
             ),
             removed_files=tuple(sorted(removed)),
             extra={
@@ -1090,7 +1105,7 @@ def rewrite_position_deletes(table: LakehouseTable) -> dict:
             snapshot_id=version,
             committed_at=time.time(),
             operation="replace",
-            added_files=tuple(_dc_replace(fi, seq=version) for fi in new_files),
+            added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in new_files),
             removed_files=tuple(pos_paths),
             extra={"rewrite": "position-deletes"},
         )
@@ -1198,7 +1213,7 @@ def rewrite_equality_deletes(table: LakehouseTable) -> dict:
             snapshot_id=version,
             committed_at=time.time(),
             operation="replace",
-            added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
+            added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in files),
             removed_files=tuple(affected) + tuple(eq_paths),
             extra={"rewrite": "equality-deletes"},
         )
@@ -1364,7 +1379,7 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
             snapshot_id=version,
             committed_at=time.time(),
             operation="add_files",
-            added_files=tuple(_dc_replace(fi, seq=version) for fi in infos),
+            added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in infos),
             extra={"source_dir": source_dir},
         )
 

@@ -250,7 +250,7 @@ class LakehouseTable:
         return {
             p: (
                 _dc_replace(fi, stats=None)
-                if any(c > self._seq_of(fi) for c in cutoffs)
+                if any(c > self._name_epoch_of(fi) for c in cutoffs)
                 else fi
             )
             for p, fi in data_state.items()
@@ -398,6 +398,15 @@ class LakehouseTable:
         # pre-sequence-tracking files are the oldest thing in the log
         return fi.seq if fi.seq is not None else -1
 
+    @staticmethod
+    def _name_epoch_of(fi: FileInfo) -> int:
+        """The log position whose schema this file was physically
+        written under — the key for rename/drop name mapping. Falls
+        back to seq for pre-tracking files."""
+        if fi.name_epoch is not None:
+            return fi.name_epoch
+        return fi.seq if fi.seq is not None else -1
+
     def _pos_delete_may_reference(self, fi: FileInfo, rel_path: str) -> bool:
         """Can position-delete file `fi` reference data file `rel_path`?
         Decided from the delete file's logged file_path min/max (the
@@ -512,10 +521,12 @@ class LakehouseTable:
         def abs_paths(rels) -> list[str]:
             return [os.path.join(self.table_dir, p) for p in rels]
 
-        # (abs path -> seq) so the rename-aware read resolves each
-        # file's physical column names through its epoch
+        # (abs path -> name epoch) so the rename-aware read resolves
+        # each file's physical column names through its WRITING commit
+        # (not seq, which re-stamps on merge/publish replays)
         seqs = {
-            os.path.join(self.table_dir, p): fi.seq for p, fi in data_state.items()
+            os.path.join(self.table_dir, p): self._name_epoch_of(fi)
+            for p, fi in data_state.items()
         }
 
         out_cols = cols + (["__file", "__pos"] if tagged else [])
@@ -1044,7 +1055,7 @@ class LakehouseTable:
                 "file-granular deltas are only sound for append-only ranges"
             )
         path_seqs = {
-            os.path.join(self.table_dir, fi.path): fi.seq
+            os.path.join(self.table_dir, fi.path): self._name_epoch_of(fi)
             for e in entries
             if e.operation != "stage"  # staged files aren't on main yet
             for fi in e.added_files
@@ -1895,7 +1906,7 @@ class LakehouseTable:
                 snapshot_id=version,
                 committed_at=time.time(),
                 operation=operation,
-                added_files=tuple(_dc_replace(fi, seq=version) for fi in added),
+                added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in added),
                 extra=extra,
             )
 
@@ -1967,7 +1978,7 @@ class LakehouseTable:
                 snapshot_id=version,
                 committed_at=time.time(),
                 operation="delete",
-                added_files=tuple(_dc_replace(fi, seq=version) for fi in delete_files),
+                added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in delete_files),
                 extra={"delete-mode": "equality"},
             )
 
@@ -2468,7 +2479,7 @@ class LakehouseTable:
                 # stamp the data sequence number (= committing version):
                 # equality deletes compare against it, and checkpoints/
                 # rollbacks carry it verbatim
-                added_files=tuple(_dc_replace(fi, seq=version) for fi in files),
+                added_files=tuple(_dc_replace(fi, seq=version, name_epoch=version) for fi in files),
                 removed_files=removed,
                 extra=extra,
             )

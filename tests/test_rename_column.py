@@ -243,6 +243,57 @@ def test_rename_sql_surface(spark, lake):
         sql.sql("ALTER TABLE lab.sqlr RENAME COLUMN v TO again")
 
 
+def test_rename_on_main_maps_branch_files(spark, lake):
+    """A main rename AFTER a branch write: branch reads resolve
+    metadata AS OF the branch head's log position (Nessie-style per-ref
+    metadata — the rename becomes visible to the branch as its head
+    advances past it), and the branch file's old physical name maps
+    through its epoch on branch reads and on the merge."""
+    from local_datalakehouse_phase2_spark.lakehouse import merge_branch
+
+    t = lake.create_table("lab.brrn", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "main")], "k bigint, v string"))
+    t.create_branch("dev")
+    t.append(spark.createDataFrame([(2, "branch")], "k bigint, v string"), ref="dev")
+    t.rename_column("v", "w")  # main metadata commit AFTER the branch head
+
+    # branch head predates the rename -> fork-era schema on the branch
+    assert t.read(ref="dev").columns == ["k", "v"]
+    assert {(r.k, r.v) for r in t.read(ref="dev").collect()} == {
+        (1, "main"),
+        (2, "branch"),
+    }
+    # the next branch commit advances the head past the rename: the
+    # branch now sees the renamed schema, old files mapped by epoch
+    t.append(spark.createDataFrame([(3, "later")], "k bigint, w string"), ref="dev")
+    assert t.read(ref="dev").columns == ["k", "w"]
+    got = {(r.k, r.w) for r in t.read(ref="dev").collect()}
+    assert got == {(1, "main"), (2, "branch"), (3, "later")}
+
+    merge_branch(t, "dev")
+    assert {(r.k, r.w) for r in t.read().collect()} == {
+        (1, "main"),
+        (2, "branch"),
+        (3, "later"),
+    }
+
+
+def test_wap_publish_across_rename_maps_staged_files(spark, lake):
+    """Stage a write, rename the column, then publish: the staged file
+    carries the OLD physical name, and publish re-stamps its sequence
+    number — the name epoch must survive the re-stamp or the published
+    rows would read null."""
+    from local_datalakehouse_phase2_spark.lakehouse import publish_changes
+
+    t = lake.create_table("lab.waprn", schema="k bigint, v string")
+    t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.stage_append(spark.createDataFrame([(2, "staged")], "k bigint, v string"), "job-1")
+    t.rename_column("v", "w")
+    publish_changes(t, "job-1")
+    got = {(r.k, r.w) for r in t.read().collect()}
+    assert got == {(1, "a"), (2, "staged")}
+
+
 def test_changelog_and_incremental_after_rename(spark, lake):
     t = lake.create_table("lab.cdc", schema="k bigint, v string")
     t.append(spark.createDataFrame([(1, "a")], "k bigint, v string"))
