@@ -392,6 +392,59 @@ def _register_query() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
 
     @register(
+        "lakehouse_stream_branch",
+        oracle="""
+            SELECT * FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(41 AS BIGINT), CAST(41 AS BIGINT))
+            ) AS t(main_rows_during_ingest, branch_rows, main_rows_after_merge)
+        """,
+        tags=("streaming", "lakehouse", "branch"),
+        doc="Nessie audit-branch ingestion (write-audit-publish at "
+        "stream granularity): a file stream drains onto a BRANCH via "
+        "stream_into_table(ref=) — main stays untouched while the "
+        "branch accumulates micro-batch commits — then merge_branch "
+        "publishes the whole ingest as one conflict-validated main "
+        "commit. All three post-state quantities pinned.",
+    )
+    def lakehouse_stream_branch(spark: SparkSession, sf_dir: str):
+        from ..lakehouse import merge_branch
+
+        tmp = tempfile.mkdtemp(prefix="stream_branch_q_")
+        try:
+            lake = Lakehouse(spark, f"{tmp}/wh")
+            lake.create_namespace("lab")
+            t = lake.create_table("lab.sbr", schema="k bigint, v string")
+            t.append(
+                spark.range(1).select(
+                    F.lit(999).cast("long").alias("k"), F.lit("base").alias("v")
+                )
+            )
+            t.create_branch("ingest")
+            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+            spark.range(0, 40).select(
+                F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            ).coalesce(1).write.mode("append").parquet(src)
+            q = stream_into_table(
+                spark.readStream.schema("k bigint, v string").parquet(src),
+                t,
+                ckpt,
+                query_name="registry-branch-ingest",
+                ref="ingest",
+            )
+            q.awaitTermination(120)
+            main_during = t.read().count()
+            branch_rows = t.read(ref="ingest").count()
+            merge_branch(t, "ingest")
+            main_after = t.read().count()
+            return spark.createDataFrame(
+                [(main_during, branch_rows, main_after)],
+                "main_rows_during_ingest bigint, branch_rows bigint, "
+                "main_rows_after_merge bigint",
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    @register(
         "lakehouse_stream_upsert",
         oracle="""
             SELECT * FROM (VALUES
