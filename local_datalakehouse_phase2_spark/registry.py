@@ -215,6 +215,14 @@ def _sweep_rank() -> dict[str, int]:
     except (OSError, ValueError):
         sidecar = {}
         bootstrap = True
+    if sidecar.get("__scheme__") != _HASH_SCHEME:
+        # Hash-scheme migration (e.g. v1 callable-only -> v2 closure-aware):
+        # every stored hash is in the old scheme, so "changed vs stored" is
+        # meaningless. Re-bootstrap: trust current sources as-swept (the
+        # round-8 judge sweep proved all of HEAD green) instead of flooding
+        # rank 0 with 150 already-proven queries.
+        sidecar = {"__scheme__": _HASH_SCHEME}
+        bootstrap = True
     dirty = False
     for name, cur in hashes.items():
         stored = sidecar.get(name)
@@ -238,19 +246,78 @@ def _sweep_rank() -> dict[str, int]:
     return status
 
 
-def _source_hashes() -> dict[str, str]:
-    """md5 of each registered callable's source text. Queries whose
-    source can't be resolved (exec'd, REPL) hash to a constant so they
-    behave as 'unchanged' rather than re-proving every round."""
-    import hashlib
+# Bump whenever _closure_sources changes what it hashes: SWEEP_HASHES.json
+# entries from a different scheme are incomparable and force a re-bootstrap.
+_HASH_SCHEME = 2
+
+
+def _closure_sources(fn: Callable, pkg: str | None = None) -> str:
+    """Source text of `fn` PLUS every same-package callable it references,
+    transitively.
+
+    Round 8 proved callable-only hashing is helper-blind: commit f91556a
+    changed minhash_lsh_pairs' execution plan purely through the shared
+    module-level helper `_has_shingles`, the registered callable's hash
+    didn't move, and the change-aware sweep skipped all three dependent
+    queries. So walk the callable's referenced globals (`co_names`, and
+    the `co_names` of nested code objects — lambdas/comprehensions), keep
+    anything defined inside this package, and fold its source in too.
+    Recursion is transitive with a visited set; traversal order (def-first,
+    then sorted names) is deterministic so the hash is stable.
+
+    Third-party refs (pyspark F, stdlib) are excluded on purpose: their
+    source isn't ours to re-prove and inspect.getsource on C extensions
+    raises anyway.
+    """
     import inspect
 
-    out: dict[str, str] = {}
-    for name, spec in _REGISTRY.items():
+    if pkg is None:
+        pkg = __name__.rsplit(".", 1)[0]
+    seen: set[int] = set()
+    parts: list[str] = []
+
+    def names_in(code) -> set[str]:
+        names = set(code.co_names)
+        for const in code.co_consts:
+            if isinstance(const, type(code)):
+                names |= names_in(const)
+        return names
+
+    def visit(obj) -> None:
+        if id(obj) in seen:
+            return
+        seen.add(id(obj))
+        mod = getattr(obj, "__module__", "") or ""
+        if mod != pkg and not mod.startswith(pkg + "."):
+            return
         try:
-            src = inspect.getsource(spec.fn)
+            parts.append(inspect.getsource(obj))
         except (OSError, TypeError):
-            src = name
+            parts.append(getattr(obj, "__qualname__", repr(obj)))
+        code = getattr(obj, "__code__", None)
+        g = getattr(obj, "__globals__", None)
+        if code is None or g is None:
+            return  # class: its full body (incl. methods) is already in parts
+        for nm in sorted(names_in(code)):
+            ref = g.get(nm)
+            if callable(ref):
+                visit(ref)
+
+    visit(fn)
+    return "\n".join(parts)
+
+
+def _source_hashes(reg: dict[str, QuerySpec] | None = None) -> dict[str, str]:
+    """md5 of each registered callable's closure source (the callable
+    plus every same-package helper it references — see _closure_sources).
+    Queries whose source can't be resolved (exec'd, REPL) hash to a
+    constant so they behave as 'unchanged' rather than re-proving every
+    round."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    for name, spec in (reg if reg is not None else _REGISTRY).items():
+        src = _closure_sources(spec.fn) or name
         out[name] = hashlib.md5(src.encode()).hexdigest()
     return out
 
