@@ -11,6 +11,7 @@ from .maintenance import (
     expire_snapshots,
     merge_branch,
     publish_changes,
+    rebase_branch,
     remove_orphan_files,
     rewrite_data_files,
     rewrite_equality_deletes,
@@ -50,6 +51,7 @@ __all__ = [
     "set_current_snapshot",
     "cherrypick_snapshot",
     "merge_branch",
+    "rebase_branch",
     "publish_changes",
     "Transaction",
     "TransactionError",

@@ -542,6 +542,46 @@ class TransactionLog:
 
         return self._with_ref_lock(name, update)
 
+    def rebase_ref(self, name: str, new_base: int, plan=None) -> dict:
+        """Re-anchor a branch at `new_base` KEEPING its commit chain —
+        the ref-level half of rebase_branch (maintenance.py).
+
+        Unlike update_ref (which resets the chain: "branch = exactly
+        main-as-of-N"), rebasing moves only the fork base: branch state
+        stays main-folded-to-base + chain, so the same commits re-apply
+        over the new base by the ordinary fold — no log entries are
+        rewritten, and every file keeps its original seq/name_epoch
+        stamps (replay paths must never re-stamp name_epoch).
+
+        `plan(ref) -> kept_commits` runs INSIDE the ref lock with the
+        current ref dict, so replay validation and conflict-dropping
+        can't race a concurrent branch commit: a commit that lands
+        after plan() was computed would be lost if the chain were
+        captured outside the lock (same discipline as reanchor_branch).
+        plan raises (e.g. CommitConflictError) to refuse the rebase."""
+        self._check_ref_target(new_base)
+
+        def update():
+            ref = self.refs().get(name)
+            if ref is None:
+                raise ValueError(f"ref {name!r} does not exist")
+            if ref["kind"] != "branch":
+                raise ValueError(f"ref {name!r} is a tag — tags are immutable")
+            commits = sorted(ref.get("commits", []))
+            if plan is not None:
+                commits = sorted(plan(ref))
+            raw = {
+                "name": name,
+                "snapshot_id": max([new_base, *commits]),
+                "kind": "branch",
+                "base": new_base,
+                "commits": commits,
+            }
+            self.io.write_text_atomic(self._ref_path(name), json.dumps(raw))
+            return raw
+
+        return self._with_ref_lock(name, update)
+
     def write_checkpoint(self, version: int | None = None) -> int:
         """Materialize resolved state at `version` (default latest) —
         our `rewrite_manifests` (SURVEY.md §2.10 M2).

@@ -987,8 +987,9 @@ def merge_branch(table: LakehouseTable, name: str) -> dict:
             raise CommitConflictError(
                 f"merge_branch {name!r}: {len(gone)} file(s) the branch "
                 f"removed are no longer live on main (e.g. {gone[0]!r}) — a "
-                "concurrent main commit replaced them; rebase the branch "
-                "(update_ref to a new fork point) and re-apply its changes"
+                "concurrent main commit replaced them; rebase_branch(..., "
+                "drop_conflicting=True) keeps the clean commits, then "
+                "re-apply the dropped change on the rebased branch"
             )
         clash = [p for p in added if p in live]
         if clash:
@@ -1028,6 +1029,89 @@ def merge_branch(table: LakehouseTable, name: str) -> dict:
         "merged_commits": len(chain),
         "new_snapshot_id": e.snapshot_id,
         "fast_forward": fast_forward,
+    }
+
+
+def rebase_branch(
+    table: LakehouseTable,
+    name: str,
+    onto: int | None = None,
+    drop_conflicting: bool = False,
+) -> dict:
+    """Re-anchor a branch at a newer main snapshot — the content-aware
+    recovery flow merge_branch's conflict error promises ("rebase the
+    branch and re-apply"), which Nessie ships alongside merge and
+    Iceberg users otherwise hand-roll as update_ref + replay.
+
+    Because branch state is (main folded to the fork base) + (the ref's
+    explicit commit chain), moving `base` IS the rebase: the same chain
+    re-applies over the new base through the ordinary fold — no log
+    entries are rewritten, no data files move, and every file keeps its
+    write-time seq/name_epoch stamps. What rebase adds over update_ref
+    (which CLEARS the chain) is validation + selective keep:
+
+    - The chain replays commit-by-commit over the state at the target.
+      A commit whose removals touch files not live there, or whose adds
+      clash with files already live there, CONFLICTS — the error names
+      the first conflicting commit (Nessie's per-key content conflict).
+    - `drop_conflicting=True` keeps the clean prefix-respecting subset
+      instead: conflicting commits are dropped from the chain (their
+      log entries stay for audit; expire_snapshots reclaims them) and
+      reported, so the caller re-applies just those logical changes on
+      the rebased branch. Later commits are validated against the
+      state WITHOUT the dropped ones, so the kept chain is coherent.
+
+    Two everyday uses: refresh a long-lived branch's view of main (its
+    reads fold main only up to the fork base), and un-stick a branch
+    whose merge_branch hit CommitConflictError. Validation and the ref
+    rewrite run inside the per-ref lock, so a branch commit racing the
+    rebase either lands before plan() (and is validated) or after the
+    new ref is written (and chains onto the rebased base)."""
+    target = onto if onto is not None else table.log.latest_main_version()
+    if target is None:
+        raise MaintenanceError(f"rebase_branch {name!r}: table has no main snapshot")
+
+    dropped: list[dict] = []
+
+    def plan(ref: dict) -> list[int]:
+        chain = sorted(ref.get("commits", []))
+        state = table.log.state_at(target)
+        kept: list[int] = []
+        for v in chain:
+            e = table.log.read_entry(v)
+            gone = [p for p in e.removed_files if p not in state]
+            clash = [fi.path for fi in e.added_files if fi.path in state]
+            if gone or clash:
+                if not drop_conflicting:
+                    what = (
+                        f"removes {len(gone)} file(s) not live (e.g. {gone[0]!r})"
+                        if gone
+                        else f"adds {len(clash)} file(s) already live (e.g. {clash[0]!r})"
+                    )
+                    raise CommitConflictError(
+                        f"rebase_branch {name!r}: branch commit {v} {what} at "
+                        f"main snapshot {target} — a main change conflicts with "
+                        "it; re-run with drop_conflicting=True to keep the "
+                        "non-conflicting commits and re-apply that change by "
+                        "hand on the rebased branch"
+                    )
+                dropped.append(
+                    {"version": v, "gone": len(gone), "clash": len(clash)}
+                )
+                continue
+            for p in e.removed_files:
+                state.pop(p, None)
+            for fi in e.added_files:
+                state[fi.path] = fi
+            kept.append(v)
+        return kept
+
+    raw = table.log.rebase_ref(name, target, plan=plan)
+    return {
+        "branch": name,
+        "new_base": target,
+        "kept_commits": len(raw["commits"]),
+        "dropped_commits": dropped,
     }
 
 

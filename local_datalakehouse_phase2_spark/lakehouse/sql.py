@@ -473,6 +473,27 @@ class LakehouseSQL:
                 result = maintenance.merge_branch(table, str(args.pop("branch")))
             except ValueError as e:
                 raise SqlError(str(e)) from e
+        elif proc == "rebase_branch":
+            # Nessie's content-aware rebase: re-anchor a branch at a
+            # newer main snapshot, validating (or selectively dropping)
+            # its commit chain — the recovery flow for a conflicted merge
+            if "branch" not in args:
+                raise SqlError("rebase_branch: missing branch => argument")
+            try:
+                res = maintenance.rebase_branch(
+                    table,
+                    str(args.pop("branch")),
+                    onto=_opt_int(args, "onto"),
+                    drop_conflicting=bool(args.pop("drop_conflicting", False)),
+                )
+            except ValueError as e:
+                raise SqlError(str(e)) from e
+            result = {
+                "branch": res["branch"],
+                "new_base": res["new_base"],
+                "kept_commits": res["kept_commits"],
+                "dropped_commits": len(res["dropped_commits"]),
+            }
         elif proc == "scan_plan":
             # observability for stats-based scan planning: how many
             # files would a filtered read open? (Iceberg exposes the

@@ -508,7 +508,9 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('branch_writes',    CAST(8  AS BIGINT), CAST(15 AS BIGINT), 'invisible on main'),
             ('merged',           CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'replay; fast_forward=False'),
             ('second_merge',     CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'no-op; merged_commits=0'),
-            ('conflict_rejected', CAST(1 AS BIGINT), CAST(2  AS BIGINT), 'CommitConflictError')
+            ('conflict_rejected', CAST(1 AS BIGINT), CAST(2  AS BIGINT), 'CommitConflictError'),
+            ('rebased',          CAST(1  AS BIGINT), CAST(1  AS BIGINT), 'kept=0 dropped=1'),
+            ('recovered',        CAST(2  AS BIGINT), CAST(2  AS BIGINT), 'merge after rebase; merged_commits=1')
         ) AS t(step, main_rows, branch_rows, detail)
         ORDER BY step
     """,
@@ -520,13 +522,17 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge_branch publishes the chain's net effect as ONE "
     "conflict-validated main commit exactly once (second merge is a "
     "no-op); a branch whose removals lost a race to a main commit is "
-    "rejected with CommitConflictError and main stays untouched.",
+    "rejected with CommitConflictError and main stays untouched; "
+    "rebase_branch(drop_conflicting=True) then re-anchors the branch at "
+    "current main, reporting the dropped commit, and after re-applying "
+    "its change the merge goes through — Nessie's merge+rebase recovery "
+    "pair, complete.",
 )
 def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
     def run(lake: Lakehouse):
-        from ..lakehouse import CommitConflictError, merge_branch
+        from ..lakehouse import CommitConflictError, merge_branch, rebase_branch
 
         t = lake.create_table("lab.branch_q", schema="n_nationkey bigint, n_name string")
         t.append(nation.filter(F.col("n_nationkey") < 5))
@@ -573,6 +579,29 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         except CommitConflictError:
             detail = "CommitConflictError"
         rows.append(("conflict_rejected", c.read().count(), c.read(ref="dev").count(), detail))
+
+        # recovery: rebase drops the conflicting commit (reported), the
+        # branch view refreshes to current main, the change is re-applied
+        # on the rebased branch, and the merge goes through
+        reb = rebase_branch(c, "dev", drop_conflicting=True)
+        rows.append(
+            (
+                "rebased",
+                c.read().count(),
+                c.read(ref="dev").count(),
+                f"kept={reb['kept_commits']} dropped={len(reb['dropped_commits'])}",
+            )
+        )
+        c.overwrite(nation.filter(F.col("n_nationkey") < 2), ref="dev")  # re-apply
+        res3 = merge_branch(c, "dev")
+        rows.append(
+            (
+                "recovered",
+                c.read().count(),
+                c.read(ref="dev").count(),
+                f"merge after rebase; merged_commits={res3['merged_commits']}",
+            )
+        )
 
         return (
             sorted(rows),
@@ -675,7 +704,9 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM (VALUES
             ('staged',    CAST(5  AS BIGINT), CAST(1 AS BIGINT), 'undecided: both invisible'),
             ('committed', CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'one marker flip: both visible'),
-            ('conflict',  CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'CommitConflictError: nothing published')
+            ('conflict',  CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'CommitConflictError: nothing published'),
+            ('mixed_commit', CAST(15 AS BIGINT), CAST(1 AS BIGINT), 'append + delete_where, one flip'),
+            ('mixed_abort',  CAST(15 AS BIGINT), CAST(1 AS BIGINT), 'CommitConflictError: nothing published')
         ) AS t(step, orders_rows, agg_rows, detail)
         ORDER BY step
     """,
@@ -685,7 +716,10 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders table AND its downstream aggregate; both invisible until "
     "ONE O_EXCL marker flip publishes them together; a conflicting "
     "concurrent commit on either table aborts the whole transaction "
-    "with nothing published on any member.",
+    "with nothing published on any member. Transactions also span "
+    "row-level ops: an append on one table + a copy-on-write "
+    "delete_where on another publish atomically, and a concurrent "
+    "commit invalidating the staged rewrite aborts both.",
 )
 def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -724,6 +758,34 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         except CommitConflictError:
             detail = "CommitConflictError: nothing published"
         rows.append(("conflict", orders_t.read().count(), agg_t.read().count(), detail))
+
+        # generalized shapes: append on orders + row-level delete_where
+        # on the aggregate, one atomic flip
+        txn3 = lake.transaction()
+        txn3.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(10, 14)))
+        txn3.delete_where("lab.txn_agg", "n_cnt = 5")
+        txn3.commit()
+        rows.append(
+            (
+                "mixed_commit",
+                orders_t.read().count(),
+                agg_t.read().count(),
+                "append + delete_where, one flip",
+            )
+        )
+
+        # and the abort flavor: a direct overwrite replaces the file the
+        # staged delete rewrites -> whole txn aborts, orders untouched
+        txn4 = lake.transaction()
+        txn4.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(15, 19)))
+        txn4.delete_where("lab.txn_agg", "n_cnt = 10")
+        agg_t.overwrite(spark.range(1).select(F.lit(99).cast("long").alias("n_cnt")))
+        try:
+            txn4.commit()
+            detail4 = "TXN UNEXPECTEDLY COMMITTED"
+        except CommitConflictError:
+            detail4 = "CommitConflictError: nothing published"
+        rows.append(("mixed_abort", orders_t.read().count(), agg_t.read().count(), detail4))
 
         return (
             sorted(rows),

@@ -21,6 +21,7 @@ from local_datalakehouse_phase2_spark.lakehouse import (
     Lakehouse,
     expire_snapshots,
     merge_branch,
+    rebase_branch,
     remove_orphan_files,
 )
 
@@ -422,3 +423,108 @@ def test_concurrent_branch_commits_both_recorded(spark, lake):
     assert t.read(ref="dev").count() == 5
     merge_branch(t, "dev")
     assert t.read().count() == 5
+
+
+# ---- rebase_branch -----------------------------------------------------
+
+
+def test_rebase_refreshes_branch_view_of_main(spark, lake):
+    """The everyday rebase: main advanced with unrelated appends; the
+    branch folds main only to its fork base, so its reads are stale
+    until a rebase moves the base forward. Commits are preserved."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb1", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.append(_df(spark, (2, "branch")), ref="dev")
+    t.append(_df(spark, (9, "main")))  # unrelated main progress
+
+    # stale view: branch does not see main's new row
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "branch")}
+
+    res = rebase_branch(t, "dev")
+    assert res["kept_commits"] == 1 and res["dropped_commits"] == []
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "branch"), (9, "main")}
+    # main untouched; merge afterwards publishes the branch commit once
+    assert _rows(t.read()) == {(1, "a"), (9, "main")}
+    merge_branch(t, "dev")
+    assert _rows(t.read()) == {(1, "a"), (2, "branch"), (9, "main")}
+
+
+def test_rebase_conflict_names_the_commit(spark, lake):
+    """A branch overwrite whose removals were replaced on main conflicts;
+    the error names the branch commit so the user knows what to re-apply."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb2", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.overwrite(_df(spark, (1, "A")), ref="dev")
+    _base, _head, chain = t.log.branch_info("dev")
+    t.overwrite(_df(spark, (1, "x")))  # main replaces the same file first
+
+    with pytest.raises(CommitConflictError, match=f"branch commit {chain[0]}"):
+        rebase_branch(t, "dev")
+    # refused rebase leaves the ref untouched
+    assert _rows(t.read(ref="dev")) == {(1, "A")}
+
+
+def test_rebase_drop_conflicting_then_merge(spark, lake):
+    """conflict -> rebase(drop_conflicting) -> re-apply -> merge green:
+    the full recovery flow merge_branch's error message points at."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb3", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.append(_df(spark, (2, "keepme")), ref="dev")  # clean commit
+    t.delete_where("k = 1", mode="copy-on-write", ref="dev")  # conflicts below
+    t.overwrite(_df(spark, (1, "x"), (3, "y")))  # main replaced file for k=1
+
+    with pytest.raises(CommitConflictError):
+        merge_branch(t, "dev")
+
+    res = rebase_branch(t, "dev", drop_conflicting=True)
+    assert res["kept_commits"] == 1 and len(res["dropped_commits"]) == 1
+    # branch now sees new main + kept commit; the dropped delete's
+    # effect is gone and must be re-applied
+    assert _rows(t.read(ref="dev")) == {(1, "x"), (2, "keepme"), (3, "y")}
+    t.delete_where("k = 1", mode="copy-on-write", ref="dev")  # re-apply
+    res2 = merge_branch(t, "dev")
+    assert res2["merged_commits"] == 2
+    assert _rows(t.read()) == {(2, "keepme"), (3, "y")}
+
+
+def test_rebase_onto_pins_a_snapshot(spark, lake):
+    """onto= rebases to a chosen main snapshot, not just the head."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb4", schema="k bigint, v string")
+    e0 = t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.append(_df(spark, (2, "b")), ref="dev")
+    mid = t.append(_df(spark, (5, "mid")))
+    t.append(_df(spark, (9, "newest")))
+
+    rebase_branch(t, "dev", onto=mid.version)
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "b"), (5, "mid")}
+    # a tag is not a branch; rebase must refuse
+    t.create_tag("v0", at=e0.version)
+    with pytest.raises(ValueError, match="tag"):
+        rebase_branch(t, "v0")
+
+
+def test_rebase_sql_call(spark, lake):
+    """CALL rebase_branch through the SQL router."""
+    from local_datalakehouse_phase2_spark.lakehouse import LakehouseSQL
+
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb5", schema="k bigint, v string")
+    t.append(_df(spark, (1, "a")))
+    t.create_branch("dev")
+    t.append(_df(spark, (2, "b")), ref="dev")
+    t.append(_df(spark, (9, "main")))
+
+    sql = LakehouseSQL(lake)
+    row = sql.sql(
+        "CALL lakehouse.system.rebase_branch(table => 'lab.rb5', branch => 'dev')"
+    ).collect()[0]
+    assert row.kept_commits == 1 and row.dropped_commits == 0
+    assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "b"), (9, "main")}
