@@ -1762,7 +1762,11 @@ class LakehouseTable:
         return sorted(r.src_file for r in rows)
 
     def delete_where(
-        self, condition, mode: str | None = None, ref: str | None = None
+        self,
+        condition,
+        mode: str | None = None,
+        ref: str | None = None,
+        extra: dict | None = None,
     ) -> LogEntry:
         """Row-level DELETE ... WHERE, in either Iceberg v2 delete mode
         (guide :107 format-version 2, :336-340 content classes). `mode`
@@ -1822,6 +1826,7 @@ class LakehouseTable:
             input_bytes=self._logged_bytes(affected, ref=ref),
             deletes_fingerprint=fingerprint,
             branch=ref,
+            extra=extra,
         )
 
     def _deletes_fingerprint(self, ref: str | None = None) -> tuple[str, ...]:
@@ -1990,6 +1995,7 @@ class LakehouseTable:
         condition,
         mode: str | None = None,
         ref: str | None = None,
+        extra: dict | None = None,
     ) -> LogEntry:
         """Row-level UPDATE ... SET ... WHERE, in either Iceberg v2 mode
         (`mode` defaults to the `write.update.mode` property,
@@ -2056,6 +2062,7 @@ class LakehouseTable:
             input_bytes=self._logged_bytes(affected, ref=ref),
             deletes_fingerprint=fingerprint,
             branch=ref,
+            extra=extra,
         )
 
     def _mor_update(self, assignments: dict, cond, schema: T.StructType) -> LogEntry:
@@ -2431,6 +2438,7 @@ class LakehouseTable:
         deletes_fingerprint: tuple[str, ...] | None = None,
         extra_validation=None,
         branch: str | None = None,
+        validation_state=None,
     ) -> LogEntry:
         files = self._write_files(df, input_bytes=input_bytes)
 
@@ -2443,12 +2451,19 @@ class LakehouseTable:
             # optimistic retry, so this check always sees the state the
             # commit will actually apply to. A branch commit validates
             # against the BRANCH lineage state — the files it plans
-            # against live there, not on main.
-            live = (
-                self.log.state_at_branch(branch)
-                if branch is not None
-                else self.log.state_at()
-            )
+            # against live there, not on main. `validation_state`
+            # overrides the state source entirely: a multi-table
+            # transaction staging its SECOND write on a table must
+            # validate against main + its own earlier staged entries
+            # (invisible to every ordinary fold until the marker flips).
+            if validation_state is not None:
+                live = validation_state()
+            else:
+                live = (
+                    self.log.state_at_branch(branch)
+                    if branch is not None
+                    else self.log.state_at()
+                )
             if removed:
                 gone = [p for p in removed if p not in live]
                 if gone:

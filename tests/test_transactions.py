@@ -123,7 +123,7 @@ def test_abort_hides_everything_and_gc_reclaims(spark, lake):
     a.append(_df(spark, (1, "a")))
     txn = lake.transaction()
     txn.append("lab.ab", _df(spark, (2, "dead")))
-    staged_version = txn._staged[0][1].version
+    staged_version = txn._staged[0].entry.version
     txn.abort()
     assert _rows(a) == {(1, "a")}
 
@@ -213,13 +213,119 @@ def test_txn_schema_evolution_rejected(spark, lake):
         )
 
 
-def test_one_write_per_table_per_txn(spark, lake):
-    a = lake.create_table("lab.one", schema="k bigint, v string")
+def test_multiple_writes_per_table(spark, lake):
+    """Several staged writes on one table apply in staging order when
+    the marker flips: two appends both land; an overwrite staged after
+    an append supersedes it (the append's rows never surface)."""
+    a = lake.create_table("lab.multi", schema="k bigint, v string")
     a.append(_df(spark, (1, "a")))
     txn = lake.transaction()
-    txn.append("lab.one", _df(spark, (2, "b")))
-    with pytest.raises(TransactionError, match="one write per table"):
-        txn.append("lab.one", _df(spark, (3, "c")))
+    txn.append("lab.multi", _df(spark, (2, "b")))
+    txn.append("lab.multi", _df(spark, (3, "c")))
+    txn.commit()
+    assert _rows(a) == {(1, "a"), (2, "b"), (3, "c")}
+
+    b = lake.create_table("lab.multi2", schema="k bigint, v string")
+    b.append(_df(spark, (1, "a")))
+    txn2 = lake.transaction()
+    txn2.append("lab.multi2", _df(spark, (2, "dead")))
+    txn2.overwrite("lab.multi2", _df(spark, (9, "final")))
+    txn2.append("lab.multi2", _df(spark, (10, "tail")))
+    assert _rows(b) == {(1, "a")}  # all invisible while undecided
+    txn2.commit()
+    assert _rows(b) == {(9, "final"), (10, "tail")}
+
+
+def test_txn_delete_where_atomic_with_append(spark, lake):
+    """The brief's scenario: append on A + delete_where on B commit
+    together, or abort together when B conflicts."""
+    a = lake.create_table("lab.rla", schema="k bigint, v string")
+    b = lake.create_table("lab.rlb", schema="k bigint, v string")
+    a.append(_df(spark, (1, "a")))
+    b.append(_df(spark, (1, "x"), (2, "y"), (3, "z")))
+
+    txn = lake.transaction()
+    txn.append("lab.rla", _df(spark, (2, "new")))
+    txn.delete_where("lab.rlb", "k = 2")
+    # undecided: neither table moved
+    assert _rows(a) == {(1, "a")}
+    assert _rows(b) == {(1, "x"), (2, "y"), (3, "z")}
+    txn.commit()
+    assert _rows(a) == {(1, "a"), (2, "new")}
+    assert _rows(b) == {(1, "x"), (3, "z")}
+
+    # conflict flavor: a concurrent commit replaces B's files between
+    # stage and decide -> the WHOLE txn aborts, including A's append
+    a2 = lake.create_table("lab.rla2", schema="k bigint, v string")
+    b2 = lake.create_table("lab.rlb2", schema="k bigint, v string")
+    a2.append(_df(spark, (1, "a")))
+    b2.append(_df(spark, (1, "x"), (2, "y")))
+    txn2 = lake.transaction()
+    txn2.append("lab.rla2", _df(spark, (2, "new")))
+    txn2.delete_where("lab.rlb2", "k = 2")
+    b2.overwrite(_df(spark, (7, "winner")))  # replaces the planned file
+    with pytest.raises(CommitConflictError, match="whole transaction aborts"):
+        txn2.commit()
+    assert _rows(a2) == {(1, "a")}
+    assert _rows(b2) == {(7, "winner")}
+
+
+def test_txn_update_where(spark, lake):
+    a = lake.create_table("lab.upd", schema="k bigint, v string")
+    a.append(_df(spark, (1, "x"), (2, "y")))
+    txn = lake.transaction()
+    txn.update_where("lab.upd", {"v": "upper(v)"}, "k = 2")
+    assert _rows(a) == {(1, "x"), (2, "y")}
+    txn.commit()
+    assert _rows(a) == {(1, "x"), (2, "Y")}
+
+
+def test_txn_rowlevel_rules(spark, lake):
+    """Row-level ops must be the first staged write on their table and
+    are copy-on-write only; a no-match condition stages nothing."""
+    a = lake.create_table("lab.rules", schema="k bigint, v string")
+    a.append(_df(spark, (1, "a")))
+    txn = lake.transaction()
+    txn.append("lab.rules", _df(spark, (2, "b")))
+    with pytest.raises(TransactionError, match="first staged write"):
+        txn.delete_where("lab.rules", "k = 1")
+    with pytest.raises(TransactionError, match="merge-on-read"):
+        txn.delete_where("lab.rules2", "k = 1", mode="merge-on-read")
+
+    b = lake.create_table("lab.nomatch", schema="k bigint, v string")
+    b.append(_df(spark, (1, "a")))
+    txn2 = lake.transaction()
+    txn2.delete_where("lab.nomatch", "k = 99")  # matches nothing
+    assert txn2._staged == []
+    # delete then append on the SAME table is the legal ordering
+    txn2.delete_where("lab.nomatch", "k = 1")
+    txn2.append("lab.nomatch", _df(spark, (5, "after")))
+    txn2.commit()
+    assert _rows(b) == {(5, "after")}
+
+
+def test_txn_rowlevel_fingerprint_conflict(spark, lake):
+    """A merge-on-read DELETE landing on the table between the staged
+    copy-on-write rewrite and the marker flip must abort the txn: the
+    staged rewrite was planned without those tombstones and would
+    resurrect the rows."""
+    a = lake.create_table("lab.fp", schema="k bigint, v string")
+    a.append(_df(spark, (1, "x"), (2, "y")))
+    b = lake.create_table("lab.fp_other", schema="k bigint, v string")
+    b.append(_df(spark, (1, "a")))
+
+    txn = lake.transaction()
+    txn.update_where("lab.fp", {"v": "'upd'"}, "k = 1")
+    txn.append("lab.fp_other", _df(spark, (2, "b")))
+    # concurrent MOR delete adds a tombstone for a row in the SAME file
+    # the staged rewrite replaces -- wait, that file is removed by the
+    # rewrite, so the tombstone targets a removed file: the rewrite's
+    # removed-check may pass but the delete-set changed
+    a.delete_where("k = 2", mode="merge-on-read")
+    with pytest.raises(CommitConflictError):
+        txn.commit()
+    assert _rows(a) == {(1, "x")}  # MOR delete applied; txn did not
+    assert _rows(b) == {(1, "a")}
 
 
 def test_pending_txn_snapshot_not_addressable(spark, lake):
@@ -227,7 +333,7 @@ def test_pending_txn_snapshot_not_addressable(spark, lake):
     a.append(_df(spark, (1, "a")))
     txn = lake.transaction()
     txn.append("lab.addr", _df(spark, (2, "p")))
-    v = txn._staged[0][1].version
+    v = txn._staged[0].entry.version
     with pytest.raises(ValueError, match="pending"):
         a.read(version=v)
     with pytest.raises(ValueError, match="pending"):
