@@ -108,7 +108,32 @@ class FileIO(abc.ABC):
     def create_exclusive(self, path: str, data: str) -> bool:
         """Write `data` to `path` iff it does not exist. Returns False
         (without writing) when it already does — the commit-race
-        arbiter; see module docstring for scheme-level atomicity."""
+        arbiter; see module docstring for scheme-level atomicity.
+
+        CONTRACT (every consumer depends on all three):
+        1. At most one of N concurrent calls for the same `path` may
+           return True; the rest return False without writing.
+        2. A True return means `data` is durably and completely at
+           `path` (readers may still observe a torn partial DURING the
+           write on stores without atomic create — the reader side
+           retries torn JSON, see TransactionLog.read_entry — but
+           never after True is returned).
+        3. False must mean "path already existed", never a swallowed
+           IO error (a commit loop retries False forever).
+
+        Three lakehouse primitives route every race through this one
+        method: log-entry commits (log.py append), per-ref advisory
+        locks (log.py _with_ref_lock), and multi-table transaction
+        markers (transaction.py). On POSIX (link(2)) and HDFS
+        (create no-overwrite) the store provides property 1 natively.
+        On raw S3, create-no-overwrite is check-then-put: two racers
+        can BOTH pass the check and both return True — silently
+        losing one commit. Production object-store deployments must
+        wrap the store in `ArbitratedFileIO` with a mutex backed by a
+        real CAS service (DynamoDB conditional put, ZooKeeper,
+        a catalog's commit endpoint — exactly Iceberg's
+        pair-S3-with-a-catalog guidance, which the reference satisfies
+        via Nessie, /root/reference/docker-compose.yml:6)."""
 
     @abc.abstractmethod
     def link_or_copy(self, src: str, dst: str) -> None:
@@ -341,6 +366,101 @@ class LocalFileIO(FileIO):
     def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
         md = pq.ParquetFile(path).metadata
         return md.num_rows, stats_from_footer(md)
+
+
+class ArbitratedFileIO(FileIO):
+    """Route `create_exclusive` through an external mutual-exclusion
+    arbiter; delegate everything else to the wrapped FileIO.
+
+    The seam for stores whose create-no-overwrite is check-then-put
+    (raw S3): under a per-path mutex, check-then-put IS compare-and-
+    swap, so the create_exclusive contract's at-most-one-winner
+    property is restored without changing a single consumer — commits,
+    ref locks, and transaction markers all arbitrate through the one
+    method (see the contract on FileIO.create_exclusive).
+
+    `mutex(path)` returns a context manager holding exclusive access
+    for that path across ALL cooperating writers. Production backends:
+    a DynamoDB conditional-put lock (what Iceberg's S3 lock manager
+    did), ZooKeeper/etcd, or a catalog service's commit endpoint (the
+    Nessie role in the reference stack). The default is a process-local
+    lock registry — correct for many threads in one process, a
+    documented NON-solution for separate processes (matching the
+    single-node scope in SURVEY.md §4); tests inject doubles through
+    the same parameter to prove the race and its fix."""
+
+    def __init__(self, inner: FileIO, mutex=None):
+        self._inner = inner
+        if mutex is None:
+            import collections
+            import threading
+
+            locks: dict[str, threading.Lock] = collections.defaultdict(
+                threading.Lock
+            )
+            registry_guard = threading.Lock()
+
+            def mutex(path: str):
+                with registry_guard:
+                    return locks[path]
+
+        self._mutex = mutex
+
+    def create_exclusive(self, path: str, data: str) -> bool:
+        with self._mutex(path):
+            return self._inner.create_exclusive(path, data)
+
+    # ---- pure delegation --------------------------------------------
+    def makedirs(self, path: str) -> None:
+        self._inner.makedirs(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return self._inner.listdir(path)
+
+    def walk_files(self, path: str) -> Iterator[str]:
+        return self._inner.walk_files(path)
+
+    def remove_empty_dirs(self, path: str) -> None:
+        self._inner.remove_empty_dirs(path)
+
+    def rmtree(self, path: str) -> None:
+        self._inner.rmtree(path)
+
+    def exists(self, path: str) -> bool:
+        return self._inner.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return self._inner.is_dir(path)
+
+    def size(self, path: str) -> int:
+        return self._inner.size(path)
+
+    def mtime(self, path: str) -> float:
+        return self._inner.mtime(path)
+
+    def remove(self, path: str) -> None:
+        self._inner.remove(path)
+
+    def read_text(self, path: str) -> str:
+        return self._inner.read_text(path)
+
+    def write_text_atomic(self, path: str, data: str) -> None:
+        self._inner.write_text_atomic(path, data)
+
+    def link_or_copy(self, src: str, dst: str) -> None:
+        self._inner.link_or_copy(src, dst)
+
+    def parquet_column_names(self, path: str) -> list[str]:
+        return self._inner.parquet_column_names(path)
+
+    def parquet_arrow_schema(self, path: str):
+        return self._inner.parquet_arrow_schema(path)
+
+    def parquet_row_count(self, path: str) -> int:
+        return self._inner.parquet_row_count(path)
+
+    def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
+        return self._inner.parquet_file_stats(path)
 
 
 class HadoopFileIO(FileIO):
