@@ -34,8 +34,32 @@ class RacyFileIO(LocalFileIO):
     (optionally synchronized by a Barrier so two threads deterministically
     both pass the check), then a plain overwriting PUT."""
 
-    def __init__(self, barrier: threading.Barrier | None = None):
+    def __init__(
+        self,
+        barrier: threading.Barrier | None = None,
+        stall_put_containing: str | None = None,
+        stall_s: float = 0.15,
+    ):
         self.barrier = barrier
+        # Make the racy last-writer-wins outcome DETERMINISTIC: the PUT
+        # whose payload contains this substring sleeps after the check,
+        # so it always lands last. Without it the winner is a coin flip
+        # and an assert on a specific lost decision is flaky.
+        self.stall_put_containing = stall_put_containing
+        self.stall_s = stall_s
+
+    def arm(self) -> threading.Barrier:
+        """Install a FRESH 2-party barrier just before a race.
+
+        Seeding fixtures through this io with a barrier already armed
+        would make the single-threaded seed write time out the wait —
+        and a timed-out Barrier is broken permanently, silently turning
+        the later "deterministic" race into an unsynchronized one (the
+        round-9 suite-red root cause). Arm after seeding, race, and
+        assert the barrier never broke mid-demonstration.
+        """
+        self.barrier = threading.Barrier(2)
+        return self.barrier
 
     def create_exclusive(self, path: str, data: str) -> bool:
         if os.path.exists(path):  # the CHECK
@@ -45,8 +69,16 @@ class RacyFileIO(LocalFileIO):
                 self.barrier.wait(timeout=0.5)
             except threading.BrokenBarrierError:
                 pass
-        with open(path, "w") as f:  # the PUT (overwrites silently)
+        if self.stall_put_containing and self.stall_put_containing in data:
+            time.sleep(self.stall_s)
+        # The PUT: atomic whole-object replace, last writer wins — S3
+        # semantics. (A plain truncating open() would let two racing
+        # different-length payloads interleave into invalid JSON, which
+        # is NOT how an object store loses an update.)
+        tmp = f"{path}.{threading.get_ident()}.put"
+        with open(tmp, "w") as f:
             f.write(data)
+        os.replace(tmp, path)
         return True
 
 
@@ -86,21 +118,23 @@ def _entry_maker(tag):
 def test_commit_race_naive_loses_then_arbiter_fixes(tmp_path):
     # NAIVE: both writers pass the check for version 1, both PUT the
     # same entry path, both return — one commit silently vanishes.
-    barrier = threading.Barrier(2)
-    log = _mk_log(tmp_path, RacyFileIO(barrier), "naive")
-    log.append(_entry_maker("seed"))
+    io = RacyFileIO()
+    log = _mk_log(tmp_path, io, "naive")
+    log.append(_entry_maker("seed"))  # seeded un-armed: must not break the barrier
+    barrier = io.arm()
     a, b = _race(
         lambda: log.append(_entry_maker("a")), lambda: log.append(_entry_maker("b"))
     )
+    assert not barrier.broken  # the demonstration actually synchronized
     assert not isinstance(a, Exception) and not isinstance(b, Exception)
     assert len(log.versions()) == 2  # 3 commits made, 2 entries exist: LOST
 
     # ARBITRATED: same racy store under the mutex seam — check-then-put
     # becomes CAS, the loser retries at the next version, nothing lost.
-    log2 = _mk_log(
-        tmp_path, ArbitratedFileIO(RacyFileIO(threading.Barrier(2))), "locked"
-    )
+    io2 = RacyFileIO()
+    log2 = _mk_log(tmp_path, ArbitratedFileIO(io2), "locked")
     log2.append(_entry_maker("seed"))
+    io2.arm()  # under the mutex the waits time out (serialized) — by design
     a, b = _race(
         lambda: log2.append(_entry_maker("a")), lambda: log2.append(_entry_maker("b"))
     )
@@ -116,10 +150,11 @@ def test_ref_lock_race_naive_overlaps_then_arbiter_excludes(tmp_path):
     read-modify-write of the ref file then loses an update); under the
     arbiter the critical sections never overlap."""
 
-    def run_pair(io, name):
+    def run_pair(io, name, racy):
         log = _mk_log(tmp_path, io, name)
         log.append(_entry_maker("seed"))
         log.create_ref("dev", 0, kind="branch")
+        racy.arm()  # fresh barrier AFTER seeding (a timed-out one is broken)
         inside = []
         overlap = []
 
@@ -137,10 +172,11 @@ def test_ref_lock_race_naive_overlaps_then_arbiter_excludes(tmp_path):
         _race(critical("a"), critical("b"))
         return overlap
 
-    assert run_pair(RacyFileIO(threading.Barrier(2)), "reflock_naive")
-    assert not run_pair(
-        ArbitratedFileIO(RacyFileIO(threading.Barrier(2))), "reflock_locked"
-    )
+    racy_naive = RacyFileIO()
+    assert run_pair(racy_naive, "reflock_naive", racy_naive)
+    assert not racy_naive.barrier.broken
+    racy_locked = RacyFileIO()
+    assert not run_pair(ArbitratedFileIO(racy_locked), "reflock_locked", racy_locked)
 
 
 def test_txn_marker_race_naive_contradicts_then_arbiter_decides(tmp_path, spark):
@@ -151,7 +187,7 @@ def test_txn_marker_race_naive_contradicts_then_arbiter_decides(tmp_path, spark)
     exactly one decision exists and the loser observes the winner's."""
     from local_datalakehouse_phase2_spark.lakehouse import Lakehouse, TransactionError
 
-    def run_pair(io, name):
+    def run_pair(io, name, racy):
         lake = Lakehouse(spark, str(tmp_path / name), io=io)
         lake.create_namespace("lab")
         t = lake.create_table("lab.t", schema="k bigint, v string")
@@ -162,6 +198,12 @@ def test_txn_marker_race_naive_contradicts_then_arbiter_decides(tmp_path, spark)
         janitor = lake.transaction(txn_id=txn.txn_id)
         janitor._staged = list(txn._staged)  # the sweep knows the members
 
+        # Arm only now: every fixture write above went through the same
+        # io, and a single-threaded create_exclusive waiting out an
+        # armed 2-party barrier breaks it permanently (r9 suite-red).
+        # The race itself is exactly two create_exclusive calls — the
+        # commit marker vs the abort marker — so the barrier pairs them.
+        racy.arm()
         res_commit, res_abort = _race(txn.commit, janitor.abort)
         final = t.log.txn_status(txn.txn_id)
         committed_reported = (
@@ -176,9 +218,12 @@ def test_txn_marker_race_naive_contradicts_then_arbiter_decides(tmp_path, spark)
     # committed while abort() believed it won). Either direction is a
     # lost decision; with the barrier both PUT, last writer wins, and
     # at least one caller's belief contradicts the marker.
-    committed_reported, final, rows, res = run_pair(
-        RacyFileIO(threading.Barrier(2)), "naive"
-    )
+    # Stall the abort marker's PUT so it deterministically lands last:
+    # commit() has already returned success when the janitor's payload
+    # overwrites the marker — the canonical lost decision.
+    racy = RacyFileIO(stall_put_containing='"status": "aborted"')
+    committed_reported, final, rows, res = run_pair(racy, "naive", racy)
+    assert not racy.barrier.broken  # the check-to-put overlap really happened
     believed = {"committed"} if committed_reported else set()
     if isinstance(res, TransactionError):
         believed = set()  # commit observed the abort: no contradiction path
@@ -188,8 +233,9 @@ def test_txn_marker_race_naive_contradicts_then_arbiter_decides(tmp_path, spark)
     assert contradiction, (committed_reported, final, rows)
 
     # ARBITRATED: one winner; every observer agrees with the marker.
+    racy2 = RacyFileIO()
     committed_reported, final, rows, res = run_pair(
-        ArbitratedFileIO(RacyFileIO(threading.Barrier(2))), "locked"
+        ArbitratedFileIO(racy2), "locked", racy2
     )
     if final == "committed":
         assert committed_reported and (2, "b") in rows
