@@ -274,7 +274,17 @@ def hourly_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
             (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS users_clicked_after,
             (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS users_purchased_after,
             ROUND((SELECT COUNT(*) FROM s3) * 1.0
-                  / (SELECT COUNT(*) FROM s1), 6) AS view_to_purchase_rate
+                  / (SELECT COUNT(*) FROM s1), 6) AS view_to_purchase_rate,
+            -- Stage-time sums make the oracle ORDER-DISCRIMINATING: on
+            -- the synthetic events table every user reaches every
+            -- stage (all the counts above are |users| under ANY gate
+            -- semantics — the r7 vacuous-funnel episode), but each
+            -- user's first-click-after-first-view time shifts when a
+            -- gate is dropped or weakened, so these sums catch it.
+            (SELECT CAST(SUM(epoch_us(t2) // 1000000) AS BIGINT) FROM s2)
+                AS sum_t2_s,
+            (SELECT CAST(SUM(epoch_us(t3) // 1000000) AS BIGINT) FROM s3)
+                AS sum_t3_s
     """,
     tags=("events", "funnel", "analytics"),
     doc="Ordered funnel conversion (view -> click -> purchase, each "
@@ -329,6 +339,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("t1") > 0,
                 F.round(F.count("t3") * F.lit(1.0) / F.count("t1"), 6),
             ).alias("view_to_purchase_rate"),
+            # epoch-second stage-time sums: the order-discriminating
+            # outputs (see oracle comment). unix_timestamp over the NTZ
+            # column resolves via the session timezone, pinned UTC in
+            # session.py, so it equals DuckDB's naive epoch_us // 1e6.
+            F.sum(F.unix_timestamp(F.col("t2"))).alias("sum_t2_s"),
+            F.sum(F.unix_timestamp(F.col("t3"))).alias("sum_t3_s"),
         )
     )
 

@@ -1,0 +1,170 @@
+"""Oracle mutation audit: prove the DuckDB differential check is
+NON-VACUOUS for the most complex oracles (VERDICT r9 task #3).
+
+The r7 funnel episode showed a green oracle can be vacuous — on the
+synthetic events table every user reaches every funnel stage, so the
+stage COUNTS match under any ordering semantics. Each case here seeds
+one deliberate semantic mutation and asserts the comparison goes RED:
+
+- SQL-side cases mutate the registered oracle (drop a gate, change a
+  frame kind, widen a session gap...) and run the REAL Spark query
+  against it. A failure proves the sf0.01 data actually exercises that
+  semantic dimension and the compare discriminates it.
+- Spark-side cases monkeypatch one product seam (sequence-number
+  gating, position-delete pruning, changelog update pairing) and run
+  the MUTATED product against the real oracle — the direction that
+  matters for literal-VALUES lifecycle oracles, where the oracle IS
+  the pinned expected output and only the engine can drift.
+
+Each case first asserts the unmutated pair still matches, so a red
+result is attributable to the mutation and not to environment drift.
+
+Known, deliberate blind spot: strict-vs-inclusive gate boundaries
+(`>` vs `>=`) are invisible at sf0.01 because no two stage events
+share a timestamp; tests/test_funnel_ordering.py discriminates those
+on a crafted fixture.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_datalakehouse_phase2_spark.lakehouse import table as table_mod
+from local_datalakehouse_phase2_spark.registry import all_specs
+
+from .conftest import SF_ORACLE
+from .oracle import compare, duckdb_connection
+
+SPECS = all_specs()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_connection(SF_ORACLE)
+    yield c
+    c.close()
+
+
+# (query, substring to replace in the oracle SQL, replacement, what the
+#  mutation breaks). Every `old` must appear in the oracle verbatim.
+SQL_MUTATIONS = [
+    (
+        "funnel_conversion",
+        "AND e.ts > s1.t1",
+        "",
+        "view->click ordering gate dropped (clicks before first view count)",
+    ),
+    (
+        "funnel_conversion",
+        "AND e.ts > s2.t2",
+        "",
+        "click->purchase ordering gate dropped",
+    ),
+    (
+        "sequence_packing",
+        "ORDER BY doc_id ROWS",
+        "ORDER BY doc_id DESC ROWS",
+        "prefix-sum pack order reversed (greedy packing is order-defined)",
+    ),
+    (
+        "asof_click_attribution",
+        "ORDER BY c.ts DESC, c.event_id DESC",
+        "ORDER BY c.ts ASC, c.event_id ASC",
+        "as-of picks EARLIEST prior click instead of latest",
+    ),
+    (
+        "session_window_activity",
+        "INTERVAL 30 MINUTE",
+        "INTERVAL 60 MINUTE",
+        "session gap doubled (fewer session splits)",
+    ),
+    (
+        "window_trailing_range",
+        "RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 30 PRECEDING AND CURRENT ROW",
+        "time-RANGE frame degraded to a row-count frame",
+    ),
+    (
+        "retention_cohorts",
+        "day_offset <= 3",
+        "day_offset <= 2",
+        "retention horizon off by one day",
+    ),
+    (
+        "streaming_dedup_events",
+        "SELECT DISTINCT event_id, event_type",
+        "SELECT event_id, event_type",
+        "exactly-once dedup dropped (duplicates double the counts)",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,old,new,why",
+    SQL_MUTATIONS,
+    ids=[f"{n}:{why[:35]}" for n, _, _, why in SQL_MUTATIONS],
+)
+def test_oracle_catches_sql_mutation(name, old, new, why, spark, con):
+    spec = SPECS[name]
+    assert old in spec.oracle, f"mutation anchor drifted out of {name}'s oracle"
+    df = spec.fn(spark, SF_ORACLE)
+    compare(df, con, spec.oracle)  # baseline: unmutated pair is green
+    with pytest.raises(AssertionError):
+        compare(df, con, spec.oracle.replace(old, new))
+
+
+def _run_vs_oracle(spark, con, name):
+    spec = SPECS[name]
+    compare(spec.fn(spark, SF_ORACLE), con, spec.oracle)
+
+
+def test_oracle_catches_broken_seq_gating(spark, con, monkeypatch):
+    """Destroy the sequence-number rule: every file reports seq 0, so
+    no equality delete ever applies (delete seq > data seq is never
+    true). The pinned lifecycle counts must go red."""
+    _run_vs_oracle(spark, con, "lakehouse_equality_delete")  # baseline green
+    monkeypatch.setattr(
+        table_mod.LakehouseTable, "_seq_of", staticmethod(lambda fi: 0)
+    )
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_equality_delete")
+
+
+def test_oracle_catches_dropped_pos_deletes(spark, con, monkeypatch):
+    """Break the read-side content classification: position-delete
+    files (content=1) vanish from the snapshot state, so MOR-deleted
+    rows resurface and the pinned lifecycle counts go red. (The first
+    draft of this test patched `_pos_delete_may_reference` — and was
+    NOT caught, because `_assemble_read` scopes position deletes by
+    its own file_path-bounds bisection; that helper only scopes the
+    changelog/compaction paths. The audit's job is exactly to find
+    such non-load-bearing patch points.)"""
+    _run_vs_oracle(spark, con, "lakehouse_mor_delete")  # baseline green
+    orig = table_mod.LakehouseTable._split_state
+
+    def drop_pos(state):
+        data, _pos, eq = orig(state)
+        return data, [], eq
+
+    monkeypatch.setattr(
+        table_mod.LakehouseTable, "_split_state", staticmethod(drop_pos)
+    )
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_mor_delete")
+
+
+def test_oracle_catches_unpaired_changelog_updates(spark, con, monkeypatch):
+    """Disable identifier-based update pairing: the UPDATE surfaces as
+    delete+insert instead of update_before/update_after, changing the
+    per-change-type counts the oracle pins."""
+    _run_vs_oracle(spark, con, "lakehouse_changelog")  # baseline green
+    orig = table_mod.LakehouseTable.read_changelog
+    monkeypatch.setattr(
+        table_mod.LakehouseTable,
+        "read_changelog",
+        lambda self, from_version, to_version=None, identifier_columns=None: orig(
+            self, from_version, to_version, None
+        ),
+    )
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_changelog")
