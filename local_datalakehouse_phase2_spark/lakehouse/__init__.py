@@ -2,7 +2,7 @@
 metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
 
 from .catalog import CatalogError, Lakehouse
-from .fs import ArbitratedFileIO, FileIO, HadoopFileIO, LocalFileIO
+from .fs import ArbitratedFileIO, FileIO, FlockMutex, HadoopFileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
@@ -27,6 +27,7 @@ from .table import LakehouseTable
 
 __all__ = [
     "ArbitratedFileIO",
+    "FlockMutex",
     "CatalogError",
     "FileIO",
     "HadoopFileIO",

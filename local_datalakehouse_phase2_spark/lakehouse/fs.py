@@ -30,11 +30,13 @@ scheme-aware via the same Hadoop connectors.
 from __future__ import annotations
 
 import abc
+import hashlib
 import os
 import re
 import shutil
 import uuid
 from collections.abc import Iterator
+from contextlib import contextmanager
 
 import pyarrow.parquet as pq
 
@@ -366,6 +368,54 @@ class LocalFileIO(FileIO):
     def parquet_file_stats(self, path: str) -> tuple[int, dict[str, list]]:
         md = pq.ParquetFile(path).metadata
         return md.num_rows, stats_from_footer(md)
+
+
+class FlockMutex:
+    """`flock(2)`-based cross-process arbiter for `ArbitratedFileIO`.
+
+    One lock file per arbitrated path, sha1-named under `lock_dir` so
+    lock files never appear in metadata listings (a `<entry>.lock`
+    sibling would leak into the log's version listing and the orphan
+    sweep). The kernel mediates `LOCK_EX` across every process on the
+    host that opens the same lock file, which upgrades the default
+    process-local arbiter to host-wide scope — the right tool when
+    "concurrent writers" means a Spark driver plus a maintenance cron
+    on one node, the common single-node lakehouse deployment this repo
+    targets (SURVEY.md §4). It is explicitly NOT a multi-host answer:
+    flock over NFS/FUSE-S3 is advisory-at-best, so a fleet of drivers
+    needs the DynamoDB/ZooKeeper/catalog-endpoint mutex (the Nessie
+    role in the reference stack, docker-compose.yml:6) behind this
+    same one-argument seam.
+
+    Lock files are never deleted (unlink-while-locked is the classic
+    flock ABA bug: a waiter blocked on the unlinked inode acquires a
+    lock nobody else can see). They are zero-byte, bounded by the
+    number of distinct arbitrated paths, and live under the table's
+    own metadata root, so the orphan sweep's protections apply.
+
+    Reentrancy: NOT reentrant (matching threading.Lock) — one
+    `create_exclusive` never nests another, which is the only call
+    site ArbitratedFileIO routes through the mutex.
+    """
+
+    def __init__(self, lock_dir: str):
+        self.lock_dir = lock_dir
+        os.makedirs(lock_dir, exist_ok=True)
+
+    @contextmanager
+    def __call__(self, path: str):
+        import fcntl
+
+        name = hashlib.sha1(path.encode("utf-8")).hexdigest() + ".lock"
+        fd = os.open(os.path.join(self.lock_dir, name), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
 
 
 class ArbitratedFileIO(FileIO):

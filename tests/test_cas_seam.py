@@ -75,7 +75,7 @@ class RacyFileIO(LocalFileIO):
         # semantics. (A plain truncating open() would let two racing
         # different-length payloads interleave into invalid JSON, which
         # is NOT how an object store loses an update.)
-        tmp = f"{path}.{threading.get_ident()}.put"
+        tmp = f"{path}.{os.getpid()}.{threading.get_ident()}.put"
         with open(tmp, "w") as f:
             f.write(data)
         os.replace(tmp, path)
