@@ -448,7 +448,22 @@ class TransactionLog:
 
     def state_at_branch(self, name: str) -> dict[str, FileInfo]:
         """Live file set on a branch: main state folded to the fork
-        base, then the branch's own commits replayed in version order."""
+        base, then the branch's own commits replayed in version order.
+
+        Chain files fold with a FUTURE data sequence number — the same
+        projection the write-audit-publish AUDIT read applies to stage
+        snapshots (table.py `read(version=)`), and for the same reason:
+        merge_branch re-stamps added files to the merge version (branch
+        rows enter the main lineage at merge), so an equality delete
+        sitting in the folded base must NOT gate chain rows in the
+        branch READ either, or the read and the eventual merge would
+        disagree. Without this, rebasing a branch across a main
+        equality-delete commit made the rebased read tombstone chain
+        rows that the merge then resurrected (caught by
+        tests/test_branches.py's rebase-across-eq-delete case). The
+        write-time name_epoch is pinned before seq is overridden —
+        rename/drop name mapping keys on the PHYSICAL write schema and
+        must never follow a visibility re-stamp (log.py:545 rule)."""
         base, _head, chain = self.branch_info(name)
         state = self.state_at(base)
         for v in chain:
@@ -456,7 +471,11 @@ class TransactionLog:
             for p in entry.removed_files:
                 state.pop(p, None)
             for fi in entry.added_files:
-                state[fi.path] = fi
+                state[fi.path] = _dc_replace(
+                    fi,
+                    seq=1 << 62,
+                    name_epoch=fi.name_epoch if fi.name_epoch is not None else fi.seq,
+                )
         return state
 
     def _with_ref_lock(self, name: str, fn):

@@ -1402,7 +1402,20 @@ def add_files(table: LakehouseTable, source_dir: str) -> dict:
     the same reason. This rejects hive-layout sources whose writers
     dropped the partition column from the files (the value lives only
     in the dir name there) — adopting one would silently null that
-    column; use INSERT INTO ... SELECT for those. Extra columns are
+    column; use INSERT INTO ... SELECT for those.
+
+    DELIBERATE divergence from Iceberg, nested fields included: a
+    table STRUCT field absent from the file is rejected, where
+    Iceberg's field-ID name mapping reads it as null for every row.
+    Iceberg can afford null-fill because field IDs distinguish "field
+    intentionally absent" from "field renamed or mis-written"; adopted
+    foreign parquet has no field IDs, so a missing struct field is
+    indistinguishable from a writer bug, and null-filling would be
+    silent data loss behind a commit that reported success. The same
+    rule therefore applies at every nesting depth: present-but-wider
+    is adopted (element-wise widening map above), absent is refused
+    loudly — re-export the data or evolve the table schema first.
+    Pinned by tests/test_add_files.py's missing-struct-field case. Extra columns are
     fine (reads project through the table schema). Adopted files carry
     no partition tuple, so on a partitioned table they are always
     scanned (pruning is advisory); the next compaction migrates them

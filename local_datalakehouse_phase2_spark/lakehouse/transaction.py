@@ -199,7 +199,18 @@ class Transaction:
         (copy-on-write: affected files rewrite without the matched
         rows). Must be the first staged write on the table — see module
         docstring. A condition matching no rows stages nothing (and the
-        table does not join the transaction)."""
+        table does not join the transaction).
+
+        Copy-on-write is FORCED here, overriding a table-level
+        `write.delete.mode = merge-on-read` property: a MOR tombstone
+        staged invisibly would need its sequence number to keep
+        ordering after the rows it deletes once the marker flips —
+        a visibility-deferred delete-file lineage this per-table log
+        deliberately does not model (module docstring, "Write shapes").
+        Passing `mode="merge-on-read"` explicitly is refused loudly
+        rather than silently downgraded, so a caller who NEEDS
+        tombstone economics (huge table, tiny delete) knows to run the
+        MOR delete outside the transaction instead."""
         self._check_open()
         self._check_cow(mode, "DELETE")
         t = self.lake.table(identifier)
@@ -219,8 +230,8 @@ class Transaction:
         mode: str | None = None,
     ) -> None:
         """Stage a row-level UPDATE ... SET ... WHERE on `identifier`
-        (copy-on-write). Same first-write and no-match rules as
-        delete_where."""
+        (copy-on-write). Same first-write, no-match, forced-COW, and
+        explicit-MOR-refusal rules as delete_where."""
         self._check_open()
         self._check_cow(mode, "UPDATE")
         t = self.lake.table(identifier)

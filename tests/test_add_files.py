@@ -312,11 +312,20 @@ def test_add_files_widens_nested_element_types(spark, lake, tmp_path):
     assert [r.k for r in got] == [0, 1, 2]
     assert got[2].arr == [2] and got[2].m == {"a": 2} and got[2].s.x == 2
 
-    # struct missing a table field: all-null silent data loss — reject
+    # Struct missing a table field: DELIBERATELY stricter than Iceberg
+    # (which null-fills via field-ID mapping — adopted foreign parquet
+    # has no field IDs, so absence is indistinguishable from a writer
+    # bug; see the add_files docstring). The rejection must name the
+    # offending column and both types so the operator can decide
+    # between re-export and schema evolution.
     t2 = lake.create_table("lab.widen2", schema="k bigint, s struct<x:bigint,y:double>")
     bad = str(tmp_path / "missingfield")
     spark.range(2).selectExpr(
         "id AS k", "named_struct('x', CAST(id AS INT)) AS s"
     ).write.parquet(bad)
-    with pytest.raises(MaintenanceError, match="incompatible column type"):
+    with pytest.raises(
+        MaintenanceError,
+        match=r"incompatible column type.*s: file has struct<x:int>, "
+        r"table needs struct<x:bigint,y:double>",
+    ):
         add_files(t2, bad)

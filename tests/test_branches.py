@@ -528,3 +528,50 @@ def test_rebase_sql_call(spark, lake):
     ).collect()[0]
     assert row.kept_commits == 1 and row.dropped_commits == 0
     assert _rows(t.read(ref="dev")) == {(1, "a"), (2, "b"), (9, "main")}
+
+
+def test_rebase_across_main_equality_delete_keeps_read_merge_agreement(spark, lake):
+    """VERDICT r9 stretch: move a branch's base ACROSS a main
+    equality-delete commit (content=2) and prove the rebased READ and
+    the eventual MERGE agree.
+
+    The model (same as the write-audit-publish audit read): branch
+    rows enter the main lineage AT MERGE — merge_branch re-stamps
+    added files to the merge version — so a tombstone in the folded
+    base must not gate chain rows in the branch read either. The fold
+    therefore projects chain files to a future seq (state_at_branch).
+    Before that projection, this exact scenario read {(1,keep),
+    (10,new)} on the rebased branch and then merged to {(1,keep),
+    (10,old),(10,new)} — the read tombstoned a chain row the merge
+    resurrected. Main's OWN rows (k=2 here, in a pre-delete file)
+    are still gated by the tombstone's original seq in both reads."""
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.rb_mor", schema="k bigint, v string")
+    t.append(_df(spark, (1, "keep"), (2, "purge")).coalesce(1))
+    t.create_branch("dev")
+    t.append(_df(spark, (10, "old")), ref="dev")  # staged BEFORE the tombstone
+
+    # main: equality delete of k in {2, 10} — content=2 commit between
+    # the branch's two appends
+    t.equality_delete(
+        spark.createDataFrame([(2,), (10,)], "k bigint"), ["k"]
+    )
+    t.append(_df(spark, (10, "new")), ref="dev")  # staged AFTER the tombstone
+
+    # pre-rebase: base predates the delete, nothing is gated
+    assert _rows(t.read(ref="dev")) == {
+        (1, "keep"), (2, "purge"), (10, "old"), (10, "new")
+    }
+
+    res = rebase_branch(t, "dev")
+    assert res["kept_commits"] == 2 and res["dropped_commits"] == []
+
+    # post-rebase: the tombstone (now in the folded base) gates MAIN's
+    # pre-delete file (k=2 gone) but never the branch's chain rows —
+    # they serialize at merge, after the delete
+    rebased_view = _rows(t.read(ref="dev"))
+    assert rebased_view == {(1, "keep"), (10, "old"), (10, "new")}
+
+    # the merge publishes EXACTLY what the rebased branch read showed
+    merge_branch(t, "dev")
+    assert _rows(t.read()) == rebased_view

@@ -291,6 +291,26 @@ def test_txn_rowlevel_rules(spark, lake):
         txn.delete_where("lab.rules", "k = 1")
     with pytest.raises(TransactionError, match="merge-on-read"):
         txn.delete_where("lab.rules2", "k = 1", mode="merge-on-read")
+    with pytest.raises(TransactionError, match="merge-on-read"):
+        txn.update_where("lab.rules2", {"v": "'z'"}, "k = 1", mode="merge-on-read")
+
+    # A table whose PROPERTIES elect merge-on-read still gets forced
+    # copy-on-write inside a transaction (documented in delete_where):
+    # the staged rewrite must add data files and remove the originals,
+    # never add content=1/2 tombstone files.
+    m = lake.create_table(
+        "lab.morprop",
+        schema="k bigint, v string",
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    m.append(_df(spark, (1, "a"), (2, "b")).coalesce(1))
+    txn_m = lake.transaction()
+    txn_m.delete_where("lab.morprop", "k = 1")
+    staged_entry = txn_m._staged[0].entry
+    assert all(fi.content == 0 for fi in staged_entry.added_files)
+    assert staged_entry.removed_files  # COW rewrote, not tombstoned
+    txn_m.commit()
+    assert _rows(m) == {(2, "b")}
 
     b = lake.create_table("lab.nomatch", schema="k bigint, v string")
     b.append(_df(spark, (1, "a")))
