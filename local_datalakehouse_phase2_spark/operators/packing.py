@@ -50,17 +50,47 @@ def prefix_sum(
     df: DataFrame, order_col: str, value_col: str, out_col: str, partitions: int = 32
 ) -> DataFrame:
     """Distributed exclusive prefix sum of `value_col` in `order_col`
-    order — without ever collapsing to one partition.
+    (numeric) order — without ever collapsing to one partition.
 
-    Phase 1: range-repartition by the order key (each partition holds a
-    contiguous key range). Phase 2: per-partition totals -> driver
-    (P rows, metadata-sized) -> cumulative offset per partition.
-    Phase 3: broadcast offsets, in-partition running sum (window
-    PARTITIONED by the partition id, so no global sort on one node).
+    Phase 1: split the key range into ~equal-count buckets at FIXED
+    bound values (one approxQuantile pass). Phase 2: per-bucket totals
+    -> driver (P rows, metadata-sized) -> cumulative offset per bucket.
+    Phase 3: broadcast offsets, in-bucket running sum (window
+    PARTITIONED by the bucket id, so no global sort on one node).
+
+    The bucket id MUST be a pure function of the row. An earlier
+    version derived it from `repartitionByRange` +
+    `spark_partition_id()`, letting phase 2 and phase 3 re-execute the
+    shuffle in separate jobs — and RangePartitioner's sampled bounds
+    are NOT stable across executions here (measured at sf1: two
+    back-to-back jobs over the same 50k-doc frame placed every range
+    boundary differently, mis-assigning phase-2 offsets to 48k of 50k
+    rows — silent corruption that sf0.01/sf0.1 never surfaced). Fixed
+    bounds computed once make every phase agree by construction, on
+    any partitioning, under AQE replans and task retries; the bounds
+    only need to be roughly balanced, never exact, so the one-pass
+    sketch is enough. This is also one shuffle cheaper: the window's
+    hash partitioning on the bucket id is the only full shuffle.
     """
-    part = df.repartitionByRange(partitions, order_col).withColumn(
-        "__pid", F.spark_partition_id()
+    qs = [i / partitions for i in range(1, partitions)]
+    # explicit single-column projection: the sketch pass must scan the
+    # order key alone, never the (possibly expensive) value expression
+    bounds = (
+        df.select(order_col).stat.approxQuantile(order_col, qs, 0.001)
+        if partitions > 1
+        else []
     )
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid_expr = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(order_col) > b, F.lit(1)).otherwise(F.lit(0)),
+        )
+    else:
+        pid_expr = F.lit(0)
+    part = df.withColumn("__pid", pid_expr)
     totals = {
         r["__pid"]: r["total"]
         for r in part.groupBy("__pid").agg(F.sum(value_col).alias("total")).collect()

@@ -28,6 +28,32 @@ def test_prefix_sum_matches_naive(spark):
     assert got == want
 
 
+def test_prefix_sum_bucket_id_is_row_pure(spark):
+    """The r10 sf1 corruption regression: phase 2 (bucket totals) and
+    phase 3 (in-bucket window) run as separate jobs, so the bucket id
+    must be a pure function of the row. The old spark_partition_id()-
+    over-repartitionByRange derivation gave the two jobs different
+    range bounds at 50k rows (48k/50k rows mis-offset). Pin both the
+    mechanism (no spark_partition_id in the plan) and the behavior
+    (exact prefix at a row count where sampled bounds demonstrably
+    jittered, across two runs)."""
+    n = 50_000
+    df = (
+        spark.range(0, n)
+        .repartition(32)  # round-robin layout, like the parallel_scan path
+        .select(F.col("id").alias("k"), (F.pmod(F.col("id") * 7, 13) + 1).alias("v"))
+    )
+    out = prefix_sum(df, "k", "v", "ps", partitions=32)
+    assert "spark_partition_id" not in out._jdf.queryExecution().analyzed().toString()
+    expect, acc = {}, 0
+    for k in range(n):
+        expect[k] = acc
+        acc += (k * 7) % 13 + 1
+    for attempt in (1, 2):  # identical result across separate executions
+        got = {r.k: r.ps for r in out.collect()}
+        assert got == expect, f"attempt {attempt}"
+
+
 def test_prefix_sum_never_single_partitions(spark):
     df = spark.range(0, 10000).select(F.col("id").alias("k"), F.lit(1).alias("v"))
     out = prefix_sum(df, "k", "v", "ps", partitions=8)
