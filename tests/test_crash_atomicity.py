@@ -1,0 +1,258 @@
+"""Crash-point sweep: every mutation is all-or-nothing at the log
+entry / marker create, and a crash NEVER leaves the table unreadable.
+
+The commit design's central claim (log.py, transaction.py) is that the
+single `create_exclusive` of the log entry (or txn marker) IS the
+atomic point: metadata writes before it are invisible staging, work
+after it is cleanup whose loss is at worst garbage for the orphan
+sweep. This sweep makes the claim empirical: for each core mutation,
+inject a crash at the 1st, 2nd, ... Nth metadata write (every
+write-class FileIO call: create_exclusive, write_text_atomic,
+link_or_copy, remove) until the operation survives, and after every
+crash assert with a FRESH Lakehouse over clean IO that
+
+- the table still reads (no torn metadata, no dangling references);
+- the visible rows are EXACTLY the pre-state or EXACTLY the
+  post-state — never a third state;
+- for the multi-table transaction, the two tables flip JOINTLY.
+
+Spark-side data-file writes are outside FileIO by design: a crash
+there aborts the job before any commit metadata exists, leaving only
+unreferenced files for `remove_orphan_files` — the cases worth
+sweeping are the metadata writes, where partial visibility could
+exist if the design were wrong.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    Lakehouse,
+    LocalFileIO,
+    merge_branch,
+    rewrite_data_files,
+)
+
+
+class CrashingFileIO(LocalFileIO):
+    """Raise an injected OSError on the (budget+1)-th write-class call."""
+
+    def __init__(self, budget: int):
+        self.budget = budget
+        self.writes = 0
+        self.crashed = False
+
+    def _spend(self):
+        if self.writes >= self.budget:
+            self.crashed = True
+            raise OSError("injected crash (fault sweep)")
+        self.writes += 1
+
+    def create_exclusive(self, path, data):
+        self._spend()
+        return super().create_exclusive(path, data)
+
+    def write_text_atomic(self, path, data):
+        self._spend()
+        super().write_text_atomic(path, data)
+
+    def link_or_copy(self, src, dst):
+        self._spend()
+        super().link_or_copy(src, dst)
+
+    def remove(self, path):
+        self._spend()
+        super().remove(path)
+
+
+def _rows(lake, ident):
+    return {tuple(r) for r in lake.table(ident).read().collect()}
+
+
+def _df(spark, *rows):
+    return spark.createDataFrame(list(rows), "k bigint, v string")
+
+
+def _sweep(spark, tmp_path, name, seed_fn, op_fn, allowed_states_fn, max_points=40):
+    """Crash at write point 0,1,2,... of op_fn until it completes
+    un-crashed; validate state after every crash. Returns the number
+    of crash points exercised (>=1 proves the op writes metadata)."""
+    points = 0
+    for budget in range(max_points):
+        root = str(tmp_path / f"{name}_{budget}")
+        seed_lake = Lakehouse(spark, root)
+        seed_ctx = seed_fn(seed_lake)
+
+        io = CrashingFileIO(budget)
+        crash_lake = Lakehouse(spark, root, io=io)
+        try:
+            op_fn(crash_lake, seed_ctx)
+            crashed = io.crashed  # op may swallow+retry; trust the flag
+        except Exception:
+            crashed = True
+        if not crashed:
+            return points
+        points += 1
+
+        check_lake = Lakehouse(spark, root)  # clean IO, fresh caches
+        allowed = allowed_states_fn(seed_ctx)
+        for ident, states in allowed.items():
+            got = _rows(check_lake, ident)
+            assert got in states, (
+                f"{name} crash@{budget}: {ident} shows a third state "
+                f"{sorted(got)}; allowed {[sorted(s) for s in states]}"
+            )
+    pytest.fail(f"{name}: op still crashing after {max_points} write points")
+
+
+PRE = {(1, "a"), (2, "b")}
+
+
+def _seed_plain(lake):
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.t", schema="k bigint, v string")
+    t.append(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+    return {}
+
+
+def test_append_crash_sweep(spark, tmp_path):
+    n = _sweep(
+        spark,
+        tmp_path,
+        "append",
+        _seed_plain,
+        lambda lake, ctx: lake.table("lab.t").append(_df(spark, (3, "c"))),
+        lambda ctx: {"lab.t": [PRE, PRE | {(3, "c")}]},
+    )
+    assert n >= 1
+
+
+def test_cow_delete_crash_sweep(spark, tmp_path):
+    n = _sweep(
+        spark,
+        tmp_path,
+        "cow_delete",
+        _seed_plain,
+        lambda lake, ctx: lake.table("lab.t").delete_where(
+            "k = 1", mode="copy-on-write"
+        ),
+        lambda ctx: {"lab.t": [PRE, {(2, "b")}]},
+    )
+    assert n >= 1
+
+
+def test_mor_delete_crash_sweep(spark, tmp_path):
+    n = _sweep(
+        spark,
+        tmp_path,
+        "mor_delete",
+        _seed_plain,
+        lambda lake, ctx: lake.table("lab.t").delete_where(
+            "k = 1", mode="merge-on-read"
+        ),
+        lambda ctx: {"lab.t": [PRE, {(2, "b")}]},
+    )
+    assert n >= 1
+
+
+def test_compaction_crash_sweep(spark, tmp_path):
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        for k, v in sorted(PRE):
+            t.append(_df(lake.spark, (k, v)).coalesce(1))  # 2 small files
+        return {}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "compaction",
+        seed,
+        lambda lake, ctx: rewrite_data_files(lake.table("lab.t")),
+        lambda ctx: {"lab.t": [PRE]},  # row-preserving: ONE legal state
+    )
+    assert n >= 1
+
+
+def test_branch_merge_crash_sweep(spark, tmp_path):
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        t.append(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        t.create_branch("dev")
+        t.append(_df(lake.spark, (3, "branch")), ref="dev")
+        return {}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "merge",
+        seed,
+        lambda lake, ctx: merge_branch(lake.table("lab.t"), "dev"),
+        lambda ctx: {"lab.t": [PRE, PRE | {(3, "branch")}]},
+    )
+    assert n >= 1
+
+
+def test_multi_table_txn_crash_sweep(spark, tmp_path):
+    """The cross-table claim: both tables flip together or not at all,
+    at every possible crash point of commit()."""
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        for ident in ("lab.t1", "lab.t2"):
+            t = lake.create_table(ident, schema="k bigint, v string")
+            t.append(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        return {}
+
+    def op(lake, ctx):
+        txn = lake.transaction()
+        txn.append("lab.t1", _df(spark, (3, "t1new")))
+        txn.append("lab.t2", _df(spark, (3, "t2new")))
+        txn.commit()
+
+    def allowed(ctx):
+        return {
+            "lab.t1": [PRE, PRE | {(3, "t1new")}],
+            "lab.t2": [PRE, PRE | {(3, "t2new")}],
+        }
+
+    n = _sweep(spark, tmp_path, "txn", seed, op, allowed)
+    assert n >= 1
+
+
+def test_multi_table_txn_joint_atomicity(spark, tmp_path):
+    """Explicit joint assertion: sweep every crash point and require
+    (t1 new) == (t2 new) — never one table committed without the
+    other. (test_multi_table_txn_crash_sweep checks each table is
+    two-state; this pins that they flip together.)"""
+    for budget in range(40):
+        root = str(tmp_path / f"joint_{budget}")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        for ident in ("lab.t1", "lab.t2"):
+            t = lake.create_table(ident, schema="k bigint, v string")
+            t.append(_df(spark, (1, "a"), (2, "b")).coalesce(1))
+
+        io = CrashingFileIO(budget)
+        crash_lake = Lakehouse(spark, root, io=io)
+        try:
+            txn = crash_lake.transaction()
+            txn.append("lab.t1", _df(spark, (3, "t1new")))
+            txn.append("lab.t2", _df(spark, (3, "t2new")))
+            txn.commit()
+            crashed = io.crashed
+        except Exception:
+            crashed = True
+        if not crashed:
+            return
+
+        check = Lakehouse(spark, root)
+        new1 = (3, "t1new") in _rows(check, "lab.t1")
+        new2 = (3, "t2new") in _rows(check, "lab.t2")
+        assert new1 == new2, (
+            f"crash@{budget}: t1 committed={new1} but t2 committed={new2} "
+            "— cross-table atomicity violated"
+        )
+    pytest.fail("txn still crashing after 40 write points")
