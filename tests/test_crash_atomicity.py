@@ -256,3 +256,58 @@ def test_multi_table_txn_joint_atomicity(spark, tmp_path):
             "— cross-table atomicity violated"
         )
     pytest.fail("txn still crashing after 40 write points")
+
+
+def test_expire_snapshots_crash_sweep(spark, tmp_path):
+    """expire_snapshots REMOVES data files of expired snapshots — the
+    one maintenance op where a wrongly-ordered crash could delete a
+    file the current snapshot still references. At every crash point
+    the CURRENT read must stay intact (expired-snapshot time travel is
+    legitimately gone either way, so rows has one legal state)."""
+    from local_datalakehouse_phase2_spark.lakehouse import expire_snapshots
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        t.append(_df(lake.spark, (1, "a")).coalesce(1))
+        t.overwrite(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        t.overwrite(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        return {}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "expire",
+        seed,
+        lambda lake, ctx: expire_snapshots(
+            lake.table("lab.t"), retain_last=1, older_than=float("inf")
+        ),
+        lambda ctx: {"lab.t": [PRE]},
+    )
+    assert n >= 1
+
+
+def test_dynamic_overwrite_crash_sweep(spark, tmp_path):
+    """Partition-scoped overwrite: a crash must never show the doomed
+    partition half-replaced (old AND new rows) or half-missing."""
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table(
+            "lab.p", schema="k bigint, v string", partition_by="k"
+        )
+        t.append(_df(lake.spark, (1, "a"), (2, "b")))
+        return {}
+
+    def op(lake, ctx):
+        lake.table("lab.p").overwrite_partitions(_df(spark, (1, "A")))
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "dyn_overwrite",
+        seed,
+        op,
+        lambda ctx: {"lab.p": [PRE, {(1, "A"), (2, "b")}]},
+    )
+    assert n >= 1
