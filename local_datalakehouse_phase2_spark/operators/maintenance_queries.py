@@ -928,7 +928,12 @@ def lakehouse_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lakehouse_zorder_prune",
     oracle="""
         SELECT
-            CAST((SELECT COUNT(*) FROM orders WHERE o_custkey <= 300)
+            -- scale-relative cut (== 300 at the sf0.01 gate): a fixed
+            -- literal matched EVERY row at sf0.001 (custkeys stop at
+            -- 150), making custkey file-pruning impossible by
+            -- construction — caught by the tools/sweep_sf.py run there
+            CAST((SELECT COUNT(*) FROM orders
+                  WHERE o_custkey <= (SELECT MAX(o_custkey) // 5 FROM orders))
                 AS BIGINT) AS cust_orders,
             CAST((SELECT COUNT(*) FROM orders
                   WHERE o_orderdate >= TIMESTAMP '1995-01-01'
@@ -968,16 +973,20 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "strategy => 'zorder', sort_order => 'o_custkey,o_orderdate', "
             f"options => map('target-file-size-bytes','{max(1, total // 16)}'))"
         )
+        # scale-relative selectivity (matches the oracle's MAX // 5;
+        # == 300 at the sf0.01 gate): a fixed literal is non-selective
+        # at small sfs, where custkeys never reach it
+        cust_cut = int(orders.agg(F.max("o_custkey")).first()[0]) // 5
         cust_plan = q.sql(
             "CALL nessie.system.scan_plan(table => 'lab.orders_z', "
-            "filter => 'o_custkey <= 300')"
+            f"filter => 'o_custkey <= {cust_cut}')"
         ).first()
         date_flt = [
             ("o_orderdate", ">=", _dt.datetime(1995, 1, 1)),
             ("o_orderdate", "<", _dt.datetime(1995, 7, 1)),
         ]
         date_plan = t.scan_plan(date_flt)
-        cust_orders = t.read(filters=[("o_custkey", "<=", 300)]).count()
+        cust_orders = t.read(filters=[("o_custkey", "<=", cust_cut)]).count()
         h1_orders = t.read(filters=date_flt).count()
         return (
             [
