@@ -311,3 +311,82 @@ def test_dynamic_overwrite_crash_sweep(spark, tmp_path):
         lambda ctx: {"lab.p": [PRE, {(1, "A"), (2, "b")}]},
     )
     assert n >= 1
+
+
+def test_rollback_crash_sweep(spark, tmp_path):
+    """Rollback re-points the current snapshot (a metadata commit):
+    either the table still shows the overwrite or it shows the
+    rolled-back state — never anything else."""
+    from local_datalakehouse_phase2_spark.lakehouse import rollback_to_snapshot
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        t.append(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        target = t.log.latest_version()
+        t.overwrite(_df(lake.spark, (9, "later")).coalesce(1))
+        return {"target": target}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "rollback",
+        seed,
+        lambda lake, ctx: rollback_to_snapshot(lake.table("lab.t"), ctx["target"]),
+        lambda ctx: {"lab.t": [{(9, "later")}, PRE]},
+    )
+    assert n >= 1
+
+
+def test_rewrite_position_deletes_crash_sweep(spark, tmp_path):
+    """Delete-file maintenance is row-preserving: at any crash point
+    the visible rows are the single legal state, whether the rewrite
+    commit landed or not. (A live, still-referencing tombstone gives
+    the op nothing to do and zero metadata writes — the seed makes the
+    delete file DANGLING by COW-rewriting the data file it points at,
+    so the op has a real commit to crash inside.)"""
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        rewrite_position_deletes,
+    )
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        t.append(_df(lake.spark, (1, "a"), (2, "b"), (3, "c")).coalesce(1))
+        t.delete_where("k = 3", mode="merge-on-read")  # tombstone -> file A
+        t.delete_where("k = 1", mode="copy-on-write")  # rewrites A: dangling
+        return {}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "rewrite_posdel",
+        seed,
+        lambda lake, ctx: rewrite_position_deletes(lake.table("lab.t")),
+        lambda ctx: {"lab.t": [{(2, "b")}]},
+    )
+    assert n >= 1
+
+
+def test_publish_changes_crash_sweep(spark, tmp_path):
+    """Write-audit-publish: the staged snapshot is invisible until
+    publish_changes commits — a crash mid-publish leaves the rows
+    either still staged (invisible) or fully published."""
+    from local_datalakehouse_phase2_spark.lakehouse import publish_changes
+
+    def seed(lake):
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.t", schema="k bigint, v string")
+        t.append(_df(lake.spark, (1, "a"), (2, "b")).coalesce(1))
+        t.stage_append(_df(lake.spark, (3, "staged")), wap_id="w1")
+        return {}
+
+    n = _sweep(
+        spark,
+        tmp_path,
+        "publish",
+        seed,
+        lambda lake, ctx: publish_changes(lake.table("lab.t"), "w1"),
+        lambda ctx: {"lab.t": [PRE, PRE | {(3, "staged")}]},
+    )
+    assert n >= 1
