@@ -107,6 +107,17 @@ def main() -> None:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    # Load context: this host's wall-clock varies 2-3x with neighbor
+    # load; stamping loadavg into the artifact makes a uniform drift
+    # attributable (host noise) vs a real per-query regression.
+    def loadavg() -> list[str]:
+        try:
+            with open("/proc/loadavg") as f:
+                return f.read().split()[:3]
+        except OSError:
+            return []
+
+    load_before = loadavg()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     extra_names = [n for n in EXTRA if n in specs]
     samples: dict[str, list[float]] = {n: [] for n in names + extra_names}
@@ -137,6 +148,9 @@ def main() -> None:
                 # cross-round-comparable total
                 "queries_extra": extra,
                 "value_extra": round(sum(extra.values()), 4),
+                "loadavg_before": load_before,
+                "loadavg_after": loadavg(),
+                "cpus": os.cpu_count(),
             }
         )
     )

@@ -406,7 +406,15 @@ class FlockMutex:
     def __call__(self, path: str):
         import fcntl
 
-        name = hashlib.sha1(path.encode("utf-8")).hexdigest() + ".lock"
+        # canonicalize before hashing: two processes spelling the same
+        # file differently (symlinked mount, relative vs absolute,
+        # trailing slash) must land on the SAME lock file or the mutex
+        # silently grants no exclusion. realpath resolves symlinks and
+        # normalizes; scheme-qualified paths (no real file) fall back
+        # to normpath of the raw string.
+        canon = os.path.realpath(path) if "://" not in path else os.path.normpath(path)
+        name = hashlib.sha1(canon.encode("utf-8")).hexdigest() + ".lock"
+
         fd = os.open(os.path.join(self.lock_dir, name), os.O_CREAT | os.O_RDWR, 0o644)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)

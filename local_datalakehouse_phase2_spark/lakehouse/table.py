@@ -346,7 +346,13 @@ class LakehouseTable:
                 state = {
                     **state,
                     **{
-                        fi.path: _dc_replace(fi, seq=1 << 62)
+                        fi.path: _dc_replace(
+                            fi,
+                            seq=1 << 62,
+                            name_epoch=fi.name_epoch
+                            if fi.name_epoch is not None
+                            else fi.seq,
+                        )
                         for fi in entry.added_files
                     },
                 }

@@ -46,6 +46,26 @@ CHUNK_STRIDE = 48  # 16-token overlap
 PACK_CAPACITY = 512  # training sequence length
 
 
+def _bucket_of(col, bounds, lo: int = 0, hi: int | None = None):
+    """Bucket id of `col` against sorted `bounds` — a balanced
+    comparison tree, so each row evaluates O(log P) comparisons instead
+    of the O(P) linear `F.aggregate` scan an earlier version used
+    (noise at P=32; a few thousand expression ops per row at the
+    thousands of buckets a 100 TB sort wants). Semantics identical to
+    counting bounds strictly below the key: NULL keys fall through
+    every `>` to bucket `lo`, duplicate bounds partition ties the same
+    way the count did.
+    """
+    if hi is None:
+        hi = len(bounds)
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(
+        col > F.lit(bounds[mid]), _bucket_of(col, bounds, mid + 1, hi)
+    ).otherwise(_bucket_of(col, bounds, lo, mid))
+
+
 def prefix_sum(
     df: DataFrame, order_col: str, value_col: str, out_col: str, partitions: int = 32
 ) -> DataFrame:
@@ -72,6 +92,17 @@ def prefix_sum(
     sketch is enough. This is also one shuffle cheaper: the window's
     hash partitioning on the bucket id is the only full shuffle.
     """
+    from pyspark.sql.types import NumericType
+
+    key_type = df.schema[order_col].dataType
+    if not isinstance(key_type, NumericType):
+        raise TypeError(
+            f"prefix_sum order_col {order_col!r} must be numeric (got "
+            f"{key_type.simpleString()}): the fixed-bound bucketing uses "
+            "approxQuantile, which only sketches numeric columns. Map "
+            "string/date/timestamp keys to a numeric surrogate "
+            "(unix_timestamp, xxhash64) upstream."
+        )
     qs = [i / partitions for i in range(1, partitions)]
     # explicit single-column projection: the sketch pass must scan the
     # order key alone, never the (possibly expensive) value expression
@@ -80,20 +111,12 @@ def prefix_sum(
         if partitions > 1
         else []
     )
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        pid_expr = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(F.col(order_col) > b, F.lit(1)).otherwise(F.lit(0)),
-        )
-    else:
-        pid_expr = F.lit(0)
-    part = df.withColumn("__pid", pid_expr)
+    part = df.withColumn("__pid", _bucket_of(F.col(order_col), bounds))
     totals = {
         r["__pid"]: r["total"]
-        for r in part.groupBy("__pid").agg(F.sum(value_col).alias("total")).collect()
+        for r in part.groupBy("__pid")
+        .agg(F.coalesce(F.sum(value_col), F.lit(0)).alias("total"))
+        .collect()
     }
     offsets, acc = [], 0
     for pid in range(max(totals) + 1 if totals else 0):
