@@ -2,6 +2,7 @@
 metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
 
 from .catalog import CatalogError, Lakehouse
+from .catalog_refs import CatalogRefError, CatalogRefs
 from .fs import ArbitratedFileIO, FileIO, FlockMutex, HadoopFileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
@@ -29,6 +30,8 @@ __all__ = [
     "ArbitratedFileIO",
     "FlockMutex",
     "CatalogError",
+    "CatalogRefError",
+    "CatalogRefs",
     "FileIO",
     "HadoopFileIO",
     "LocalFileIO",

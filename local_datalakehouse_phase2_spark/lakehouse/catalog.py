@@ -51,6 +51,73 @@ class Lakehouse:
 
         return Transaction(self, txn_id=txn_id)
 
+    # ---- catalog-wide refs (the Nessie branch model; catalog_refs.py) --
+
+    @property
+    def _catalog_refs(self):
+        from .catalog_refs import CatalogRefs
+
+        return CatalogRefs(self)
+
+    def create_branch(self, name: str) -> dict:
+        """Fork a CATALOG-WIDE branch at the current state of every
+        table — Nessie's git-like branch over the whole warehouse (the
+        reference pins `spark.sql.catalog.nessie.ref=main`,
+        /root/reference/spark/conf/spark-defaults.conf:9). Write many
+        tables over many commits on it, then publish everything
+        atomically with merge_catalog_branch."""
+        return self._catalog_refs.create(name)
+
+    def drop_branch(self, name: str) -> None:
+        self._catalog_refs.drop(name)
+
+    def catalog_branches(self) -> dict[str, dict]:
+        return self._catalog_refs.list()
+
+    def merge_catalog_branch(self, name: str) -> dict:
+        """Atomically publish every table the branch wrote — all or
+        nothing, one marker flip (see catalog_refs.py)."""
+        return self._catalog_refs.merge(name)
+
+    def read(self, identifier: str, catalog_ref: str | None = None):
+        """Read a table, optionally as a catalog branch sees it:
+        branch-written tables show the branch lineage, untouched tables
+        show their fork-point state (main commits after the fork are
+        invisible on the branch — Nessie isolation)."""
+        if catalog_ref is None:
+            return self.table(identifier).read()
+        return self._catalog_refs.read(identifier, catalog_ref)
+
+    def append(self, identifier: str, df: DataFrame, catalog_ref: str | None = None):
+        """Append to a table, optionally on a catalog branch (the
+        per-table branch ref is created lazily at the fork pin)."""
+        if catalog_ref is None:
+            return self.table(identifier).append(df)
+        return self._catalog_refs.append(identifier, df, catalog_ref)
+
+    def overwrite(self, identifier: str, df: DataFrame, catalog_ref: str | None = None):
+        if catalog_ref is None:
+            return self.table(identifier).overwrite(df)
+        return self._catalog_refs.overwrite(identifier, df, catalog_ref)
+
+    def delete_where(self, identifier: str, condition, catalog_ref: str | None = None):
+        if catalog_ref is None:
+            return self.table(identifier).delete_where(condition)
+        return self._catalog_refs.delete_where(identifier, condition, catalog_ref)
+
+    def update_where(
+        self,
+        identifier: str,
+        assignments: dict,
+        condition,
+        catalog_ref: str | None = None,
+    ):
+        if catalog_ref is None:
+            return self.table(identifier).update_where(assignments, condition)
+        return self._catalog_refs.update_where(
+            identifier, assignments, condition, catalog_ref
+        )
+
     # ---- namespaces --------------------------------------------------
 
     def create_namespace(

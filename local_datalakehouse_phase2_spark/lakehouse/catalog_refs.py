@@ -1,0 +1,541 @@
+"""Catalog-wide refs — the actual Nessie model (SURVEY.md §2.9).
+
+In the reference stack a ref spans the ENTIRE catalog: Spark pins
+`spark.sql.catalog.nessie.ref=main`
+(/root/reference/spark/conf/spark-defaults.conf:9) and Trino pins
+`iceberg.nessie-catalog.ref=main`
+(/root/reference/trino/catalog/iceberg.properties:5), so a Nessie
+branch lets a pipeline write MANY tables over MANY commits and publish
+all of them atomically with one merge — git semantics over the whole
+warehouse, not one table.
+
+This module composes the two primitives this repo already has into
+that behavior:
+
+- **per-table branch refs** (log.py create_ref / state_at_branch /
+  branch commits tagged `extra.branch`) carry the branch's own commits
+  on each touched table, invisible to main until merged;
+- **the multi-table transaction marker** (transaction.py `.txns/`
+  O_EXCL create) provides the single atomic visibility flip that turns
+  N per-table merge entries into ONE publish.
+
+Model
+-----
+A catalog branch `R` is a JSON record `<warehouse>/.catalog_refs/R.json`:
+
+    {"name": R, "created_at": ...,
+     "pins": {"<ns>.<table>": <main head version at fork>, ...},
+     "pending_merge": null | {"txn": ..., "reanchor": {...}}}
+
+`pins` snapshots the fork point: every table committed at
+create-time maps to its then-current main head. Reads of a table the
+branch never wrote are time-travel reads at the pin — exactly Nessie's
+semantics, where main commits made AFTER the fork are invisible on the
+branch. A table absent from `pins` (created on main after the fork)
+does not exist on the branch.
+
+The first branch write to a table lazily creates a per-table branch
+ref named `catalog.R` forked AT THE PIN (not at current main head), so
+the branch's read of its own writes layers them over the fork-point
+state. Names under the `catalog.` prefix are reserved: managed by the
+Lakehouse, not for direct merge_branch/drop_ref calls.
+
+Atomic merge
+------------
+`merge_catalog_branch(R)` publishes every member table's chain with
+one atomic point:
+
+1. take the catalog-ref merge lock (O_EXCL lock file, 60 s crash
+   steal — the `_with_ref_lock` discipline) so catalog merges on R
+   serialize;
+2. record intent: rewrite the record with `pending_merge = {txn}`
+   BEFORE staging, so a crash anywhere later is recoverable by the
+   next lock holder;
+3. per member table, stage ONE merge entry carrying the chain's net
+   file effect (branch-internal churn cancels, exactly
+   maintenance.merge_branch's fold), tagged `extra.txn = <id>` —
+   outside every main-lineage fold while the marker is undecided, and
+   validated against live main state (removed-still-live, no-clash)
+   exactly as the per-table merge is;
+4. re-validate every staged entry against the now-current state (a
+   main writer may have raced between stages), then create the marker
+   `.txns/<id>.json` status=committed with O_EXCL. That single create
+   is the atomic point: every table's merge entry joins its main
+   lineage in the same instant. Any conflict before the marker
+   decides the txn as `aborted` instead — nothing on ANY table
+   publishes.
+5. bookkeeping after the flip: re-anchor each per-table branch at its
+   merge version (dropping exactly the merged chain, keeping racers —
+   log.reanchor_branch) and advance the record's pins for merged
+   tables.
+
+Crash windows (all covered by tests/test_crash_atomicity.py):
+- after intent, before marker: the txn is undecided; recovery (next
+  lock holder) decides it ABORTED — staged entries stay invisible
+  forever, branch chains untouched, the merge simply didn't happen.
+- after marker, before/during re-anchor: the merge IS published
+  (marker committed = visible on main) and branch reads remain
+  correct in the gap — state_at_branch folds pin + chain, which has
+  the same content the merge published — so the only thing recovery
+  must finish is bookkeeping, replayed idempotently from the marker
+  payload's reanchor plan.
+
+Sequence semantics: merge entries re-stamp added files' data sequence
+numbers to the merge entry's version (rows enter main lineage at the
+merge, same as maintenance.merge_branch / publish_changes), with
+name_epoch pinned to the write-time value first (log.py rule). The
+visibility instant is the marker flip, which can trail the stamped
+version by the staging of later tables — the same stage-time-seq
+stance transaction.py documents.
+
+Scale note: one catalog merge costs O(member tables) metadata commits
++ one marker create; data files never move. The lock + marker live in
+the warehouse root — on raw S3 both are check-then-put, the same
+documented caveat as every other arbitration point (fs.py), resolved
+in production by an ArbitratedFileIO backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+
+from .log import CommitConflictError, FileInfo, LogEntry, _dc_replace
+
+_CATALOG_REFS_DIR = ".catalog_refs"
+_TABLE_BRANCH_PREFIX = "catalog."
+
+
+class CatalogRefError(RuntimeError):
+    pass
+
+
+def _table_branch(name: str) -> str:
+    return _TABLE_BRANCH_PREFIX + name
+
+
+class CatalogRefs:
+    """Catalog-wide branch manager for one Lakehouse. Stateless between
+    calls — every operation re-reads the record, so any process on the
+    warehouse sees the same refs."""
+
+    def __init__(self, lake):
+        self.lake = lake
+        self.io = lake.io
+        self.refs_dir = os.path.join(lake.warehouse_dir, _CATALOG_REFS_DIR)
+
+    # ---- record plumbing ------------------------------------------------
+
+    def _record_path(self, name: str) -> str:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", name):
+            raise CatalogRefError(f"invalid catalog ref name {name!r}")
+        return os.path.join(self.refs_dir, f"{name}.json")
+
+    def _read_record(self, name: str) -> dict:
+        path = self._record_path(name)
+        try:
+            return json.loads(self.io.read_text(path))
+        except OSError:
+            raise CatalogRefError(f"catalog ref {name!r} does not exist") from None
+
+    def _write_record(self, record: dict) -> None:
+        self.io.write_text_atomic(
+            self._record_path(record["name"]), json.dumps(record, indent=1)
+        )
+
+    def _with_merge_lock(self, name: str, fn):
+        """Serialize catalog merges (and drop) on one ref: O_EXCL lock
+        file with a 60 s crashed-holder steal — the same discipline as
+        log._with_ref_lock, at catalog scope."""
+        from . import log as _log
+
+        lock = self._record_path(name) + ".lock"
+        deadline = time.monotonic() + 30.0
+        while not self.io.create_exclusive(lock, str(os.getpid())):
+            try:
+                if time.time() - self.io.mtime(lock) > _log.LOCK_STEAL_SECONDS:
+                    self.io.remove(lock)
+                    continue
+            except OSError:
+                continue
+            if time.monotonic() >= deadline:
+                raise CatalogRefError(
+                    f"timed out waiting for catalog merge lock on {name!r}"
+                )
+            time.sleep(0.01)
+        try:
+            return fn()
+        finally:
+            try:
+                self.io.remove(lock)
+            except OSError:
+                pass
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def create(self, name: str) -> dict:
+        """Fork a catalog-wide branch at the current state: pin every
+        committed table's main head. Nessie's `CREATE BRANCH etl`."""
+        pins: dict[str, int] = {}
+        for ns in self.lake.namespaces():
+            for tbl in self.lake.tables(ns):
+                ident = f"{ns}.{tbl}"
+                head = self.lake.table(ident).log.latest_main_version()
+                if head is not None:
+                    pins[ident] = head
+        record = {
+            "name": name,
+            "created_at": time.time(),
+            "pins": pins,
+            "pending_merge": None,
+        }
+        self.io.makedirs(self.refs_dir)
+        if not self.io.create_exclusive(
+            self._record_path(name), json.dumps(record, indent=1)
+        ):
+            raise CatalogRefError(f"catalog ref {name!r} already exists")
+        return record
+
+    def list(self) -> dict[str, dict]:
+        out: dict[str, dict] = {}
+        try:
+            names = self.io.listdir(self.refs_dir)
+        except OSError:
+            return out
+        for fname in sorted(names):
+            if fname.endswith(".json"):
+                raw = json.loads(self.io.read_text(os.path.join(self.refs_dir, fname)))
+                out[raw["name"]] = raw
+        return out
+
+    def drop(self, name: str) -> None:
+        """Delete the catalog branch: finish/void any pending merge
+        first (under the lock), then remove the per-table branch refs
+        and the record. Unmerged branch commits are abandoned — they
+        stay in each table's append-only log until expire_snapshots."""
+
+        def run():
+            record = self._recover(self._read_record(name))
+            for ident in record["pins"]:
+                try:
+                    t = self.lake.table(ident)
+                except Exception:
+                    continue  # table dropped since fork
+                if _table_branch(name) in t.log.refs():
+                    t.drop_ref(_table_branch(name))
+            self.io.remove(self._record_path(name))
+
+        self._with_merge_lock(name, run)
+
+    # ---- read / write on a ref -------------------------------------------
+
+    def _pin_of(self, record: dict, identifier: str) -> int:
+        pin = record["pins"].get(identifier)
+        if pin is None:
+            raise CatalogRefError(
+                f"table {identifier} does not exist on catalog ref "
+                f"{record['name']!r} — it was created on main after the "
+                "fork; re-create the branch (or write the table on main)"
+            )
+        return pin
+
+    def read(self, identifier: str, name: str) -> DataFrame:
+        """Read `identifier` as the branch sees it: the per-table
+        branch lineage if the branch wrote this table, else a
+        time-travel read at the fork pin — main commits after the fork
+        are invisible on the branch (Nessie isolation)."""
+        record = self._read_record(name)
+        t = self.lake.table(identifier)
+        if _table_branch(name) in t.log.refs():
+            return t.read(ref=_table_branch(name))
+        return t.read(version=self._pin_of(record, identifier))
+
+    def ensure_member(self, identifier: str, name: str) -> str:
+        """Ensure `identifier`'s per-table branch for catalog ref
+        `name` exists — forked AT THE PIN on first touch — and return
+        its (reserved `catalog.`-prefixed) branch name. The SQL
+        router's `USE REFERENCE` write path funnels through this."""
+        record = self._read_record(name)
+        pin = self._pin_of(record, identifier)
+        t = self.lake.table(identifier)
+        if _table_branch(name) not in t.log.refs():
+            t.create_branch(_table_branch(name), at=pin)
+        return _table_branch(name)
+
+    def _member_table(self, name: str, identifier: str):
+        self.ensure_member(identifier, name)
+        return self.lake.table(identifier)
+
+    def append(self, identifier: str, df: DataFrame, name: str) -> LogEntry:
+        return self._member_table(name, identifier).append(df, ref=_table_branch(name))
+
+    def overwrite(self, identifier: str, df: DataFrame, name: str) -> LogEntry:
+        return self._member_table(name, identifier).overwrite(
+            df, ref=_table_branch(name)
+        )
+
+    def delete_where(self, identifier: str, condition, name: str) -> LogEntry:
+        return self._member_table(name, identifier).delete_where(
+            condition, ref=_table_branch(name)
+        )
+
+    def update_where(
+        self, identifier: str, assignments: dict, condition, name: str
+    ) -> LogEntry:
+        return self._member_table(name, identifier).update_where(
+            assignments, condition, ref=_table_branch(name)
+        )
+
+    # ---- merge ------------------------------------------------------------
+
+    def _members_with_commits(self, record: dict) -> list[tuple[str, list[int]]]:
+        """(identifier, chain) for every pinned table whose per-table
+        branch carries unmerged commits."""
+        name = record["name"]
+        out = []
+        for ident in sorted(record["pins"]):
+            try:
+                t = self.lake.table(ident)
+            except Exception:
+                continue
+            if _table_branch(name) not in t.log.refs():
+                continue
+            _base, _head, chain = t.log.branch_info(_table_branch(name))
+            if chain:
+                out.append((ident, chain))
+        return out
+
+    @staticmethod
+    def _net_effect(t, chain: list[int]) -> tuple[dict[str, FileInfo], set[str]]:
+        """Fold a branch chain to its net file effect — files added
+        then removed within the branch cancel (maintenance.merge_branch
+        fold, maintenance.py:967)."""
+        added: dict[str, FileInfo] = {}
+        removed: set[str] = set()
+        for v in chain:
+            entry = t.log.read_entry(v)
+            for p in entry.removed_files:
+                if p in added:
+                    added.pop(p)
+                else:
+                    removed.add(p)
+            for fi in entry.added_files:
+                added[fi.path] = fi
+        return added, removed
+
+    def _stage_merge_entry(
+        self, t, name: str, txn_id: str, chain: list[int]
+    ) -> LogEntry:
+        added, removed = self._net_effect(t, chain)
+
+        def make(version: int) -> LogEntry:
+            live = t.log.state_at()
+            gone = [p for p in removed if p not in live]
+            if gone:
+                raise CommitConflictError(
+                    f"merge_catalog_branch {name!r} on {t.identifier}: "
+                    f"{len(gone)} file(s) the branch removed are no longer "
+                    f"live on main (e.g. {gone[0]!r}) — a concurrent main "
+                    "commit replaced them; the whole catalog merge aborts"
+                )
+            clash = [p for p in added if p in live]
+            if clash:
+                raise CommitConflictError(
+                    f"merge_catalog_branch {name!r} on {t.identifier}: "
+                    f"{len(clash)} branch file(s) already live on main "
+                    f"(e.g. {clash[0]!r}) — already merged?"
+                )
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=time.time(),
+                operation="merge",
+                added_files=tuple(
+                    _dc_replace(
+                        fi,
+                        seq=version,
+                        name_epoch=fi.name_epoch
+                        if fi.name_epoch is not None
+                        else fi.seq,
+                    )
+                    for fi in added.values()
+                ),
+                removed_files=tuple(sorted(removed)),
+                extra={
+                    "txn": txn_id,
+                    "merge_branch": _table_branch(name),
+                    "catalog_ref": name,
+                    "merged_commits": list(chain),
+                },
+            )
+
+        return t.log.append(make)
+
+    def _revalidate(self, t, entry: LogEntry) -> None:
+        """Marker-time re-check, same shape as Transaction._validate_table:
+        a main writer may have raced between this table's staging and
+        the marker create."""
+        live = t.log.state_at()
+        gone = [p for p in entry.removed_files if p not in live]
+        if gone:
+            raise CommitConflictError(
+                f"merge_catalog_branch on {t.identifier}: file no longer "
+                f"live at publish time (e.g. {gone[0]!r}); the whole "
+                "catalog merge aborts"
+            )
+        clash = [fi.path for fi in entry.added_files if fi.path in live]
+        if clash:
+            raise CommitConflictError(
+                f"merge_catalog_branch on {t.identifier}: staged file "
+                f"already live at publish time (e.g. {clash[0]!r})"
+            )
+
+    def _txn_marker_path(self, txn_id: str) -> str:
+        return os.path.join(self.lake.warehouse_dir, ".txns", f"{txn_id}.json")
+
+    def _txn_status(self, txn_id: str) -> str:
+        try:
+            return json.loads(self.io.read_text(self._txn_marker_path(txn_id))).get(
+                "status", "pending"
+            )
+        except (OSError, ValueError):
+            return "pending"
+
+    def _decide(self, txn_id: str, status: str, reanchor: dict) -> str:
+        """Create the decision marker with O_EXCL; returns the decided
+        status (ours or a racing winner's — with the merge lock held
+        there is no racer, but the primitive stays CAS-shaped)."""
+        self.io.makedirs(os.path.join(self.lake.warehouse_dir, ".txns"))
+        payload = json.dumps(
+            {
+                "txn": txn_id,
+                "status": status,
+                "decided_at": time.time(),
+                "kind": "catalog_merge",
+                "reanchor": reanchor,
+            }
+        )
+        if self.io.create_exclusive(self._txn_marker_path(txn_id), payload):
+            return status
+        return self._txn_status(txn_id)
+
+    def _apply_reanchor(self, record: dict, reanchor: dict) -> dict:
+        """Post-flip bookkeeping, idempotent: re-anchor each member's
+        per-table branch at its merge version (dropping exactly the
+        merged chain) and advance the record pin. Safe to replay from
+        the marker payload after a crash — reanchor_branch subtracts
+        the merged set, and pins only move forward."""
+        name = record["name"]
+        for ident, plan in sorted(reanchor.items()):
+            try:
+                t = self.lake.table(ident)
+            except Exception:
+                continue
+            if _table_branch(name) in t.log.refs():
+                t.log.reanchor_branch(
+                    _table_branch(name), plan["to"], merged=set(plan["merged"])
+                )
+            record["pins"][ident] = max(record["pins"].get(ident, 0), plan["to"])
+        record["pending_merge"] = None
+        self._write_record(record)
+        return record
+
+    def _recover(self, record: dict) -> dict:
+        """Finish or void a crashed merge (caller holds the merge lock).
+
+        - marker committed → the merge IS published; replay the
+          bookkeeping from the marker's reanchor plan.
+        - marker aborted → nothing published; clear the intent.
+        - no marker → the crashed merge never reached its atomic
+          point; decide its txn ABORTED now so the limbo staged
+          entries are permanently dead, then clear the intent.
+        """
+        pending = record.get("pending_merge")
+        if not pending:
+            return record
+        txn_id = pending["txn"]
+        status = self._txn_status(txn_id)
+        if status == "pending":
+            status = self._decide(txn_id, "aborted", pending.get("reanchor", {}))
+        if status == "committed":
+            try:
+                marker = json.loads(self.io.read_text(self._txn_marker_path(txn_id)))
+                plan = marker.get("reanchor", {})
+            except (OSError, ValueError):
+                plan = pending.get("reanchor", {})
+            return self._apply_reanchor(record, plan)
+        record["pending_merge"] = None
+        self._write_record(record)
+        return record
+
+    def merge(self, name: str) -> dict:
+        """Atomically publish every member table's branch chain onto
+        main — Nessie's `MERGE BRANCH etl INTO main`. All tables or
+        none; see module docstring for the exact protocol."""
+
+        def run():
+            record = self._recover(self._read_record(name))
+            members = self._members_with_commits(record)
+            if not members:
+                return {
+                    "catalog_ref": name,
+                    "status": "committed",
+                    "merged_tables": 0,
+                    "merged_commits": 0,
+                    "tables": {},
+                }
+            txn_id = f"catmerge-{name}-{uuid.uuid4().hex[:12]}"
+            # intent BEFORE staging: any later crash is recoverable
+            record["pending_merge"] = {"txn": txn_id, "reanchor": {}}
+            self._write_record(record)
+
+            staged: dict[str, tuple[object, LogEntry, list[int]]] = {}
+            reanchor: dict[str, dict] = {}
+            try:
+                for ident, chain in members:
+                    t = self.lake.table(ident)
+                    entry = self._stage_merge_entry(t, name, txn_id, chain)
+                    staged[ident] = (t, entry, chain)
+                    reanchor[ident] = {"to": entry.version, "merged": list(chain)}
+                # keep the intent's reanchor plan current so recovery
+                # after a crash between marker and bookkeeping has the
+                # plan even if the marker read fails
+                record["pending_merge"] = {"txn": txn_id, "reanchor": reanchor}
+                self._write_record(record)
+                for ident in sorted(staged):
+                    t, entry, _chain = staged[ident]
+                    self._revalidate(t, entry)
+            except CommitConflictError:
+                self._decide(txn_id, "aborted", reanchor)
+                record["pending_merge"] = None
+                self._write_record(record)
+                raise
+            decided = self._decide(txn_id, "committed", reanchor)
+            if decided != "committed":  # unreachable under the lock; CAS-shaped
+                record["pending_merge"] = None
+                self._write_record(record)
+                raise CatalogRefError(
+                    f"catalog merge {txn_id} was decided {decided!r} by a racer"
+                )
+            self._apply_reanchor(record, reanchor)
+            return {
+                "catalog_ref": name,
+                "status": "committed",
+                "merged_tables": len(staged),
+                "merged_commits": sum(len(c) for _, _, c in staged.values()),
+                "tables": {
+                    ident: {
+                        "new_snapshot_id": entry.snapshot_id,
+                        "merged_commits": len(chain),
+                    }
+                    for ident, (_t, entry, chain) in sorted(staged.items())
+                },
+            }
+
+        return self._with_merge_lock(name, run)

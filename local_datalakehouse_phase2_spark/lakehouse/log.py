@@ -39,6 +39,12 @@ _ENTRY_RE = re.compile(r"^(\d{10})\.json$")
 _CHECKPOINT_RE = re.compile(r"^checkpoint-(\d{10})\.json$")
 _REF_RE = re.compile(r"^ref-([A-Za-z0-9._-]+)\.json$")
 
+# How old an advisory lock file must be before a waiter presumes its
+# holder crashed and steals it (_with_ref_lock here; the catalog merge
+# lock in catalog_refs.py). Module-level so crash-recovery tests can
+# lower it instead of sleeping out the production threshold.
+LOCK_STEAL_SECONDS = 60.0
+
 
 class CommitConflictError(RuntimeError):
     """A commit's removed-file set no longer matches the live table
@@ -494,7 +500,7 @@ class TransactionLog:
         deadline = _time.monotonic() + 30.0
         while not self.io.create_exclusive(lock, str(os.getpid())):
             try:
-                if _time.time() - self.io.mtime(lock) > 60.0:
+                if _time.time() - self.io.mtime(lock) > LOCK_STEAL_SECONDS:
                     self.io.remove(lock)
                     continue
             except OSError:

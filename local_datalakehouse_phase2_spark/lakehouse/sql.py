@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 
 from . import maintenance
 from .catalog import CatalogError, Lakehouse
+from .log import CommitConflictError
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -188,6 +189,13 @@ class LakehouseSQL:
         self.spark: SparkSession = lake.spark
         self.catalog_name = catalog_name
         self._view_n = 0
+        # catalog-wide session ref (Nessie's `USE REFERENCE <name>`;
+        # the reference pins spark.sql.catalog.nessie.ref in
+        # spark-defaults.conf:9). None = main. While set, plain table
+        # reads resolve as the catalog branch sees them and writes land
+        # on the branch; explicit VERSION/TIMESTAMP AS OF and
+        # branch_/tag_ suffixes stay explicit and override it.
+        self.session_ref: str | None = None
 
     # ---- public entry point ------------------------------------------
 
@@ -196,6 +204,36 @@ class LakehouseSQL:
         if not s:
             raise SqlError("empty statement")
         head = s.split(None, 1)[0].upper()
+        if head == "USE":
+            m = re.fullmatch(r"(?is)USE\s+REFERENCE\s+([A-Za-z0-9_-]+)", s)
+            if not m:
+                raise SqlError(f"unsupported USE syntax: {s!r} (USE REFERENCE <name>)")
+            name = m.group(1)
+            if name.lower() == "main":
+                self.session_ref = None
+                return self._result_frame({"ref": "main"})
+            if name not in self.lake.catalog_branches():
+                raise SqlError(f"catalog ref {name!r} does not exist")
+            self.session_ref = name
+            return self._result_frame({"ref": name})
+        if self.session_ref is not None and head in (
+            "CREATE",
+            "DROP",
+            "ALTER",
+            "TRUNCATE",
+            "MERGE",
+        ):
+            # catalog branches carry DATA commits (INSERT/UPDATE/DELETE
+            # and reads); table metadata — creation, schema evolution,
+            # truncation, MERGE INTO's COW rewrite — is main-lineage-
+            # only in this log (branch writes cannot evolve schema,
+            # table.py append). Running one here would silently mutate
+            # MAIN while the session claims to be on a branch — refuse.
+            raise SqlError(
+                f"{head} is not supported under USE REFERENCE "
+                f"{self.session_ref!r} — switch back with USE REFERENCE "
+                "main first (catalog branches carry data commits only)"
+            )
         if head == "CALL":
             return self._call(s)
         if head == "INSERT":
@@ -236,6 +274,23 @@ class LakehouseSQL:
         # query-shaped: rewrite lakehouse refs to temp views, let
         # Catalyst take it from there
         return self.spark.sql(self._rewrite_refs(s))
+
+    def _session_branch(self, t, branch: str | None) -> str | None:
+        """Route a write onto the session catalog ref when USE
+        REFERENCE is active and the statement gave no explicit
+        branch_ suffix (explicit suffixes override the session ref,
+        like explicit time travel does for reads). Lazily creates the
+        table's per-table branch at the catalog fork pin."""
+        if branch is not None or self.session_ref is None:
+            return branch
+        from .catalog_refs import CatalogRefError
+
+        try:
+            return self.lake._catalog_refs.ensure_member(
+                t.identifier, self.session_ref
+            )
+        except CatalogRefError as e:
+            raise SqlError(str(e)) from e
 
     # ---- reference rewriting -----------------------------------------
 
@@ -344,9 +399,20 @@ class LakehouseSQL:
                 _tstamp_sub,
                 s,
             )
-            # plain current-snapshot reference
+            # plain current-snapshot reference — under USE REFERENCE
+            # it resolves as the catalog branch sees the table
+            # (branch lineage if written there, else the fork pin)
             if re.search(rf"(?i)\b{base}\b", s):
-                view = self._fresh_view(t.read(), f"{ns}_{tbl}")
+                if self.session_ref is not None:
+                    from .catalog_refs import CatalogRefError
+
+                    try:
+                        df = self.lake.read(ident, catalog_ref=self.session_ref)
+                    except CatalogRefError as e:
+                        raise SqlError(str(e)) from e
+                else:
+                    df = t.read()
+                view = self._fresh_view(df, f"{ns}_{tbl}")
                 s = re.sub(rf"(?i)\b{base}\b", view, s)
         return s
 
@@ -368,6 +434,46 @@ class LakehouseSQL:
             if not am:
                 raise SqlError(f"procedure arguments must be name => value: {part!r}")
             args[am.group(1).lower()] = _parse_value(am.group(2))
+        # catalog-level procedures (the Nessie branch model): no
+        # table => argument — they operate on the WHOLE catalog
+        if proc in ("create_branch", "drop_branch", "merge_catalog_branch"):
+            from .catalog_refs import CatalogRefError
+
+            if "name" not in args:
+                raise SqlError(f"CALL {proc}: missing name => argument")
+            name = str(args.pop("name"))
+            if args:
+                raise SqlError(f"CALL {proc}: unexpected arguments {sorted(args)}")
+            try:
+                if proc == "create_branch":
+                    rec = self.lake.create_branch(name)
+                    return self._result_frame(
+                        {"ref": name, "pinned_tables": len(rec["pins"])}
+                    )
+                if proc == "drop_branch":
+                    self.lake.drop_branch(name)
+                    if self.session_ref == name:
+                        self.session_ref = None
+                    return self._result_frame({"ref": name, "dropped": True})
+                res = self.lake.merge_catalog_branch(name)
+                return self._result_frame(
+                    {
+                        "ref": name,
+                        "merged_tables": res["merged_tables"],
+                        "merged_commits": res["merged_commits"],
+                    }
+                )
+            except (CatalogRefError, CommitConflictError) as e:
+                raise SqlError(str(e)) from e
+        if self.session_ref is not None:
+            # per-table procedures operate on MAIN lineage (compaction,
+            # expiry, rollback, per-table branch plumbing) — running
+            # one while the session claims a catalog branch would be
+            # misleading; only the catalog-level three are ref-safe
+            raise SqlError(
+                f"CALL {proc} is not supported under USE REFERENCE "
+                f"{self.session_ref!r} — switch back with USE REFERENCE main"
+            )
         if "table" not in args:
             raise SqlError(f"CALL {proc}: missing table => argument")
         if proc == "snapshot":
@@ -606,6 +712,7 @@ class LakehouseSQL:
                 raise
             branch = bm.group(1)
             t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+        branch = self._session_branch(t, branch)
         body = m.group(3)
         if body[:6].upper() == "VALUES":
             src = self.spark.sql(f"SELECT * FROM ({body})")
@@ -683,6 +790,7 @@ class LakehouseSQL:
                 raise
             branch = bm.group(1)
             t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+        branch = self._session_branch(t, branch)
         # bare DELETE FROM t = delete every row (SQL standard)
         try:
             entry = t.delete_where(
@@ -715,6 +823,7 @@ class LakehouseSQL:
                 raise
             branch = bm.group(1)
             t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+        branch = self._session_branch(t, branch)
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
             am = re.fullmatch(rf"(?s)\s*({_IDENT})\s*=\s*(.+?)\s*", part)

@@ -612,6 +612,114 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lakehouse_catalog_branch",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('branch_writes',     CAST(8  AS BIGINT), CAST(5  AS BIGINT), CAST(12 AS BIGINT), CAST(10 AS BIGINT), '4 commits invisible on main; main move invisible on branch'),
+            ('conflict_rejected', CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'CommitConflictError; neither table published'),
+            ('fork',              CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), 'branch == main at fork'),
+            ('merged',            CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'one atomic publish; tables=2 commits=4'),
+            ('second_merge',      CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'no-op; tables=0')
+        ) AS t(step, t1_main, t2_main, t1_branch, t2_branch, detail)
+        ORDER BY step
+    """,
+    tags=("lakehouse", "branch", "catalog"),
+    doc="Catalog-WIDE refs (catalog_refs.py) — the actual Nessie model: "
+    "one branch spans the whole warehouse (the reference pins "
+    "spark.sql.catalog.nessie.ref=main catalog-wide, spark-defaults."
+    "conf:9). Fork pins every table; two tables take two branch commits "
+    "each while main moves underneath; ONE merge publishes both tables "
+    "atomically (txn-marker flip); a second merge is a no-op; and a "
+    "conflicting merge (main overwrote files a branch overwrite claims) "
+    "rejects WHOLE — the clean second table's chain stays unpublished.",
+)
+def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def run(lake: Lakehouse):
+        from ..lakehouse import CommitConflictError
+
+        t1 = lake.create_table("lab.cat_t1", schema="n_nationkey bigint, n_name string")
+        t2 = lake.create_table("lab.cat_t2", schema="n_nationkey bigint, n_name string")
+        t1.append(nation.filter(F.col("n_nationkey") < 5))
+        t2.append(nation.filter(F.col("n_nationkey").between(5, 9)))
+        lake.create_branch("etl")
+
+        def counts(ref=None):
+            return (
+                lake.read("lab.cat_t1", catalog_ref=ref).count(),
+                lake.read("lab.cat_t2", catalog_ref=ref).count(),
+            )
+
+        rows = [("fork", *counts(), *counts("etl"), "branch == main at fork")]
+
+        # two commits per table on the branch; main moves after the fork
+        between = lambda lo, hi: nation.filter(F.col("n_nationkey").between(lo, hi))
+        lake.append("lab.cat_t1", between(10, 14), catalog_ref="etl")
+        lake.append("lab.cat_t1", between(15, 16), catalog_ref="etl")
+        lake.append("lab.cat_t2", between(17, 19), catalog_ref="etl")
+        lake.append("lab.cat_t2", between(20, 21), catalog_ref="etl")
+        t1.append(between(22, 24))  # main move: invisible on the branch (fork pin)
+        rows.append(
+            (
+                "branch_writes",
+                *counts(),
+                *counts("etl"),
+                "4 commits invisible on main; main move invisible on branch",
+            )
+        )
+
+        res = lake.merge_catalog_branch("etl")
+        rows.append(
+            (
+                "merged",
+                *counts(),
+                *counts("etl"),
+                f"one atomic publish; tables={res['merged_tables']} "
+                f"commits={res['merged_commits']}",
+            )
+        )
+        res2 = lake.merge_catalog_branch("etl")
+        rows.append(
+            ("second_merge", *counts(), *counts("etl"), f"no-op; tables={res2['merged_tables']}")
+        )
+
+        # conflict: the branch overwrites c1 (claims its files) and
+        # appends to c2; a main overwrite of c1 races in first -> the
+        # catalog merge rejects WHOLE: c2's clean chain must not publish
+        c1 = lake.create_table("lab.cat_c1", schema="n_nationkey bigint, n_name string")
+        c2 = lake.create_table("lab.cat_c2", schema="n_nationkey bigint, n_name string")
+        c1.append(nation.filter(F.col("n_nationkey") < 2))
+        c2.append(nation.filter(F.col("n_nationkey") < 3))
+        lake.create_branch("fix")
+        lake.overwrite("lab.cat_c1", nation.filter(F.col("n_nationkey") < 4), catalog_ref="fix")
+        lake.append("lab.cat_c2", between(3, 4), catalog_ref="fix")
+        c1.overwrite(nation.filter(F.col("n_nationkey") == 0))  # main wins the race
+        try:
+            lake.merge_catalog_branch("fix")
+            detail = "MERGE UNEXPECTEDLY SUCCEEDED"
+        except CommitConflictError:
+            detail = "CommitConflictError; neither table published"
+        rows.append(
+            (
+                "conflict_rejected",
+                lake.read("lab.cat_c1").count(),
+                lake.read("lab.cat_c2").count(),
+                lake.read("lab.cat_c1", catalog_ref="fix").count(),
+                lake.read("lab.cat_c2", catalog_ref="fix").count(),
+                detail,
+            )
+        )
+        return (
+            sorted(rows),
+            "step string, t1_main bigint, t2_main bigint, "
+            "t1_branch bigint, t2_branch bigint, detail string",
+        )
+
+    return _with_lake(spark, run)
+
+
+@register(
     "lakehouse_rename_column",
     oracle="""
         SELECT * FROM (VALUES

@@ -1,0 +1,213 @@
+"""Catalog-wide refs (catalog_refs.py) — the Nessie model: one branch
+spans the whole warehouse, accumulates commits across many tables, and
+publishes atomically with one merge (the reference stack pins
+`spark.sql.catalog.nessie.ref=main` catalog-wide,
+/root/reference/spark/conf/spark-defaults.conf:9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from local_datalakehouse_phase2_spark.lakehouse import (
+    CatalogRefError,
+    CommitConflictError,
+    Lakehouse,
+    LakehouseSQL,
+    SqlError,
+)
+
+
+def _df(spark, *rows):
+    return spark.createDataFrame(list(rows), "k bigint, v string")
+
+
+def _rows(lake, ident, catalog_ref=None):
+    return {tuple(r) for r in lake.read(ident, catalog_ref=catalog_ref).collect()}
+
+
+def _lake(spark, tmp_path, name="w"):
+    lake = Lakehouse(spark, str(tmp_path / name))
+    lake.create_namespace("lab")
+    for ident in ("lab.t1", "lab.t2"):
+        t = lake.create_table(ident, schema="k bigint, v string")
+        t.append(_df(spark, (1, "m1")).coalesce(1))
+    return lake
+
+
+def test_fork_pins_and_isolation(spark, tmp_path):
+    """Nessie fork semantics: main commits AFTER the fork are invisible
+    on the branch, for touched and untouched tables alike; a table
+    created after the fork does not exist on the branch."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    # main moves after the fork on BOTH tables
+    lake.table("lab.t1").append(_df(spark, (9, "m9")))
+    lake.table("lab.t2").append(_df(spark, (9, "m9")))
+    # untouched table: fork pin, not current main
+    assert _rows(lake, "lab.t2", "etl") == {(1, "m1")}
+    # touched table: pin + branch writes, never main's post-fork commit
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (2, "e2")}
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (9, "m9")}
+    # a table created on main after the fork is absent on the branch
+    lake.create_table("lab.post", schema="k bigint, v string").append(
+        _df(spark, (1, "x"))
+    )
+    with pytest.raises(CatalogRefError, match="does not exist on catalog ref"):
+        lake.read("lab.post", catalog_ref="etl")
+    with pytest.raises(CatalogRefError, match="does not exist on catalog ref"):
+        lake.append("lab.post", _df(spark, (2, "y")), catalog_ref="etl")
+
+
+def test_branch_vs_branch_isolation(spark, tmp_path):
+    """Two catalog branches writing the SAME table never see each
+    other, and merging one publishes only its own chain."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("a")
+    lake.create_branch("b")
+    lake.append("lab.t1", _df(spark, (10, "a10")), catalog_ref="a")
+    lake.append("lab.t1", _df(spark, (20, "b20")), catalog_ref="b")
+    assert _rows(lake, "lab.t1", "a") == {(1, "m1"), (10, "a10")}
+    assert _rows(lake, "lab.t1", "b") == {(1, "m1"), (20, "b20")}
+    assert _rows(lake, "lab.t1") == {(1, "m1")}
+    res = lake.merge_catalog_branch("a")
+    assert res["merged_tables"] == 1
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (10, "a10")}
+    # b still isolated: sees its fork pin + own write, not a's merge
+    assert _rows(lake, "lab.t1", "b") == {(1, "m1"), (20, "b20")}
+
+
+def test_merge_publishes_all_tables_atomically(spark, tmp_path):
+    """The headline flow: two tables, >=2 commits each on the branch,
+    main unchanged until ONE merge publishes both; merge is
+    exactly-once (second call is a no-op) and the branch continues
+    from the new anchor."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    for i in (2, 3):
+        lake.append("lab.t1", _df(spark, (i, f"e{i}")), catalog_ref="etl")
+        lake.append("lab.t2", _df(spark, (i, f"e{i}")), catalog_ref="etl")
+    assert _rows(lake, "lab.t1") == {(1, "m1")}
+    assert _rows(lake, "lab.t2") == {(1, "m1")}
+    res = lake.merge_catalog_branch("etl")
+    assert res["merged_tables"] == 2 and res["merged_commits"] == 4
+    post = {(1, "m1"), (2, "e2"), (3, "e3")}
+    assert _rows(lake, "lab.t1") == post
+    assert _rows(lake, "lab.t2") == post
+    assert lake.merge_catalog_branch("etl")["merged_tables"] == 0
+    # the branch keeps working from the merge anchor
+    lake.append("lab.t1", _df(spark, (4, "e4")), catalog_ref="etl")
+    assert _rows(lake, "lab.t1", "etl") == post | {(4, "e4")}
+    assert _rows(lake, "lab.t1") == post
+    assert lake.merge_catalog_branch("etl")["merged_tables"] == 1
+    assert _rows(lake, "lab.t1") == post | {(4, "e4")}
+
+
+def test_merge_conflict_aborts_every_table(spark, tmp_path):
+    """All-or-nothing under conflict: the branch overwrites t1 (claims
+    its files) and appends to t2; a main overwrite of t1 races in
+    first. The catalog merge must reject — and t2's clean chain must
+    NOT publish (atomicity), staying intact on the branch."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.overwrite("lab.t1", _df(spark, (5, "e5")), catalog_ref="etl")
+    lake.append("lab.t2", _df(spark, (6, "e6")), catalog_ref="etl")
+    lake.table("lab.t1").overwrite(_df(spark, (7, "m7")))  # main wins the race
+    with pytest.raises(CommitConflictError, match="catalog merge aborts"):
+        lake.merge_catalog_branch("etl")
+    assert _rows(lake, "lab.t1") == {(7, "m7")}
+    assert _rows(lake, "lab.t2") == {(1, "m1")}  # t2 did NOT publish
+    # the branch chains survive the aborted merge
+    assert _rows(lake, "lab.t2", "etl") == {(1, "m1"), (6, "e6")}
+
+
+def test_row_level_ops_on_catalog_ref(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    lake.table("lab.t1").append(_df(spark, (2, "m2"), (3, "m3")))
+    lake.create_branch("etl")
+    lake.delete_where("lab.t1", "k = 2", catalog_ref="etl")
+    lake.update_where("lab.t1", {"v": "'patched'"}, "k = 3", catalog_ref="etl")
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (3, "patched")}
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (2, "m2"), (3, "m3")}
+    lake.merge_catalog_branch("etl")
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (3, "patched")}
+
+
+def test_drop_branch_removes_per_table_refs(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+    assert "catalog.etl" in lake.table("lab.t1").log.refs()
+    lake.drop_branch("etl")
+    assert "etl" not in lake.catalog_branches()
+    assert "catalog.etl" not in lake.table("lab.t1").log.refs()
+    assert _rows(lake, "lab.t1") == {(1, "m1")}  # abandoned, never published
+    with pytest.raises(CatalogRefError, match="does not exist"):
+        lake.read("lab.t1", catalog_ref="etl")
+
+
+def test_duplicate_and_invalid_names(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    with pytest.raises(CatalogRefError, match="already exists"):
+        lake.create_branch("etl")
+    with pytest.raises(CatalogRefError, match="invalid catalog ref name"):
+        lake.create_branch("../escape")
+
+
+def test_sql_use_reference_flow(spark, tmp_path):
+    """The SQL spelling: CALL system.create_branch + USE REFERENCE
+    routes reads and writes onto the branch; metadata statements and
+    per-table procedures are refused on a ref; merge publishes."""
+    lake = _lake(spark, tmp_path)
+    sql = LakehouseSQL(lake)
+    sql.sql("CALL system.create_branch(name => 'etl')")
+    sql.sql("USE REFERENCE etl")
+    sql.sql("INSERT INTO lab.t1 VALUES (2, 'e2')")
+    sql.sql("UPDATE lab.t1 SET v = 'e2x' WHERE k = 2")
+    sql.sql("DELETE FROM lab.t2 WHERE k = 1")
+    got = {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()}
+    assert got == {(1, "m1"), (2, "e2x")}
+    assert sql.sql("SELECT * FROM lab.t2").count() == 0
+    for stmt in (
+        "CREATE TABLE lab.t3 (k BIGINT)",
+        "DROP TABLE lab.t1",
+        "ALTER TABLE lab.t1 ADD COLUMN z BIGINT",
+        "TRUNCATE TABLE lab.t1",
+        "CALL system.rewrite_data_files(table => 'lab.t1')",
+    ):
+        with pytest.raises(SqlError, match="not supported under USE REFERENCE"):
+            sql.sql(stmt)
+    sql.sql("USE REFERENCE main")
+    assert {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()} == {(1, "m1")}
+    res = sql.sql("CALL system.merge_catalog_branch(name => 'etl')").collect()[0]
+    assert res.merged_tables == 2
+    assert {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()} == {
+        (1, "m1"),
+        (2, "e2x"),
+    }
+    assert sql.sql("SELECT * FROM lab.t2").count() == 0
+    with pytest.raises(SqlError, match="does not exist"):
+        sql.sql("USE REFERENCE nope")
+
+
+def test_sql_explicit_suffix_overrides_session_ref(spark, tmp_path):
+    """Explicit per-table branch/time-travel spellings stay explicit
+    under USE REFERENCE, like explicit VERSION AS OF does."""
+    lake = _lake(spark, tmp_path)
+    t = lake.table("lab.t1")
+    t.create_branch("dev")
+    t.append(_df(spark, (5, "dev5")), ref="dev")
+    sql = LakehouseSQL(lake)
+    sql.sql("CALL system.create_branch(name => 'etl')")
+    sql.sql("USE REFERENCE etl")
+    got = {tuple(r) for r in sql.sql("SELECT * FROM lab.t1.branch_dev").collect()}
+    assert got == {(1, "m1"), (5, "dev5")}
+    # explicit INSERT onto the per-table branch bypasses the session ref
+    sql.sql("INSERT INTO lab.t1.branch_dev VALUES (6, 'dev6')")
+    assert {tuple(r) for r in sql.sql("SELECT * FROM lab.t1.branch_dev").collect()} == {
+        (1, "m1"),
+        (5, "dev5"),
+        (6, "dev6"),
+    }
+    assert {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()} == {(1, "m1")}

@@ -390,3 +390,62 @@ def test_publish_changes_crash_sweep(spark, tmp_path):
         lambda ctx: {"lab.t": [PRE, PRE | {(3, "staged")}]},
     )
     assert n >= 1
+
+
+def test_catalog_merge_crash_sweep(spark, tmp_path, monkeypatch):
+    """Catalog-wide merge (catalog_refs.py): at EVERY metadata-write
+    crash point, the two member tables flip JOINTLY (never one table's
+    chain published without the other's), and a later merge from a
+    fresh process recovers — finishing a post-marker crash's
+    bookkeeping or voiding a pre-marker crash's limbo txn — so the
+    branch always converges to fully published."""
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+
+    # crashed holders leave lock files; recovery must steal them now,
+    # not after the production 60 s presumption window
+    monkeypatch.setattr(lh_log, "LOCK_STEAL_SECONDS", 0.0)
+    points = 0
+    for budget in range(80):
+        root = str(tmp_path / f"catmerge_{budget}")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        for ident in ("lab.t1", "lab.t2"):
+            t = lake.create_table(ident, schema="k bigint, v string")
+            t.append(_df(spark, (1, "a"), (2, "b")).coalesce(1))
+        lake.create_branch("etl")
+        lake._catalog_refs.append("lab.t1", _df(spark, (3, "t1new")), "etl")
+        lake._catalog_refs.append("lab.t2", _df(spark, (3, "t2new")), "etl")
+
+        io = CrashingFileIO(budget)
+        crash_lake = Lakehouse(spark, root, io=io)
+        try:
+            crash_lake.merge_catalog_branch("etl")
+            crashed = io.crashed
+        except Exception:
+            crashed = True
+
+        check = Lakehouse(spark, root)  # clean IO, fresh caches
+        new1 = (3, "t1new") in _rows(check, "lab.t1")
+        new2 = (3, "t2new") in _rows(check, "lab.t2")
+        assert new1 == new2, (
+            f"crash@{budget}: t1 published={new1} but t2 published={new2} "
+            "— catalog-merge atomicity violated"
+        )
+        if not crashed:
+            assert new1 and new2
+            assert points >= 5, f"only {points} crash points exercised"
+            return
+        points += 1
+        # recovery: a retry merge must converge to fully published,
+        # whichever side of the marker the crash fell on
+        check.merge_catalog_branch("etl")
+        assert (3, "t1new") in _rows(check, "lab.t1")
+        assert (3, "t2new") in _rows(check, "lab.t2")
+        # and the branch itself stays readable and coherent
+        branch1 = {
+            tuple(r) for r in check.read("lab.t1", catalog_ref="etl").collect()
+        }
+        assert (3, "t1new") in branch1
+        # exactly-once from here: another merge is a no-op
+        assert check.merge_catalog_branch("etl")["merged_tables"] == 0
+    pytest.fail("catalog merge still crashing after 80 write points")
