@@ -3,7 +3,14 @@ metadata views, and maintenance procedures (SURVEY.md §2.9-§2.10)."""
 
 from .catalog import CatalogError, Lakehouse
 from .catalog_refs import CatalogRefError, CatalogRefs
-from .fs import ArbitratedFileIO, FileIO, FlockMutex, HadoopFileIO, LocalFileIO
+from .fs import (
+    ArbitratedFileIO,
+    EndpointMutex,
+    FileIO,
+    FlockMutex,
+    HadoopFileIO,
+    LocalFileIO,
+)
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .maintenance import (
     MaintenanceError,
@@ -29,6 +36,7 @@ from .table import LakehouseTable
 __all__ = [
     "ArbitratedFileIO",
     "FlockMutex",
+    "EndpointMutex",
     "CatalogError",
     "CatalogRefError",
     "CatalogRefs",

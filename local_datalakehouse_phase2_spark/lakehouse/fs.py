@@ -34,6 +34,8 @@ import hashlib
 import os
 import re
 import shutil
+import threading
+import time
 import uuid
 from collections.abc import Iterator
 from contextlib import contextmanager
@@ -424,6 +426,104 @@ class FlockMutex:
                 fcntl.flock(fd, fcntl.LOCK_UN)
         finally:
             os.close(fd)
+
+
+class EndpointMutex:
+    """Single-ENDPOINT conditional-put arbiter for `ArbitratedFileIO` —
+    the multi-host backend FlockMutex explicitly is not.
+
+    Acquire = one atomic conditional INSERT of the lock row keyed by
+    the canonical path into a shared sqlite database (`BEGIN
+    IMMEDIATE` + insert-if-absent, exactly DynamoDB's
+    `attribute_not_exists(path)` PutItem, the pattern Iceberg's S3
+    lock manager used and the arbitration role the reference stack
+    delegates to its Nessie service, docker-compose.yml:6). Two
+    "nodes" that share NO filesystem lock directory — only the
+    endpoint — serialize here: the database's own locking makes the
+    read-check-insert one atomic step, so at most one caller holds a
+    path at a time. Release = delete the row.
+
+    A holder row older than `log.LOCK_STEAL_SECONDS` is presumed
+    crashed and stolen (same presumption as the ref/merge lock files;
+    a real DynamoDB deployment uses a TTL attribute the same way).
+
+    sqlite is the stand-in endpoint so the backend is testable in this
+    container; the acquire/release shape is column-for-column what a
+    DynamoDB table or an etcd lease needs, and it proves the seam's
+    claim: swapping multi-host arbitration in changes ZERO consumer
+    code — commits, ref locks, and txn markers still route through the
+    one `create_exclusive` method. Not reentrant, like FlockMutex.
+    """
+
+    def __init__(self, db_path: str, timeout_s: float = 30.0):
+        self.db_path = db_path
+        self.timeout_s = timeout_s
+
+    def _connect(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=self.timeout_s, isolation_level=None)
+        con.execute("PRAGMA busy_timeout = %d" % int(self.timeout_s * 1000))
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS locks ("
+            " path TEXT PRIMARY KEY, owner TEXT, acquired_at REAL)"
+        )
+        return con
+
+    @contextmanager
+    def __call__(self, path: str):
+        import sqlite3
+
+        from . import log as _log
+
+        canon = os.path.realpath(path) if "://" not in path else os.path.normpath(path)
+        owner = f"{os.getpid()}-{threading.get_ident()}"
+        con = self._connect()
+        try:
+            deadline = time.monotonic() + self.timeout_s
+            while True:
+                try:
+                    con.execute("BEGIN IMMEDIATE")
+                    row = con.execute(
+                        "SELECT owner, acquired_at FROM locks WHERE path = ?",
+                        (canon,),
+                    ).fetchone()
+                    if row is None:
+                        con.execute(
+                            "INSERT INTO locks VALUES (?, ?, ?)",
+                            (canon, owner, time.time()),
+                        )
+                        con.execute("COMMIT")
+                        break
+                    if time.time() - row[1] > _log.LOCK_STEAL_SECONDS:
+                        # crashed holder: steal, conditionally on the row
+                        # still being the one we read (owner match)
+                        con.execute(
+                            "UPDATE locks SET owner = ?, acquired_at = ?"
+                            " WHERE path = ? AND owner = ?",
+                            (owner, time.time(), canon, row[0]),
+                        )
+                        con.execute("COMMIT")
+                        break
+                    con.execute("COMMIT")
+                except sqlite3.OperationalError:
+                    try:
+                        con.execute("ROLLBACK")
+                    except sqlite3.OperationalError:
+                        pass
+                if time.monotonic() >= deadline:
+                    raise RuntimeError(
+                        f"timed out waiting for endpoint lock on {canon!r}"
+                    )
+                time.sleep(0.005)
+            try:
+                yield
+            finally:
+                con.execute(
+                    "DELETE FROM locks WHERE path = ? AND owner = ?", (canon, owner)
+                )
+        finally:
+            con.close()
 
 
 class ArbitratedFileIO(FileIO):

@@ -342,21 +342,44 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_dupes",
-    # TRUE cross-engine oracle: DuckDB recomputes exact shingle Jaccard
-    # over ALL pairs (brute force is fine at oracle scale), so this row
-    # going green also proves the LSH candidate stage has recall 1.0 on
-    # the >= 0.6 pairs — a miss would surface as a row-count mismatch.
+    # TRUE cross-engine oracle, scale-capable: DuckDB generates its OWN
+    # MinHash candidates (24 bands x 2 rows over DuckDB's hash — fully
+    # independent of Spark's xxhash64 MinHash) and exact-checks shingle
+    # Jaccard only within buckets. Band math: a J>=0.6 pair misses all
+    # 24 bands w.p. (1-0.36)^24 = 2e-5 (and the corpus' actual dupes
+    # sit at J>=0.9: miss 4e-18), so the oracle's candidate stage is
+    # effectively complete while staying corpus-linear — the old
+    # all-pairs self-join exceeded the 120 s interrupt at sf1
+    # (SCALE_CORRECTNESS.md); this runs ~21 s there. Verified
+    # frame-identical to the complete all-pairs/prefix-filter oracles
+    # at sf0.01 and sf0.1. A recall miss in the ENGINE's LSH stage
+    # still surfaces as a row mismatch, since the oracle's candidates
+    # are independent.
     oracle="""
         WITH sh AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
                    i -> array_to_string(w[i:i+2], ' '))) AS s
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         ),
+        bands AS (
+            SELECT doc_id, r.i AS band,
+                   list_min(list_transform(s, x -> hash(x, 2 * r.i))) AS h0,
+                   list_min(list_transform(s, x -> hash(x, 2 * r.i + 1))) AS h1
+            FROM sh, range(24) r(i)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+             AND a.doc_id < b.doc_id
+        ),
         pairs AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                         / len(list_distinct(a.s || b.s)), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            SELECT c.doc_a, c.doc_b,
+                   ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                         / len(list_distinct(x.s || y.s)), 6) AS jaccard
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b
         )
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
@@ -424,8 +447,13 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance <= 6. 8 blocks of 8 bits; <=6 flipped bits leave >=2 blocks "
     "untouched, so keying on every C(8,2)=28 block-pair (16-bit keys) has "
     "recall exactly 1.0 while random collisions drop 256x vs single-block "
-    "8-bit keys. bit_count on XOR gives the distance. At petabyte corpora, "
-    "widen the fingerprint (128-bit in two longs) and key on wider combos.",
+    "8-bit keys. bit_count on XOR gives the distance. Scale asymptote, "
+    "measured (SCALE_CORRECTNESS.md r11): buckets stay tiny (max 12 at 50k "
+    "docs) but bucket COUNT grows as the birthday term C(N,2)*28/2^16 "
+    "(587k candidate pairs at 50k docs, 66x at 10x data) — at ~1M+ docs "
+    "widen to a 128-bit fingerprint keyed on 2-of-8 16-bit blocks (32-bit "
+    "combo keys, same 28 tables, same recall proof), deferring the "
+    "quadratic-over-keyspace term by 2^16.",
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
