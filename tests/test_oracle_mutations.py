@@ -168,3 +168,62 @@ def test_oracle_catches_unpaired_changelog_updates(spark, con, monkeypatch):
     )
     with pytest.raises(AssertionError):
         _run_vs_oracle(spark, con, "lakehouse_changelog")
+
+
+def test_oracle_catches_broken_fork_pin(spark, con, monkeypatch):
+    """Destroy catalog-branch fork isolation: reads of a branch-written
+    table resolve against CURRENT main instead of the per-table branch
+    lineage (pin + chain), so the post-fork main move leaks into the
+    branch counts and the pinned lifecycle rows go red."""
+    from local_datalakehouse_phase2_spark.lakehouse import catalog_refs as cr
+
+    _run_vs_oracle(spark, con, "lakehouse_catalog_branch")  # baseline green
+
+    def read_main(self, identifier, name):
+        self._read_record(name)  # keep existence/refusal semantics
+        return self.lake.table(identifier).read()
+
+    monkeypatch.setattr(cr.CatalogRefs, "read", read_main)
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
+
+
+def test_oracle_catches_non_atomic_catalog_merge(spark, con, monkeypatch):
+    """Destroy all-or-nothing: skip the per-table conflict validation
+    inside merge staging AND the marker-time re-check, so the
+    conflicting merge publishes instead of rejecting — the
+    conflict_rejected row's counts (and detail string) go red."""
+    from local_datalakehouse_phase2_spark.lakehouse import catalog_refs as cr
+
+    _run_vs_oracle(spark, con, "lakehouse_catalog_branch")  # baseline green
+
+    orig_stage = cr.CatalogRefs._stage_merge_entry
+
+    def stage_unvalidated(self, t, name, txn_id, chain):
+        added, removed = self._net_effect(t, chain)
+        import time as _t
+
+        from local_datalakehouse_phase2_spark.lakehouse.log import (
+            LogEntry,
+            _dc_replace,
+        )
+
+        def make(version):
+            return LogEntry(
+                version=version,
+                snapshot_id=version,
+                committed_at=_t.time(),
+                operation="merge",
+                added_files=tuple(
+                    _dc_replace(fi, seq=version) for fi in added.values()
+                ),
+                removed_files=tuple(sorted(p for p in removed)),
+                extra={"txn": txn_id, "catalog_ref": name},
+            )
+
+        return t.log.append(make)
+
+    monkeypatch.setattr(cr.CatalogRefs, "_stage_merge_entry", stage_unvalidated)
+    monkeypatch.setattr(cr.CatalogRefs, "_revalidate", lambda self, t, e: None)
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
