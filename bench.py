@@ -77,6 +77,8 @@ EXTRA = [
     "lakehouse_branch_write_merge",
     "lakehouse_multi_table_txn",
     "lakehouse_rename_column",
+    # round 11: catalog-wide refs (fork / write-on-ref / atomic merge)
+    "lakehouse_catalog_branch",
 ]
 
 
