@@ -211,3 +211,86 @@ def test_sql_explicit_suffix_overrides_session_ref(spark, tmp_path):
         (6, "dev6"),
     }
     assert {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()} == {(1, "m1")}
+
+
+def test_expire_snapshots_preserves_catalog_branch(spark, tmp_path):
+    """Maintenance during an active catalog branch must not eat it:
+    expire_snapshots keeps the fork pin and the per-table branch chain
+    (branch lineages pin their snapshots), so branch reads and the
+    eventual merge survive aggressive retention."""
+    from local_datalakehouse_phase2_spark.lakehouse import expire_snapshots
+
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+    # main churns enough that retain_last=1 would expire the fork pin
+    # if branches didn't pin their lineage
+    for i in range(3):
+        lake.table("lab.t1").append(_df(spark, (90 + i, f"m{i}")))
+    expire_snapshots(lake.table("lab.t1"), retain_last=1)
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (2, "e2")}
+    lake.merge_catalog_branch("etl")
+    assert (2, "e2") in _rows(lake, "lab.t1")
+
+
+def test_branch_write_racing_merge_stays_on_branch(spark, tmp_path):
+    """A branch commit that lands AFTER the merge captured its chain
+    must survive on the branch (reanchor drops exactly the merged set),
+    publishing only at the NEXT merge — never lost, never
+    double-published."""
+    from local_datalakehouse_phase2_spark.lakehouse import catalog_refs as cr
+
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+
+    # inject the racer at the last possible moment: after the merge
+    # staged its entry (chain captured), before the marker decides
+    orig = cr.CatalogRefs._revalidate
+    fired = {"done": False}
+
+    def revalidate_with_racer(self, t, entry):
+        if not fired["done"]:
+            fired["done"] = True
+            self.lake._catalog_refs.append(
+                "lab.t1", _df(spark, (3, "racer")), "etl"
+            )
+        return orig(self, t, entry)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cr.CatalogRefs, "_revalidate", revalidate_with_racer):
+        res = lake.merge_catalog_branch("etl")
+    assert res["merged_commits"] == 1  # only the captured chain
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (2, "e2")}  # racer unpublished
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (2, "e2"), (3, "racer")}
+    res2 = lake.merge_catalog_branch("etl")
+    assert res2["merged_commits"] == 1
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (2, "e2"), (3, "racer")}
+
+
+def test_concurrent_catalog_merges_serialize(spark, tmp_path):
+    """Two merge attempts on the same ref: the lock serializes them —
+    the second sees empty chains and no-ops; content publishes exactly
+    once. (Simulated in-process: the lock is the same O_EXCL file a
+    second process would contend on; the two-process behavior of that
+    primitive is proven in tests/test_flock_mutex.py.)"""
+    import threading
+
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+    lake.append("lab.t2", _df(spark, (2, "e2")), catalog_ref="etl")
+    results = []
+
+    def go():
+        results.append(lake.merge_catalog_branch("etl"))
+
+    a, b = threading.Thread(target=go), threading.Thread(target=go)
+    a.start(), b.start()
+    a.join(60), b.join(60)
+    assert len(results) == 2
+    merged = sorted(r["merged_tables"] for r in results)
+    assert merged == [0, 2], f"exactly one merge publishes: {merged}"
+    post = {(1, "m1"), (2, "e2")}
+    assert _rows(lake, "lab.t1") == post and _rows(lake, "lab.t2") == post
