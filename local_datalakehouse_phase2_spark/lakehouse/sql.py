@@ -1304,11 +1304,35 @@ class LakehouseSQL:
             return self.spark.createDataFrame(
                 [(ns,) for ns in self.lake.namespaces()], "namespace string"
             )
+        if re.fullmatch(r"(?is)SHOW\s+(?:BRANCHES|REFERENCES)", s):
+            # catalog-wide refs (Nessie's LIST REFERENCES): the session
+            # ref is flagged so USE REFERENCE state is inspectable
+            rows = [
+                (
+                    name,
+                    len(rec.get("pins", {})),
+                    bool(rec.get("pending_merge")),
+                    name == self.session_ref,
+                )
+                for name, rec in sorted(self.lake.catalog_branches().items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "ref string, pinned_tables bigint, merge_in_progress boolean, "
+                "is_session_ref boolean",
+            )
         m = re.fullmatch(rf"(?is)SHOW\s+TABLES\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
         if m:
             ns = m.group(1)
+            names = self.lake.tables(ns)
+            if self.session_ref is not None:
+                # on a catalog ref only fork-pinned tables exist —
+                # a table created on main after the fork is invisible
+                pins = self.lake.catalog_branches()[self.session_ref]["pins"]
+                names = [t for t in names if f"{ns}.{t}" in pins]
             return self.spark.createDataFrame(
-                [(ns, t) for t in self.lake.tables(ns)], "namespace string, tableName string"
+                [(ns, t) for t in names] or [],
+                "namespace string, tableName string",
             )
         m = re.fullmatch(
             rf"(?is)SHOW\s+TBLPROPERTIES\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"

@@ -294,3 +294,23 @@ def test_concurrent_catalog_merges_serialize(spark, tmp_path):
     assert merged == [0, 2], f"exactly one merge publishes: {merged}"
     post = {(1, "m1"), (2, "e2")}
     assert _rows(lake, "lab.t1") == post and _rows(lake, "lab.t2") == post
+
+
+def test_sql_show_branches_and_ref_scoped_show_tables(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    sql = LakehouseSQL(lake)
+    assert sql.sql("SHOW BRANCHES").count() == 0
+    sql.sql("CALL system.create_branch(name => 'etl')")
+    sql.sql("CREATE TABLE lab.post (k BIGINT, v STRING)")  # after the fork
+    sql.sql("USE REFERENCE etl")
+    rows = {tuple(r) for r in sql.sql("SHOW BRANCHES").collect()}
+    assert rows == {("etl", 2, False, True)}
+    # post-fork table invisible in ref-scoped SHOW TABLES
+    tables = {r.tableName for r in sql.sql("SHOW TABLES IN lab").collect()}
+    assert tables == {"t1", "t2"}
+    sql.sql("USE REFERENCE main")
+    tables = {r.tableName for r in sql.sql("SHOW TABLES IN lab").collect()}
+    assert tables == {"t1", "t2", "post"}
+    assert {tuple(r) for r in sql.sql("SHOW BRANCHES").collect()} == {
+        ("etl", 2, False, False)
+    }

@@ -168,10 +168,19 @@ def test_marker_race_two_processes(tmp_path):
 #     snapshot references exists on disk.
 
 
-def _stress_writer(table_dir, lock_dir, n_appends):
+def _stress_mutex(backend):
+    kind, arg = backend
+    if kind == "flock":
+        return FlockMutex(arg)
+    from local_datalakehouse_phase2_spark.lakehouse.fs import EndpointMutex
+
+    return EndpointMutex(arg)
+
+
+def _stress_writer(table_dir, backend, n_appends):
     from local_datalakehouse_phase2_spark.lakehouse.log import FileInfo
 
-    io = ArbitratedFileIO(RacyFileIO(), mutex=FlockMutex(lock_dir))
+    io = ArbitratedFileIO(RacyFileIO(), mutex=_stress_mutex(backend))
     log = TransactionLog(os.path.join(table_dir, "metadata"), io=io)
     from local_datalakehouse_phase2_spark.lakehouse.log import LogEntry
 
@@ -193,7 +202,7 @@ def _stress_writer(table_dir, lock_dir, n_appends):
         time.sleep(0.01)
 
 
-def _stress_maintenance(table_dir, lock_dir, iterations, out_path):
+def _stress_maintenance(table_dir, backend, iterations, out_path):
     from local_datalakehouse_phase2_spark.lakehouse import (
         LakehouseTable,
         expire_snapshots,
@@ -202,7 +211,7 @@ def _stress_maintenance(table_dir, lock_dir, iterations, out_path):
     )
     from local_datalakehouse_phase2_spark.lakehouse.log import FileInfo, LogEntry
 
-    io = ArbitratedFileIO(RacyFileIO(), mutex=FlockMutex(lock_dir))
+    io = ArbitratedFileIO(RacyFileIO(), mutex=_stress_mutex(backend))
     table = LakehouseTable(None, "lab.stress", table_dir, io=io)
     done = {"checkpoints": 0, "compactions": 0, "expiries": 0, "orphan_runs": 0}
     for it in range(iterations):
@@ -245,12 +254,20 @@ def _stress_maintenance(table_dir, lock_dir, iterations, out_path):
         json.dump(done, f)
 
 
-def test_maintenance_under_live_ingest_stress(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("backend_kind", ["flock", "endpoint"])
+def test_maintenance_under_live_ingest_stress(tmp_path, backend_kind):
     from local_datalakehouse_phase2_spark.lakehouse import LakehouseTable
     from local_datalakehouse_phase2_spark.lakehouse.log import LogEntry
 
     table_dir = str(tmp_path / "stress_t")
-    lock_dir = str(tmp_path / "stress_locks")
+    backend = (
+        ("flock", str(tmp_path / "stress_locks"))
+        if backend_kind == "flock"
+        else ("endpoint", str(tmp_path / "stress.db"))
+    )
     os.makedirs(os.path.join(table_dir, "data"))
     # seed v0 (un-contended) so both processes see an existing table
     seed_log = TransactionLog(os.path.join(table_dir, "metadata"), io=RacyFileIO())
@@ -266,9 +283,9 @@ def test_maintenance_under_live_ingest_stress(tmp_path):
 
     n_appends, iterations = 20, 6
     out = str(tmp_path / "maint_out.json")
-    pw = _MP.Process(target=_stress_writer, args=(table_dir, lock_dir, n_appends))
+    pw = _MP.Process(target=_stress_writer, args=(table_dir, backend, n_appends))
     pm = _MP.Process(
-        target=_stress_maintenance, args=(table_dir, lock_dir, iterations, out)
+        target=_stress_maintenance, args=(table_dir, backend, iterations, out)
     )
     pw.start(), pm.start()
     pw.join(120), pm.join(120)
