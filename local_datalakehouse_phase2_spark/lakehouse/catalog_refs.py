@@ -285,6 +285,27 @@ class CatalogRefs:
             condition, ref=_table_branch(name)
         )
 
+    def stream_into(
+        self,
+        identifier: str,
+        source: DataFrame,
+        checkpoint_dir: str,
+        name: str,
+        **kwargs,
+    ):
+        """Exactly-once streaming ingest ONTO the catalog branch (the
+        Nessie audit-branch pattern at catalog scope): micro-batches
+        commit to the table's per-table branch, invisible on main
+        until merge_catalog_branch publishes — so a streaming backfill
+        across several tables can be audited and then land atomically
+        with everything else on the ref."""
+        from ..streaming.ingest import stream_into_table
+
+        t = self._member_table(name, identifier)
+        return stream_into_table(
+            source, t, checkpoint_dir, ref=_table_branch(name), **kwargs
+        )
+
     def update_where(
         self, identifier: str, assignments: dict, condition, name: str
     ) -> LogEntry:

@@ -314,3 +314,29 @@ def test_sql_show_branches_and_ref_scoped_show_tables(spark, tmp_path):
     assert {tuple(r) for r in sql.sql("SHOW BRANCHES").collect()} == {
         ("etl", 2, False, False)
     }
+
+
+def test_streaming_ingest_onto_catalog_ref(spark, tmp_path):
+    """Micro-batch ingest commits onto the catalog branch: invisible
+    on main, exactly-once under restart (batch-id watermark), and
+    published by the catalog merge together with everything else."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    src_dir, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    _df(spark, (50, "s50"), (51, "s51")).write.parquet(src_dir)
+    schema = "k bigint, v string"
+
+    def ingest():
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        q = lake._catalog_refs.stream_into(
+            "lab.t1", stream, ckpt, "etl", query_name="catref-ingest"
+        )
+        q.awaitTermination(60)
+
+    ingest()
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (50, "s50"), (51, "s51")}
+    assert _rows(lake, "lab.t1") == {(1, "m1")}
+    ingest()  # replay with the same checkpoint: exactly-once, no dupes
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (50, "s50"), (51, "s51")}
+    lake.merge_catalog_branch("etl")
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (50, "s50"), (51, "s51")}
