@@ -79,6 +79,12 @@ class Lakehouse:
         nothing, one marker flip (see catalog_refs.py)."""
         return self._catalog_refs.merge(name)
 
+    def rebase_catalog_branch(self, name: str, drop_conflicting: bool = False) -> dict:
+        """Refresh the branch's view of main across every table (the
+        recovery flow after a conflicting merge_catalog_branch); see
+        catalog_refs.py rebase."""
+        return self._catalog_refs.rebase(name, drop_conflicting=drop_conflicting)
+
     def read(self, identifier: str, catalog_ref: str | None = None):
         """Read a table, optionally as a catalog branch sees it:
         branch-written tables show the branch lineage, untouched tables

@@ -313,6 +313,81 @@ class CatalogRefs:
             assignments, condition, ref=_table_branch(name)
         )
 
+    # ---- rebase ------------------------------------------------------------
+
+    def rebase(self, name: str, drop_conflicting: bool = False) -> dict:
+        """Refresh the WHOLE branch's view of main — the recovery flow
+        merge()'s conflict error needs at catalog scope (Nessie ships
+        rebase alongside merge). Every pin advances to its table's
+        current main head, and every member branch rebases its chain
+        onto that head through maintenance.rebase_branch's per-commit
+        validation: a chain commit a main change conflicts with either
+        fails the whole rebase (default — nothing moves) or is dropped
+        and reported (`drop_conflicting=True`) for the caller to
+        re-apply on the rebased branch. Runs under the merge lock so a
+        concurrent merge/rebase/drop serializes; all-or-nothing is by
+        validation-before-mutation: the default mode validates every
+        member's chain BEFORE advancing any pin or base."""
+        from .maintenance import rebase_branch
+
+        def run():
+            record = self._recover(self._read_record(name))
+            members: dict[str, object] = {}
+            for ident in sorted(record["pins"]):
+                try:
+                    t = self.lake.table(ident)
+                except Exception:
+                    continue
+                members[ident] = t
+            if not drop_conflicting:
+                # validate every member chain against its target BEFORE
+                # mutating anything, so a conflict on the last table
+                # cannot leave the first already rebased
+                for ident, t in members.items():
+                    if _table_branch(name) not in t.log.refs():
+                        continue
+                    target = t.log.latest_main_version()
+                    state = t.log.state_at(target)
+                    _base, _head, chain = t.log.branch_info(_table_branch(name))
+                    for v in chain:
+                        e = t.log.read_entry(v)
+                        gone = [p for p in e.removed_files if p not in state]
+                        clash = [fi.path for fi in e.added_files if fi.path in state]
+                        if gone or clash:
+                            raise CommitConflictError(
+                                f"rebase_catalog_branch {name!r} on {ident}: "
+                                f"branch commit {v} conflicts with main at "
+                                f"snapshot {target} — nothing rebased; re-run "
+                                "with drop_conflicting=True to keep the clean "
+                                "commits and re-apply that change on the "
+                                "rebased branch"
+                            )
+                        for p in e.removed_files:
+                            state.pop(p, None)
+                        for fi in e.added_files:
+                            state[fi.path] = fi
+            results: dict[str, dict] = {}
+            for ident, t in members.items():
+                head = t.log.latest_main_version()
+                if _table_branch(name) in t.log.refs():
+                    results[ident] = rebase_branch(
+                        t, _table_branch(name), drop_conflicting=drop_conflicting
+                    )
+                if head is not None:
+                    record["pins"][ident] = head
+            self._write_record(record)
+            return {
+                "catalog_ref": name,
+                "rebased_tables": len(results),
+                "dropped_commits": {
+                    i: r["dropped_commits"] for i, r in results.items()
+                    if r["dropped_commits"]
+                },
+                "tables": results,
+            }
+
+        return self._with_merge_lock(name, run)
+
     # ---- merge ------------------------------------------------------------
 
     def _members_with_commits(self, record: dict) -> list[tuple[str, list[int]]]:

@@ -436,12 +436,22 @@ class LakehouseSQL:
             args[am.group(1).lower()] = _parse_value(am.group(2))
         # catalog-level procedures (the Nessie branch model): no
         # table => argument — they operate on the WHOLE catalog
-        if proc in ("create_branch", "drop_branch", "merge_catalog_branch"):
+        if proc in (
+            "create_branch",
+            "drop_branch",
+            "merge_catalog_branch",
+            "rebase_catalog_branch",
+        ):
             from .catalog_refs import CatalogRefError
 
             if "name" not in args:
                 raise SqlError(f"CALL {proc}: missing name => argument")
             name = str(args.pop("name"))
+            drop_conflicting = (
+                bool(args.pop("drop_conflicting", False))
+                if proc == "rebase_catalog_branch"
+                else False
+            )
             if args:
                 raise SqlError(f"CALL {proc}: unexpected arguments {sorted(args)}")
             try:
@@ -455,6 +465,19 @@ class LakehouseSQL:
                     if self.session_ref == name:
                         self.session_ref = None
                     return self._result_frame({"ref": name, "dropped": True})
+                if proc == "rebase_catalog_branch":
+                    res = self.lake.rebase_catalog_branch(
+                        name, drop_conflicting=drop_conflicting
+                    )
+                    return self._result_frame(
+                        {
+                            "ref": name,
+                            "rebased_tables": res["rebased_tables"],
+                            "dropped_commits": sum(
+                                len(v) for v in res["dropped_commits"].values()
+                            ),
+                        }
+                    )
                 res = self.lake.merge_catalog_branch(name)
                 return self._result_frame(
                     {

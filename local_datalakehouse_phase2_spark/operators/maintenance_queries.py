@@ -619,6 +619,8 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('conflict_rejected', CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'CommitConflictError; neither table published'),
             ('fork',              CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), 'branch == main at fork'),
             ('merged',            CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'one atomic publish; tables=2 commits=4'),
+            ('rebased',           CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(1  AS BIGINT), CAST(5  AS BIGINT), 'dropped=1 rebased_tables=2'),
+            ('recovered',         CAST(4  AS BIGINT), CAST(5  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'merge after rebase; tables=2'),
             ('second_merge',      CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'no-op; tables=0')
         ) AS t(step, t1_main, t2_main, t1_branch, t2_branch, detail)
         ORDER BY step
@@ -629,9 +631,12 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "spark.sql.catalog.nessie.ref=main catalog-wide, spark-defaults."
     "conf:9). Fork pins every table; two tables take two branch commits "
     "each while main moves underneath; ONE merge publishes both tables "
-    "atomically (txn-marker flip); a second merge is a no-op; and a "
+    "atomically (txn-marker flip); a second merge is a no-op; a "
     "conflicting merge (main overwrote files a branch overwrite claims) "
-    "rejects WHOLE — the clean second table's chain stays unpublished.",
+    "rejects WHOLE — the clean second table's chain stays unpublished; "
+    "and rebase_catalog_branch recovers: every pin refreshes to current "
+    "main, exactly the conflicting commit drops (clean chains survive), "
+    "the change re-applies, and the merge goes through.",
 )
 def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -700,14 +705,38 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail = "MERGE UNEXPECTEDLY SUCCEEDED"
         except CommitConflictError:
             detail = "CommitConflictError; neither table published"
+
+        def ccounts(ref=None):
+            return (
+                lake.read("lab.cat_c1", catalog_ref=ref).count(),
+                lake.read("lab.cat_c2", catalog_ref=ref).count(),
+            )
+
+        rows.append(("conflict_rejected", *ccounts(), *ccounts("fix"), detail))
+
+        # recovery: catalog rebase refreshes every pin to current main,
+        # drops exactly the conflicting commit (reported), keeps c2's
+        # clean chain; the change re-applies and the merge goes through
+        reb = lake.rebase_catalog_branch("fix", drop_conflicting=True)
         rows.append(
             (
-                "conflict_rejected",
-                lake.read("lab.cat_c1").count(),
-                lake.read("lab.cat_c2").count(),
-                lake.read("lab.cat_c1", catalog_ref="fix").count(),
-                lake.read("lab.cat_c2", catalog_ref="fix").count(),
-                detail,
+                "rebased",
+                *ccounts(),
+                *ccounts("fix"),
+                f"dropped={sum(len(v) for v in reb['dropped_commits'].values())} "
+                f"rebased_tables={reb['rebased_tables']}",
+            )
+        )
+        lake.overwrite(
+            "lab.cat_c1", nation.filter(F.col("n_nationkey") < 4), catalog_ref="fix"
+        )  # re-apply
+        res3 = lake.merge_catalog_branch("fix")
+        rows.append(
+            (
+                "recovered",
+                *ccounts(),
+                *ccounts("fix"),
+                f"merge after rebase; tables={res3['merged_tables']}",
             )
         )
         return (

@@ -340,3 +340,58 @@ def test_streaming_ingest_onto_catalog_ref(spark, tmp_path):
     assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (50, "s50"), (51, "s51")}
     lake.merge_catalog_branch("etl")
     assert _rows(lake, "lab.t1") == {(1, "m1"), (50, "s50"), (51, "s51")}
+
+
+def test_rebase_refreshes_pins_and_recovers_conflicting_merge(spark, tmp_path):
+    """The full conflict-recovery loop the per-table flow has
+    (merge fails -> rebase -> re-apply -> merge succeeds), at catalog
+    scope: rebase advances EVERY pin to current main (untouched tables
+    included), drops exactly the conflicting commit when asked, keeps
+    the clean table's chain, and the next merge publishes everything."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.overwrite("lab.t1", _df(spark, (5, "e5")), catalog_ref="etl")
+    lake.append("lab.t2", _df(spark, (6, "e6")), catalog_ref="etl")
+    lake.table("lab.t1").overwrite(_df(spark, (7, "m7")))  # main wins
+    with pytest.raises(CommitConflictError):
+        lake.merge_catalog_branch("etl")
+
+    # default rebase: all-or-nothing refusal names the conflict,
+    # and NOTHING moved — the clean table's branch view is unchanged
+    with pytest.raises(CommitConflictError, match="nothing rebased"):
+        lake.rebase_catalog_branch("etl")
+    assert _rows(lake, "lab.t2", "etl") == {(1, "m1"), (6, "e6")}
+    assert _rows(lake, "lab.t1", "etl") == {(5, "e5")}
+
+    res = lake.rebase_catalog_branch("etl", drop_conflicting=True)
+    assert list(res["dropped_commits"]) == ["lab.t1"]
+    # pins refreshed: the branch now sees main's overwrite on t1...
+    assert _rows(lake, "lab.t1", "etl") == {(7, "m7")}
+    # ...and t2's clean chain survived the rebase
+    assert _rows(lake, "lab.t2", "etl") == {(1, "m1"), (6, "e6")}
+    # re-apply the dropped change on the rebased branch, then publish
+    lake.overwrite("lab.t1", _df(spark, (5, "e5")), catalog_ref="etl")
+    merged = lake.merge_catalog_branch("etl")
+    assert merged["merged_tables"] == 2
+    assert _rows(lake, "lab.t1") == {(5, "e5")}
+    assert _rows(lake, "lab.t2") == {(1, "m1"), (6, "e6")}
+
+
+def test_sql_rebase_catalog_branch(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    sql = LakehouseSQL(lake)
+    sql.sql("CALL system.create_branch(name => 'etl')")
+    sql.sql("USE REFERENCE etl")
+    sql.sql("INSERT INTO lab.t2 VALUES (6, 'e6')")
+    sql.sql("USE REFERENCE main")
+    lake.table("lab.t1").append(_df(spark, (9, "m9")))  # main moves
+    res = sql.sql(
+        "CALL system.rebase_catalog_branch(name => 'etl')"
+    ).collect()[0]
+    assert res.rebased_tables >= 1 and res.dropped_commits == 0
+    sql.sql("USE REFERENCE etl")
+    # pin refreshed: main's move is now visible on the branch
+    got = {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()}
+    assert got == {(1, "m1"), (9, "m9")}
+    got2 = {tuple(r) for r in sql.sql("SELECT * FROM lab.t2").collect()}
+    assert got2 == {(1, "m1"), (6, "e6")}
