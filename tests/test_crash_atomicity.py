@@ -449,3 +449,75 @@ def test_catalog_merge_crash_sweep(spark, tmp_path, monkeypatch):
         # exactly-once from here: another merge is a no-op
         assert check.merge_catalog_branch("etl")["merged_tables"] == 0
     pytest.fail("catalog merge still crashing after 80 write points")
+
+
+def test_catalog_rebase_crash_sweep(spark, tmp_path, monkeypatch):
+    """Catalog rebase is bookkeeping (pins + per-table ref bases), not
+    a data commit — it has no marker and is NOT atomic across tables.
+    The safety claim is different and this sweeps it: at every crash
+    point each table individually reads a coherent branch state (its
+    old pin+chain or its new base+chain, never torn), and RE-RUNNING
+    the rebase from a fresh process converges to fully rebased with
+    nothing lost."""
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+
+    monkeypatch.setattr(lh_log, "LOCK_STEAL_SECONDS", 0.0)
+    points = 0
+    for budget in range(60):
+        root = str(tmp_path / f"catreb_{budget}")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        for ident in ("lab.t1", "lab.t2"):
+            t = lake.create_table(ident, schema="k bigint, v string")
+            t.append(_df(spark, (1, "a"), (2, "b")).coalesce(1))
+        lake.create_branch("etl")
+        lake._catalog_refs.append("lab.t1", _df(spark, (3, "e1")), "etl")
+        lake._catalog_refs.append("lab.t2", _df(spark, (3, "e2")), "etl")
+        # main moves so the rebase has real pin/base work on both tables
+        lake.table("lab.t1").append(_df(spark, (9, "m1")))
+        lake.table("lab.t2").append(_df(spark, (9, "m2")))
+
+        io = CrashingFileIO(budget)
+        crash_lake = Lakehouse(spark, root, io=io)
+        try:
+            crash_lake.rebase_catalog_branch("etl")
+            crashed = io.crashed
+        except Exception:
+            crashed = True
+
+        check = Lakehouse(spark, root)
+        # every table reads coherently on the branch: its own chain row
+        # always present, main rows = pre-fork always, post-fork row
+        # present iff THAT table's rebase step landed
+        for ident, chain_row, main_row in (
+            ("lab.t1", (3, "e1"), (9, "m1")),
+            ("lab.t2", (3, "e2"), (9, "m2")),
+        ):
+            got = {
+                tuple(r)
+                for r in check.read(ident, catalog_ref="etl").collect()
+            }
+            base = {(1, "a"), (2, "b"), chain_row}
+            assert got in (base, base | {main_row}), (
+                f"crash@{budget}: {ident} branch read torn: {sorted(got)}"
+            )
+        if not crashed:
+            assert points >= 3, f"only {points} crash points exercised"
+            return
+        points += 1
+        # convergence: re-running the rebase finishes the job
+        check.rebase_catalog_branch("etl")
+        for ident, chain_row, main_row in (
+            ("lab.t1", (3, "e1"), (9, "m1")),
+            ("lab.t2", (3, "e2"), (9, "m2")),
+        ):
+            got = {
+                tuple(r)
+                for r in check.read(ident, catalog_ref="etl").collect()
+            }
+            assert got == {(1, "a"), (2, "b"), chain_row, main_row}
+        # and the branch still publishes after recovery
+        check.merge_catalog_branch("etl")
+        assert (3, "e1") in _rows(check, "lab.t1")
+        assert (3, "e2") in _rows(check, "lab.t2")
+    pytest.fail("catalog rebase still crashing after 60 write points")
