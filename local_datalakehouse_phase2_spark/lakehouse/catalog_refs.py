@@ -327,7 +327,14 @@ class CatalogRefs:
         re-apply on the rebased branch. Runs under the merge lock so a
         concurrent merge/rebase/drop serializes; all-or-nothing is by
         validation-before-mutation: the default mode validates every
-        member's chain BEFORE advancing any pin or base."""
+        member's chain BEFORE advancing any pin or base.
+
+        Crash behavior (unlike merge, there is no marker): a crash
+        mid-rebase leaves some tables on the new base and some on the
+        old — each individually coherent, never torn — and re-running
+        the rebase converges (tests/test_crash_atomicity.py sweeps
+        this). Cross-table pin consistency is restored by the re-run,
+        not guaranteed in the gap."""
         from .maintenance import rebase_branch
 
         def run():
