@@ -395,3 +395,41 @@ def test_sql_rebase_catalog_branch(spark, tmp_path):
     assert got == {(1, "m1"), (9, "m9")}
     got2 = {tuple(r) for r in sql.sql("SELECT * FROM lab.t2").collect()}
     assert got2 == {(1, "m1"), (6, "e6")}
+
+
+def test_eq_delete_in_stage_to_marker_window_gates_merged_rows(spark, tmp_path):
+    """Pin the documented sequence-semantics caveat (catalog_refs.py
+    module docstring): merge entries re-stamp added-file seq at STAGE
+    time while visibility arrives at the MARKER flip, so an equality
+    delete committed on main inside that window has a higher seq than
+    the merged rows and gates them once they publish — the same
+    stage-time-seq stance transaction.py documents. (The per-table
+    merge has no such window: its merge entry IS the visibility
+    point.)"""
+    from local_datalakehouse_phase2_spark.lakehouse import catalog_refs as cr
+
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.append("lab.t1", _df(spark, (2, "e2"), (3, "e3")), catalog_ref="etl")
+
+    orig = cr.CatalogRefs._revalidate
+    fired = {"done": False}
+
+    def revalidate_with_eqdel(self, t, entry):
+        if not fired["done"]:
+            fired["done"] = True
+            # main commits an equality delete for k=2 AFTER the merge
+            # entry staged (seq V_m) and BEFORE the marker flips
+            lake.table("lab.t1").equality_delete(
+                spark.createDataFrame([(2,)], "k bigint"), ["k"]
+            )
+        return orig(self, t, entry)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cr.CatalogRefs, "_revalidate", revalidate_with_eqdel):
+        res = lake.merge_catalog_branch("etl")
+    assert res["merged_tables"] == 1
+    # the delete (seq > merged rows' stage-time seq) gates k=2; k=3
+    # publishes normally
+    assert _rows(lake, "lab.t1") == {(1, "m1"), (3, "e3")}
