@@ -518,6 +518,102 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
+    """(doc_id, s1, s2): a 128-bit SimHash as two independent 64-bit
+    halves — the second from the same shingles under a different
+    xxhash64 seed (JVM-side, one extra hash per shingle). Factored out
+    so the recall test can brute-force the same fingerprints."""
+    h2 = F.expr(f"transform({_shingles_sql('text')}, s -> xxhash64(s, 7))")
+    return (
+        d.filter(_has_shingles())
+        .select("doc_id", _shingle_hashes().alias("h1"), h2.alias("h2"))
+        .select(
+            "doc_id",
+            _simhash64("h1").alias("s1"),
+            _simhash64("h2").alias("s2"),
+        )
+    )
+
+
+@register(
+    "simhash_wide_pairs",
+    # Pinned-VALUES oracle (sf0.01), same rationale as simhash_pairs:
+    # the bits come from Spark's xxhash64. Blocking recall is exactly
+    # 1.0 by the same Manku argument, proven against brute-force
+    # 128-bit Hamming in tests/test_dedup.py.
+    oracle="""
+        SELECT * FROM (VALUES
+            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(4 AS INT)),
+            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(4 AS INT)),
+            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INT)),
+            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INT)),
+            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(4 AS INT)),
+            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(6 AS INT)),
+            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(5 AS INT)),
+            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(4 AS INT)),
+            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(6 AS INT)),
+            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(4 AS INT))
+        ) AS t(doc_a, doc_b, hamming) ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "simhash", "scale"),
+    doc="The documented scale path for simhash_pairs, implemented: a "
+    "128-bit fingerprint (two independent 64-bit SimHashes) keyed on "
+    "every pair of its 8 16-bit blocks — 28 combo tables of 32-BIT keys, "
+    "so the birthday collision term C(N,2)*28/2^32 defers the "
+    "candidate-growth asymptote by 2^16 vs the 64-bit/16-bit-key "
+    "variant (SCALE_CORRECTNESS.md r11 measurement). Recall for "
+    "hamming<=6 stays exactly 1.0: <=6 flipped bits touch <=6 of the 8 "
+    "blocks, so >=2 blocks — hence >=1 of the C(8,2) combos — match. "
+    "Note 6/128 is a tighter similarity bar than 6/64, so this surfaces "
+    "fewer, closer pairs than simhash_pairs.",
+)
+def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallel_scan(spark, sf_dir, "documents")
+    sigs = _simhash_wide_sigs(d)
+    # 8 blocks of 16 bits: blocks 0-3 from s1, 4-7 from s2
+
+    def block(src_expr: str, b: int) -> str:
+        col = "s1" if b < 4 else "s2"
+        return f"(({col} >> {(b % 4) * 16}) & 65535)"
+
+    combo_keys = [
+        f"{cid}L * 4294967296L + {block('s', i)} * 65536L + {block('s', j)}"
+        for cid, (i, j) in enumerate(
+            (i, j) for i in range(8) for j in range(i + 1, 8)
+        )
+    ]
+    bands = sigs.select(
+        "doc_id",
+        "s1",
+        "s2",
+        F.explode(F.array(*[F.expr(k) for k in combo_keys])).alias("bk"),
+    )
+    buckets = (
+        bands.groupBy("bk")
+        .agg(F.collect_list(F.struct("doc_id", "s1", "s2")).alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
+    )
+    pairs = (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "bit_count(a.s1 ^ b.s1) + bit_count(a.s2 ^ b.s2)"
+            ).alias("hamming"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+    return (
+        pairs.filter(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "embedding_cosine_dupes",
     oracle="""

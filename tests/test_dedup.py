@@ -130,3 +130,37 @@ def test_exact_jaccard_pairs_matches_bruteforce(spark, sf_small):
     )
     want = {(r.a, r.b) for r in brute.collect()}
     assert got == want and len(want) > 0
+
+
+def test_simhash_wide_blocking_recall_is_exact(spark, sf_small):
+    """The 128-bit scale variant's blocking must have recall EXACTLY
+    1.0 vs brute-force 128-bit Hamming over all pairs: <=6 flipped
+    bits touch <=6 of the 8 16-bit blocks, so at least one of the 28
+    block-pair combo keys matches — the Manku argument, verified
+    empirically here."""
+    import numpy as np
+
+    from local_datalakehouse_phase2_spark.operators.dedup import (
+        _simhash_wide_sigs,
+        simhash_wide_pairs,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import parallel_scan
+
+    got = {
+        (r.doc_a, r.doc_b) for r in simhash_wide_pairs(spark, sf_small).collect()
+    }
+    sigs = _simhash_wide_sigs(parallel_scan(spark, sf_small, "documents")).collect()
+    ids = np.array([r.doc_id for r in sigs])
+    s1 = np.array([r.s1 for r in sigs], dtype=np.int64).astype(np.uint64)
+    s2 = np.array([r.s2 for r in sigs], dtype=np.int64).astype(np.uint64)
+
+    def bc(x):
+        return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(1)
+
+    brute = set()
+    for i in range(len(ids)):
+        h = bc(s1[i] ^ s1) + bc(s2[i] ^ s2)
+        for j in np.where(h <= 6)[0]:
+            if ids[i] < ids[j]:
+                brute.add((int(ids[i]), int(ids[j])))
+    assert got == brute  # not just recall 1.0: exactly the brute set
