@@ -265,7 +265,14 @@ class CatalogRefs:
         pin = self._pin_of(record, identifier)
         t = self.lake.table(identifier)
         if _table_branch(name) not in t.log.refs():
-            t.create_branch(_table_branch(name), at=pin)
+            try:
+                t.create_branch(_table_branch(name), at=pin)
+            except ValueError:
+                # two first-writes raced the lazy fork: create_ref is
+                # O_EXCL, one won — losing is fine IFF the branch now
+                # exists (any other ValueError is real)
+                if _table_branch(name) not in t.log.refs():
+                    raise
         return _table_branch(name)
 
     def _member_table(self, name: str, identifier: str):

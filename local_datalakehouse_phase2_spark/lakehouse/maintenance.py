@@ -27,6 +27,7 @@ driver-side planning.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import time
@@ -590,6 +591,32 @@ def rewrite_manifests(table: LakehouseTable) -> dict:
     return {"checkpoint_version": v}
 
 
+def _catalog_ref_pins(table: LakehouseTable) -> set[int]:
+    """Versions of `table` pinned by catalog-wide branch records
+    (<warehouse>/.catalog_refs/*.json, see catalog_refs.py). The
+    warehouse root is two levels above the table dir, the same
+    derivation the log uses for `.txns` markers."""
+    refs_dir = os.path.normpath(
+        os.path.join(table.table_dir, os.pardir, os.pardir, ".catalog_refs")
+    )
+    pins: set[int] = set()
+    try:
+        names = table.io.listdir(refs_dir)
+    except OSError:
+        return pins
+    for fname in names:
+        if not fname.endswith(".json"):
+            continue
+        try:
+            rec = json.loads(table.io.read_text(os.path.join(refs_dir, fname)))
+        except (OSError, ValueError):
+            continue  # torn/mid-write record: skip, never block expiry
+        pin = (rec.get("pins") or {}).get(table.identifier)
+        if pin is not None:
+            pins.add(int(pin))
+    return pins
+
+
 def expire_snapshots(
     table: LakehouseTable,
     retain_last: int | None = None,
@@ -642,6 +669,15 @@ def expire_snapshots(
         for e in entries
         if e.operation == "stage" and (e.extra or {}).get("wap_id") not in published
     )
+    # CATALOG-wide refs (catalog_refs.py) pin an UNTOUCHED table by
+    # VERSION in the warehouse record, not via a per-table ref — the
+    # per-table branch is created lazily on first write. Those fork
+    # pins must survive expiry exactly like ref targets, or a catalog
+    # branch's read of a table it never wrote dangles after main
+    # churns past retain_last. (Touched tables are already safe: their
+    # lazily-forked branch pins base + chain through the ref rules
+    # above.) Same cross-layer read as txn markers (log.txn_dir).
+    keep.update(_catalog_ref_pins(table))
     # PENDING multi-table-transaction entries may still commit and
     # retro-apply — expiring one would tear the transaction apart
     # (committed ones are ordinary main commits, aborted ones are

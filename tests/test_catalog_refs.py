@@ -433,3 +433,28 @@ def test_eq_delete_in_stage_to_marker_window_gates_merged_rows(spark, tmp_path):
     # the delete (seq > merged rows' stage-time seq) gates k=2; k=3
     # publishes normally
     assert _rows(lake, "lab.t1") == {(1, "m1"), (3, "e3")}
+
+
+def test_expire_snapshots_preserves_untouched_table_pin(spark, tmp_path):
+    """The fork pin of a table the branch NEVER wrote lives only in
+    the catalog record (no per-table ref exists yet — the branch is
+    lazy), so expiry must read the warehouse's catalog-ref records:
+    without that, retain_last=1 after main churn expired the pin out
+    from under the branch (found by self-review in round 11; the
+    touched-table case was already covered)."""
+    from local_datalakehouse_phase2_spark.lakehouse import expire_snapshots
+
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")  # pins lab.t1; the branch never writes it
+    for i in range(3):
+        lake.table("lab.t1").overwrite(_df(spark, (10 + i, "x")))
+    expire_snapshots(lake.table("lab.t1"), retain_last=1)
+    # the pin survived: the branch still reads the fork-point state
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1")}
+    # and a LATER first write still forks the per-table branch at it
+    lake.append("lab.t1", _df(spark, (2, "e2")), catalog_ref="etl")
+    assert _rows(lake, "lab.t1", "etl") == {(1, "m1"), (2, "e2")}
+    # dropping the catalog branch releases the pin for future expiry
+    lake.drop_branch("etl")
+    expire_snapshots(lake.table("lab.t1"), retain_last=1)
+    assert _rows(lake, "lab.t1") == {(12, "x")}
