@@ -796,8 +796,19 @@ def remove_orphan_files(
         # its commit dir was created at adoption time — without the dir
         # floor, a sweep racing an in-flight adoption would delete the
         # staged links straight through the 24h safety window
-        if max(table.io.mtime(full), dir_mtimes[parent]) < older_than:
-            table.io.remove(full)
+        try:
+            age_key = max(table.io.mtime(full), dir_mtimes[parent])
+        except OSError:
+            # vanished between walk and stat: a concurrent writer's
+            # atomic-rename temp file (or another sweep won the race).
+            # Either way there is nothing on disk to clean — skip.
+            # Found by the maintenance-under-live-ingest stress test.
+            continue
+        if age_key < older_than:
+            try:
+                table.io.remove(full)
+            except OSError:
+                continue  # a racing sweep removed it first
             deleted += 1
     # prune now-empty commit dirs
     table.io.remove_empty_dirs(table.data_dir)
