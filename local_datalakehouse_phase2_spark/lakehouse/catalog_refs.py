@@ -89,10 +89,15 @@ version by the staging of later tables — the same stage-time-seq
 stance transaction.py documents.
 
 Scale note: one catalog merge costs O(member tables) metadata commits
-+ one marker create; data files never move. The lock + marker live in
-the warehouse root — on raw S3 both are check-then-put, the same
-documented caveat as every other arbitration point (fs.py), resolved
-in production by an ArbitratedFileIO backend.
++ one marker create; data files never move. Fork costs O(tables)
+metadata READS (one head lookup per table) and the record holds one
+pin per table — fine to ~10^5 tables as a JSON record; past that, the
+record wants the catalog service a real Nessie deployment already is
+(a commit DAG in a database), which slots in behind this same module
+boundary. The lock + marker live in the warehouse root — on raw S3
+both are check-then-put, the same documented caveat as every other
+arbitration point (fs.py), resolved in production by an
+ArbitratedFileIO backend.
 """
 
 from __future__ import annotations
