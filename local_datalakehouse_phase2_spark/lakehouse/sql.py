@@ -194,7 +194,11 @@ class LakehouseSQL:
         # spark-defaults.conf:9). None = main. While set, plain table
         # reads resolve as the catalog branch sees them and writes land
         # on the branch; explicit VERSION/TIMESTAMP AS OF and
-        # branch_/tag_ suffixes stay explicit and override it.
+        # branch_/tag_ suffixes stay explicit and override it. Metadata
+        # suffix views (.snapshots/.files/...) stay TABLE-level: they
+        # list the physical log — branch and stage entries included —
+        # which is the auditing view a ref user wants, not a filtered
+        # one (deliberate; SHOW TABLES and SHOW BRANCHES are ref-aware).
         self.session_ref: str | None = None
 
     # ---- public entry point ------------------------------------------
