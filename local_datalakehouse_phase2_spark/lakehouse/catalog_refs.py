@@ -387,13 +387,18 @@ class CatalogRefs:
                             state[fi.path] = fi
             results: dict[str, dict] = {}
             for ident, t in members.items():
-                head = t.log.latest_main_version()
                 if _table_branch(name) in t.log.refs():
                     results[ident] = rebase_branch(
                         t, _table_branch(name), drop_conflicting=drop_conflicting
                     )
-                if head is not None:
-                    record["pins"][ident] = head
+                    # pin from the rebase's OWN target: a main commit
+                    # racing between two separate head reads must not
+                    # leave pin != branch base
+                    record["pins"][ident] = results[ident]["new_base"]
+                else:
+                    head = t.log.latest_main_version()
+                    if head is not None:
+                        record["pins"][ident] = head
             self._write_record(record)
             return {
                 "catalog_ref": name,
