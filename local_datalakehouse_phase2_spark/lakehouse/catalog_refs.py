@@ -63,7 +63,17 @@ one atomic point:
    is the atomic point: every table's merge entry joins its main
    lineage in the same instant. Any conflict before the marker
    decides the txn as `aborted` instead — nothing on ANY table
-   publishes.
+   publishes. Residual window: the gap between the final re-validate
+   pass and the marker create is NOT serialized against per-table
+   main writers — they take table commit locks, not the catalog merge
+   lock, and cannot see pending-txn staged entries — so a main commit
+   in that window (e.g. a compaction replacing a file the branch also
+   replaced) can invalidate a staged entry after its last check,
+   yielding duplicate files post-flip. This mirrors
+   Transaction.commit's documented stance; ArbitratedFileIO narrows
+   the window (marker create is a real conditional-put) but does not
+   close it — closing it needs writers to check pending catalog-merge
+   intents, i.e. the catalog service a real Nessie deployment is.
 5. bookkeeping after the flip: re-anchor each per-table branch at its
    merge version (dropping exactly the merged chain, keeping racers —
    log.reanchor_branch) and advance the record's pins for merged
@@ -358,14 +368,25 @@ class CatalogRefs:
                 except Exception:
                     continue
                 members[ident] = t
+            # ONE target version per table, captured up front and used by
+            # BOTH the validation pass and the mutation pass: reading the
+            # head twice would let a main commit landing between them make
+            # a later member conflict after earlier members were already
+            # rebased — the partial state the all-or-nothing mode promises
+            # not to produce (re-run converges, but the promise holds now)
+            targets: dict[str, int | None] = {
+                ident: t.log.latest_main_version()
+                for ident, t in members.items()
+                if _table_branch(name) in t.log.refs()
+            }
             if not drop_conflicting:
                 # validate every member chain against its target BEFORE
                 # mutating anything, so a conflict on the last table
                 # cannot leave the first already rebased
                 for ident, t in members.items():
-                    if _table_branch(name) not in t.log.refs():
+                    if ident not in targets:
                         continue
-                    target = t.log.latest_main_version()
+                    target = targets[ident]
                     state = t.log.state_at(target)
                     _base, _head, chain = t.log.branch_info(_table_branch(name))
                     for v in chain:
@@ -387,9 +408,12 @@ class CatalogRefs:
                             state[fi.path] = fi
             results: dict[str, dict] = {}
             for ident, t in members.items():
-                if _table_branch(name) in t.log.refs():
+                if ident in targets:
                     results[ident] = rebase_branch(
-                        t, _table_branch(name), drop_conflicting=drop_conflicting
+                        t,
+                        _table_branch(name),
+                        onto=targets[ident],
+                        drop_conflicting=drop_conflicting,
                     )
                     # pin from the rebase's OWN target: a main commit
                     # racing between two separate head reads must not

@@ -209,6 +209,11 @@ class LakehouseSQL:
             raise SqlError("empty statement")
         head = s.split(None, 1)[0].upper()
         if head == "USE":
+            if not re.match(r"(?is)USE\s+REFERENCE\b", s):
+                # plain `USE <database>` is Spark's own session-catalog
+                # switch — not a lakehouse statement; pass it through
+                # untouched (only USE REFERENCE is ours)
+                return self.spark.sql(s)
             m = re.fullmatch(r"(?is)USE\s+REFERENCE\s+([A-Za-z0-9_-]+)", s)
             if not m:
                 raise SqlError(f"unsupported USE syntax: {s!r} (USE REFERENCE <name>)")
@@ -1355,7 +1360,15 @@ class LakehouseSQL:
             if self.session_ref is not None:
                 # on a catalog ref only fork-pinned tables exist —
                 # a table created on main after the fork is invisible
-                pins = self.lake.catalog_branches()[self.session_ref]["pins"]
+                rec = self.lake.catalog_branches().get(self.session_ref)
+                if rec is None:
+                    # another process dropped the catalog branch after
+                    # this session's USE REFERENCE — surface it in the
+                    # same error discipline as the read/write paths
+                    raise SqlError(
+                        f"catalog ref {self.session_ref!r} no longer exists"
+                    )
+                pins = rec["pins"]
                 names = [t for t in names if f"{ns}.{t}" in pins]
             return self.spark.createDataFrame(
                 [(ns, t) for t in names] or [],

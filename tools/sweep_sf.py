@@ -13,7 +13,9 @@ Hash mismatches auto-classify: `float-boundary` when every differing
 cell is a float within 1 ULP at its rendered ROUND precision (the
 order-dependent double-summation signature, e.g. q9_product_profit /
 hourly_rollup_hypertable at sf1 — SCALE_CORRECTNESS.md), else
-`REAL-MISMATCH`. Only REAL-MISMATCH fails the sweep.
+`REAL-MISMATCH`. REAL-MISMATCH always fails the sweep; float-boundary
+fails too AT THE GATE sf unless the query is explicitly allowlisted
+(GATE_FLOAT_BOUNDARY_ALLOWLIST) — off-gate it is reported, not fatal.
 
 Usage:
   python tools/sweep_sf.py [--sf-dir /tmp/spark_graft_sf1]
@@ -35,6 +37,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 GATE_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# At the GATE scale factor a float-boundary classification does NOT get a
+# free pass: a genuine bug perturbing only float columns within ~1.5 units
+# at rendered ROUND precision would otherwise auto-pass the correctness
+# gate. Queries with a KNOWN order-dependent-summation boundary at the gate
+# sf must be listed here explicitly (none today — the known trio
+# q9/hourly_rollup/pivot_returnflag only flips at sf1); anything else
+# classifying float-boundary at the gate counts as a failure.
+GATE_FLOAT_BOUNDARY_ALLOWLIST: set[str] = set()
 
 
 def vhash(df) -> str:
@@ -178,6 +189,10 @@ def main() -> int:
                     d[c] = pd.to_datetime(d[c]).astype("datetime64[us]").astype(str)
         if vhash(spd) != vhash(dpd):
             if classify_mismatch(spd, dpd) == "float-boundary":
+                if at_gate and name not in GATE_FLOAT_BOUNDARY_ALLOWLIST:
+                    # gate sf: float-boundary is only tolerated via the
+                    # explicit allowlist — otherwise it fails the sweep
+                    bad.append(name)
                 float_boundary.append(name)
                 print(
                     f"float-boundary {name} spark={len(spd)} duck={len(dpd)} "
