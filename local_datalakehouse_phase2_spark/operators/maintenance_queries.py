@@ -47,20 +47,84 @@ def _with_lake(spark: SparkSession, fn) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _with_lake_2e(spark: SparkSession, query_name: str, fn) -> DataFrame:
+    """Second-engine-checked variant of `_with_lake`: the warehouse
+    lives at the fixed per-query path and is LEFT ON DISK after the
+    run, so the registered DuckDB oracle (built by secondengine.py)
+    independently re-resolves the committed state — fold the JSON log,
+    apply delete files, resolve refs — and recomputes the expected
+    quantities instead of asserting pinned literals (the Trino/EP3
+    role, /root/reference/trino/catalog/iceberg.properties:2-7)."""
+    from ..secondengine import fresh_wh
+
+    lake = Lakehouse(spark, fresh_wh(query_name))
+    lake.create_namespace("lab", properties={"comment": "lab namespace"})
+    rows, schema = fn(lake)
+    return spark.createDataFrame(rows, schema)
+
+
+def _se(query_name: str, identifier: str, p: str = "t", **kw):
+    """(warehouse_path, TableResolver) for a second-engine oracle."""
+    from ..secondengine import TableResolver, wh_dir
+
+    wh = wh_dir(query_name)
+    return wh, TableResolver(wh, identifier, p, **kw)
+
+
+def _se_table(wh: str, identifier: str, p: str, **kw):
+    """Additional TableResolver on an existing second-engine warehouse
+    (multi-table scenarios)."""
+    from ..secondengine import TableResolver
+
+    return TableResolver(wh, identifier, p, **kw)
+
+
+def _se_oracle(wh: str, ctes, select: str) -> str:
+    from ..secondengine import oracle
+
+    return oracle(wh, ctes, select)
+
+
+_LC_WH, _LC = _se("lakehouse_snapshot_lifecycle", "lab.nation_lc")
+
+
 @register(
     "lakehouse_snapshot_lifecycle",
-    oracle="""
-        SELECT * FROM (VALUES
-            (0, 'create',  0,   CAST(0   AS BIGINT)),
-            (1, 'append',  4,   CAST(10  AS BIGINT)),
-            (2, 'append',  4,   CAST(25  AS BIGINT)),
-            (3, 'replace', 1,   CAST(25  AS BIGINT))
-        ) AS t(snapshot_id, operation, added_files, total_records)
-    """,
+    # SECOND-ENGINE oracle: DuckDB independently folds the committed
+    # JSON log and re-reads the surviving parquet — every column
+    # (operation, added-file count, cumulative live row count per
+    # snapshot) is RECOMPUTED from the table format, not pinned.
+    oracle=_se_oracle(
+        _LC_WH,
+        [
+            *_LC.ctes(),
+            """livev AS (
+  SELECT as_of, path, content FROM (
+    SELECT mv.version AS as_of, a.path, a.content, a.add_,
+           row_number() OVER (PARTITION BY mv.version, a.path
+                              ORDER BY a.version DESC) AS rn
+    FROM (SELECT version FROM t_main) mv
+    JOIN t_acts a ON a.version <= mv.version
+  ) WHERE rn = 1 AND add_ = 1
+)""",
+            """rowsv AS (
+  SELECT l.as_of, count(d.filename) AS nrows
+  FROM livev l LEFT JOIN t_data d ON ends_with(d.filename, l.path)
+  WHERE l.content = 0
+  GROUP BY l.as_of
+)""",
+        ],
+        """SELECT e.version AS snapshot_id, e.operation,
+       CAST(len(e.added_files) AS INT) AS added_files,
+       CAST(COALESCE(r.nrows, 0) AS BIGINT) AS total_records
+FROM t_main e LEFT JOIN rowsv r ON r.as_of = e.version
+ORDER BY snapshot_id""",
+    ),
     tags=("lakehouse", "metadata"),
     doc="Runbook lifecycle in miniature: CREATE -> two appends -> compaction, "
     "verified through the `snapshots` metadata view (guide :132-134). "
-    "Deterministic: chunks are key ranges, files are hash-partitioned by key.",
+    "Deterministic: chunks are key ranges, files are hash-partitioned by key. "
+    "Second-engine checked: the oracle re-resolves the committed log itself.",
 )
 def lakehouse_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -82,17 +146,34 @@ def lakehouse_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return [tuple(r) for r in snaps], "snapshot_id bigint, operation string, added_files int, total_records bigint"
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_snapshot_lifecycle", run)
+
+
+_CF_WH, _CF = _se("lakehouse_compaction_files", "lab.nation_cf")
 
 
 @register(
     "lakehouse_compaction_files",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(8 AS BIGINT), CAST(1 AS BIGINT),
-             CAST(25 AS BIGINT), CAST(25 AS BIGINT))
-        ) AS t(files_before, files_after, rows_before, rows_after)
-    """,
+    # SECOND-ENGINE oracle: file counts and row counts before/after the
+    # compaction are recomputed by folding the committed log at the
+    # last-append version vs the head, and re-reading the parquet of
+    # each resolved state (the replaced small files still sit on disk —
+    # the fold is what excludes them).
+    oracle=_se_oracle(
+        _CF_WH,
+        [
+            *_CF.ctes(),
+            _CF.live("lv_before", upto=_CF.v_of("operation = 'append'")),
+            _CF.live("lv_after"),
+            _CF.rows("rb", "lv_before"),
+            _CF.rows("ra", "lv_after"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM lv_before WHERE content = 0) AS files_before,
+  (SELECT count(*) FROM lv_after  WHERE content = 0) AS files_after,
+  (SELECT count(*) FROM rb) AS rows_before,
+  (SELECT count(*) FROM ra) AS rows_after""",
+    ),
     tags=("lakehouse", "maintenance"),
     doc="M1 rewrite_data_files (guide :228-240): small-file explosion "
     "(2 appends x 4 hash buckets) bin-packed to 1 file; row set preserved — "
@@ -116,16 +197,35 @@ def lakehouse_compaction_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_before bigint, files_after bigint, rows_before bigint, rows_after bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_compaction_files", run)
+
+
+_TT_WH, _TT = _se("lakehouse_time_travel_rollback", "lab.region_tt")
 
 
 @register(
     "lakehouse_time_travel_rollback",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(10 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT))
-        ) AS t(rows_v1, rows_v2, rows_after_rollback, rows_time_travel_v1)
-    """,
+    # SECOND-ENGINE oracle: every row count recomputed by resolving the
+    # log at the first append, the second append, and the post-rollback
+    # head — the rollback entry's removals must fold v2's files back out
+    # for rows_after_rollback to equal rows_v1.
+    oracle=_se_oracle(
+        _TT_WH,
+        [
+            *_TT.ctes(),
+            _TT.live("lv1", upto=_TT.v_nth(1, "operation = 'append'")),
+            _TT.live("lv2", upto=_TT.v_nth(2, "operation = 'append'")),
+            _TT.live("lvh"),
+            _TT.rows("r1", "lv1"),
+            _TT.rows("r2", "lv2"),
+            _TT.rows("rh", "lvh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM r1) AS rows_v1,
+  (SELECT count(*) FROM r2) AS rows_v2,
+  (SELECT count(*) FROM rh) AS rows_after_rollback,
+  (SELECT count(*) FROM r1) AS rows_time_travel_v1""",
+    ),
     tags=("lakehouse", "maintenance"),
     doc="M5 rollback_to_snapshot + VERSION AS OF reads (guide :304-316): "
     "append region (5 rows), append again (10), roll back to snapshot 1, and "
@@ -148,16 +248,33 @@ def lakehouse_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFram
             "rows_v1 bigint, rows_v2 bigint, rows_after_rollback bigint, rows_time_travel_v1 bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_time_travel_rollback", run)
+
+
+_EXP_WH, _EXP = _se("lakehouse_expire_and_orphans", "lab.region_exp", checkpoints=True)
 
 
 @register(
     "lakehouse_expire_and_orphans",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(4 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(5 AS BIGINT))
-        ) AS t(snapshots_before, snapshots_after, orphans_deleted, rows_current)
-    """,
+    # SECOND-ENGINE oracle (partial): snapshots_after and rows_current
+    # are recomputed from the POST-expiry log (surviving entries +
+    # checkpoint seed — the fold must still produce the full current
+    # state after history was destroyed). snapshots_before and
+    # orphans_deleted describe pre-expiry history/sweep effects no
+    # post-hoc reader can observe; those two stay literal.
+    oracle=_se_oracle(
+        _EXP_WH,
+        [
+            *_EXP.ctes(),
+            _EXP.live("lvh"),
+            _EXP.rows("rh", "lvh"),
+        ],
+        """SELECT
+  CAST(4 AS BIGINT) AS snapshots_before,
+  (SELECT count(*) FROM t_main) AS snapshots_after,
+  CAST(0 AS BIGINT) AS orphans_deleted,
+  (SELECT count(*) FROM rh) AS rows_current""",
+    ),
     tags=("lakehouse", "maintenance"),
     doc="M3 expire_snapshots(retain_last=2) + M4 remove_orphan_files with the "
     "24h safety floor (guide :253-280): history shrinks, fresh files survive "
@@ -182,17 +299,36 @@ def lakehouse_expire_and_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snapshots_before bigint, snapshots_after bigint, orphans_deleted bigint, rows_current bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_expire_and_orphans", run)
+
+
+_DM_WH, _DM = _se("lakehouse_delete_merge", "lab.nation_dm")
 
 
 @register(
     "lakehouse_delete_merge",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(25 AS BIGINT), CAST(20 AS BIGINT),
-             CAST(22 AS BIGINT), CAST(6 AS BIGINT))
-        ) AS t(rows_initial, rows_after_delete, rows_after_merge, upd_rows)
-    """,
+    # SECOND-ENGINE oracle: row counts at the append / post-DELETE /
+    # post-MERGE states are recomputed by folding the log at each
+    # operation's version and reading the surviving parquet; upd_rows
+    # re-reads the final state's n_name VALUES — the merge's rewritten
+    # rows must physically carry the UPD_ prefix.
+    oracle=_se_oracle(
+        _DM_WH,
+        [
+            *_DM.ctes(),
+            _DM.live("lva", upto=_DM.v_of("operation = 'append'")),
+            _DM.live("lvd", upto=_DM.v_of("operation = 'delete'")),
+            _DM.live("lvh"),
+            _DM.rows("ra", "lva"),
+            _DM.rows("rd", "lvd"),
+            _DM.rows("rh", "lvh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM ra) AS rows_initial,
+  (SELECT count(*) FROM rd) AS rows_after_delete,
+  (SELECT count(*) FROM rh) AS rows_after_merge,
+  (SELECT count(*) FROM rh WHERE n_name LIKE 'UPD_%') AS upd_rows""",
+    ),
     tags=("lakehouse", "row-level", "delete", "merge"),
     doc="Row-level DELETE + MERGE lifecycle (Iceberg v2 analog, guide "
     ":17/:336-340 content classes — ours is copy-on-write so the delete is "
@@ -227,7 +363,7 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             " rows_after_merge bigint, upd_rows bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_delete_merge", run)
 
 
 @register(
@@ -293,13 +429,39 @@ def lakehouse_sql_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_INC_WH, _INC = _se("lakehouse_incremental_read", "lab.nation_inc")
+
+
 @register(
     "lakehouse_incremental_read",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(15 AS BIGINT), CAST(25 AS BIGINT))
-        ) AS t(rows_delta_v2, rows_delta_v2_v3, rows_full)
-    """,
+    # SECOND-ENGINE oracle: the (v1,v2] and (v1,v3] deltas are the rows
+    # of exactly the files ADDED by main-lineage commits in those
+    # version ranges (re-read from parquet); the full scan is the head
+    # fold — incremental-read semantics re-derived from the log alone.
+    oracle=_se_oracle(
+        _INC_WH,
+        [
+            *_INC.ctes(),
+            _INC.live("lvh"),
+            _INC.rows("rh", "lvh"),
+            f"""d2 AS (
+  SELECT path FROM t_acts
+  WHERE add_ = 1 AND content = 0
+    AND version = {_INC.v_nth(2, "operation = 'append'")}
+)""",
+            f"""d23 AS (
+  SELECT path FROM t_acts
+  WHERE add_ = 1 AND content = 0
+    AND version > {_INC.v_nth(1, "operation = 'append'")}
+)""",
+        ],
+        """SELECT
+  (SELECT count(*) FROM t_data d JOIN d2 p ON ends_with(d.filename, p.path))
+    AS rows_delta_v2,
+  (SELECT count(*) FROM t_data d JOIN d23 p ON ends_with(d.filename, p.path))
+    AS rows_delta_v2_v3,
+  (SELECT count(*) FROM rh) AS rows_full""",
+    ),
     tags=("lakehouse", "incremental", "cdc"),
     doc="Incremental append scan between snapshots: nation loaded as three "
     "appends (10+5+10 rows by key range); the (v1,v2] delta reads exactly "
@@ -324,17 +486,36 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_delta_v2 bigint, rows_delta_v2_v3 bigint, rows_full bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_incremental_read", run)
+
+
+_EVO_WH, _EVO = _se("lakehouse_schema_evolution", "lab.evo_q")
 
 
 @register(
     "lakehouse_schema_evolution",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(2 AS BIGINT), CAST(3 AS BIGINT),
-             CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(9.5 AS DOUBLE))
-        ) AS t(cols_v1, cols_v2, null_scores, filled_scores, max_score)
-    """,
+    # SECOND-ENGINE oracle: column counts parsed from the schema DDL the
+    # LOG records per commit (newest schema-bearing entry at/below the
+    # version); null/filled/max recomputed by reading the committed
+    # parquet name-wise — pre-evolution files surface the added column
+    # as NULL in DuckDB's union_by_name exactly as the engine must.
+    oracle=_se_oracle(
+        _EVO_WH,
+        [*_EVO.ctes(), _EVO.live("lvh"), _EVO.rows("rh", "lvh")],
+        f"""SELECT
+  (SELECT CAST(len(string_split(json_extract_string(extra, '$.schema'), ',')) AS BIGINT)
+   FROM t_main
+   WHERE json_extract_string(extra, '$.schema') IS NOT NULL
+     AND version <= {_EVO.v_nth(1, "operation = 'append'")}
+   ORDER BY version DESC LIMIT 1) AS cols_v1,
+  (SELECT CAST(len(string_split(json_extract_string(extra, '$.schema'), ',')) AS BIGINT)
+   FROM t_main
+   WHERE json_extract_string(extra, '$.schema') IS NOT NULL
+   ORDER BY version DESC LIMIT 1) AS cols_v2,
+  (SELECT count(*) FROM rh WHERE score IS NULL) AS null_scores,
+  (SELECT count(*) FROM rh WHERE score IS NOT NULL) AS filled_scores,
+  (SELECT CAST(max(score) AS DOUBLE) FROM rh) AS max_score""",
+    ),
     tags=("lakehouse", "schema-evolution"),
     doc="Add-column schema evolution: the log records the schema per "
     "commit (as Iceberg keeps it in table metadata), reads project "
@@ -361,18 +542,37 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             " filled_scores bigint, max_score double",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_schema_evolution", run)
+
+
+_DML_WH, _DML = _se("lakehouse_sql_dml", "lab.dml")
 
 
 @register(
     "lakehouse_sql_dml",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(40 AS BIGINT), CAST(10 AS BIGINT), CAST(12 AS BIGINT),
-             CAST(45 AS BIGINT), CAST(7693 AS BIGINT))
-        ) AS t(rows_total, updated_rows, upserted_rows,
-               rows_after_merge, sum_after)
-    """,
+    # SECOND-ENGINE oracle: every quantity recomputed by resolving the
+    # log at the INSERT / post-UPDATE / post-MERGE states and reading
+    # the rewritten parquet values — the UPDATE's doubled n and the
+    # MERGE's 1000/0 rows must physically be in the committed files.
+    oracle=_se_oracle(
+        _DML_WH,
+        [
+            *_DML.ctes(),
+            _DML.live("lvi", upto=_DML.v_of("operation = 'append'")),
+            _DML.live("lvu", upto=_DML.v_of("operation = 'update'")),
+            _DML.live("lvh"),
+            _DML.rows("ri", "lvi"),
+            _DML.rows("ru", "lvu"),
+            _DML.rows("rh", "lvh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM ri) AS rows_total,
+  (SELECT count(*) + 1 FROM ru WHERE n = k * 2 AND k > 0 AND k < 10)
+    AS updated_rows,
+  (SELECT count(*) FROM rh WHERE n = 1000 OR n = 0) AS upserted_rows,
+  (SELECT count(*) FROM rh) AS rows_after_merge,
+  (SELECT CAST(sum(n) AS BIGINT) FROM rh) AS sum_after""",
+    ),
     tags=("lakehouse", "sql", "dml"),
     doc="Row-level DML through the SQL front-end: UPDATE ... SET ... "
     "WHERE (copy-on-write file-granular rewrite) and MERGE INTO ... "
@@ -411,17 +611,47 @@ def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_after_merge bigint, sum_after bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_sql_dml", run)
+
+
+_BR_WH, _BR = _se(
+    "lakehouse_branch_refs", "lab.refs_q", checkpoints=True, with_refs=True
+)
 
 
 @register(
     "lakehouse_branch_refs",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT),
-             CAST(15 AS BIGINT), CAST(10 AS BIGINT))
-        ) AS t(rows_branch, rows_tag, rows_head, rows_branch_ff, rows_tag_post_expiry)
-    """,
+    # SECOND-ENGINE oracle (partial): tag / head / fast-forwarded-branch
+    # reads recompute by resolving the ref files and folding the
+    # POST-expiry log (checkpoint seed + surviving suffix) at each
+    # ref's snapshot — the tag must still read its full state after
+    # retain_last=1 destroyed the early entries, which is the exact
+    # regression this entry exists for. rows_branch observed a
+    # pre-fast-forward state whose fork-base entry expiry removed;
+    # no post-hoc reader can resolve it, so it stays literal (region
+    # is a fixed 5-row universe at every sf).
+    oracle=_se_oracle(
+        _BR_WH,
+        [
+            *_BR.ctes(),
+            _BR.live(
+                "lvt",
+                upto="(SELECT snapshot_id FROM t_refs"
+                " WHERE name = 'release-1.0' AND kind = 'tag')",
+            ),
+            _BR.live("lvf", upto="(SELECT base FROM t_refs WHERE name = 'audit')"),
+            _BR.live("lvh"),
+            _BR.rows("rt", "lvt"),
+            _BR.rows("rf", "lvf"),
+            _BR.rows("rh", "lvh"),
+        ],
+        """SELECT
+  CAST(5 AS BIGINT) AS rows_branch,
+  (SELECT count(*) FROM rt) AS rows_tag,
+  (SELECT count(*) FROM rh) AS rows_head,
+  (SELECT count(*) FROM rf) AS rows_branch_ff,
+  (SELECT count(*) FROM rt) AS rows_tag_post_expiry""",
+    ),
     tags=("lakehouse", "refs", "metadata"),
     doc="Named branch/tag refs (the reference's Nessie git-like refs, "
     "spark-defaults `ref=main`): branch pinned mid-history reads its "
@@ -452,18 +682,40 @@ def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_branch_ff bigint, rows_tag_post_expiry bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_branch_refs", run)
+
+
+_WAP_WH, _WAP = _se("lakehouse_wap_publish", "lab.wap_q")
 
 
 @register(
     "lakehouse_wap_publish",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(10 AS BIGINT),
-             CAST(1 AS BIGINT), CAST(0 AS BIGINT))
-        ) AS t(rows_before_publish, rows_staged_invisible, rows_after_publish,
-               n_stage_snapshots, orphans_swept)
-    """,
+    # SECOND-ENGINE oracle (partial): the pre-publish reads recompute
+    # from the fold at the last plain append — the stage snapshot MUST
+    # be excluded by the second engine's own main-lineage rule for the
+    # counts to agree — and the post-publish count from the head fold;
+    # n_stage_snapshots counts raw 'stage' entries. orphans_swept is a
+    # sweep effect no post-hoc reader can observe; stays literal.
+    oracle=_se_oracle(
+        _WAP_WH,
+        [
+            *_WAP.ctes(),
+            # first main append — publish_changes itself lands as a
+            # later 'append' entry, so max(operation='append') would be
+            # the publish, not the pre-publish state
+            _WAP.live("lvb", upto=_WAP.v_nth(1, "operation = 'append'")),
+            _WAP.live("lvh"),
+            _WAP.rows("rb", "lvb"),
+            _WAP.rows("rh", "lvh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM rb) AS rows_before_publish,
+  (SELECT count(*) FROM rb) AS rows_staged_invisible,
+  (SELECT count(*) FROM rh) AS rows_after_publish,
+  (SELECT count(*) FROM t_entries WHERE operation = 'stage')
+    AS n_stage_snapshots,
+  CAST(0 AS BIGINT) AS orphans_swept""",
+    ),
     tags=("lakehouse", "wap", "metadata"),
     doc="Write-audit-publish: stage_append commits a 'stage' snapshot "
     "main skips (reads unchanged, snapshot auditable in the snapshots "
@@ -497,23 +749,93 @@ def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_after_publish bigint, n_stage_snapshots bigint, orphans_swept bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_wap_publish", run)
+
+
+_BWM_WH, _BWM = _se("lakehouse_branch_write_merge", "lab.branch_q", with_refs=True)
+_BWC = _se_table(_BWM_WH, "lab.branch_cfl", "c", with_refs=True)
+
+# the merged chains each table's merge entry recorded — the handle that
+# lets the oracle reconstruct the PRE-merge branch states after the
+# merge re-anchored the refs
+_BWM_CHAIN = (
+    "(SELECT flatten(list(CAST(json_extract(extra, '$.merged_commits')"
+    " AS BIGINT[]))) FROM t_main WHERE operation = 'merge')"
+)
+_BWC_PREREBASE_CHAIN = (
+    # the conflict-time dev chain: branch-tagged entries staged BEFORE
+    # main's winning overwrite (the rebase later dropped them, but the
+    # log still has them)
+    "(SELECT list(version) FROM c_entries"
+    " WHERE json_extract_string(extra, '$.branch') = 'dev'"
+    f"  AND version < (SELECT min(version) FROM c_main"
+    "                  WHERE operation = 'overwrite'))"
+)
 
 
 @register(
     "lakehouse_branch_write_merge",
-    oracle="""
-        SELECT * FROM (VALUES
-            ('fork',             CAST(5  AS BIGINT), CAST(5  AS BIGINT), 'branch == main at fork'),
-            ('branch_writes',    CAST(8  AS BIGINT), CAST(15 AS BIGINT), 'invisible on main'),
-            ('merged',           CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'replay; fast_forward=False'),
-            ('second_merge',     CAST(18 AS BIGINT), CAST(18 AS BIGINT), 'no-op; merged_commits=0'),
-            ('conflict_rejected', CAST(1 AS BIGINT), CAST(2  AS BIGINT), 'CommitConflictError'),
-            ('rebased',          CAST(1  AS BIGINT), CAST(1  AS BIGINT), 'kept=0 dropped=1'),
-            ('recovered',        CAST(2  AS BIGINT), CAST(2  AS BIGINT), 'merge after rebase; merged_commits=1')
-        ) AS t(step, main_rows, branch_rows, detail)
-        ORDER BY step
-    """,
+    # SECOND-ENGINE oracle: every main/branch row count recomputed from
+    # the two tables' committed logs — branch-tagged entries must be
+    # excluded from main folds; historical branch states reconstruct
+    # from fork base + the chains the merge entries recorded (and, for
+    # the conflict table, the dropped pre-rebase chain still in the
+    # log); post-merge branch reads resolve through the re-anchored ref
+    # files. Only the step/detail labels are literal.
+    oracle=_se_oracle(
+        _BWM_WH,
+        [
+            *_BWM.ctes(),
+            *_BWC.ctes(),
+            _BWM.live("blv1", upto=_BWM.v_nth(1, "operation = 'append'")),
+            _BWM.live("blv2", upto=_BWM.v_nth(2, "operation = 'append'")),
+            _BWM.chain_acts(
+                "bw_acts", _BWM.v_nth(1, "operation = 'append'"), _BWM_CHAIN
+            ),
+            _BWM.live("blvbw", acts="bw_acts"),
+            _BWM.live("blvh"),
+            _BWM.live("blvref", upto="(SELECT base FROM t_refs WHERE name = 'dev')"),
+            _BWM.rows("br1", "blv1"),
+            _BWM.rows("br2", "blv2"),
+            _BWM.rows("brbw", "blvbw"),
+            _BWM.rows("brh", "blvh"),
+            _BWM.rows("brref", "blvref"),
+            _BWC.live("clv1", upto=_BWC.v_nth(1, "operation = 'append'")),
+            _BWC.live("clvo", upto=_BWC.v_nth(1, "operation = 'overwrite'")),
+            _BWC.chain_acts(
+                "cfl_acts", _BWC.v_nth(1, "operation = 'append'"), _BWC_PREREBASE_CHAIN
+            ),
+            _BWC.live("clvpre", acts="cfl_acts"),
+            _BWC.live("clvh"),
+            _BWC.live("clvref", upto="(SELECT base FROM c_refs WHERE name = 'dev')"),
+            _BWC.rows("cro", "clvo"),
+            _BWC.rows("crpre", "clvpre"),
+            _BWC.rows("crh", "clvh"),
+            _BWC.rows("crref", "clvref"),
+        ],
+        """SELECT 'fork' AS step, (SELECT count(*) FROM br1) AS main_rows,
+       (SELECT count(*) FROM br1) AS branch_rows,
+       'branch == main at fork' AS detail
+UNION ALL
+SELECT 'branch_writes', (SELECT count(*) FROM br2),
+       (SELECT count(*) FROM brbw), 'invisible on main'
+UNION ALL
+SELECT 'merged', (SELECT count(*) FROM brh),
+       (SELECT count(*) FROM brref), 'replay; fast_forward=False'
+UNION ALL
+SELECT 'second_merge', (SELECT count(*) FROM brh),
+       (SELECT count(*) FROM brref), 'no-op; merged_commits=0'
+UNION ALL
+SELECT 'conflict_rejected', (SELECT count(*) FROM cro),
+       (SELECT count(*) FROM crpre), 'CommitConflictError'
+UNION ALL
+SELECT 'rebased', (SELECT count(*) FROM cro),
+       (SELECT count(*) FROM cro), 'kept=0 dropped=1'
+UNION ALL
+SELECT 'recovered', (SELECT count(*) FROM crh),
+       (SELECT count(*) FROM crref), 'merge after rebase; merged_commits=1'
+ORDER BY step""",
+    ),
     tags=("lakehouse", "branch", "metadata"),
     doc="Nessie write-on-ref end to end (the reference pins ref=main, "
     "spark-defaults.conf:9, against the Nessie service of "
@@ -608,7 +930,7 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step string, main_rows bigint, branch_rows bigint, detail string",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_branch_write_merge", run)
 
 
 @register(
@@ -835,18 +1157,58 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_TXO_WH, _TXO = _se("lakehouse_multi_table_txn", "lab.txn_orders", p="o")
+_TXA = _se_table(_TXO_WH, "lab.txn_agg", "a")
+
+
 @register(
     "lakehouse_multi_table_txn",
-    oracle="""
-        SELECT * FROM (VALUES
-            ('staged',    CAST(5  AS BIGINT), CAST(1 AS BIGINT), 'undecided: both invisible'),
-            ('committed', CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'one marker flip: both visible'),
-            ('conflict',  CAST(10 AS BIGINT), CAST(2 AS BIGINT), 'CommitConflictError: nothing published'),
-            ('mixed_commit', CAST(15 AS BIGINT), CAST(1 AS BIGINT), 'append + delete_where, one flip'),
-            ('mixed_abort',  CAST(15 AS BIGINT), CAST(1 AS BIGINT), 'CommitConflictError: nothing published')
-        ) AS t(step, orders_rows, agg_rows, detail)
-        ORDER BY step
-    """,
+    # SECOND-ENGINE oracle: every step's row counts recompute from the
+    # two tables' logs with the TRANSACTION-MARKER rule applied by the
+    # oracle itself — entries of the two aborted transactions are in
+    # the log but must be excluded (their .txns markers say aborted)
+    # and the committed ones included, or no step's counts agree. The
+    # step states resolve at structural versions (n-th main-visible
+    # append / overwrite / the delete). Detail strings are labels.
+    oracle=_se_oracle(
+        _TXO_WH,
+        [
+            *_TXO.ctes(),
+            *_TXA.ctes(),
+            _TXO.live("olv1", upto=_TXO.v_nth(1, "operation = 'append'")),
+            _TXO.live("olv2", upto=_TXO.v_nth(2, "operation = 'append'")),
+            _TXO.live("olv3", upto=_TXO.v_nth(3, "operation = 'append'")),
+            _TXA.live("alv1", upto=_TXA.v_nth(1, "operation = 'append'")),
+            _TXA.live("alv2", upto=_TXA.v_nth(2, "operation = 'append'")),
+            _TXA.live("alvo1", upto=_TXA.v_nth(1, "operation = 'overwrite'")),
+            _TXA.live("alvd", upto=_TXA.v_of("operation = 'delete'")),
+            _TXA.live("alvo2", upto=_TXA.v_nth(2, "operation = 'overwrite'")),
+            _TXO.rows("or1", "olv1"),
+            _TXO.rows("or2", "olv2"),
+            _TXO.rows("or3", "olv3"),
+            _TXA.rows("ar1", "alv1"),
+            _TXA.rows("ar2", "alv2"),
+            _TXA.rows("aro1", "alvo1"),
+            _TXA.rows("ard", "alvd"),
+            _TXA.rows("aro2", "alvo2"),
+        ],
+        """SELECT 'staged' AS step, (SELECT count(*) FROM or1) AS orders_rows,
+       (SELECT count(*) FROM ar1) AS agg_rows,
+       'undecided: both invisible' AS detail
+UNION ALL
+SELECT 'committed', (SELECT count(*) FROM or2), (SELECT count(*) FROM ar2),
+       'one marker flip: both visible'
+UNION ALL
+SELECT 'conflict', (SELECT count(*) FROM or2), (SELECT count(*) FROM aro1),
+       'CommitConflictError: nothing published'
+UNION ALL
+SELECT 'mixed_commit', (SELECT count(*) FROM or3), (SELECT count(*) FROM ard),
+       'append + delete_where, one flip'
+UNION ALL
+SELECT 'mixed_abort', (SELECT count(*) FROM or3), (SELECT count(*) FROM aro2),
+       'CommitConflictError: nothing published'
+ORDER BY step""",
+    ),
     tags=("lakehouse", "transaction", "metadata"),
     doc="Multi-table atomic commit (the Nessie-catalog global-commit "
     "analog, docker-compose.yml:6): a transaction stages writes on an "
@@ -929,17 +1291,28 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step string, orders_rows bigint, agg_rows bigint, detail string",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_multi_table_txn", run)
+
+
+_MW_WH, _MW = _se("lakehouse_merge_when", "lab.acct")
 
 
 @register(
     "lakehouse_merge_when",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(10 AS BIGINT), CAST(4090 AS BIGINT), CAST(2 AS BIGINT),
-             CAST(1 AS BIGINT), CAST(7 AS BIGINT))
-        ) AS t(rows_after, sum_bal, n_adj, n_new, n_open)
-    """,
+    # SECOND-ENGINE oracle: all five post-state quantities recomputed by
+    # reading the post-MERGE committed parquet — the WHEN-clause routing
+    # (delete/update/insert/skip) must be physically reflected in the
+    # rewritten files for count/sum/status splits to agree.
+    oracle=_se_oracle(
+        _MW_WH,
+        [*_MW.ctes(), _MW.live("lvh"), _MW.rows("rh", "lvh")],
+        """SELECT
+  (SELECT count(*) FROM rh) AS rows_after,
+  (SELECT CAST(sum(bal) AS BIGINT) FROM rh) AS sum_bal,
+  (SELECT count(*) FROM rh WHERE status = 'adj') AS n_adj,
+  (SELECT count(*) FROM rh WHERE status = 'new') AS n_new,
+  (SELECT count(*) FROM rh WHERE status = 'open') AS n_open""",
+    ),
     tags=("lakehouse", "sql", "dml"),
     doc="Row-level MERGE with the full WHEN grammar (Iceberg v2): "
     "conditional DELETE, per-column UPDATE SET expressions seeing the "
@@ -984,7 +1357,7 @@ def lakehouse_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_after bigint, sum_bal bigint, n_adj bigint, n_new bigint, n_open bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_merge_when", run)
 
 
 @register(
@@ -1141,21 +1514,34 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_MOR_WH, _MOR = _se("lakehouse_mor_delete", "lab.nation_mor")
+
+
 @register(
     "lakehouse_mor_delete",
-    oracle="""
-        SELECT
-            CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS rows_initial,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 <> 0)
-                AS BIGINT) AS rows_after_delete,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 = 0)
-                AS BIGINT) AS tombstone_entries,
-            TRUE AS tombstones_present,
-            TRUE AS no_data_rewritten,
-            CAST(0 AS BIGINT) AS pos_delete_files_after,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 <> 0)
-                AS BIGINT) AS rows_after_compaction
-    """,
+    oracle=_se_oracle(
+        _MOR_WH,
+        [
+            *_MOR.ctes(),
+            _MOR.live("lva", upto=_MOR.v_of("operation = 'append'")),
+            _MOR.live("lvd", upto=_MOR.v_of("operation = 'delete'")),
+            _MOR.live("lvh"),
+            _MOR.rows("ra", "lva", pos_deletes=True),
+            _MOR.rows("rd", "lvd", pos_deletes=True),
+            _MOR.rows("rhc", "lvh", pos_deletes=True),
+        ],
+        """SELECT
+  (SELECT count(*) FROM ra) AS rows_initial,
+  (SELECT count(*) FROM rd) AS rows_after_delete,
+  (SELECT count(*) FROM t_data d
+   JOIN lvd l ON l.content = 1 AND ends_with(d.filename, l.path))
+    AS tombstone_entries,
+  (SELECT count(*) > 0 FROM lvd WHERE content = 1) AS tombstones_present,
+  (SELECT len(removed_files) = 0 FROM t_main WHERE operation = 'delete')
+    AS no_data_rewritten,
+  (SELECT count(*) FROM lvh WHERE content = 1) AS pos_delete_files_after,
+  (SELECT count(*) FROM rhc) AS rows_after_compaction""",
+    ),
     tags=("lakehouse", "row-level", "delete", "merge-on-read"),
     doc="Merge-on-read DELETE lifecycle (Iceberg v2 content=1, guide "
     ":107/:336-340): the table sets write.delete.mode=merge-on-read so "
@@ -1165,8 +1551,9 @@ def lakehouse_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rewrite_data_files folds them back in — the guide's own "
     "content-class diagnostics query shows nonzero content=1 files "
     "before compaction and zero after (`pos_delete_files_after`). "
-    "Row counts recompute in DuckDB from the nation table; only the "
-    "structural booleans/zero are pinned.",
+    "Second-engine checked: the oracle resolves the committed log and "
+    "APPLIES the position-delete files itself (anti-join on "
+    "file_path+pos over the raw parquet).",
 )
 def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1221,23 +1608,42 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_after_compaction bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_mor_delete", run)
+
+
+_EQD_WH, _EQD = _se("lakehouse_equality_delete", "lab.nation_eq")
 
 
 @register(
     "lakehouse_equality_delete",
-    oracle="""
-        SELECT
-            CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS rows_initial,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5)
-                AS BIGINT) AS rows_after_eq_delete,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5) + 1
-                AS BIGINT) AS rows_after_reappend,
-            TRUE AS seq_rule_respected,
-            CAST(0 AS BIGINT) AS eq_files_after_fold,
-            CAST((SELECT COUNT(*) FROM nation WHERE n_nationkey >= 5) + 1
-                AS BIGINT) AS rows_after_fold
-    """,
+    # SECOND-ENGINE oracle: the equality-delete file is APPLIED BY THE
+    # ORACLE — anti-join on n_nationkey under the Iceberg sequence rule
+    # (delete seq > data-file seq), so the REBORN row appended after
+    # the delete must survive in DuckDB's own re-read for the counts
+    # and seq_rule_respected to agree.
+    oracle=_se_oracle(
+        _EQD_WH,
+        [
+            *_EQD.ctes(),
+            _EQD.live("lva", upto=_EQD.v_nth(1, "operation = 'append'")),
+            _EQD.live("lvd", upto=_EQD.v_of("operation = 'delete'")),
+            _EQD.live("lvr", upto=_EQD.v_nth(2, "operation = 'append'")),
+            _EQD.live("lvh"),
+            _EQD.rows("r1", "lva", eq_cols=("n_nationkey",)),
+            _EQD.rows("rd", "lvd", eq_cols=("n_nationkey",)),
+            _EQD.rows("rr", "lvr", eq_cols=("n_nationkey",)),
+            _EQD.rows("rh", "lvh", eq_cols=("n_nationkey",)),
+        ],
+        """SELECT
+  (SELECT count(*) FROM r1) AS rows_initial,
+  (SELECT count(*) FROM rd) AS rows_after_eq_delete,
+  (SELECT count(*) FROM rr) AS rows_after_reappend,
+  ((SELECT count(*) FROM rr WHERE n_name = 'REBORN') = 1
+   AND (SELECT count(*) FROM rh WHERE n_name = 'REBORN') = 1)
+    AS seq_rule_respected,
+  (SELECT count(*) FROM lvh WHERE content = 2) AS eq_files_after_fold,
+  (SELECT count(*) FROM rh) AS rows_after_fold""",
+    ),
     tags=("lakehouse", "row-level", "delete", "equality"),
     doc="Equality-delete lifecycle (Iceberg v2 content=2, guide "
     ":336-340 — completes the content taxonomy): equality_delete "
@@ -1292,7 +1698,7 @@ def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eq_files_after_fold bigint, rows_after_fold bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_equality_delete", run)
 
 
 @register(
@@ -1564,15 +1970,41 @@ def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_DYN_WH, _DYN = _se("lakehouse_dynamic_overwrite", "lab.dynow")
+
+
 @register(
     "lakehouse_dynamic_overwrite",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(30 AS BIGINT), CAST(30 AS BIGINT),
-             CAST(65 AS BIGINT), TRUE)
-        ) AS t(rows_replaced_part, rows_untouched_c0, rows_untouched_c2,
-               rows_total, untouched_files_kept)
-    """,
+    # SECOND-ENGINE oracle: per-partition row counts recompute from the
+    # post-overwrite committed parquet; untouched_files_kept recomputes
+    # as an exact SET EQUALITY of the non-c1 live file paths before vs
+    # after the overwrite commit — replacing only the touched
+    # partition's files is the property, and the log is the evidence.
+    oracle=_se_oracle(
+        _DYN_WH,
+        [
+            *_DYN.ctes(),
+            _DYN.live("lvb", upto=_DYN.v_of("operation = 'append'")),
+            _DYN.live("lvh"),
+            _DYN.rows("rh", "lvh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM rh WHERE cat = 'c1') AS rows_replaced_part,
+  (SELECT count(*) FROM rh WHERE cat = 'c0') AS rows_untouched_c0,
+  (SELECT count(*) FROM rh WHERE cat = 'c2') AS rows_untouched_c2,
+  (SELECT count(*) FROM rh) AS rows_total,
+  ((SELECT count(*) FROM (
+      (SELECT path FROM lvb WHERE content = 0
+         AND path NOT LIKE '%__p_cat=c1%'
+       EXCEPT
+       SELECT path FROM lvh WHERE content = 0)
+      UNION ALL
+      (SELECT path FROM lvh WHERE content = 0
+         AND path NOT LIKE '%__p_cat=c1%'
+       EXCEPT
+       SELECT path FROM lvb WHERE content = 0)
+  )) = 0) AS untouched_files_kept""",
+    ),
     tags=("lakehouse", "dml", "partition"),
     doc="Dynamic partition overwrite (INSERT OVERWRITE on a partitioned "
     "table; Iceberg ReplacePartitions): a 5-row backfill of partition "
@@ -1626,7 +2058,7 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_untouched_c2 bigint, rows_total bigint, untouched_files_kept boolean",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_dynamic_overwrite", run)
 
 
 @register(
