@@ -71,6 +71,17 @@ class Lakehouse:
     def drop_branch(self, name: str) -> None:
         self._catalog_refs.drop(name)
 
+    def create_tag(self, name: str) -> dict:
+        """Pin the ENTIRE warehouse immutably at its current state —
+        Nessie's catalog tag, the reproducible-training-run anchor:
+        `read(identifier, catalog_ref=tag)` resolves every table at
+        its pinned version forever; writes/merges on the tag refuse;
+        expire_snapshots keeps the pinned snapshots readable."""
+        return self._catalog_refs.create(name, kind="tag")
+
+    def drop_tag(self, name: str) -> None:
+        self._catalog_refs.drop(name)
+
     def catalog_branches(self) -> dict[str, dict]:
         return self._catalog_refs.list()
 
@@ -123,6 +134,30 @@ class Lakehouse:
         return self._catalog_refs.update_where(
             identifier, assignments, condition, catalog_ref
         )
+
+    def create_table_on_branch(
+        self,
+        identifier: str,
+        catalog_ref: str,
+        schema: T.StructType | str | None = None,
+        properties: dict[str, str] | None = None,
+        partition_by: str | None = None,
+    ) -> LakehouseTable:
+        """CREATE TABLE on a catalog branch: invisible on main until
+        merge_catalog_branch publishes it (catalog_refs.create_table)."""
+        return self._catalog_refs.create_table(
+            identifier,
+            catalog_ref,
+            schema=schema,
+            properties=properties,
+            partition_by=partition_by,
+        )
+
+    def drop_table_on_branch(self, identifier: str, catalog_ref: str) -> None:
+        """DROP TABLE on a catalog branch: a branch-created table
+        vanishes now; a fork-pinned main table becomes a tombstone the
+        merge publishes (catalog_refs.drop_table)."""
+        self._catalog_refs.drop_table(identifier, catalog_ref)
 
     # ---- namespaces --------------------------------------------------
 
@@ -191,6 +226,40 @@ class Lakehouse:
         as the `partition.spec` property (see lakehouse/partition.py);
         writers lay data out per transform value and the scan planner
         prunes partitions from metadata."""
+        t, make = self._create_plan(identifier, schema, properties, partition_by)
+        if t.log.latest_version() is not None:
+            if if_not_exists and t.log.latest_main_version() is not None:
+                return t
+            if t.log.latest_main_version() is None:
+                # every commit in this log is branch-tagged: the name is
+                # held by a table created ON a catalog branch (DDL on a
+                # ref, catalog_refs.create_table). This local layout
+                # keys the physical dir by name (no uuid suffix like
+                # the reference's object-store layout, module
+                # docstring), so a main create of the same name is
+                # REFUSED until the branch merges or drops — the
+                # conservative end of Nessie's per-branch namespaces,
+                # which also prevents the create-on-main-vs-branch
+                # rebase conflict by construction.
+                raise CatalogError(
+                    f"table name {identifier} is held by a catalog-branch "
+                    "creation (merge or drop that branch first)"
+                )
+            raise CatalogError(f"table {identifier} already exists")
+        t.log.append(make)
+        return t
+
+    def _create_plan(
+        self,
+        identifier: str,
+        schema: T.StructType | str | None = None,
+        properties: dict[str, str] | None = None,
+        partition_by: str | None = None,
+    ):
+        """Validate a CREATE TABLE and return (table_handle,
+        make_entry) WITHOUT committing — create_table commits to main,
+        catalog_refs.create_table commits the same entry onto a
+        catalog branch. Existence policy stays with the callers."""
         ns, _ = self._split(identifier)
         if ns not in self.namespaces():
             raise CatalogError(f"namespace {ns} does not exist")
@@ -201,10 +270,6 @@ class Lakehouse:
             raise CatalogError(f"a view named {identifier} already exists")
         table_dir = self._table_dir(identifier)
         t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
-        if t.log.latest_version() is not None:
-            if if_not_exists:
-                return t
-            raise CatalogError(f"table {identifier} already exists")
 
         props = {str(k): str(v) for k, v in (properties or {}).items()}
         if partition_by:
@@ -245,10 +310,9 @@ class Lakehouse:
                 extra={"schema": schema_ddl} if schema_ddl else None,
             )
 
-        t.log.append(make)
-        return t
+        return t, make
 
-    def table(self, identifier: str) -> LakehouseTable:
+    def table(self, identifier: str, any_lineage: bool = False) -> LakehouseTable:
         table_dir = self._table_dir(identifier)
         # existence check BEFORE constructing LakehouseTable: its
         # TransactionLog __init__ makedirs metadata/, so a failed
@@ -259,9 +323,18 @@ class Lakehouse:
         t = LakehouseTable(self.spark, identifier, table_dir, io=self.io)
         if t.log.latest_version() is None:
             raise CatalogError(f"table {identifier} does not exist")
+        if not any_lineage and t.log.latest_main_version() is None:
+            # all commits are branch-tagged: the table was created on a
+            # catalog branch and not merged — it does not exist ON MAIN
+            # (Nessie per-ref table resolution). Branch-scoped readers
+            # (catalog_refs) pass any_lineage=True.
+            raise CatalogError(
+                f"table {identifier} does not exist on main (created on a "
+                "catalog branch; read it through that ref or merge it)"
+            )
         return t
 
-    def tables(self, namespace: str) -> list[str]:
+    def tables(self, namespace: str, any_lineage: bool = False) -> list[str]:
         ns_dir = os.path.join(self.warehouse_dir, namespace)
         if not self.io.exists(os.path.join(ns_dir, _NS_FILE)):
             raise CatalogError(f"namespace {namespace} does not exist")
@@ -270,8 +343,22 @@ class Lakehouse:
             if self.io.is_dir(os.path.join(ns_dir, name)) and self.io.is_dir(
                 os.path.join(ns_dir, name, "metadata")
             ):
+                if not any_lineage and not self._main_visible(f"{namespace}.{name}"):
+                    continue  # branch-created, unmerged: invisible on main
                 out.append(name)
         return out
+
+    def _main_visible(self, identifier: str) -> bool:
+        """Does the table have at least one main-lineage commit?
+        Branch-created (unmerged) tables answer False. O(log entries)
+        per table on listing — fine for a local warehouse; a Nessie
+        deployment answers this from its commit DAG (catalog_refs.py
+        scale note)."""
+        from .log import TransactionLog
+
+        md = os.path.join(self._table_dir(identifier), "metadata")
+        log = TransactionLog(md, io=self.io)
+        return log.latest_version() is not None and log.latest_main_version() is not None
 
     def drop_table(self, identifier: str) -> None:
         table_dir = self._table_dir(identifier)

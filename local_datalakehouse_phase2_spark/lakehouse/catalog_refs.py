@@ -194,9 +194,17 @@ class CatalogRefs:
 
     # ---- lifecycle ------------------------------------------------------
 
-    def create(self, name: str) -> dict:
-        """Fork a catalog-wide branch at the current state: pin every
-        committed table's main head. Nessie's `CREATE BRANCH etl`."""
+    def create(self, name: str, kind: str = "branch") -> dict:
+        """Fork a catalog-wide ref at the current state: pin every
+        committed table's main head. kind='branch' is Nessie's `CREATE
+        BRANCH etl` (writable, mergeable); kind='tag' is Nessie's
+        immutable whole-warehouse tag — the reproducible-training-run
+        pin: `read(catalog_ref=tag)` resolves every table at its
+        pinned version forever, expire_snapshots refuses to break the
+        pins (maintenance._catalog_ref_pins reads this same record),
+        and every write/merge/rebase path refuses the ref."""
+        if kind not in ("branch", "tag"):
+            raise CatalogRefError(f"catalog ref kind must be branch or tag, got {kind!r}")
         pins: dict[str, int] = {}
         for ns in self.lake.namespaces():
             for tbl in self.lake.tables(ns):
@@ -206,8 +214,11 @@ class CatalogRefs:
                     pins[ident] = head
         record = {
             "name": name,
+            "kind": kind,
             "created_at": time.time(),
             "pins": pins,
+            "created": {},
+            "dropped": [],
             "pending_merge": None,
         }
         self.io.makedirs(self.refs_dir)
@@ -216,6 +227,17 @@ class CatalogRefs:
         ):
             raise CatalogRefError(f"catalog ref {name!r} already exists")
         return record
+
+    @staticmethod
+    def _kind(record: dict) -> str:
+        return record.get("kind", "branch")  # pre-r12 records are branches
+
+    def _require_branch(self, record: dict, what: str) -> None:
+        if self._kind(record) != "branch":
+            raise CatalogRefError(
+                f"catalog ref {record['name']!r} is a tag — tags are "
+                f"immutable ({what} refused)"
+            )
 
     def list(self) -> dict[str, dict]:
         out: dict[str, dict] = {}
@@ -239,11 +261,17 @@ class CatalogRefs:
             record = self._recover(self._read_record(name))
             for ident in record["pins"]:
                 try:
-                    t = self.lake.table(ident)
+                    t = self.lake.table(ident, any_lineage=True)
                 except Exception:
                     continue  # table dropped since fork
                 if _table_branch(name) in t.log.refs():
                     t.drop_ref(_table_branch(name))
+                if ident in record.get("created", {}) and (
+                    t.log.latest_main_version() is None
+                ):
+                    # created on THIS branch and never merged: the table
+                    # existed nowhere else — remove it with the branch
+                    self.lake.drop_table(ident)
             self.io.remove(self._record_path(name))
 
         self._with_merge_lock(name, run)
@@ -251,6 +279,11 @@ class CatalogRefs:
     # ---- read / write on a ref -------------------------------------------
 
     def _pin_of(self, record: dict, identifier: str) -> int:
+        if identifier in record.get("dropped", []):
+            raise CatalogRefError(
+                f"table {identifier} was dropped on catalog ref "
+                f"{record['name']!r}"
+            )
         pin = record["pins"].get(identifier)
         if pin is None:
             raise CatalogRefError(
@@ -261,24 +294,30 @@ class CatalogRefs:
         return pin
 
     def read(self, identifier: str, name: str) -> DataFrame:
-        """Read `identifier` as the branch sees it: the per-table
-        branch lineage if the branch wrote this table, else a
+        """Read `identifier` as the ref sees it: the per-table branch
+        lineage if the branch wrote (or created) this table, else a
         time-travel read at the fork pin — main commits after the fork
-        are invisible on the branch (Nessie isolation)."""
+        are invisible on the ref (Nessie isolation). Tags always take
+        the pin path (they never have per-table branches)."""
         record = self._read_record(name)
-        t = self.lake.table(identifier)
-        if _table_branch(name) in t.log.refs():
+        pin = self._pin_of(record, identifier)  # dropped/unknown raise here
+        t = self.lake.table(identifier, any_lineage=True)
+        if self._kind(record) == "branch" and _table_branch(name) in t.log.refs():
             return t.read(ref=_table_branch(name))
-        return t.read(version=self._pin_of(record, identifier))
+        return t.read(version=pin)
 
     def ensure_member(self, identifier: str, name: str) -> str:
         """Ensure `identifier`'s per-table branch for catalog ref
         `name` exists — forked AT THE PIN on first touch — and return
         its (reserved `catalog.`-prefixed) branch name. The SQL
-        router's `USE REFERENCE` write path funnels through this."""
+        router's `USE REFERENCE` write path funnels through this.
+        Branch-created tables already carry their per-table branch
+        (anchored at the empty root); tags refuse — they are
+        immutable."""
         record = self._read_record(name)
+        self._require_branch(record, "write")
         pin = self._pin_of(record, identifier)
-        t = self.lake.table(identifier)
+        t = self.lake.table(identifier, any_lineage=True)
         if _table_branch(name) not in t.log.refs():
             try:
                 t.create_branch(_table_branch(name), at=pin)
@@ -292,7 +331,7 @@ class CatalogRefs:
 
     def _member_table(self, name: str, identifier: str):
         self.ensure_member(identifier, name)
-        return self.lake.table(identifier)
+        return self.lake.table(identifier, any_lineage=True)
 
     def append(self, identifier: str, df: DataFrame, name: str) -> LogEntry:
         return self._member_table(name, identifier).append(df, ref=_table_branch(name))
@@ -335,6 +374,100 @@ class CatalogRefs:
             assignments, condition, ref=_table_branch(name)
         )
 
+    # ---- DDL on a ref (Nessie's versioned catalog) -------------------------
+    # Nessie refs version the CATALOG, not just table data: creating or
+    # dropping a table on a branch is invisible on main and publishes
+    # at merge with the same txn-marker flip (the ref pin at
+    # /root/reference/spark/conf/spark-defaults.conf:9 scopes table
+    # RESOLUTION, not just data). Mechanics: a branch-created table's
+    # entire log is branch-tagged — its per-table branch anchors at the
+    # virtual empty root (base -1, log.create_ref allow_empty) and its
+    # CREATE entry is the first chain commit, so main folds see nothing
+    # (catalog.table()/tables() treat a no-main-lineage log as
+    # nonexistent on main). A branch drop is a record tombstone applied
+    # physically after the merge's marker flip.
+
+    def create_table(
+        self,
+        identifier: str,
+        name: str,
+        schema=None,
+        properties: dict | None = None,
+        partition_by: str | None = None,
+    ):
+        """CREATE TABLE on a catalog branch: invisible on main until
+        merge_catalog_branch publishes it (its merge entry carries the
+        schema/properties so main gains full metadata atomically at the
+        marker flip). Runs under the merge lock so record updates
+        serialize with merge/rebase/drop."""
+
+        def run():
+            record = self._recover(self._read_record(name))
+            self._require_branch(record, "CREATE TABLE")
+            if identifier in record.get("dropped", []):
+                raise CatalogRefError(
+                    f"table {identifier} was dropped on catalog ref {name!r}; "
+                    "merge that drop before reusing the name"
+                )
+            if identifier in record["pins"]:
+                raise CatalogRefError(
+                    f"table {identifier} already exists on catalog ref {name!r}"
+                )
+            t, make = self.lake._create_plan(
+                identifier, schema, properties, partition_by
+            )
+            if t.log.latest_version() is not None:
+                # the physical name is taken: by a main table created
+                # after the fork, or by another branch's creation
+                raise CatalogRefError(
+                    f"table name {identifier} is already taken in the "
+                    "warehouse (created outside this branch after the fork)"
+                )
+            t.log.create_ref(_table_branch(name), -1, allow_empty=True)
+            t.log.append(make, branch=_table_branch(name))
+            record["pins"][identifier] = -1
+            record.setdefault("created", {})[identifier] = True
+            self._write_record(record)
+            return t
+
+        return self._with_merge_lock(name, run)
+
+    def drop_table(self, identifier: str, name: str) -> None:
+        """DROP TABLE on a catalog branch. A table the branch itself
+        created vanishes immediately (it existed nowhere else); a
+        fork-pinned main table becomes a branch tombstone — invisible
+        on the ref now, physically dropped on main when the merge
+        publishes (validated against concurrent main commits)."""
+
+        def run():
+            record = self._recover(self._read_record(name))
+            self._require_branch(record, "DROP TABLE")
+            if identifier in record.get("dropped", []):
+                raise CatalogRefError(
+                    f"table {identifier} already dropped on catalog ref {name!r}"
+                )
+            if identifier not in record["pins"]:
+                raise CatalogRefError(
+                    f"table {identifier} does not exist on catalog ref {name!r}"
+                )
+            if identifier in record.get("created", {}):
+                record["pins"].pop(identifier, None)
+                record["created"].pop(identifier, None)
+                self._write_record(record)
+                self.lake.drop_table(identifier)
+                return
+            try:
+                t = self.lake.table(identifier, any_lineage=True)
+                if _table_branch(name) in t.log.refs():
+                    # abandon any branch writes; their entries await expiry
+                    t.drop_ref(_table_branch(name))
+            except Exception:
+                pass  # table vanished on main: tombstone still records intent
+            record.setdefault("dropped", []).append(identifier)
+            self._write_record(record)
+
+        return self._with_merge_lock(name, run)
+
     # ---- rebase ------------------------------------------------------------
 
     def rebase(self, name: str, drop_conflicting: bool = False) -> dict:
@@ -361,10 +494,17 @@ class CatalogRefs:
 
         def run():
             record = self._recover(self._read_record(name))
+            self._require_branch(record, "rebase")
             members: dict[str, object] = {}
             for ident in sorted(record["pins"]):
+                if ident in record.get("created", {}) or ident in record.get(
+                    "dropped", []
+                ):
+                    # branch-created tables have no main lineage to
+                    # rebase onto; dropped ones have no branch state
+                    continue
                 try:
-                    t = self.lake.table(ident)
+                    t = self.lake.table(ident, any_lineage=True)
                 except Exception:
                     continue
                 members[ident] = t
@@ -414,6 +554,7 @@ class CatalogRefs:
                         _table_branch(name),
                         onto=targets[ident],
                         drop_conflicting=drop_conflicting,
+                        managed=True,
                     )
                     # pin from the rebase's OWN target: a main commit
                     # racing between two separate head reads must not
@@ -440,12 +581,15 @@ class CatalogRefs:
 
     def _members_with_commits(self, record: dict) -> list[tuple[str, list[int]]]:
         """(identifier, chain) for every pinned table whose per-table
-        branch carries unmerged commits."""
+        branch carries unmerged commits (branch-created tables
+        included — their chain starts with the CREATE entry)."""
         name = record["name"]
         out = []
         for ident in sorted(record["pins"]):
+            if ident in record.get("dropped", []):
+                continue  # tombstoned: published as a drop, not a chain
             try:
-                t = self.lake.table(ident)
+                t = self.lake.table(ident, any_lineage=True)
             except Exception:
                 continue
             if _table_branch(name) not in t.log.refs():
@@ -477,6 +621,20 @@ class CatalogRefs:
         self, t, name: str, txn_id: str, chain: list[int]
     ) -> LogEntry:
         added, removed = self._net_effect(t, chain)
+        # a branch-CREATED table publishes its metadata with its data:
+        # the merge entry carries the chain's create-entry schema and
+        # properties, so the single marker flip makes the table exist
+        # on main complete — schema_ddl_at/properties_at only consult
+        # main-lineage entries
+        publish_schema = None
+        publish_props = None
+        if t.log.latest_main_version() is None:
+            for v in chain:
+                e = t.log.read_entry(v)
+                if e.properties is not None:
+                    publish_props = dict(e.properties)
+                if e.extra and e.extra.get("schema"):
+                    publish_schema = e.extra["schema"]
 
         def make(version: int) -> LogEntry:
             live = t.log.state_at()
@@ -511,11 +669,13 @@ class CatalogRefs:
                     for fi in added.values()
                 ),
                 removed_files=tuple(sorted(removed)),
+                properties=publish_props,
                 extra={
                     "txn": txn_id,
                     "merge_branch": _table_branch(name),
                     "catalog_ref": name,
                     "merged_commits": list(chain),
+                    **({"schema": publish_schema} if publish_schema else {}),
                 },
             )
 
@@ -572,13 +732,28 @@ class CatalogRefs:
     def _apply_reanchor(self, record: dict, reanchor: dict) -> dict:
         """Post-flip bookkeeping, idempotent: re-anchor each member's
         per-table branch at its merge version (dropping exactly the
-        merged chain) and advance the record pin. Safe to replay from
-        the marker payload after a crash — reanchor_branch subtracts
-        the merged set, and pins only move forward."""
+        merged chain), advance the record pin, graduate branch-created
+        tables to ordinary pins, and physically remove published DROPs.
+        Safe to replay from the marker payload after a crash —
+        reanchor_branch subtracts the merged set, pins only move
+        forward, and the drop/rmtree is a no-op the second time."""
         name = record["name"]
         for ident, plan in sorted(reanchor.items()):
+            if plan.get("drop"):
+                # the merge PUBLISHED this branch drop: remove the table
+                # from main. Between the marker flip and this point main
+                # still listed it — the same bookkeeping-after-the-flip
+                # stance as ref re-anchoring (module docstring).
+                try:
+                    self.lake.drop_table(ident)
+                except Exception:
+                    pass  # already gone (crash replay)
+                record["pins"].pop(ident, None)
+                if ident in record.get("dropped", []):
+                    record["dropped"].remove(ident)
+                continue
             try:
-                t = self.lake.table(ident)
+                t = self.lake.table(ident, any_lineage=True)
             except Exception:
                 continue
             if _table_branch(name) in t.log.refs():
@@ -586,6 +761,7 @@ class CatalogRefs:
                     _table_branch(name), plan["to"], merged=set(plan["merged"])
                 )
             record["pins"][ident] = max(record["pins"].get(ident, 0), plan["to"])
+            record.get("created", {}).pop(ident, None)  # now a main table
         record["pending_merge"] = None
         self._write_record(record)
         return record
@@ -625,13 +801,16 @@ class CatalogRefs:
 
         def run():
             record = self._recover(self._read_record(name))
+            self._require_branch(record, "merge")
             members = self._members_with_commits(record)
-            if not members:
+            drops = sorted(record.get("dropped", []))
+            if not members and not drops:
                 return {
                     "catalog_ref": name,
                     "status": "committed",
                     "merged_tables": 0,
                     "merged_commits": 0,
+                    "dropped_tables": 0,
                     "tables": {},
                 }
             txn_id = f"catmerge-{name}-{uuid.uuid4().hex[:12]}"
@@ -641,12 +820,36 @@ class CatalogRefs:
 
             staged: dict[str, tuple[object, LogEntry, list[int]]] = {}
             reanchor: dict[str, dict] = {}
+
+            def validate_drops():
+                # a branch DROP publishes only if main did not move the
+                # table since the fork: a post-fork main commit is
+                # content the drop never saw — Nessie's delete-vs-put
+                # content conflict
+                for ident in drops:
+                    try:
+                        t = self.lake.table(ident, any_lineage=True)
+                    except Exception:
+                        continue  # already gone on main: drop is a no-op
+                    head = t.log.latest_main_version()
+                    pin = record["pins"].get(ident)
+                    if head is not None and pin is not None and head > pin:
+                        raise CommitConflictError(
+                            f"merge_catalog_branch {name!r}: {ident} was "
+                            f"dropped on the branch but main committed past "
+                            f"the fork pin ({pin} -> {head}) — the whole "
+                            "catalog merge aborts; rebase to re-decide"
+                        )
+
             try:
+                validate_drops()
                 for ident, chain in members:
-                    t = self.lake.table(ident)
+                    t = self.lake.table(ident, any_lineage=True)
                     entry = self._stage_merge_entry(t, name, txn_id, chain)
                     staged[ident] = (t, entry, chain)
                     reanchor[ident] = {"to": entry.version, "merged": list(chain)}
+                for ident in drops:
+                    reanchor[ident] = {"drop": True}
                 # keep the intent's reanchor plan current so recovery
                 # after a crash between marker and bookkeeping has the
                 # plan even if the marker read fails
@@ -655,6 +858,7 @@ class CatalogRefs:
                 for ident in sorted(staged):
                     t, entry, _chain = staged[ident]
                     self._revalidate(t, entry)
+                validate_drops()  # marker-time re-check, same as entries
             except CommitConflictError:
                 self._decide(txn_id, "aborted", reanchor)
                 record["pending_merge"] = None
@@ -673,6 +877,7 @@ class CatalogRefs:
                 "status": "committed",
                 "merged_tables": len(staged),
                 "merged_commits": sum(len(c) for _, _, c in staged.values()),
+                "dropped_tables": len(drops),
                 "tables": {
                     ident: {
                         "new_snapshot_id": entry.snapshot_id,

@@ -309,6 +309,15 @@ class TransactionLog:
         cp = self._read_checkpoint(version)
         if cp is not None:
             return dict(cp.get("properties") or {})
+        # no main-lineage metadata at all: a table CREATED ON a catalog
+        # branch (catalog_refs.create_table) carries its properties on
+        # the branch-tagged create entry until the merge publishes them
+        # — branch writes must already honor them (e.g. target file
+        # size). Main-facing paths never reach here: the catalog treats
+        # a no-main-lineage table as nonexistent on main.
+        for entry in reversed(self.entries(upto=version)):
+            if entry.properties is not None:
+                return dict(entry.properties)
         return {}
 
     def renames_upto(self, version: int | None = None) -> list[dict]:
@@ -384,6 +393,11 @@ class TransactionLog:
         cp = self._read_checkpoint(version)
         if cp is not None:
             return cp.get("schema")
+        # branch-created table (no main lineage anywhere): its schema
+        # lives on the branch-tagged create entry — see properties_at
+        for entry in reversed(self.entries(upto=version)):
+            if entry.extra and entry.extra.get("schema"):
+                return entry.extra["schema"]
         return None
 
     # ---- writing -----------------------------------------------------
@@ -706,10 +720,26 @@ class TransactionLog:
                 "snapshots"
             )
 
-    def create_ref(self, name: str, snapshot_id: int, kind: str = "branch") -> dict:
+    def create_ref(
+        self,
+        name: str,
+        snapshot_id: int,
+        kind: str = "branch",
+        allow_empty: bool = False,
+    ) -> dict:
         if kind not in ("branch", "tag"):
             raise ValueError(f"ref kind must be branch or tag, got {kind!r}")
-        self._check_ref_target(snapshot_id)
+        if snapshot_id == -1 and allow_empty:
+            # virtual pre-create root: a branch for a table CREATED ON
+            # the branch (catalog-branch DDL) forks at "before any
+            # commit" — state folds to empty at base -1 and the chain
+            # carries everything, starting with the create entry itself.
+            # Only branches make sense here (a tag of nothing is
+            # nothing), and only internal callers pass allow_empty.
+            if kind != "branch":
+                raise ValueError("only a branch may anchor at the empty root")
+        else:
+            self._check_ref_target(snapshot_id)
         raw = {"name": name, "snapshot_id": snapshot_id, "kind": kind}
         if kind == "branch":
             # fork point + explicit (initially empty) commit chain —

@@ -214,8 +214,24 @@ def rewrite_data_files(
     max_concurrent_file_group_rewrites: int = 1,
     partial_progress_enabled: bool = False,
     delete_file_threshold: int = 1,
+    ref: str | None = None,
 ) -> dict:
     """M1: compact data files into ~target-size files, by file group.
+
+    `ref` scopes the compaction to a BRANCH lineage (Iceberg's
+    maintenance-on-a-ref): candidates select from the branch's live
+    state (fork base + chain), each group reads with the branch's
+    delete files applied, and the replace commits ONTO the branch —
+    main stays byte-identical. The merge's net-effect fold then treats
+    the rewrite as branch-internal churn (files added-then-replaced on
+    the branch cancel), so compact-then-merge equals merge-then-compact
+    row-for-row; the orphan sweep already protects every branch-tagged
+    entry's files. Post-compaction delete-file cleanup
+    (rewrite_position_deletes / stale-eq-delete drop) runs only on
+    main — branch MOR cleanup folds in naturally when the branch
+    merges and main maintenance runs. Branch-chain entries superseded
+    by the rewrite stay expiry-protected until merge/drop releases
+    them (expire_snapshots keeps live chains whole).
 
     Mirrors `CALL rewrite_data_files(table, strategy => ..., sort_order
     => ..., options => map('target-file-size-bytes','134217728',
@@ -294,7 +310,9 @@ def rewrite_data_files(
     target = target_file_size_bytes
     min_sz = int(target * _MIN_FILE_SIZE_RATIO) if min_file_size_bytes is None else min_file_size_bytes
     max_sz = int(target * _MAX_FILE_SIZE_RATIO) if max_file_size_bytes is None else max_file_size_bytes
-    state = table.log.state_at()
+    state = (
+        table.log.state_at_branch(ref) if ref is not None else table.log.state_at()
+    )
     data_state = {p: fi for p, fi in state.items() if fi.content == 0}
     deletes_fp = tuple(sorted(p for p, fi in state.items() if fi.content != 0))
 
@@ -433,7 +451,7 @@ def rewrite_data_files(
             n_out = n_ceil
         # deletes-applied read: merge-on-read tombstones fold into the
         # rewritten output instead of resurrecting (guide :336-340)
-        df = table._read_rel([p for p, _ in group])
+        df = table._read_rel([p for p, _ in group], ref=ref)
         if strategy == "sort":
             cols = [c.strip() for c in sort_order.split(",") if c.strip()]
             pre = df.repartitionByRange(n_out, *cols).sortWithinPartitions(*cols)
@@ -455,8 +473,14 @@ def rewrite_data_files(
             # commit validation (re-runs on each optimistic retry): the
             # compacted output replaces exactly the files it read; if a
             # racing commit already removed any of them, replacing would
-            # resurrect rows that commit deleted
-            live = table.log.state_at()
+            # resurrect rows that commit deleted. Ref mode validates
+            # against the BRANCH's live state — that is the lineage the
+            # replace commits onto.
+            live = (
+                table.log.state_at_branch(ref)
+                if ref is not None
+                else table.log.state_at()
+            )
             gone = [p for p in removed_paths if p not in live]
             if gone:
                 raise CommitConflictError(
@@ -487,7 +511,7 @@ def rewrite_data_files(
                 removed_files=tuple(removed_paths),
             )
 
-        table.log.append(make)
+        table.log.append(make, branch=ref)
 
     def drop_written(added) -> None:
         # best-effort cleanup of a failed group's staged output; anything
@@ -563,7 +587,7 @@ def rewrite_data_files(
     finally:
         pool.shutdown(wait=False)
     folded_deletes = 0
-    if deletes_fp and rewritten:
+    if deletes_fp and rewritten and ref is None:
         # the rewrite folded tombstones into its output: drop the
         # now-dangling position-delete entries and any equality-delete
         # file that provably no longer applies to a live data file.
@@ -984,6 +1008,21 @@ def publish_changes(table: LakehouseTable, wap_id: str) -> dict:
     return {"published_wap": wap_id, "new_snapshot_id": e.snapshot_id}
 
 
+def _check_unmanaged_ref(name: str, what: str, managed: bool = False) -> None:
+    """Per-table refs under the reserved `catalog.` prefix belong to a
+    CATALOG-wide branch (catalog_refs.py): merging or rebasing one
+    directly would publish a member table's chain outside the catalog
+    record's pins/marker protocol — the catalog merge would then
+    double-apply or spuriously conflict. Refuse unless the catalog
+    layer itself (managed=True) is calling."""
+    if not managed and name.startswith("catalog."):
+        raise MaintenanceError(
+            f"{what}: ref {name!r} is managed by a catalog-wide branch — "
+            f"use merge_catalog_branch/rebase_catalog_branch on "
+            f"{name.split('.', 1)[1]!r} instead"
+        )
+
+
 def merge_branch(table: LakehouseTable, name: str) -> dict:
     """Publish a branch's commits onto main — the Nessie merge that
     completes the write-on-ref flow (`append(ref=...)` /
@@ -1008,6 +1047,7 @@ def merge_branch(table: LakehouseTable, name: str) -> dict:
     (base = head = merge version, empty chain), so merging is
     exactly-once: a second merge_branch is a no-op and the branch can
     keep taking writes from the new anchor."""
+    _check_unmanaged_ref(name, "merge_branch")
     base, head, chain = table.log.branch_info(name)
     if not chain:
         return {"merged_commits": 0, "new_snapshot_id": None, "fast_forward": False}
@@ -1084,6 +1124,7 @@ def rebase_branch(
     name: str,
     onto: int | None = None,
     drop_conflicting: bool = False,
+    managed: bool = False,
 ) -> dict:
     """Re-anchor a branch at a newer main snapshot — the content-aware
     recovery flow merge_branch's conflict error promises ("rebase the
@@ -1114,6 +1155,7 @@ def rebase_branch(
     rewrite run inside the per-ref lock, so a branch commit racing the
     rebase either lands before plan() (and is validated) or after the
     new ref is written (and chains onto the rebased base)."""
+    _check_unmanaged_ref(name, "rebase_branch", managed=managed)
     target = onto if onto is not None else table.log.latest_main_version()
     if target is None:
         raise MaintenanceError(f"rebase_branch {name!r}: table has no main snapshot")

@@ -232,16 +232,23 @@ class LakehouseSQL:
             "TRUNCATE",
             "MERGE",
         ):
-            # catalog branches carry DATA commits (INSERT/UPDATE/DELETE
-            # and reads); table metadata — creation, schema evolution,
-            # truncation, MERGE INTO's COW rewrite — is main-lineage-
-            # only in this log (branch writes cannot evolve schema,
-            # table.py append). Running one here would silently mutate
-            # MAIN while the session claims to be on a branch — refuse.
+            # catalog branches version the CATALOG: CREATE TABLE and
+            # DROP TABLE route to the branch (invisible on main until
+            # the merge's marker flip — Nessie's canonical capability).
+            # The REST of table metadata — schema evolution,
+            # truncation, MERGE INTO's COW rewrite — stays main-
+            # lineage-only in this log (branch writes cannot evolve
+            # schema, table.py append); running one here would
+            # silently mutate MAIN while the session claims a branch,
+            # so those still refuse.
+            handled = self._ref_ddl(s)
+            if handled is not None:
+                return handled
             raise SqlError(
                 f"{head} is not supported under USE REFERENCE "
                 f"{self.session_ref!r} — switch back with USE REFERENCE "
-                "main first (catalog branches carry data commits only)"
+                "main first (catalog branches carry data commits and "
+                "CREATE/DROP TABLE only)"
             )
         if head == "CALL":
             return self._call(s)
@@ -269,7 +276,7 @@ class LakehouseSQL:
             )
             if not m:
                 raise SqlError(f"unsupported TRUNCATE syntax: {s!r}")
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             # a snapshot commit like any other: time travel still sees
             # the pre-truncate data until expiry (Iceberg's TRUNCATE).
             # Dedicated path (not DELETE WHERE true): removes delete
@@ -283,6 +290,90 @@ class LakehouseSQL:
         # query-shaped: rewrite lakehouse refs to temp views, let
         # Catalyst take it from there
         return self.spark.sql(self._rewrite_refs(s))
+
+    def _ref_ddl(self, s: str) -> DataFrame | None:
+        """CREATE TABLE / CTAS / DROP TABLE under USE REFERENCE: route
+        to the catalog-branch DDL (catalog_refs.create_table /
+        drop_table). Returns None when the statement is not one of the
+        supported ref-DDL shapes (caller refuses it)."""
+        from .catalog_refs import CatalogRefError
+
+        ref = self.session_ref
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
+            rf"\s*\((.*?)\)(?:\s+USING\s+{_IDENT})?"
+            rf"(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?(?:\s+TBLPROPERTIES\s*\((.*)\))?",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(1))
+            try:
+                t = self.lake.create_table_on_branch(
+                    ident,
+                    ref,
+                    schema=", ".join(_split_top_level(m.group(2))),
+                    properties=_parse_props(m.group(4)) if m.group(4) else None,
+                    partition_by=m.group(3),
+                )
+            except (CatalogError, CatalogRefError) as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame(
+                {"table": ident, "ref": ref, "location": t.table_dir}
+            )
+        m = re.fullmatch(
+            rf"(?is)CREATE\s+TABLE\s+((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})"
+            rf"(?:\s+USING\s+{_IDENT})?(?:\s+PARTITIONED\s+BY\s*\((.*?)\))?"
+            rf"(?:\s+TBLPROPERTIES\s*\((.*?)\))?\s+AS\s+(SELECT\s+.*)",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(1))
+            src = self.spark.sql(self._rewrite_refs(m.group(4)))
+            try:
+                self.lake.create_table_on_branch(
+                    ident,
+                    ref,
+                    schema=", ".join(
+                        f"`{f.name}` {f.dataType.simpleString()}"
+                        for f in src.schema.fields
+                    ),
+                    properties=_parse_props(m.group(3)) if m.group(3) else None,
+                    partition_by=m.group(2),
+                )
+                entry = self.lake.append(ident, src, catalog_ref=ref)
+            except (CatalogError, CatalogRefError) as e:
+                raise SqlError(str(e)) from e
+            return self._result_frame(
+                {
+                    "table": ident,
+                    "ref": ref,
+                    "created": True,
+                    "snapshot_id": entry.snapshot_id,
+                }
+            )
+        m = re.fullmatch(
+            rf"(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?((?:{_IDENT}\.)?{_IDENT}\.{_IDENT})",
+            s,
+        )
+        if m:
+            ident = self._strip_catalog(m.group(2))
+            try:
+                self.lake.drop_table_on_branch(ident, ref)
+            except (CatalogError, CatalogRefError) as e:
+                if m.group(1):
+                    return self._result_frame(
+                        {"table": ident, "ref": ref, "dropped": False}
+                    )
+                raise SqlError(str(e)) from e
+            return self._result_frame({"table": ident, "ref": ref, "dropped": True})
+        return None
+
+    def _table(self, identifier: str):
+        """Router-level table resolution. Under an active USE REFERENCE
+        the session may address branch-created tables (no main lineage
+        yet) — ref-record checks (_pin_of / dropped tombstones) then
+        govern visibility; on main, such tables do not exist."""
+        return self.lake.table(identifier, any_lineage=self.session_ref is not None)
 
     def _session_branch(self, t, branch: str | None) -> str | None:
         """Route a write onto the session catalog ref when USE
@@ -311,8 +402,14 @@ class LakehouseSQL:
 
     def _identifiers(self) -> list[str]:
         out = []
+        any_lineage = self.session_ref is not None
         for ns in self.lake.namespaces():
-            out.extend(f"{ns}.{t}" for t in self.lake.tables(ns))
+            # under USE REFERENCE, branch-created tables (no main
+            # lineage yet) must resolve too — the ref record governs
+            # actual visibility downstream
+            out.extend(
+                f"{ns}.{t}" for t in self.lake.tables(ns, any_lineage=any_lineage)
+            )
         return out
 
     def _rewrite_refs(self, s: str, _depth: int = 0) -> str:
@@ -340,7 +437,7 @@ class LakehouseSQL:
             base = rf"(?:{re.escape(self.catalog_name)}\.)?{re.escape(ns)}\.{re.escape(tbl)}"
             if not re.search(rf"(?i)\b{base}\b", s):
                 continue
-            t = self.lake.table(ident)
+            t = self._table(ident)
             # metadata suffixes (longest first: `position_deletes` and
             # `all_files` must never half-match as `files`)
             for suffix, frame in (
@@ -448,6 +545,8 @@ class LakehouseSQL:
         if proc in (
             "create_branch",
             "drop_branch",
+            "create_tag",
+            "drop_tag",
             "merge_catalog_branch",
             "rebase_catalog_branch",
         ):
@@ -469,7 +568,12 @@ class LakehouseSQL:
                     return self._result_frame(
                         {"ref": name, "pinned_tables": len(rec["pins"])}
                     )
-                if proc == "drop_branch":
+                if proc == "create_tag":
+                    rec = self.lake.create_tag(name)
+                    return self._result_frame(
+                        {"tag": name, "pinned_tables": len(rec["pins"])}
+                    )
+                if proc in ("drop_branch", "drop_tag"):
                     self.lake.drop_branch(name)
                     if self.session_ref == name:
                         self.session_ref = None
@@ -521,7 +625,7 @@ class LakehouseSQL:
             if args:
                 raise SqlError(f"CALL snapshot: unexpected arguments {sorted(args)}")
             return self._result_frame(result)
-        table = self.lake.table(str(args.pop("table")))
+        table = self._table(str(args.pop("table")))
         options = args.pop("options", {})
         if not isinstance(options, dict):
             raise SqlError("options => must be a map(...)")
@@ -736,14 +840,14 @@ class LakehouseSQL:
         # does not resolve as a table.
         ident, branch = m.group(2), None
         try:
-            t = self.lake.table(self._strip_catalog(ident))
+            t = self._table(self._strip_catalog(ident))
         except (CatalogError, SqlError):
             parts = ident.split(".")
             bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
             if bm is None or len(parts) < 3:
                 raise
             branch = bm.group(1)
-            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+            t = self._table(self._strip_catalog(".".join(parts[:-1])))
         branch = self._session_branch(t, branch)
         body = m.group(3)
         if body[:6].upper() == "VALUES":
@@ -814,14 +918,14 @@ class LakehouseSQL:
         # lineage (copy-on-write; invisible on main until merge_branch)
         ident, branch = m.group(1), None
         try:
-            t = self.lake.table(self._strip_catalog(ident))
+            t = self._table(self._strip_catalog(ident))
         except (CatalogError, SqlError):
             parts = ident.split(".")
             bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
             if bm is None or len(parts) < 3:
                 raise
             branch = bm.group(1)
-            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+            t = self._table(self._strip_catalog(".".join(parts[:-1])))
         branch = self._session_branch(t, branch)
         # bare DELETE FROM t = delete every row (SQL standard)
         try:
@@ -847,14 +951,14 @@ class LakehouseSQL:
         # UPDATE ns.t.branch_<name> SET ...: branch-lineage update
         ident, branch = m.group(1), None
         try:
-            t = self.lake.table(self._strip_catalog(ident))
+            t = self._table(self._strip_catalog(ident))
         except (CatalogError, SqlError):
             parts = ident.split(".")
             bm = re.fullmatch(r"branch_([A-Za-z0-9_-]+)", parts[-1])
             if bm is None or len(parts) < 3:
                 raise
             branch = bm.group(1)
-            t = self.lake.table(self._strip_catalog(".".join(parts[:-1])))
+            t = self._table(self._strip_catalog(".".join(parts[:-1])))
         branch = self._session_branch(t, branch)
         assignments: dict[str, str] = {}
         for part in _split_top_level(m.group(2)):
@@ -905,7 +1009,7 @@ class LakehouseSQL:
         if not m:
             raise SqlError(f"unsupported MERGE syntax: {s!r}")
         target_ident, t_alias, src_ref, s_alias, on, when_body = m.groups()
-        t = self.lake.table(self._strip_catalog(target_ident))
+        t = self._table(self._strip_catalog(target_ident))
         source = self.spark.sql(self._rewrite_refs(f"SELECT * FROM {src_ref}"))
         # SQL scoping: an explicit alias REPLACES the base name as the
         # side's qualifier (FROM tbl AS t makes `tbl.col` invalid), so
@@ -1162,7 +1266,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             entry = t.set_properties(_parse_props(m.group(2)))
             return self._result_frame({"snapshot_id": entry.snapshot_id})
         m = re.fullmatch(
@@ -1170,7 +1274,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             entry = t.add_column(m.group(2), m.group(3))
             return self._result_frame({"snapshot_id": entry.snapshot_id})
         # Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH|TAG name
@@ -1182,7 +1286,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             kind = m.group(2).lower()
             at = int(m.group(4)) if m.group(4) else None
             try:
@@ -1200,7 +1304,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             try:
                 t.drop_ref(m.group(2))
             except ValueError as e:
@@ -1212,7 +1316,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             try:
                 entry = t.drop_column(m.group(2))
             except ValueError as e:
@@ -1225,7 +1329,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             try:
                 entry = t.rename_column(m.group(2), m.group(3))
             except ValueError as e:
@@ -1240,7 +1344,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             entry = t.set_properties({"write.sort-order": m.group(2).strip()})
             return self._result_frame({"snapshot_id": entry.snapshot_id})
         m = re.fullmatch(
@@ -1248,7 +1352,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             entry = t.set_properties({"write.sort-order": ""})
             return self._result_frame({"snapshot_id": entry.snapshot_id})
         # Iceberg spec evolution: ALTER TABLE t ADD|DROP PARTITION FIELD
@@ -1260,7 +1364,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             try:
                 if m.group(2).upper() == "ADD":
                     entry = t.add_partition_field(m.group(3).strip())
@@ -1291,7 +1395,7 @@ class LakehouseSQL:
             raise SqlError(f"unsupported DROP syntax: {s!r}")
         ident = self._strip_catalog(m.group(2))
         try:
-            self.lake.table(ident)
+            self._table(ident)
         except CatalogError:
             if m.group(1):
                 return self._result_frame({"table": ident, "dropped": False})
@@ -1306,7 +1410,7 @@ class LakehouseSQL:
         )
         if m:
             info = self.lake.describe_table(self._strip_catalog(m.group(2)))
-            t = self.lake.table(self._strip_catalog(m.group(2)))
+            t = self._table(self._strip_catalog(m.group(2)))
             schema = t.schema() or t._schema()
             rows = [(f.name, f.dataType.simpleString(), "") for f in schema.fields]
             if m.group(1):  # EXTENDED: Spark-style detail section
@@ -1347,19 +1451,33 @@ class LakehouseSQL:
                     name == self.session_ref,
                 )
                 for name, rec in sorted(self.lake.catalog_branches().items())
+                if rec.get("kind", "branch") == "branch"
             ]
             return self.spark.createDataFrame(
                 rows or [],
                 "ref string, pinned_tables bigint, merge_in_progress boolean, "
                 "is_session_ref boolean",
             )
+        if re.fullmatch(r"(?is)SHOW\s+TAGS", s):
+            # immutable whole-warehouse pins (Nessie catalog tags)
+            rows = [
+                (name, len(rec.get("pins", {})), name == self.session_ref)
+                for name, rec in sorted(self.lake.catalog_branches().items())
+                if rec.get("kind", "branch") == "tag"
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "tag string, pinned_tables bigint, is_session_ref boolean",
+            )
         m = re.fullmatch(rf"(?is)SHOW\s+TABLES\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
         if m:
             ns = m.group(1)
             names = self.lake.tables(ns)
             if self.session_ref is not None:
-                # on a catalog ref only fork-pinned tables exist —
-                # a table created on main after the fork is invisible
+                # on a catalog ref only fork-pinned tables exist — a
+                # table created on main after the fork is invisible,
+                # a branch-CREATED table is visible here (and only
+                # here), and a branch-dropped one is tombstoned out
                 rec = self.lake.catalog_branches().get(self.session_ref)
                 if rec is None:
                     # another process dropped the catalog branch after
@@ -1369,7 +1487,16 @@ class LakehouseSQL:
                         f"catalog ref {self.session_ref!r} no longer exists"
                     )
                 pins = rec["pins"]
-                names = [t for t in names if f"{ns}.{t}" in pins]
+                dropped = set(rec.get("dropped", []))
+                names = sorted(
+                    {t for t in names if f"{ns}.{t}" in pins}
+                    | {
+                        i.split(".", 1)[1]
+                        for i in rec.get("created", {})
+                        if i.startswith(ns + ".")
+                    }
+                )
+                names = [t for t in names if f"{ns}.{t}" not in dropped]
             return self.spark.createDataFrame(
                 [(ns, t) for t in names] or [],
                 "namespace string, tableName string",
@@ -1380,7 +1507,7 @@ class LakehouseSQL:
             s,
         )
         if m:
-            t = self.lake.table(self._strip_catalog(m.group(1)))
+            t = self._table(self._strip_catalog(m.group(1)))
             props = t.properties()
             if m.group(2) is not None:
                 rows = [(m.group(2), props.get(m.group(2)))]
@@ -1411,7 +1538,7 @@ class LakehouseSQL:
             # properties (Spark's SHOW CREATE TABLE does the same from
             # catalog metadata — the statement round-trips)
             ident = self._strip_catalog(m.group(1))
-            t = self.lake.table(ident)
+            t = self._table(ident)
             schema = t.schema() or t._schema()
             cols = ",\n  ".join(
                 f"{f.name} {f.dataType.simpleString().upper()}"

@@ -943,7 +943,10 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ('merged',            CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'one atomic publish; tables=2 commits=4'),
             ('rebased',           CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(1  AS BIGINT), CAST(5  AS BIGINT), 'dropped=1 rebased_tables=2'),
             ('recovered',         CAST(4  AS BIGINT), CAST(5  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'merge after rebase; tables=2'),
-            ('second_merge',      CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'no-op; tables=0')
+            ('second_merge',      CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'no-op; tables=0'),
+            ('ddl_create_on_branch', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), 'created on ref; invisible on main'),
+            ('ddl_published',     CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(1  AS BIGINT), CAST(3  AS BIGINT), 'one marker flip; table + schema on main'),
+            ('tag_pinned',        CAST(1  AS BIGINT), CAST(4  AS BIGINT), CAST(1  AS BIGINT), CAST(3  AS BIGINT), 'tag read pinned while main moves')
         ) AS t(step, t1_main, t2_main, t1_branch, t2_branch, detail)
         ORDER BY step
     """,
@@ -958,7 +961,10 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rejects WHOLE — the clean second table's chain stays unpublished; "
     "and rebase_catalog_branch recovers: every pin refreshes to current "
     "main, exactly the conflicting commit drops (clean chains survive), "
-    "the change re-applies, and the merge goes through.",
+    "the change re-applies, and the merge goes through. r12 adds the "
+    "versioned-catalog steps: CREATE TABLE on a ref (invisible on main, "
+    "published complete — schema and rows — by one marker flip) and a "
+    "catalog-wide TAG whose read stays pinned while main moves.",
 )
 def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1060,6 +1066,47 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *ccounts("fix"),
                 f"merge after rebase; tables={res3['merged_tables']}",
             )
+        )
+
+        # DDL on the ref (r12): CREATE TABLE on a branch is invisible
+        # on main until the merge's marker flip publishes it complete
+        # (schema + properties + rows in one atomic point). Column
+        # semantics for the ddl_/tag_ steps: t1_main = is the new table
+        # main-visible (0/1), t2_main = its main row count (-1 when
+        # absent), t1_branch = ref-visible (always 1 here), t2_branch =
+        # its ref/tag read row count.
+        from ..lakehouse import CatalogError
+
+        lake.create_branch("ddl")
+        lake.create_table_on_branch(
+            "lab.cat_new", "ddl", schema="n_nationkey bigint, n_name string"
+        )
+        lake.append(
+            "lab.cat_new", nation.filter(F.col("n_nationkey") < 3), catalog_ref="ddl"
+        )
+
+        def dstate(ref="ddl"):
+            try:
+                n_main = lake.read("lab.cat_new").count()
+                on_main = 1
+            except CatalogError:
+                n_main, on_main = -1, 0
+            return (on_main, n_main, 1, lake.read("lab.cat_new", catalog_ref=ref).count())
+
+        rows.append(
+            ("ddl_create_on_branch", *dstate(), "created on ref; invisible on main")
+        )
+        lake.merge_catalog_branch("ddl")
+        rows.append(
+            ("ddl_published", *dstate(), "one marker flip; table + schema on main")
+        )
+
+        # catalog-wide tag: immutable whole-warehouse pin — main moves,
+        # the tag read does not (the reproducible-training-run anchor)
+        lake.create_tag("train")
+        lake.append("lab.cat_new", nation.filter(F.col("n_nationkey") == 3))
+        rows.append(
+            ("tag_pinned", *dstate(ref="train"), "tag read pinned while main moves")
         )
         return (
             sorted(rows),

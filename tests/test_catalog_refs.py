@@ -169,9 +169,9 @@ def test_sql_use_reference_flow(spark, tmp_path):
     got = {tuple(r) for r in sql.sql("SELECT * FROM lab.t1").collect()}
     assert got == {(1, "m1"), (2, "e2x")}
     assert sql.sql("SELECT * FROM lab.t2").count() == 0
+    # CREATE/DROP TABLE route to catalog-branch DDL since r12
+    # (tests/test_catalog_ddl_refs.py); the rest still refuse on a ref
     for stmt in (
-        "CREATE TABLE lab.t3 (k BIGINT)",
-        "DROP TABLE lab.t1",
         "ALTER TABLE lab.t1 ADD COLUMN z BIGINT",
         "TRUNCATE TABLE lab.t1",
         "CALL system.rewrite_data_files(table => 'lab.t1')",
