@@ -35,6 +35,7 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import replace as _dc_replace
 
+from ..localrows import local_df
 from .log import CommitConflictError, FileInfo, LogEntry
 from .table import (
     DEFAULT_TARGET_FILE_SIZE,
@@ -1232,7 +1233,7 @@ def rewrite_position_deletes(table: LakehouseTable) -> dict:
     )
     from pyspark.sql import functions as F
 
-    live_df = spark.createDataFrame(
+    live_df = local_df(spark, 
         [(p,) for p in data_state] or [("",)], "file_path string"
     )
     kept = dels.join(F.broadcast(live_df), "file_path", "left_semi")

@@ -41,6 +41,7 @@ from pyspark.sql import types as T
 from . import maintenance
 from .catalog import CatalogError, Lakehouse
 from .log import CommitConflictError
+from ..localrows import local_df
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -785,7 +786,7 @@ class LakehouseSQL:
             while cur is not None and cur in hist:
                 chain.append((cur, hist[cur].made_current_at))
                 cur = hist[cur].parent_id
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 chain, "snapshot_id long, made_current_at timestamp"
             )
         elif proc == "add_files":
@@ -820,7 +821,7 @@ class LakehouseSQL:
                 fields.append(T.StructField(k, T.StringType()))
                 v = None if v is None else str(v)
             row.append(v)
-        return self.spark.createDataFrame([tuple(row)], T.StructType(fields))
+        return local_df(self.spark, [tuple(row)], T.StructType(fields))
 
     # ---- DML ----------------------------------------------------------
 
@@ -1421,7 +1422,7 @@ class LakehouseSQL:
                 rows.append(("Snapshots", str(info["snapshots"]), ""))
                 for k, v in sorted(info["properties"].items()):
                     rows.append((f"Property: {k}", v, ""))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "col_name string, data_type string, comment string"
             )
         m = re.fullmatch(
@@ -1432,12 +1433,12 @@ class LakehouseSQL:
             rows = [("Namespace Name", info["name"])] + [
                 (f"Property: {k}", v) for k, v in sorted(info["properties"].items())
             ]
-            return self.spark.createDataFrame(rows, "info_name string, info_value string")
+            return local_df(self.spark, rows, "info_name string, info_value string")
         raise SqlError(f"unsupported DESCRIBE syntax: {s!r}")
 
     def _show(self, s: str) -> DataFrame:
         if re.fullmatch(rf"(?is)SHOW\s+NAMESPACES(?:\s+IN\s+{_IDENT})?", s):
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(ns,) for ns in self.lake.namespaces()], "namespace string"
             )
         if re.fullmatch(r"(?is)SHOW\s+(?:BRANCHES|REFERENCES)", s):
@@ -1453,7 +1454,7 @@ class LakehouseSQL:
                 for name, rec in sorted(self.lake.catalog_branches().items())
                 if rec.get("kind", "branch") == "branch"
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows or [],
                 "ref string, pinned_tables bigint, merge_in_progress boolean, "
                 "is_session_ref boolean",
@@ -1465,7 +1466,7 @@ class LakehouseSQL:
                 for name, rec in sorted(self.lake.catalog_branches().items())
                 if rec.get("kind", "branch") == "tag"
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows or [],
                 "tag string, pinned_tables bigint, is_session_ref boolean",
             )
@@ -1497,7 +1498,7 @@ class LakehouseSQL:
                     }
                 )
                 names = [t for t in names if f"{ns}.{t}" not in dropped]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(ns, t) for t in names] or [],
                 "namespace string, tableName string",
             )
@@ -1513,7 +1514,7 @@ class LakehouseSQL:
                 rows = [(m.group(2), props.get(m.group(2)))]
             else:
                 rows = sorted(props.items())
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows or [], "key string, value string"
             )
         m = re.fullmatch(rf"(?is)SHOW\s+VIEWS\s+IN\s+(?:{_IDENT}\.)?({_IDENT})", s)
@@ -1523,11 +1524,11 @@ class LakehouseSQL:
                 views = self.lake.views(ns)
             except CatalogError as e:
                 raise SqlError(str(e)) from e
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(ns, v) for v in views] or [], "namespace string, viewName string"
             )
         if re.fullmatch(r"(?is)SHOW\s+CATALOGS", s):
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(self.catalog_name,), ("spark_catalog",)], "catalog string"
             )
         m = re.fullmatch(
@@ -1556,7 +1557,7 @@ class LakehouseSQL:
                 stmt += "\nTBLPROPERTIES (\n  " + ",\n  ".join(
                     f"'{k}'='{v}'" for k, v in sorted(props.items())
                 ) + ")"
-            return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
+            return local_df(self.spark, [(stmt,)], "createtab_stmt string")
         raise SqlError(f"unsupported SHOW syntax: {s!r}")
 
     def _set(self, s: str) -> DataFrame:
@@ -1564,7 +1565,7 @@ class LakehouseSQL:
         if not m:
             raise SqlError(f"unsupported SET syntax: {s!r}")
         self.spark.conf.set(m.group(1), m.group(2))
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(m.group(1), m.group(2))], "key string, value string"
         )
 

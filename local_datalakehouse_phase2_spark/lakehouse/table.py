@@ -43,6 +43,7 @@ from . import pruning
 from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .partition import PROP_PARTITION_SPEC, PROP_PARTITION_SPEC_HISTORY
+from ..localrows import local_df
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
@@ -487,7 +488,7 @@ class LakehouseTable:
         schema = self.schema(version) or self._schema()
         cols = [f.name for f in schema.fields]
         if not data_state:
-            df = self.spark.createDataFrame([], schema)
+            df = local_df(self.spark, [], schema)
             if tagged:
                 df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
                     "__pos", F.lit(None).cast("long")
@@ -580,7 +581,7 @@ class LakehouseTable:
         across a type promotion."""
         types = {f.name: f.dataType for f in schema.fields}
         seq_rows = [(p, self._seq_of(fi)) for p, fi in data_state.items()]
-        seq_df = self.spark.createDataFrame(seq_rows, "__file string, __fseq long")
+        seq_df = local_df(self.spark, seq_rows, "__file string, __fseq long")
         ddf = ddf.join(F.broadcast(seq_df), "__file", "left")
         groups: dict[tuple[str, ...], dict[str, FileInfo]] = {}
         for efis in eq_by_data.values():
@@ -595,7 +596,7 @@ class LakehouseTable:
             # equality-delete file per checkpoint, so thousands of live
             # delete files are normal — per-file seq attaches via a
             # broadcast (path -> seq) join on _metadata.file_path
-            seq_map = self.spark.createDataFrame(
+            seq_map = local_df(self.spark, 
                 [(p, self._seq_of(efi)) for p, efi in by_path.items()],
                 "__dpath string, __dseq long",
             )
@@ -1067,7 +1068,7 @@ class LakehouseTable:
             for fi in e.added_files
         }
         if not path_seqs:
-            return self.spark.createDataFrame([], self.schema(to_version) or self._schema())
+            return local_df(self.spark, [], self.schema(to_version) or self._schema())
         return self._read_paths(list(path_seqs), version=to_version, seqs=path_seqs)
 
     def read_changelog(
@@ -1167,7 +1168,7 @@ class LakehouseTable:
             ]
         )
         if not parts:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         log_df = _reduce(DataFrame.unionByName, parts)
         if identifier_columns:
             log_df = self._pair_updates(log_df, identifier_columns)
@@ -1271,7 +1272,7 @@ class LakehouseTable:
             (r["name"], r["kind"].upper(), r["snapshot_id"])
             for r in self.log.refs().values()
         ]
-        return self.spark.createDataFrame(rows, schema)
+        return local_df(self.spark, rows, schema)
 
     # ---- metadata views (SURVEY.md S2/S3) ----------------------------
 
@@ -1311,7 +1312,7 @@ class LakehouseTable:
                     sum(fi.row_count for fi in state.values() if fi.content == 0),
                 )
             )
-        return self.spark.createDataFrame(rows, SNAPSHOTS_SCHEMA)
+        return local_df(self.spark, rows, SNAPSHOTS_SCHEMA)
 
     def files(self, version: int | None = None) -> DataFrame:
         """The `<t>.files` metadata relation (guide :175-185)."""
@@ -1333,7 +1334,7 @@ class LakehouseTable:
             )
             for fi in self.log.state_at(version).values()
         ]
-        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+        return local_df(self.spark, rows, FILES_SCHEMA)
 
     def history(self) -> DataFrame:
         """The `<t>.history` metadata relation (Iceberg's history
@@ -1382,7 +1383,7 @@ class LakehouseTable:
             )
             for e in main
         ]
-        return self.spark.createDataFrame(rows, schema)
+        return local_df(self.spark, rows, schema)
 
     def entries(self) -> DataFrame:
         """The `<t>.entries` metadata relation (Iceberg's manifest
@@ -1420,7 +1421,7 @@ class LakehouseTable:
                 rows.append(
                     (2, e.snapshot_id, None, None, os.path.join(self.table_dir, p), None, None)
                 )
-        return self.spark.createDataFrame(rows, schema)
+        return local_df(self.spark, rows, schema)
 
     def all_files(self) -> DataFrame:
         """The `<t>.all_files` metadata relation (Iceberg): every file
@@ -1456,7 +1457,7 @@ class LakehouseTable:
             )
             for fi in seen.values()
         ]
-        return self.spark.createDataFrame(rows, FILES_SCHEMA)
+        return local_df(self.spark, rows, FILES_SCHEMA)
 
     def position_deletes(self) -> DataFrame:
         """The `<t>.position_deletes` metadata relation (Iceberg v2):
@@ -1472,7 +1473,7 @@ class LakehouseTable:
         )
         _data, pos_files, _eq = self._split_state(self.log.state_at())
         if not pos_files:
-            return self.spark.createDataFrame([], schema)
+            return local_df(self.spark, [], schema)
         dels = self.spark.read.schema(POS_DELETE_SCHEMA).parquet(
             *[os.path.join(self.table_dir, fi.path) for fi in pos_files]
         )
@@ -1510,7 +1511,7 @@ class LakehouseTable:
             (dict(key) if key else None, acc[0], acc[1], acc[2])
             for key, acc in sorted(agg.items())
         ]
-        return self.spark.createDataFrame(rows, schema)
+        return local_df(self.spark, rows, schema)
 
     # ---- writes ------------------------------------------------------
 

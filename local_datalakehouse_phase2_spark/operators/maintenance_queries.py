@@ -34,6 +34,7 @@ from ..lakehouse import (
 )
 from ..registry import register
 from ..sources.loaders import load_table
+from ..localrows import local_df
 
 
 def _with_lake(spark: SparkSession, fn) -> DataFrame:
@@ -42,7 +43,7 @@ def _with_lake(spark: SparkSession, fn) -> DataFrame:
         lake = Lakehouse(spark, tmp)
         lake.create_namespace("lab", properties={"comment": "lab namespace"})
         rows, schema = fn(lake)
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -60,7 +61,7 @@ def _with_lake_2e(spark: SparkSession, query_name: str, fn) -> DataFrame:
     lake = Lakehouse(spark, fresh_wh(query_name))
     lake.create_namespace("lab", properties={"comment": "lab namespace"})
     rows, schema = fn(lake)
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def _se(query_name: str, identifier: str, p: str = "t", **kw):
@@ -349,7 +350,7 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         source = nation.filter(F.col("n_nationkey").between(1, 4)).select(
             "n_nationkey", F.concat(F.lit("UPD_"), F.col("n_name")).alias("n_name")
         ).unionByName(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(100, "UPD_NEW_100"), (101, "UPD_NEW_101")],
                 "n_nationkey int, n_name string",
             )
@@ -527,9 +528,9 @@ _EVO_WH, _EVO = _se("lakehouse_schema_evolution", "lab.evo_q")
 def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
         t = lake.create_table("lab.evo_q")
-        t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+        t.append(local_df(spark, [(1, "a"), (2, "b")], "k bigint, v string"))
         v1 = t.log.latest_version()
-        t.append(spark.createDataFrame([(3, "c", 9.5)], "k bigint, v string, score double"))
+        t.append(local_df(spark, [(3, "c", 9.5)], "k bigint, v string, score double"))
         cols_v1 = len(t.read(version=v1).columns)
         cur = t.read()
         cols_v2 = len(cur.columns)
@@ -1714,12 +1715,12 @@ def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t.append(nation.repartition(4, "n_nationkey"))
         rows_initial = t.read().count()
-        keys = t.spark.createDataFrame([(k,) for k in range(5)], "n_nationkey bigint")
+        keys = local_df(t.spark, [(k,) for k in range(5)], "n_nationkey bigint")
         t.equality_delete(keys, ["n_nationkey"])
         rows_after_eq = t.read().count()
         # re-append one deleted key AFTER the delete: must survive
         t.append(
-            t.spark.createDataFrame(
+            local_df(t.spark, 
                 [(2, "REBORN")], "n_nationkey bigint, n_name string"
             )
         )
@@ -2080,7 +2081,7 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             if fi.partition and fi.partition.get("__p_cat") != "c1"
         }
         t.overwrite_partitions(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(1000 + i, "c1", f"new{i}") for i in range(5)],
                 "k bigint, cat string, v string",
             )
@@ -2408,7 +2409,7 @@ def lakehouse_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
 
             def feed(rows):
-                spark.createDataFrame(rows, "ts timestamp, user string").coalesce(
+                local_df(spark, rows, "ts timestamp, user string").coalesce(
                     1
                 ).write.mode("append").parquet(src)
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..lakehouse.table import LakehouseTable
+from ..localrows import local_df
 
 STREAM_BATCH_KEY = "stream_batch_id"
 STREAM_QUERY_KEY = "stream_query_id"
@@ -383,7 +384,7 @@ def _register_query() -> None:
             rows = t.read().count()
             keys = t.read().select("k").distinct().count()
             watermarked = last_committed_batch(t, recorded_qid) is not None
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [(rows, keys, replay_noop, watermarked)],
                 "rows_after_two_runs bigint, distinct_keys bigint, "
                 "replay_was_noop boolean, watermarks_recorded boolean",
@@ -436,7 +437,7 @@ def _register_query() -> None:
             branch_rows = t.read(ref="ingest").count()
             merge_branch(t, "ingest")
             main_after = t.read().count()
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [(main_during, branch_rows, main_after)],
                 "main_rows_during_ingest bigint, branch_rows bigint, "
                 "main_rows_after_merge bigint",
@@ -497,7 +498,7 @@ def _register_query() -> None:
             rows = t.read().count()
             updated = t.read().filter(F.col("v").startswith("u")).count()
             untouched = t.read().filter(F.col("v").startswith("v")).count()
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [(rows, updated, untouched, replay_noop)],
                 "rows_after bigint, updated_rows bigint, "
                 "untouched_rows bigint, replay_was_noop boolean",
@@ -535,7 +536,7 @@ def _register_query() -> None:
             ev = "k bigint, v string, op string, seq bigint"
 
             def feed(rows) -> None:
-                spark.createDataFrame(rows, ev).coalesce(1).write.mode(
+                local_df(spark, rows, ev).coalesce(1).write.mode(
                     "append"
                 ).parquet(src)
 
@@ -567,13 +568,13 @@ def _register_query() -> None:
             )
             replay_noop = not apply_cdc_batch(
                 t,
-                spark.createDataFrame([(0, "zz", "U", 9)], ev),
+                local_df(spark, [(0, "zz", "U", 9)], ev),
                 batch_id=0,
                 query_id=recorded_qid,
                 key_cols=["k"],
             )
             r = t.read()
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [
                     (
                         r.count(),
@@ -632,7 +633,7 @@ def _register_enrich_query() -> None:
             lake.create_namespace("lab")
             dim = lake.create_table("lab.dim", schema="k bigint, tag string")
             dim.append(
-                spark.createDataFrame(
+                local_df(spark, 
                     [(k, "v1") for k in range(5)], "k bigint, tag string"
                 )
             )
@@ -662,14 +663,14 @@ def _register_enrich_query() -> None:
             drain()
             # dim update between epochs: next epoch sees v2
             dim.overwrite(
-                spark.createDataFrame(
+                local_df(spark, 
                     [(k, "v2") for k in range(5)], "k bigint, tag string"
                 )
             )
             feed(20, 60)
             drain()
             r = tgt.read()
-            return spark.createDataFrame(
+            return local_df(spark, 
                 [
                     (
                         r.count(),
