@@ -301,6 +301,19 @@ class Lakehouse:
                 raise CatalogError("; ".join(errors))
 
         def make(version: int) -> LogEntry:
+            if version != 0:
+                # CAS guard: a create entry must be the log's FIRST
+                # commit. The caller's existence check runs outside the
+                # commit lock, so two creators of the same fresh name
+                # (main-vs-main, or main-vs-catalog-branch DDL) can
+                # both pass it; whoever allocates v0 wins and the loser
+                # fails loudly HERE instead of stacking a second create
+                # onto the log — which a later catalog-branch merge
+                # would have folded into silent schema/row mixing.
+                raise CatalogError(
+                    f"table {identifier} was concurrently created "
+                    "(a create must be the log's first commit)"
+                )
             return LogEntry(
                 version=version,
                 snapshot_id=version,

@@ -423,8 +423,21 @@ class CatalogRefs:
                     f"table name {identifier} is already taken in the "
                     "warehouse (created outside this branch after the fork)"
                 )
+            from .catalog import CatalogError  # late: catalog imports us
+
             t.log.create_ref(_table_branch(name), -1, allow_empty=True)
-            t.log.append(make, branch=_table_branch(name))
+            try:
+                t.log.append(make, branch=_table_branch(name))
+            except CatalogError:
+                # lost the create CAS (a main creator landed v0 between
+                # our existence check and the append) — remove the
+                # just-made empty branch ref so the foreign table keeps
+                # a clean ref namespace, then surface the conflict
+                try:
+                    t.drop_ref(_table_branch(name))
+                except Exception:
+                    pass
+                raise
             record["pins"][identifier] = -1
             record.setdefault("created", {})[identifier] = True
             self._write_record(record)

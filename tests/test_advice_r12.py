@@ -67,12 +67,12 @@ def test_rebase_uses_one_target_per_table(spark, tmp_path, monkeypatch):
     real = M.rebase_branch
     calls = {}
 
-    def spy(table, name, onto=None, drop_conflicting=False):
+    def spy(table, name, onto=None, drop_conflicting=False, **kw):
         calls[table.identifier] = onto
         # a main commit races in AFTER validation captured the target;
         # with onto pinned, rebase_branch must NOT re-read the head
         table.append(_df(spark, (4, "m4")))
-        return real(table, name, onto=onto, drop_conflicting=drop_conflicting)
+        return real(table, name, onto=onto, drop_conflicting=drop_conflicting, **kw)
 
     monkeypatch.setattr(M, "rebase_branch", spy)
     # catalog_refs imports rebase_branch inside run(), so patching the

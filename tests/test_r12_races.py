@@ -153,3 +153,64 @@ def test_endpoint_mutex_concurrent_thieves_exclude(tmp_path, monkeypatch):
         th.join(30)
     assert not errors, errors
     assert max_inside[0] == 1, f"mutual exclusion violated: {max_inside[0]} inside"
+
+
+def test_create_cas_branch_wins_main_loses(spark, tmp_path):
+    """Create-create TOCTOU, direction 1: a main creator passes the
+    empty-log existence check, a catalog-branch CREATE TABLE lands
+    first — the main creator's append must fail loudly (a create must
+    allocate version 0), never stack a second create onto the log."""
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError
+
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    lake.create_branch("dev")
+    # main creator mid-flight: existence check passed, append pending
+    t, make = lake._create_plan("lab.x", schema="k bigint, v string")
+    lake.create_table_on_branch("lab.x", "dev", schema="k bigint, v string")
+    with pytest.raises(CatalogError, match="concurrently created"):
+        t.log.append(make)
+    # the branch creation is intact and mergeable
+    lake.append("lab.x", _df(spark, (1, "b1")), catalog_ref="dev")
+    lake.merge_catalog_branch("dev")
+    assert [tuple(r) for r in lake.read("lab.x").collect()] == [(1, "b1")]
+
+
+def test_create_cas_main_wins_branch_loses(spark, tmp_path):
+    """Direction 2: the branch creator passes its check, then a main
+    create lands v0 first. The branch append must raise AND remove the
+    just-created empty `catalog.` ref from the now-foreign table."""
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError
+    from local_datalakehouse_phase2_spark.lakehouse.catalog_refs import (
+        CatalogRefError,
+    )
+    from local_datalakehouse_phase2_spark.lakehouse.log import TransactionLog
+
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    lake.create_branch("dev")
+
+    real_create_ref = TransactionLog.create_ref
+    fired = {}
+
+    def create_ref_then_main_lands(self, name, snapshot_id, **kw):
+        out = real_create_ref(self, name, snapshot_id, **kw)
+        if name == "catalog.dev" and not fired:
+            fired["x"] = True  # racing main creator lands v0 NOW
+            lake.create_table("lab.y", schema="k bigint, v string")
+        return out
+
+    TransactionLog.create_ref = create_ref_then_main_lands
+    try:
+        with pytest.raises((CatalogError, CatalogRefError), match="concurrently created"):
+            lake.create_table_on_branch("lab.y", "dev", schema="k bigint, v string")
+    finally:
+        TransactionLog.create_ref = real_create_ref
+    # main's table won and is clean: no dangling managed ref, readable
+    t = lake.table("lab.y")
+    assert "catalog.dev" not in t.log.refs()
+    t.append(_df(spark, (7, "m7")).coalesce(1))
+    assert [tuple(r) for r in t.read().collect()] == [(7, "m7")]
+    # and the ref record never listed the loser
+    with pytest.raises(CatalogRefError, match="does not exist"):
+        lake.read("lab.y", catalog_ref="dev")
