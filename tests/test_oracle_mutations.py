@@ -184,7 +184,13 @@ def test_oracle_catches_broken_fork_pin(spark, con, monkeypatch):
         return self.lake.table(identifier).read()
 
     monkeypatch.setattr(cr.CatalogRefs, "read", read_main)
-    with pytest.raises(AssertionError):
+    # detection is either a red row comparison (pre-r12 steps) or the
+    # r12 ddl_create_on_branch step dying outright: a main read of a
+    # branch-created table raises CatalogError (no main lineage) before
+    # any rows come back — louder than a mismatch, still a catch
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError
+
+    with pytest.raises((AssertionError, CatalogError)):
         _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
 
 
