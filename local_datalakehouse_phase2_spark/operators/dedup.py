@@ -903,7 +903,15 @@ def dedup_incremental(
     ordinary banded generator over the batch alone. Verification is
     exact Jaccard on candidates only. The index upsert is
     merge(key_cols=[doc_id, band]): one snapshot commit, idempotent on
-    replay — the exactly-once property a crash-prone ingest loop needs."""
+    replay — the exactly-once property a crash-prone ingest loop needs.
+
+    Concurrency stance: batches must SERIALIZE (one ingest loop, or an
+    external queue). Candidate generation reads the index as of entry,
+    so two batches running concurrently would each miss the other's
+    docs (cross-batch pairs) even though the merge commits themselves
+    serialize safely on the table lock. A lost-update-free concurrent
+    variant would re-join against the index delta after a merge
+    conflict — not built until a real pipeline needs it."""
     nb = band_keys(new_docs)
     idx = index_table.read()
     sizes = idx.groupBy("band", "bh").agg(F.count("*").alias("__n"))
