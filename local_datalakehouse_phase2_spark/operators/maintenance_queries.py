@@ -37,6 +37,26 @@ from ..sources.loaders import load_table
 from ..localrows import local_df
 
 
+def _nrows(*dfs) -> tuple[int, ...]:
+    """Row counts of several DataFrames in ONE Spark job: union the
+    per-frame COUNT aggregates and collect once — identical values to
+    calling .count() on each. Lifecycle steps verify 2-4 tables per
+    step, and at demo scale per-job launch overhead (~0.15 s on
+    local[32]) dominates the tiny scans, so one job per step instead
+    of one per table roughly halves those entries' wall clock."""
+    from functools import reduce
+
+    tagged = [
+        d.groupBy().agg(F.count(F.lit(1)).alias("n")).select(F.lit(i).alias("i"), "n")
+        for i, d in enumerate(dfs)
+    ]
+    got = {
+        r["i"]: r["n"]
+        for r in reduce(lambda a, b: a.unionByName(b), tagged).collect()
+    }
+    return tuple(int(got[i]) for i in range(len(dfs)))
+
+
 def _with_lake(spark: SparkSession, fn) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="lakehouse_q_")
     try:
@@ -979,13 +999,17 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.append(nation.filter(F.col("n_nationkey").between(5, 9)))
         lake.create_branch("etl")
 
-        def counts(ref=None):
-            return (
-                lake.read("lab.cat_t1", catalog_ref=ref).count(),
-                lake.read("lab.cat_t2", catalog_ref=ref).count(),
+        def counts(ref):
+            # all four verification counts (2 tables x main+ref) in ONE
+            # Spark job — per-job overhead dominates these tiny scans
+            return _nrows(
+                lake.read("lab.cat_t1"),
+                lake.read("lab.cat_t2"),
+                lake.read("lab.cat_t1", catalog_ref=ref),
+                lake.read("lab.cat_t2", catalog_ref=ref),
             )
 
-        rows = [("fork", *counts(), *counts("etl"), "branch == main at fork")]
+        rows = [("fork", *counts("etl"), "branch == main at fork")]
 
         # two commits per table on the branch; main moves after the fork
         between = lambda lo, hi: nation.filter(F.col("n_nationkey").between(lo, hi))
@@ -997,7 +1021,6 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "branch_writes",
-                *counts(),
                 *counts("etl"),
                 "4 commits invisible on main; main move invisible on branch",
             )
@@ -1007,7 +1030,6 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "merged",
-                *counts(),
                 *counts("etl"),
                 f"one atomic publish; tables={res['merged_tables']} "
                 f"commits={res['merged_commits']}",
@@ -1015,7 +1037,7 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         res2 = lake.merge_catalog_branch("etl")
         rows.append(
-            ("second_merge", *counts(), *counts("etl"), f"no-op; tables={res2['merged_tables']}")
+            ("second_merge", *counts("etl"), f"no-op; tables={res2['merged_tables']}")
         )
 
         # conflict: the branch overwrites c1 (claims its files) and
@@ -1035,13 +1057,15 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         except CommitConflictError:
             detail = "CommitConflictError; neither table published"
 
-        def ccounts(ref=None):
-            return (
-                lake.read("lab.cat_c1", catalog_ref=ref).count(),
-                lake.read("lab.cat_c2", catalog_ref=ref).count(),
+        def ccounts():
+            return _nrows(
+                lake.read("lab.cat_c1"),
+                lake.read("lab.cat_c2"),
+                lake.read("lab.cat_c1", catalog_ref="fix"),
+                lake.read("lab.cat_c2", catalog_ref="fix"),
             )
 
-        rows.append(("conflict_rejected", *ccounts(), *ccounts("fix"), detail))
+        rows.append(("conflict_rejected", *ccounts(), detail))
 
         # recovery: catalog rebase refreshes every pin to current main,
         # drops exactly the conflicting commit (reported), keeps c2's
@@ -1051,7 +1075,6 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "rebased",
                 *ccounts(),
-                *ccounts("fix"),
                 f"dropped={sum(len(v) for v in reb['dropped_commits'].values())} "
                 f"rebased_tables={reb['rebased_tables']}",
             )
@@ -1064,7 +1087,6 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "recovered",
                 *ccounts(),
-                *ccounts("fix"),
                 f"merge after rebase; tables={res3['merged_tables']}",
             )
         )
@@ -1087,12 +1109,13 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def dstate(ref="ddl"):
+            ref_read = lake.read("lab.cat_new", catalog_ref=ref)
             try:
-                n_main = lake.read("lab.cat_new").count()
-                on_main = 1
+                main_read = lake.read("lab.cat_new")  # raises pre-merge
             except CatalogError:
-                n_main, on_main = -1, 0
-            return (on_main, n_main, 1, lake.read("lab.cat_new", catalog_ref=ref).count())
+                return (0, -1, 1, _nrows(ref_read)[0])
+            n_main, n_ref = _nrows(main_read, ref_read)
+            return (1, n_main, 1, n_ref)
 
         rows.append(
             ("ddl_create_on_branch", *dstate(), "created on ref; invisible on main")
@@ -1284,11 +1307,11 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(5, 9)))
         txn.append("lab.txn_agg", spark.range(1).select(F.lit(10).cast("long").alias("n_cnt")))
         rows = [
-            ("staged", orders_t.read().count(), agg_t.read().count(), "undecided: both invisible")
+            ("staged", *_nrows(orders_t.read(), agg_t.read()), "undecided: both invisible")
         ]
         txn.commit()
         rows.append(
-            ("committed", orders_t.read().count(), agg_t.read().count(), "one marker flip: both visible")
+            ("committed", *_nrows(orders_t.read(), agg_t.read()), "one marker flip: both visible")
         )
 
         # conflict path: stage an overwrite on the aggregate, lose the
@@ -1304,7 +1327,7 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail = "TXN UNEXPECTEDLY COMMITTED"
         except CommitConflictError:
             detail = "CommitConflictError: nothing published"
-        rows.append(("conflict", orders_t.read().count(), agg_t.read().count(), detail))
+        rows.append(("conflict", *_nrows(orders_t.read(), agg_t.read()), detail))
 
         # generalized shapes: append on orders + row-level delete_where
         # on the aggregate, one atomic flip
@@ -1315,8 +1338,7 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "mixed_commit",
-                orders_t.read().count(),
-                agg_t.read().count(),
+                *_nrows(orders_t.read(), agg_t.read()),
                 "append + delete_where, one flip",
             )
         )
@@ -1332,7 +1354,7 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail4 = "TXN UNEXPECTEDLY COMMITTED"
         except CommitConflictError:
             detail4 = "CommitConflictError: nothing published"
-        rows.append(("mixed_abort", orders_t.read().count(), agg_t.read().count(), detail4))
+        rows.append(("mixed_abort", *_nrows(orders_t.read(), agg_t.read()), detail4))
 
         return (
             sorted(rows),
