@@ -373,10 +373,26 @@ class Lakehouse:
         log = TransactionLog(md, io=self.io)
         return log.latest_version() is not None and log.latest_main_version() is not None
 
-    def drop_table(self, identifier: str) -> None:
+    def drop_table(self, identifier: str, ignore_ref_pins: bool = False) -> None:
+        """Physically remove a table. Refused while any catalog ref
+        (branch fork pin or tag) still pins it: Nessie keeps a table
+        alive on every ref that references it, and this local layout
+        keys the physical dir by name, so the rmtree would tear the
+        table out from under the ref's time-travel read — drop or
+        merge those refs first. `ignore_ref_pins` is for internal
+        callers whose drop was already ref-validated (a merge-published
+        branch DROP) or whose table no other ref can see (removing a
+        branch-created table with its branch)."""
         table_dir = self._table_dir(identifier)
         if not self.io.is_dir(os.path.join(table_dir, "metadata")):
             raise CatalogError(f"table {identifier} does not exist")
+        if not ignore_ref_pins:
+            holders = self._catalog_refs.pinning_refs(identifier)
+            if holders:
+                raise CatalogError(
+                    f"table {identifier} is pinned by catalog ref(s) "
+                    f"{holders} — drop or merge those refs first"
+                )
         self.io.rmtree(table_dir)
 
     def describe_table(self, identifier: str) -> dict:

@@ -239,6 +239,23 @@ class CatalogRefs:
                 f"immutable ({what} refused)"
             )
 
+    def pinning_refs(self, identifier: str, exclude: str | None = None) -> list[str]:
+        """Names of catalog refs (branches AND tags) whose pins still
+        reference `identifier` — i.e. refs whose reads would break if
+        the table's directory vanished. A ref that tombstoned the table
+        (branch DROP) no longer depends on it. Backs the drop_table
+        pin guard (catalog.py) and the merge's published-drop
+        validation."""
+        out = []
+        for name, rec in self.list().items():
+            if name == exclude:
+                continue
+            if identifier in rec.get("pins", {}) and identifier not in rec.get(
+                "dropped", []
+            ):
+                out.append(name)
+        return sorted(out)
+
     def list(self) -> dict[str, dict]:
         out: dict[str, dict] = {}
         try:
@@ -270,8 +287,9 @@ class CatalogRefs:
                     t.log.latest_main_version() is None
                 ):
                     # created on THIS branch and never merged: the table
-                    # existed nowhere else — remove it with the branch
-                    self.lake.drop_table(ident)
+                    # existed nowhere else (invisible to other refs'
+                    # pin loops), so no pin check applies
+                    self.lake.drop_table(ident, ignore_ref_pins=True)
             self.io.remove(self._record_path(name))
 
         self._with_merge_lock(name, run)
@@ -758,7 +776,10 @@ class CatalogRefs:
                 # still listed it — the same bookkeeping-after-the-flip
                 # stance as ref re-anchoring (module docstring).
                 try:
-                    self.lake.drop_table(ident)
+                    # ref-validated at stage time (validate_drops checks
+                    # other refs' pins); apply must complete for
+                    # marker-committed convergence
+                    self.lake.drop_table(ident, ignore_ref_pins=True)
                 except Exception:
                     pass  # already gone (crash replay)
                 record["pins"].pop(ident, None)
@@ -852,6 +873,20 @@ class CatalogRefs:
                             f"dropped on the branch but main committed past "
                             f"the fork pin ({pin} -> {head}) — the whole "
                             "catalog merge aborts; rebase to re-decide"
+                        )
+                    holders = self.pinning_refs(ident, exclude=name)
+                    if holders:
+                        # publishing this drop would rmtree a table other
+                        # refs/tags still pin — same protection as the
+                        # direct drop_table guard. (A tag created between
+                        # the marker flip and the physical drop can still
+                        # lose — the documented bookkeeping-after-flip
+                        # window, module docstring.)
+                        raise CommitConflictError(
+                            f"merge_catalog_branch {name!r}: {ident} is "
+                            f"dropped on the branch but pinned by catalog "
+                            f"ref(s) {holders} — drop or merge those refs "
+                            "first; the whole catalog merge aborts"
                         )
 
             try:

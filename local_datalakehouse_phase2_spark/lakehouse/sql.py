@@ -1401,7 +1401,10 @@ class LakehouseSQL:
             if m.group(1):
                 return self._result_frame({"table": ident, "dropped": False})
             raise
-        self.lake.drop_table(ident)
+        try:
+            self.lake.drop_table(ident)
+        except CatalogError as e:  # e.g. pinned by a catalog ref/tag
+            raise SqlError(str(e)) from e
         return self._result_frame({"table": ident, "dropped": True})
 
     def _describe(self, s: str) -> DataFrame:

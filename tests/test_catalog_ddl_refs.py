@@ -321,3 +321,56 @@ def test_crash_after_marker_recovers_published_drop(spark, tmp_path, monkeypatch
     with pytest.raises(CatalogError, match="does not exist"):
         lake.read("lab.base")
     assert "base" not in lake.tables("lab")
+
+
+# ---- drop vs ref pins (r12 late self-review) ----------------------------
+
+
+def test_drop_table_refused_while_ref_pins_it(spark, tmp_path):
+    """A main-side DROP TABLE must not tear a table out from under a
+    catalog ref: the tag's forever-stable read (and a branch's fork
+    pin) depend on the directory existing. Dropping the ref releases
+    the guard."""
+    lake = _lake(spark, tmp_path)
+    lake.create_tag("train")
+    with pytest.raises(CatalogError, match="pinned by catalog ref"):
+        lake.drop_table("lab.base")
+    assert _rows(lake, "lab.base", ref="train") == {(1, "m1")}
+    lake.create_branch("etl")
+    lake.drop_tag("train")
+    with pytest.raises(CatalogError, match="pinned by catalog ref"):
+        lake.drop_table("lab.base")  # the branch fork pin still holds
+    lake.drop_branch("etl")
+    lake.drop_table("lab.base")  # all refs gone: drop proceeds
+    with pytest.raises(CatalogError, match="does not exist"):
+        lake.read("lab.base")
+
+
+def test_merge_published_drop_refused_while_other_ref_pins(spark, tmp_path):
+    """A branch DROP publishing at merge is the same physical rmtree —
+    the merge must abort whole while another ref/tag still pins the
+    table, and go through once that ref is gone."""
+    lake = _lake(spark, tmp_path)
+    lake.create_branch("etl")
+    lake.drop_table_on_branch("lab.base", "etl")
+    lake.create_tag("train")  # pins lab.base on main
+    with pytest.raises(CommitConflictError, match="pinned by catalog ref"):
+        lake.merge_catalog_branch("etl")
+    # nothing published: still visible on main AND on the tag
+    assert _rows(lake, "lab.base") == {(1, "m1")}
+    assert _rows(lake, "lab.base", ref="train") == {(1, "m1")}
+    lake.drop_tag("train")
+    res = lake.merge_catalog_branch("etl")
+    assert res["dropped_tables"] == 1
+    with pytest.raises(CatalogError, match="does not exist"):
+        lake.read("lab.base")
+
+
+def test_sql_drop_table_respects_tag_pin(spark, tmp_path):
+    lake = _lake(spark, tmp_path)
+    sql = LakehouseSQL(lake)
+    sql.sql("CALL system.create_tag(name => 'rel')")
+    with pytest.raises(SqlError, match="pinned by catalog ref"):
+        sql.sql("DROP TABLE lab.base")
+    sql.sql("CALL system.drop_tag(name => 'rel')")
+    sql.sql("DROP TABLE lab.base")
