@@ -382,7 +382,14 @@ class Lakehouse:
         merge those refs first. `ignore_ref_pins` is for internal
         callers whose drop was already ref-validated (a merge-published
         branch DROP) or whose table no other ref can see (removing a
-        branch-created table with its branch)."""
+        branch-created table with its branch).
+
+        Residual window: the pin check and the rmtree are not
+        serialized against a concurrent create_tag/create_branch (no
+        global catalog lock), so a ref forked in that window can pin a
+        just-vanished table; its read of THAT table then fails loudly
+        rather than silently — same check-then-act class as the
+        bookkeeping-after-flip stances in catalog_refs.py."""
         table_dir = self._table_dir(identifier)
         if not self.io.is_dir(os.path.join(table_dir, "metadata")):
             raise CatalogError(f"table {identifier} does not exist")
