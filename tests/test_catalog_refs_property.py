@@ -23,6 +23,7 @@ Invariants asserted after every generated sequence:
 from __future__ import annotations
 
 import tempfile
+import time
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -128,3 +129,91 @@ def test_catalog_branch_read_equals_catalog_merge_publish(spark, ops):
             )
         # 3: freshly re-anchored branch view equals main
         assert _rows(lake.read(ident, catalog_ref="etl")) == got_main
+
+
+_TAG_OPS = st.lists(
+    st.tuples(
+        st.sampled_from(
+            [
+                "append_t1",
+                "append_t2",
+                "overwrite_t1",
+                "cowdel_t1",
+                "mordel_t2",
+                "compact_t1",
+                "expire",
+                "branch_churn",
+            ]
+        ),
+        st.integers(min_value=0, max_value=6),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_TAG_OPS)
+def test_tag_reads_survive_random_churn(spark, ops):
+    """The catalog tag promise, property-tested: after ANY sequence of
+    main-side appends/overwrites/deletes/compactions/expiry and
+    catalog-branch churn, every table's read THROUGH the tag is
+    byte-identical to its content at tag time (the reproducible-
+    training-run pin; expiry must never collect a pinned snapshot,
+    maintenance must never rewrite it away)."""
+    import pyspark.sql.functions as F
+
+    from local_datalakehouse_phase2_spark.lakehouse import (
+        expire_snapshots,
+        rewrite_data_files,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="tagprop_") as root:
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        t1 = lake.create_table("lab.p1", schema="k bigint, v string")
+        t2 = lake.create_table("lab.p2", schema="k bigint, v string")
+
+        def df(lo, n=3, tag="x"):
+            return spark.range(lo, lo + n).select(
+                F.col("id").alias("k"),
+                F.concat(F.lit(tag), F.col("id")).alias("v"),
+            )
+
+        t1.append(df(0))
+        t2.append(df(100))
+        lake.create_tag("train")
+        want1 = _rows(lake.read("lab.p1", catalog_ref="train"))
+        want2 = _rows(lake.read("lab.p2", catalog_ref="train"))
+
+        seq = 1000
+        for op, _arg in ops:
+            if op == "append_t1":
+                t1.append(df(seq)); seq += 10
+            elif op == "append_t2":
+                t2.append(df(seq)); seq += 10
+            elif op == "overwrite_t1":
+                t1.overwrite(df(seq)); seq += 10
+            elif op == "cowdel_t1":
+                t1.delete_where("k >= 0", mode="copy-on-write")
+            elif op == "mordel_t2":
+                t2.delete_where("k >= 100 AND k < 103", mode="merge-on-read")
+            elif op == "compact_t1":
+                rewrite_data_files(t1, min_input_files=1)
+            elif op == "expire":
+                expire_snapshots(t1, retain_last=1, older_than=time.time() + 60)
+                expire_snapshots(t2, retain_last=1, older_than=time.time() + 60)
+            elif op == "branch_churn":
+                name = f"etl{seq}"
+                lake.create_branch(name)
+                lake.append("lab.p1", df(seq, tag="b"), catalog_ref=name)
+                lake.merge_catalog_branch(name)
+                lake.drop_branch(name)
+                seq += 10
+            # the pin holds after EVERY op, not just at the end
+            assert _rows(lake.read("lab.p1", catalog_ref="train")) == want1
+            assert _rows(lake.read("lab.p2", catalog_ref="train")) == want2

@@ -105,3 +105,46 @@ def test_compact_on_missing_ref_raises(spark, tmp_path):
     lake, t = _mk(spark, tmp_path, "w3")
     with pytest.raises(ValueError, match="does not exist"):
         rewrite_data_files(t, ref="nope")
+
+
+def test_compact_on_ref_crash_sweep(spark, tmp_path):
+    """Crash injection over rewrite_data_files(ref=...): at every
+    successive metadata-write point, a fresh Lakehouse must read BOTH
+    lineages cleanly, the branch rows must be exactly the pre-state
+    (compaction is row-preserving, so pre == post), and main must stay
+    byte-identical — the same all-or-nothing claim the main compaction
+    sweep makes, now for the branch-scoped path."""
+    from tests.test_crash_atomicity import CrashingFileIO
+
+    points = 0
+    for budget in range(40):
+        lake, t = _mk(spark, tmp_path, f"crash_{budget}")
+        _branch_small_files(spark, t)
+        main_rows = _rows(t.read())
+        branch_rows = _rows(t.read(ref="dev"))
+
+        io = CrashingFileIO(budget)
+        crash_lake = Lakehouse(spark, lake.warehouse_dir, io=io)
+        ct = crash_lake.table("lab.t")
+        try:
+            rewrite_data_files(ct, min_input_files=2, ref="dev")
+            crashed = io.crashed
+        except Exception:
+            crashed = True
+        if not crashed:
+            break
+        points += 1
+
+        check = Lakehouse(spark, lake.warehouse_dir)  # clean IO
+        vt = check.table("lab.t")
+        assert _rows(vt.read()) == main_rows, f"crash@{budget}: main moved"
+        assert _rows(vt.read(ref="dev")) == branch_rows, (
+            f"crash@{budget}: branch rows torn"
+        )
+    else:
+        pytest.fail("compact-on-ref still crashing after 40 write points")
+    assert points >= 1  # the op does write metadata pre-completion
+    # and the surviving (uncrashed) run actually compacted the branch
+    final = Lakehouse(spark, lake.warehouse_dir).table("lab.t")
+    assert _rows(final.read(ref="dev")) == branch_rows
+    assert _rows(final.read()) == main_rows
