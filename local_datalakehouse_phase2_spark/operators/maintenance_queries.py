@@ -1843,20 +1843,44 @@ def lakehouse_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_MT_WH, _MT = _se("lakehouse_metadata_tables", "lab.nation_meta")
+
+
 @register(
     "lakehouse_metadata_tables",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(5 AS BIGINT), CAST(1 AS BIGINT),
-             CAST(5 AS BIGINT), CAST(1 AS BIGINT),
-             CAST(5 AS BIGINT), CAST(1 AS BIGINT),
-             CAST(5 AS BIGINT), CAST(4 AS BIGINT),
-             CAST(0 AS BIGINT))
-        ) AS t(history_rows, abandoned_snapshots, entries_added,
-               entries_deleted, pos_delete_rows, pos_delete_files,
-               all_files_count, live_files_count,
-               pos_delete_rows_after_rollback)
-    """,
+    # SECOND-ENGINE oracle: every metadata-VIEW quantity the engine
+    # reports (.history ancestry, .entries add/delete rows,
+    # .position_deletes, .all_files, .files) is RECOMPUTED by DuckDB's
+    # own fold of the committed log — the views themselves are checked
+    # against the table format, not against pinned literals.
+    oracle=_se_oracle(
+        _MT_WH,
+        [
+            *_MT.ctes(),
+            _MT.live("mld", upto=_MT.v_of("operation = 'delete'")),
+            _MT.live("mlh"),
+        ],
+        """SELECT
+  (SELECT count(*) FROM t_main) AS history_rows,
+  -- entries a later rollback jumped over are off the current ancestry
+  -- (single-rollback scenario; a multi-rollback walk would recurse)
+  (SELECT count(*) FROM t_main e
+    WHERE e.operation <> 'rollback' AND EXISTS (
+      SELECT 1 FROM t_main r WHERE r.operation = 'rollback'
+        AND e.version > CAST(json_extract_string(r.extra, '$.rollback_to') AS BIGINT)
+        AND e.version < r.version)) AS abandoned_snapshots,
+  (SELECT count(*) FROM t_acts WHERE add_ = 1) AS entries_added,
+  (SELECT count(*) FROM t_acts WHERE add_ = 0) AS entries_deleted,
+  (SELECT count(*) FROM t_data d
+    JOIN mld l ON l.content = 1 AND ends_with(d.filename, l.path))
+    AS pos_delete_rows,
+  (SELECT count(*) FROM mld WHERE content = 1) AS pos_delete_files,
+  (SELECT count(DISTINCT path) FROM t_acts WHERE add_ = 1) AS all_files_count,
+  (SELECT count(*) FROM mlh) AS live_files_count,
+  (SELECT count(*) FROM t_data d
+    JOIN mlh l ON l.content = 1 AND ends_with(d.filename, l.path))
+    AS pos_delete_rows_after_rollback""",
+    ),
     tags=("lakehouse", "metadata"),
     doc="The full Iceberg metadata-table surface beyond .snapshots/"
     ".files: `.history` (rollback leaves the rolled-over snapshot "
@@ -1865,9 +1889,12 @@ def lakehouse_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "`.position_deletes` (live tombstone rows with their delete "
     "file), and `.all_files` (files of ALL snapshots, the expiry-"
     "planning view). Lifecycle: 2 appends -> merge-on-read DELETE "
-    "(content=1, guide :336-340) -> rollback. All quantities pinned; "
-    "deterministic because chunks are key ranges hash-partitioned "
-    "into a fixed file count.",
+    "(content=1, guide :336-340) -> rollback. Second-engine checked "
+    "(r12): every view quantity recomputes from DuckDB's independent "
+    "fold of the committed log — history row count, rollback-abandoned "
+    "ancestry, per-commit add/remove rows, tombstone rows/files at the "
+    "delete snapshot, all-files vs live-files, and the rollback "
+    "clearing the tombstones.",
 )
 def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1914,7 +1941,7 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_delete_rows_after_rollback bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_metadata_tables", run)
 
 
 @register(

@@ -321,8 +321,6 @@ def stream_enrich_into_table(
 
 
 def _register_query() -> None:
-    import shutil
-    import tempfile
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -330,14 +328,43 @@ def _register_query() -> None:
     from ..lakehouse import Lakehouse
     from ..registry import register
 
+    from ..secondengine import TableResolver, fresh_wh, wh_dir
+    from ..secondengine import oracle as _se_oracle
+
+    _SI = TableResolver(wh_dir("lakehouse_stream_ingest"), "lab.stream", "t")
+    _SB = TableResolver(wh_dir("lakehouse_stream_branch"), "lab.sbr", "t")
+    _SU = TableResolver(wh_dir("lakehouse_stream_upsert"), "lab.cdc", "t")
+    _SC = TableResolver(wh_dir("lakehouse_stream_cdc"), "lab.cdc2", "t")
+    _MERGE_OP = "operation = 'merge'"
+    # exactly-once, recomputed: a replayed epoch that actually appended
+    # would leave TWO commits carrying stream batch 0
+    _REPLAY_NOOP = (
+        "(SELECT count(*) = 1 FROM t_main WHERE "
+        "json_extract_string(extra, '$.stream_batch_id') = '0') "
+        "AS replay_was_noop"
+    )
+
     @register(
         "lakehouse_stream_ingest",
-        oracle="""
-            SELECT * FROM (VALUES
-                (CAST(80 AS BIGINT), CAST(80 AS BIGINT), TRUE, TRUE)
-            ) AS t(rows_after_two_runs, distinct_keys, replay_was_noop,
-                   watermarks_recorded)
-        """,
+        # SECOND-ENGINE oracle (r12): the committed stream table is
+        # re-read by DuckDB's independent log fold — row/key counts
+        # recompute from the surviving parquet, exactly-once recomputes
+        # as "exactly ONE commit carries stream batch 0" (a replay that
+        # actually appended would leave two), and the watermark claim
+        # as "some commit records a stream_query_id".
+        oracle=_se_oracle(
+            wh_dir("lakehouse_stream_ingest"),
+            [*_SI.ctes(), _SI.live("slh"), _SI.rows("srh", "slh")],
+            """SELECT
+  (SELECT count(*) FROM srh) AS rows_after_two_runs,
+  (SELECT count(DISTINCT k) FROM srh) AS distinct_keys,
+  (SELECT count(*) = 1 FROM t_main
+    WHERE json_extract_string(extra, '$.stream_batch_id') = '0')
+    AS replay_was_noop,
+  (SELECT count(*) > 0 FROM t_main
+    WHERE json_extract_string(extra, '$.stream_query_id') IS NOT NULL)
+    AS watermarks_recorded""",
+        ),
         tags=("streaming", "lakehouse", "ingest"),
         doc="Structured-Streaming ingest into the table format: a file "
         "stream drains into snapshot commits via foreachBatch "
@@ -345,176 +372,203 @@ def _register_query() -> None:
         "from the checkpoint, and a deliberately replayed micro-batch "
         "is a no-op because each commit records its (query, batch-id) "
         "watermark — the Iceberg streaming-sink exactly-once contract. "
-        "All post-state quantities pinned.",
+        "Second-engine checked (r12): all four quantities recompute "
+        "from DuckDB's independent fold of the committed log.",
     )
     def lakehouse_stream_ingest(spark: SparkSession, sf_dir: str):
-        tmp = tempfile.mkdtemp(prefix="stream_ingest_q_")
-        try:
-            lake = Lakehouse(spark, f"{tmp}/wh")
-            lake.create_namespace("lab")
-            t = lake.create_table("lab.stream", schema="k bigint, v string")
-            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        root = fresh_wh("lakehouse_stream_ingest")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.stream", schema="k bigint, v string")
+        src, ckpt = f"{root}/_src", f"{root}/_ckpt"
 
-            def feed(lo: int, hi: int) -> None:
-                spark.range(lo, hi).select(
-                    F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
-                ).coalesce(1).write.mode("append").parquet(src)
+        def feed(lo: int, hi: int) -> None:
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+            ).coalesce(1).write.mode("append").parquet(src)
 
-            def drain() -> None:
-                q = stream_into_table(
-                    spark.readStream.schema("k bigint, v string").parquet(src),
-                    t,
-                    ckpt,
-                    query_name="registry-ingest",
-                )
-                q.awaitTermination(120)
+        def drain() -> None:
+            q = stream_into_table(
+                spark.readStream.schema("k bigint, v string").parquet(src),
+                t,
+                ckpt,
+                query_name="registry-ingest",
+            )
+            q.awaitTermination(120)
 
-            feed(0, 50)
-            drain()
-            feed(50, 80)
-            drain()
-            recorded_qid = next(
-                e.extra[STREAM_QUERY_KEY]
-                for e in reversed(t.log.entries())
-                if e.extra and e.extra.get(STREAM_QUERY_KEY)
-            )
-            replay_noop = not append_stream_batch(
-                t, t.read().limit(5), batch_id=0, query_id=recorded_qid
-            )
-            rows = t.read().count()
-            keys = t.read().select("k").distinct().count()
-            watermarked = last_committed_batch(t, recorded_qid) is not None
-            return local_df(spark, 
-                [(rows, keys, replay_noop, watermarked)],
-                "rows_after_two_runs bigint, distinct_keys bigint, "
-                "replay_was_noop boolean, watermarks_recorded boolean",
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        feed(0, 50)
+        drain()
+        feed(50, 80)
+        drain()
+        recorded_qid = next(
+            e.extra[STREAM_QUERY_KEY]
+            for e in reversed(t.log.entries())
+            if e.extra and e.extra.get(STREAM_QUERY_KEY)
+        )
+        replay_noop = not append_stream_batch(
+            t, t.read().limit(5), batch_id=0, query_id=recorded_qid
+        )
+        rows = t.read().count()
+        keys = t.read().select("k").distinct().count()
+        watermarked = last_committed_batch(t, recorded_qid) is not None
+        # warehouse persists at the fixed path: the second-engine
+        # oracle reads the committed log + parquet after the run
+        return local_df(spark,
+            [(rows, keys, replay_noop, watermarked)],
+            "rows_after_two_runs bigint, distinct_keys bigint, "
+            "replay_was_noop boolean, watermarks_recorded boolean",
+        )
 
     @register(
         "lakehouse_stream_branch",
-        oracle="""
-            SELECT * FROM (VALUES
-                (CAST(1 AS BIGINT), CAST(41 AS BIGINT), CAST(41 AS BIGINT))
-            ) AS t(main_rows_during_ingest, branch_rows, main_rows_after_merge)
-        """,
+        # SECOND-ENGINE oracle (r12): main-during-ingest recomputes as
+        # the live row count at the version just below the merge commit
+        # (branch entries never advance the main fold), and the
+        # engine's pre-merge BRANCH read must equal the post-merge main
+        # rows the resolver reads — the branch==merge agreement, stated
+        # as an oracle.
+        oracle=_se_oracle(
+            wh_dir("lakehouse_stream_branch"),
+            [
+                *_SB.ctes(),
+                _SB.live("sbm", upto=f"{_SB.v_of(_MERGE_OP)} - 1"),
+                _SB.live("sbh"),
+                _SB.rows("srm", "sbm"),
+                _SB.rows("srh", "sbh"),
+            ],
+            """SELECT
+  (SELECT count(*) FROM srm) AS main_rows_during_ingest,
+  (SELECT count(*) FROM srh) AS branch_rows,
+  (SELECT count(*) FROM srh) AS main_rows_after_merge""",
+        ),
         tags=("streaming", "lakehouse", "branch"),
         doc="Nessie audit-branch ingestion (write-audit-publish at "
         "stream granularity): a file stream drains onto a BRANCH via "
         "stream_into_table(ref=) — main stays untouched while the "
         "branch accumulates micro-batch commits — then merge_branch "
         "publishes the whole ingest as one conflict-validated main "
-        "commit. All three post-state quantities pinned.",
+        "commit. Second-engine checked (r12): quantities recompute "
+        "from DuckDB's independent fold of the committed log.",
     )
     def lakehouse_stream_branch(spark: SparkSession, sf_dir: str):
         from ..lakehouse import merge_branch
 
-        tmp = tempfile.mkdtemp(prefix="stream_branch_q_")
-        try:
-            lake = Lakehouse(spark, f"{tmp}/wh")
-            lake.create_namespace("lab")
-            t = lake.create_table("lab.sbr", schema="k bigint, v string")
-            t.append(
-                spark.range(1).select(
-                    F.lit(999).cast("long").alias("k"), F.lit("base").alias("v")
-                )
+        root = fresh_wh("lakehouse_stream_branch")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.sbr", schema="k bigint, v string")
+        t.append(
+            spark.range(1).select(
+                F.lit(999).cast("long").alias("k"), F.lit("base").alias("v")
             )
-            t.create_branch("ingest")
-            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-            spark.range(0, 40).select(
-                F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
-            ).coalesce(1).write.mode("append").parquet(src)
-            q = stream_into_table(
-                spark.readStream.schema("k bigint, v string").parquet(src),
-                t,
-                ckpt,
-                query_name="registry-branch-ingest",
-                ref="ingest",
-            )
-            q.awaitTermination(120)
-            main_during = t.read().count()
-            branch_rows = t.read(ref="ingest").count()
-            merge_branch(t, "ingest")
-            main_after = t.read().count()
-            return local_df(spark, 
-                [(main_during, branch_rows, main_after)],
-                "main_rows_during_ingest bigint, branch_rows bigint, "
-                "main_rows_after_merge bigint",
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        )
+        t.create_branch("ingest")
+        src, ckpt = f"{root}/_src", f"{root}/_ckpt"
+        spark.range(0, 40).select(
+            F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = stream_into_table(
+            spark.readStream.schema("k bigint, v string").parquet(src),
+            t,
+            ckpt,
+            query_name="registry-branch-ingest",
+            ref="ingest",
+        )
+        q.awaitTermination(120)
+        main_during = t.read().count()
+        branch_rows = t.read(ref="ingest").count()
+        merge_branch(t, "ingest")
+        main_after = t.read().count()
+        return local_df(spark, 
+            [(main_during, branch_rows, main_after)],
+            "main_rows_during_ingest bigint, branch_rows bigint, "
+            "main_rows_after_merge bigint",
+        )
 
     @register(
         "lakehouse_stream_upsert",
-        oracle="""
-            SELECT * FROM (VALUES
-                (CAST(60 AS BIGINT), CAST(40 AS BIGINT), CAST(20 AS BIGINT), TRUE)
-            ) AS t(rows_after, updated_rows, untouched_rows, replay_was_noop)
-        """,
+        # SECOND-ENGINE oracle (r12): DuckDB re-reads the committed
+        # post-MERGE parquet — updated/untouched counts come from the
+        # actual row VALUES, exactly-once from the batch-0 commit count.
+        oracle=_se_oracle(
+            wh_dir("lakehouse_stream_upsert"),
+            [*_SU.ctes(), _SU.live("suh"), _SU.rows("sur", "suh")],
+            f"""SELECT
+  (SELECT count(*) FROM sur) AS rows_after,
+  (SELECT count(*) FROM sur WHERE v LIKE 'u%') AS updated_rows,
+  (SELECT count(*) FROM sur WHERE v LIKE 'v%') AS untouched_rows,
+  {_REPLAY_NOOP}""",
+        ),
         tags=("streaming", "lakehouse", "ingest", "cdc"),
         doc="CDC-style exactly-once streaming UPSERT (foreachBatch + "
         "MERGE): a first drain inserts keys 0-39, a second drain "
         "upserts keys 20-59 with new values — matched keys replace, "
         "new keys insert, keys 0-19 untouched — and a replayed epoch "
         "is a no-op under the per-commit (query, batch-id) watermark. "
-        "All post-state quantities pinned.",
+        "Second-engine checked (r12): all quantities recompute from "
+        "DuckDB's independent read of the committed table.",
     )
     def lakehouse_stream_upsert(spark: SparkSession, sf_dir: str):
-        tmp = tempfile.mkdtemp(prefix="stream_upsert_q_")
-        try:
-            lake = Lakehouse(spark, f"{tmp}/wh")
-            lake.create_namespace("lab")
-            t = lake.create_table("lab.cdc", schema="k bigint, v string")
-            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        root = fresh_wh("lakehouse_stream_upsert")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.cdc", schema="k bigint, v string")
+        src, ckpt = f"{root}/_src", f"{root}/_ckpt"
 
-            def feed(lo: int, hi: int, tag: str) -> None:
-                spark.range(lo, hi).select(
-                    F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("v")
-                ).coalesce(1).write.mode("append").parquet(src)
+        def feed(lo: int, hi: int, tag: str) -> None:
+            spark.range(lo, hi).select(
+                F.col("id").alias("k"), F.concat(F.lit(tag), F.col("id")).alias("v")
+            ).coalesce(1).write.mode("append").parquet(src)
 
-            def drain() -> None:
-                q = stream_upsert_into_table(
-                    spark.readStream.schema("k bigint, v string").parquet(src),
-                    t,
-                    ckpt,
-                    key_cols=["k"],
-                    query_name="registry-upsert",
-                )
-                q.awaitTermination(120)
+        def drain() -> None:
+            q = stream_upsert_into_table(
+                spark.readStream.schema("k bigint, v string").parquet(src),
+                t,
+                ckpt,
+                key_cols=["k"],
+                query_name="registry-upsert",
+            )
+            q.awaitTermination(120)
 
-            feed(0, 40, "v")
-            drain()
-            feed(20, 60, "u")
-            drain()
-            recorded_qid = next(
-                e.extra[STREAM_QUERY_KEY]
-                for e in reversed(t.log.entries())
-                if e.extra and e.extra.get(STREAM_QUERY_KEY)
-            )
-            replay_noop = not merge_stream_batch(
-                t, t.read().limit(3), batch_id=0, query_id=recorded_qid, key_cols=["k"]
-            )
-            rows = t.read().count()
-            updated = t.read().filter(F.col("v").startswith("u")).count()
-            untouched = t.read().filter(F.col("v").startswith("v")).count()
-            return local_df(spark, 
-                [(rows, updated, untouched, replay_noop)],
-                "rows_after bigint, updated_rows bigint, "
-                "untouched_rows bigint, replay_was_noop boolean",
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        feed(0, 40, "v")
+        drain()
+        feed(20, 60, "u")
+        drain()
+        recorded_qid = next(
+            e.extra[STREAM_QUERY_KEY]
+            for e in reversed(t.log.entries())
+            if e.extra and e.extra.get(STREAM_QUERY_KEY)
+        )
+        replay_noop = not merge_stream_batch(
+            t, t.read().limit(3), batch_id=0, query_id=recorded_qid, key_cols=["k"]
+        )
+        rows = t.read().count()
+        updated = t.read().filter(F.col("v").startswith("u")).count()
+        untouched = t.read().filter(F.col("v").startswith("v")).count()
+        return local_df(spark, 
+            [(rows, updated, untouched, replay_noop)],
+            "rows_after bigint, updated_rows bigint, "
+            "untouched_rows bigint, replay_was_noop boolean",
+        )
 
     @register(
         "lakehouse_stream_cdc",
-        oracle="""
-            SELECT * FROM (VALUES
-                (CAST(40 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT),
-                 CAST(20 AS BIGINT), CAST(0 AS BIGINT), TRUE)
-            ) AS t(rows_after, updated_rows, inserted_rows, untouched_rows,
-                   deleted_still_present, replay_was_noop)
-        """,
+        # SECOND-ENGINE oracle (r12): the I/U/D changelog's post-state
+        # recomputes from the committed parquet values — updates (u*),
+        # inserts (n*), untouched originals (v*, k<30), and the deleted
+        # key range really absent; exactly-once via batch-0 commit count.
+        oracle=_se_oracle(
+            wh_dir("lakehouse_stream_cdc"),
+            [*_SC.ctes(), _SC.live("sch"), _SC.rows("scr", "sch")],
+            f"""SELECT
+  (SELECT count(*) FROM scr) AS rows_after,
+  (SELECT count(*) FROM scr WHERE v LIKE 'u%') AS updated_rows,
+  (SELECT count(*) FROM scr WHERE v LIKE 'n%') AS inserted_rows,
+  (SELECT count(*) FROM scr WHERE v LIKE 'v%' AND k < 30) AS untouched_rows,
+  (SELECT count(*) FROM scr WHERE k BETWEEN 30 AND 39)
+    AS deleted_still_present,
+  {_REPLAY_NOOP}""",
+        ),
         tags=("streaming", "lakehouse", "ingest", "cdc"),
         doc="Changelog (insert/update/DELETE) streaming ingest — the "
         "Debezium-shaped CDC the reference lands through Iceberg's "
@@ -527,80 +581,75 @@ def _register_query() -> None:
         "40-49 -> 40 rows, none of the deleted keys present.",
     )
     def lakehouse_stream_cdc(spark: SparkSession, sf_dir: str):
-        tmp = tempfile.mkdtemp(prefix="stream_cdc_q_")
-        try:
-            lake = Lakehouse(spark, f"{tmp}/wh")
-            lake.create_namespace("lab")
-            t = lake.create_table("lab.cdc2", schema="k bigint, v string")
-            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
-            ev = "k bigint, v string, op string, seq bigint"
+        root = fresh_wh("lakehouse_stream_cdc")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        t = lake.create_table("lab.cdc2", schema="k bigint, v string")
+        src, ckpt = f"{root}/_src", f"{root}/_ckpt"
+        ev = "k bigint, v string, op string, seq bigint"
 
-            def feed(rows) -> None:
-                local_df(spark, rows, ev).coalesce(1).write.mode(
-                    "append"
-                ).parquet(src)
+        def feed(rows) -> None:
+            local_df(spark, rows, ev).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
 
-            def drain() -> None:
-                q = stream_cdc_into_table(
-                    spark.readStream.schema(ev).parquet(src),
-                    t,
-                    ckpt,
-                    key_cols=["k"],
-                    op_col="op",
-                    seq_col="seq",
-                    query_name="registry-cdc",
-                )
-                q.awaitTermination(120)
-
-            feed([(k, f"v{k}", "I", 1) for k in range(40)])
-            drain()
-            feed(
-                [(k, f"u{k}", "U", 2) for k in range(10)]
-                + [(k, None, "D", 2) for k in range(30, 40)]
-                + [(k, f"n{k}", "I", 2) for k in range(40, 50)]
-                + [(100, None, "D", 2)]  # delete of a never-seen key
-            )
-            drain()
-            recorded_qid = next(
-                e.extra[STREAM_QUERY_KEY]
-                for e in reversed(t.log.entries())
-                if e.extra and e.extra.get(STREAM_QUERY_KEY)
-            )
-            replay_noop = not apply_cdc_batch(
+        def drain() -> None:
+            q = stream_cdc_into_table(
+                spark.readStream.schema(ev).parquet(src),
                 t,
-                local_df(spark, [(0, "zz", "U", 9)], ev),
-                batch_id=0,
-                query_id=recorded_qid,
+                ckpt,
                 key_cols=["k"],
+                op_col="op",
+                seq_col="seq",
+                query_name="registry-cdc",
             )
-            r = t.read()
-            return local_df(spark, 
-                [
-                    (
-                        r.count(),
-                        r.filter(F.col("v").startswith("u")).count(),
-                        r.filter(F.col("v").startswith("n")).count(),
-                        r.filter(
-                            F.col("v").startswith("v") & (F.col("k") < 30)
-                        ).count(),
-                        r.filter(F.col("k").between(30, 39)).count(),
-                        replay_noop,
-                    )
-                ],
-                "rows_after bigint, updated_rows bigint, inserted_rows bigint, "
-                "untouched_rows bigint, deleted_still_present bigint, "
-                "replay_was_noop boolean",
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            q.awaitTermination(120)
+
+        feed([(k, f"v{k}", "I", 1) for k in range(40)])
+        drain()
+        feed(
+            [(k, f"u{k}", "U", 2) for k in range(10)]
+            + [(k, None, "D", 2) for k in range(30, 40)]
+            + [(k, f"n{k}", "I", 2) for k in range(40, 50)]
+            + [(100, None, "D", 2)]  # delete of a never-seen key
+        )
+        drain()
+        recorded_qid = next(
+            e.extra[STREAM_QUERY_KEY]
+            for e in reversed(t.log.entries())
+            if e.extra and e.extra.get(STREAM_QUERY_KEY)
+        )
+        replay_noop = not apply_cdc_batch(
+            t,
+            local_df(spark, [(0, "zz", "U", 9)], ev),
+            batch_id=0,
+            query_id=recorded_qid,
+            key_cols=["k"],
+        )
+        r = t.read()
+        return local_df(spark, 
+            [
+                (
+                    r.count(),
+                    r.filter(F.col("v").startswith("u")).count(),
+                    r.filter(F.col("v").startswith("n")).count(),
+                    r.filter(
+                        F.col("v").startswith("v") & (F.col("k") < 30)
+                    ).count(),
+                    r.filter(F.col("k").between(30, 39)).count(),
+                    replay_noop,
+                )
+            ],
+            "rows_after bigint, updated_rows bigint, inserted_rows bigint, "
+            "untouched_rows bigint, deleted_still_present bigint, "
+            "replay_was_noop boolean",
+        )
 
 
 _register_query()
 
 
 def _register_enrich_query() -> None:
-    import shutil
-    import tempfile
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -608,15 +657,26 @@ def _register_enrich_query() -> None:
     from ..lakehouse import Lakehouse
     from ..registry import register
 
+    from ..secondengine import TableResolver, fresh_wh, wh_dir
+    from ..secondengine import oracle as _se_oracle
+
+    _SE = TableResolver(wh_dir("lakehouse_stream_enrich"), "lab.enriched", "t")
+
     @register(
         "lakehouse_stream_enrich",
-        oracle="""
-            SELECT * FROM (VALUES
-                (CAST(60 AS BIGINT), CAST(60 AS BIGINT), CAST(20 AS BIGINT),
-                 CAST(40 AS BIGINT))
-            ) AS t(rows_after_two_epochs, rows_enriched, rows_dim_v1,
-                   rows_dim_v2)
-        """,
+        # SECOND-ENGINE oracle (r12): epoch-versioned enrichment is
+        # visible in the committed VALUES — DuckDB counts the rows that
+        # carry the v1 dim value (first epoch) vs v2 (second epoch)
+        # straight from the target table's parquet.
+        oracle=_se_oracle(
+            wh_dir("lakehouse_stream_enrich"),
+            [*_SE.ctes(), _SE.live("seh"), _SE.rows("ser", "seh")],
+            """SELECT
+  (SELECT count(*) FROM ser) AS rows_after_two_epochs,
+  (SELECT count(*) FROM ser WHERE tag IS NOT NULL) AS rows_enriched,
+  (SELECT count(*) FROM ser WHERE tag = 'v1') AS rows_dim_v1,
+  (SELECT count(*) FROM ser WHERE tag = 'v2') AS rows_dim_v2""",
+        ),
         tags=("streaming", "lakehouse", "ingest", "join"),
         doc="Stream-static enrichment: each micro-batch joins a "
         "broadcast snapshot read of a lakehouse dimension table "
@@ -627,63 +687,60 @@ def _register_enrich_query() -> None:
         "rebuilds once per epoch.",
     )
     def lakehouse_stream_enrich(spark: SparkSession, sf_dir: str):
-        tmp = tempfile.mkdtemp(prefix="stream_enrich_q_")
-        try:
-            lake = Lakehouse(spark, f"{tmp}/wh")
-            lake.create_namespace("lab")
-            dim = lake.create_table("lab.dim", schema="k bigint, tag string")
-            dim.append(
-                local_df(spark, 
-                    [(k, "v1") for k in range(5)], "k bigint, tag string"
-                )
+        root = fresh_wh("lakehouse_stream_enrich")
+        lake = Lakehouse(spark, root)
+        lake.create_namespace("lab")
+        dim = lake.create_table("lab.dim", schema="k bigint, tag string")
+        dim.append(
+            local_df(spark, 
+                [(k, "v1") for k in range(5)], "k bigint, tag string"
             )
-            tgt = lake.create_table(
-                "lab.enriched", schema="k bigint, v string, tag string"
-            )
-            src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        )
+        tgt = lake.create_table(
+            "lab.enriched", schema="k bigint, v string, tag string"
+        )
+        src, ckpt = f"{root}/_src", f"{root}/_ckpt"
 
-            def feed(lo: int, hi: int) -> None:
-                spark.range(lo, hi).select(
-                    (F.col("id") % 5).alias("k"),
-                    F.concat(F.lit("e"), F.col("id")).alias("v"),
-                ).coalesce(1).write.mode("append").parquet(src)
+        def feed(lo: int, hi: int) -> None:
+            spark.range(lo, hi).select(
+                (F.col("id") % 5).alias("k"),
+                F.concat(F.lit("e"), F.col("id")).alias("v"),
+            ).coalesce(1).write.mode("append").parquet(src)
 
-            def drain() -> None:
-                q = stream_enrich_into_table(
-                    spark.readStream.schema("k bigint, v string").parquet(src),
-                    dim,
-                    tgt,
-                    ckpt,
-                    join_keys=["k"],
-                    query_name="registry-enrich",
-                )
-                q.awaitTermination(120)
+        def drain() -> None:
+            q = stream_enrich_into_table(
+                spark.readStream.schema("k bigint, v string").parquet(src),
+                dim,
+                tgt,
+                ckpt,
+                join_keys=["k"],
+                query_name="registry-enrich",
+            )
+            q.awaitTermination(120)
 
-            feed(0, 20)
-            drain()
-            # dim update between epochs: next epoch sees v2
-            dim.overwrite(
-                local_df(spark, 
-                    [(k, "v2") for k in range(5)], "k bigint, tag string"
+        feed(0, 20)
+        drain()
+        # dim update between epochs: next epoch sees v2
+        dim.overwrite(
+            local_df(spark, 
+                [(k, "v2") for k in range(5)], "k bigint, tag string"
+            )
+        )
+        feed(20, 60)
+        drain()
+        r = tgt.read()
+        return local_df(spark, 
+            [
+                (
+                    r.count(),
+                    r.filter("tag IS NOT NULL").count(),
+                    r.filter("tag = 'v1'").count(),
+                    r.filter("tag = 'v2'").count(),
                 )
-            )
-            feed(20, 60)
-            drain()
-            r = tgt.read()
-            return local_df(spark, 
-                [
-                    (
-                        r.count(),
-                        r.filter("tag IS NOT NULL").count(),
-                        r.filter("tag = 'v1'").count(),
-                        r.filter("tag = 'v2'").count(),
-                    )
-                ],
-                "rows_after_two_epochs bigint, rows_enriched bigint, "
-                "rows_dim_v1 bigint, rows_dim_v2 bigint",
-            )
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+            ],
+            "rows_after_two_epochs bigint, rows_enriched bigint, "
+            "rows_dim_v1 bigint, rows_dim_v2 bigint",
+        )
 
 
 _register_enrich_query()

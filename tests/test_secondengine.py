@@ -133,11 +133,14 @@ def test_delete_flags_cover_live_content_classes(spark):
         spec.fn(spark, "/root/testdata/sf0.001").count()
         wh = wh_dir(name)
         for meta in glob.glob(os.path.join(wh, "*", "*", "metadata")):
-            classes = set()
-            for p in glob.glob(os.path.join(meta, "0*.json")):
+            live: dict[str, int] = {}  # path -> content, add/remove folded
+            for p in sorted(glob.glob(os.path.join(meta, "0*.json"))):
                 raw = json.loads(open(p).read())
+                for path in raw.get("removed_files") or []:
+                    live.pop(path, None)
                 for f in raw.get("added_files") or []:
-                    classes.add(f.get("content") or 0)
+                    live[f["path"]] = f.get("content") or 0
+            classes = set(live.values())
             if 1 in classes:
                 assert "pd.pos = d.file_row_number" in spec.oracle, (
                     f"{name}: scenario writes position deletes but its "
