@@ -1141,18 +1141,79 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_RN_WH, _RN = _se("lakehouse_rename_column", "lab.rn_q")
+
+
+def _rn_cols_at(v: str) -> str:
+    """Scalar SQL: logical column names at version `v`, parsed from the
+    newest committed schema simpleString at or before it."""
+    return (
+        "(SELECT array_to_string(list_transform("
+        "string_split(regexp_extract(sch, 'struct<(.*)>', 1), ','), "
+        "x -> string_split(x, ':')[1]), ',') "
+        f"FROM rn_schemas WHERE version <= {v} "
+        "ORDER BY version DESC LIMIT 1)"
+    )
+
+
 @register(
     "lakehouse_rename_column",
-    oracle="""
-        SELECT * FROM (VALUES
-            ('renamed_schema',   'n_nationkey,label',  CAST(5  AS BIGINT), 'metadata-only commit'),
-            ('mixed_epoch_read', 'n_nationkey,label',  CAST(10 AS BIGINT), 'old files resolve physical n_name'),
-            ('time_travel',      'n_nationkey,n_name', CAST(5  AS BIGINT), 'as-of schema shows old name'),
-            ('chained',          'n_nationkey,title',  CAST(15 AS BIGINT), 'n_name->label->title across 3 epochs'),
-            ('filtered',         'n_nationkey,title',  CAST(3  AS BIGINT), 'filter on renamed col spans epochs')
-        ) AS t(step, cols, n_rows, detail)
-        ORDER BY step
-    """,
+    # SECOND-ENGINE oracle (r12): schema strings recompute by parsing
+    # the newest extra.schema at each step's version out of the
+    # committed log (create and rename_column entries both carry the
+    # full simpleString), row counts recompute from version-scoped live
+    # folds over the parquet, and the cross-epoch filter resolves the
+    # rename chain the way a second engine must: a row's logical value
+    # is COALESCE over the physical column names the epochs wrote
+    # (union_by_name surfaces all three).
+    oracle=_se_oracle(
+        _RN_WH,
+        [
+            *_RN.ctes(),
+            """rn_schemas AS (
+  SELECT version, json_extract_string(extra, '$.schema') AS sch
+  FROM t_main WHERE json_extract_string(extra, '$.schema') IS NOT NULL
+)""",
+            _RN.live("rl1", upto=_RN.v_nth(1, "operation = 'rename_column'")),
+            _RN.live("rl2", upto=_RN.v_nth(2, "operation = 'append'")),
+            _RN.live("rl3", upto=_RN.v_nth(1, "operation = 'append'")),
+            _RN.live("rlh"),
+        ],
+        """SELECT step, cols, n_rows, detail FROM (
+  SELECT 'renamed_schema' AS step, {c_r1} AS cols,
+         (SELECT count(*) FROM t_data d
+            JOIN rl1 l ON l.content = 0 AND ends_with(d.filename, l.path))
+           AS n_rows,
+         'metadata-only commit' AS detail
+  UNION ALL
+  SELECT 'mixed_epoch_read', {c_a2},
+         (SELECT count(*) FROM t_data d
+            JOIN rl2 l ON l.content = 0 AND ends_with(d.filename, l.path)),
+         'old files resolve physical n_name'
+  UNION ALL
+  SELECT 'time_travel', {c_a1},
+         (SELECT count(*) FROM t_data d
+            JOIN rl3 l ON l.content = 0 AND ends_with(d.filename, l.path)),
+         'as-of schema shows old name'
+  UNION ALL
+  SELECT 'chained', {c_head},
+         (SELECT count(*) FROM t_data d
+            JOIN rlh l ON l.content = 0 AND ends_with(d.filename, l.path)),
+         'n_name->label->title across 3 epochs'
+  UNION ALL
+  SELECT 'filtered', {c_head},
+         (SELECT count(*) FROM t_data d
+            JOIN rlh l ON l.content = 0 AND ends_with(d.filename, l.path)
+          WHERE regexp_matches(
+            COALESCE(d.title, d.label, d.n_name), 'NATION_(1|7|12)$')),
+         'filter on renamed col spans epochs'
+) ORDER BY step""".format(
+            c_r1=_rn_cols_at("(SELECT version FROM t_main WHERE operation = 'rename_column' ORDER BY version LIMIT 1)"),
+            c_a1=_rn_cols_at("(SELECT version FROM t_main WHERE operation = 'append' ORDER BY version LIMIT 1)"),
+            c_a2=_rn_cols_at("(SELECT version FROM t_main WHERE operation = 'append' ORDER BY version LIMIT 1 OFFSET 1)"),
+            c_head=_rn_cols_at("(SELECT max(version) FROM t_main)"),
+        ),
+    ),
     tags=("lakehouse", "schema", "metadata"),
     doc="RENAME COLUMN via name mapping (Iceberg's schema.name-mapping."
     "default analog over parquet name resolution): metadata-only commit; "
@@ -1225,7 +1286,7 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step string, cols string, n_rows bigint, detail string",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_rename_column", run)
 
 
 _TXO_WH, _TXO = _se("lakehouse_multi_table_txn", "lab.txn_orders", p="o")
@@ -1944,16 +2005,44 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake_2e(spark, "lakehouse_metadata_tables", run)
 
 
+_CL_WH, _CL = _se("lakehouse_changelog", "lab.changelog")
+
+
 @register(
     "lakehouse_changelog",
-    oracle="""
-        SELECT * FROM (VALUES
-            ('delete',        CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
-            ('insert',        CAST(0 AS BIGINT), CAST(20 AS BIGINT)),
-            ('update_after',  CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
-            ('update_before', CAST(2 AS BIGINT), CAST(1 AS BIGINT))
-        ) AS t(change_type, change_ordinal, n)
-    """,
+    # SECOND-ENGINE oracle (r12): the changelog derives from the LOG
+    # STRUCTURE itself — DuckDB maps each non-create commit to its
+    # change class (append -> insert rows of its data files; MOR delete
+    # -> its tombstone rows; MOR update -> added data rows as
+    # update_after, added tombstone rows as update_before), counts the
+    # ACTUAL rows inside those parquet files, and stamps the commit's
+    # ordinal. The engine's read_changelog must agree row for row.
+    oracle=_se_oracle(
+        _CL_WH,
+        [
+            *_CL.ctes(),
+            """cl_commits AS (
+  SELECT version, operation,
+         row_number() OVER (ORDER BY version) - 1 AS ordinal
+  FROM t_main WHERE operation <> 'create'
+)""",
+            """cl_added AS (
+  SELECT c.ordinal, c.operation, f.path AS path,
+         COALESCE(f.content, 0) AS content
+  FROM (SELECT version, unnest(added_files) AS f FROM t_main) e(version, f)
+  JOIN cl_commits c ON c.version = e.version
+)""",
+        ],
+        """SELECT CASE
+         WHEN a.operation = 'append' THEN 'insert'
+         WHEN a.operation = 'delete' THEN 'delete'
+         WHEN a.content = 0 THEN 'update_after'
+         ELSE 'update_before' END AS change_type,
+       a.ordinal AS change_ordinal,
+       count(*) AS n
+FROM t_data d JOIN cl_added a ON ends_with(d.filename, a.path)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
     tags=("lakehouse", "cdc", "changelog"),
     doc="Row-level changelog read (Iceberg's create_changelog_view): "
     "append 20 -> merge-on-read DELETE of 2 keys -> UPDATE of 1 key, "
@@ -1961,8 +2050,9 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     "update surfaces as an update_before/update_after pair instead of "
     "delete+insert. Per-commit scoped diffs (only files whose "
     "visibility changed are scanned — commit-blast-radius, not "
-    "table-sized) and replace commits are transparent. All change "
-    "counts pinned.",
+    "table-sized) and replace commits are transparent. Second-engine "
+    "checked (r12): change classes, ordinals, and row counts all "
+    "recompute from the log structure and the parquet bytes.",
 )
 def lakehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
@@ -1994,26 +2084,56 @@ def lakehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             "change_type string, change_ordinal bigint, n bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_changelog", run)
+
+
+_AF_WH, _AF = _se("lakehouse_add_files", "lab.adopted")
 
 
 @register(
     "lakehouse_add_files",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(2 AS BIGINT), CAST(25 AS BIGINT), CAST(30 AS BIGINT),
-             TRUE, CAST(1 AS BIGINT))
-        ) AS t(adopted_files, adopted_records, rows_after,
-               rejected_narrow_source, pruned_by_adopted_stats)
-    """,
+    # SECOND-ENGINE oracle (r12): adoption quantities recompute from
+    # the committed log + the adopted parquet bytes themselves —
+    # adopted_records counts the ACTUAL rows inside the adoption
+    # commit's files (a wrong footer row_count would go red), the
+    # rejection's EFFECT recomputes as "no live file lacks the n_name
+    # column" (an adopted narrow file would union in as NULLs), and
+    # stats pruning recomputes from true per-file key extents.
+    oracle=_se_oracle(
+        _AF_WH,
+        [
+            *_AF.ctes(),
+            _AF.live("afh"),
+            _AF.rows("afr", "afh"),
+            """af_adopted AS (
+  SELECT unnest(added_files).path AS path FROM t_main
+  WHERE operation = 'add_files'
+)""",
+            """af_ranges AS (
+  SELECT l.path, min(d.n_nationkey) AS mn, max(d.n_nationkey) AS mx
+  FROM t_data d JOIN afh l ON ends_with(d.filename, l.path)
+  GROUP BY l.path
+)""",
+        ],
+        """SELECT
+  (SELECT count(*) FROM af_adopted) AS adopted_files,
+  (SELECT count(*) FROM t_data d
+    JOIN af_adopted a ON ends_with(d.filename, a.path)) AS adopted_records,
+  (SELECT count(*) FROM afr) AS rows_after,
+  (SELECT count(*) = 0 FROM afr WHERE n_name IS NULL)
+    AS rejected_narrow_source,
+  (SELECT count(*) FROM af_ranges WHERE 3 NOT BETWEEN mn AND mx)
+    AS pruned_by_adopted_stats""",
+    ),
     tags=("lakehouse", "maintenance", "migration"),
     doc="Bulk adoption (Iceberg's add_files procedure): a directory of "
     "pre-existing parquet joins the table as ONE snapshot commit with "
     "zero rewrite (hard links on POSIX), its footer stats immediately "
     "drive scan pruning, and a source missing a table column is "
     "rejected atomically (adopting hive-layout files that dropped "
-    "their partition column would silently null it). All post-state "
-    "quantities pinned.",
+    "their partition column would silently null it). Second-engine "
+    "checked (r12): adoption counts, rejection effect, and stats "
+    "pruning all recompute from the committed log and parquet bytes.",
 )
 def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
@@ -2064,7 +2184,7 @@ def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             shutil.rmtree(src, ignore_errors=True)
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_add_files", run)
 
 
 _DYN_WH, _DYN = _se("lakehouse_dynamic_overwrite", "lab.dynow")
@@ -2295,21 +2415,52 @@ def lakehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake(spark, run)
 
 
+_SOW_WH, _SOW = _se("lakehouse_sort_order_writes", "lab.rangew")
+
+
 @register(
     "lakehouse_sort_order_writes",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(1 AS BIGINT), TRUE, TRUE, TRUE, CAST(1 AS BIGINT))
-        ) AS t(files_scanned, many_files, pruned_all_but_one,
-               rows_sorted_in_file, rows_k42)
-    """,
+    # SECOND-ENGINE oracle (r12): the pruning claims recompute from the
+    # ACTUAL data extents, not the engine's footers — DuckDB derives
+    # each live file's true [min,max] k-range and counts the files
+    # whose range covers the lookup key (files_scanned must equal it,
+    # so overlapping ranges or wrong footer stats go red), checks
+    # non-decreasing k inside EVERY file (the engine samples one), and
+    # recounts the point lookup from the resolved rows.
+    oracle=_se_oracle(
+        _SOW_WH,
+        [
+            *_SOW.ctes(),
+            _SOW.live("swh"),
+            _SOW.rows("swr", "swh"),
+            """sw_ranges AS (
+  SELECT l.path, min(d.k) AS mn, max(d.k) AS mx
+  FROM t_data d JOIN swh l ON ends_with(d.filename, l.path)
+  GROUP BY l.path
+)""",
+        ],
+        """SELECT
+  (SELECT count(*) FROM sw_ranges WHERE 42 BETWEEN mn AND mx)
+    AS files_scanned,
+  (SELECT count(*) >= 4 FROM swh) AS many_files,
+  (SELECT count(*) = 1 FROM sw_ranges WHERE 42 BETWEEN mn AND mx)
+    AS pruned_all_but_one,
+  (SELECT coalesce(bool_and(k >= prev), TRUE) FROM (
+     SELECT d.k, lag(d.k) OVER (
+       PARTITION BY d.filename ORDER BY d.file_row_number) AS prev
+     FROM t_data d JOIN swh l ON ends_with(d.filename, l.path)
+   ) WHERE prev IS NOT NULL) AS rows_sorted_in_file,
+  (SELECT count(*) FROM swr WHERE k = 42) AS rows_k42""",
+    ),
     tags=("lakehouse", "write", "clustering"),
     doc="Range distribution + table sort order (write.distribution-"
     "mode=range, WRITE ORDERED BY k): a SHUFFLED 4000-row append comes "
     "out as range-clustered, in-file-sorted parquet — a point lookup "
     "then scans 1 of 8 files from footer stats alone, on the very "
     "first write (no compaction pass needed). The write-time half of "
-    "sort-strategy compaction. All quantities pinned.",
+    "sort-strategy compaction. Second-engine checked (r12): pruning "
+    "recomputes from true per-file data extents, sortedness from every "
+    "file's row order.",
 )
 def lakehouse_sort_order_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
@@ -2358,7 +2509,7 @@ def lakehouse_sort_order_writes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_sorted_in_file boolean, rows_k42 bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_sort_order_writes", run)
 
 
 @register(
@@ -2421,15 +2572,30 @@ def lakehouse_tpch_q6_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     return _with_lake(spark, run)
 
 
+_MV_WH, _MV = _se("lakehouse_stream_matview", "lab.daily_counts")
+
+
 @register(
     "lakehouse_stream_matview",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(3 AS BIGINT), CAST(5 AS BIGINT), CAST(4 AS BIGINT),
-             CAST(1 AS BIGINT), TRUE)
-        ) AS t(windows_after, day1_count, day2_count, day3_count,
-               replay_was_noop)
-    """,
+    # SECOND-ENGINE oracle (r12): the materialized per-window counts
+    # recompute from the committed parquet VALUES (the post-MERGE rows
+    # really carry the updated day-2 count), and exactly-once
+    # recomputes as "exactly one commit carries stream batch 0".
+    oracle=_se_oracle(
+        _MV_WH,
+        [*_MV.ctes(), _MV.live("mvh"), _MV.rows("mvr", "mvh")],
+        """SELECT
+  (SELECT count(*) FROM mvr) AS windows_after,
+  (SELECT coalesce(max(n), -1) FROM mvr
+    WHERE date_part('day', window_start) = 1) AS day1_count,
+  (SELECT coalesce(max(n), -1) FROM mvr
+    WHERE date_part('day', window_start) = 2) AS day2_count,
+  (SELECT coalesce(max(n), -1) FROM mvr
+    WHERE date_part('day', window_start) = 3) AS day3_count,
+  (SELECT count(*) = 1 FROM t_main
+    WHERE json_extract_string(extra, '$.stream_batch_id') = '0')
+    AS replay_was_noop""",
+    ),
     tags=("lakehouse", "streaming", "matview", "composition"),
     doc="Streaming MATERIALIZED VIEW into the lakehouse: an update-mode "
     "tumbling-window count stream upserts per-window rows via "
@@ -2437,7 +2603,9 @@ def lakehouse_tpch_q6_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     "second drain carrying MORE day-2 events UPDATES the stored day-2 "
     "row in place while day-1 stands untouched. "
     "The lakehouse table IS the continuously-maintained aggregate; "
-    "every epoch is one snapshot commit, replay is a no-op. Pinned.",
+    "every epoch is one snapshot commit, replay is a no-op. "
+    "Second-engine checked (r12): window counts recompute from the "
+    "committed parquet, exactly-once from the batch-0 commit count.",
 )
 def lakehouse_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
@@ -2527,4 +2695,4 @@ def lakehouse_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             _sh.rmtree(tmp, ignore_errors=True)
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_stream_matview", run)
