@@ -141,7 +141,11 @@ def test_delete_flags_cover_live_content_classes(spark):
                 for f in raw.get("added_files") or []:
                     live[f["path"]] = f.get("content") or 0
             classes = set(live.values())
-            if 1 in classes:
+            if 1 in classes and name != "lakehouse_changelog":
+                # changelog's oracle never reads resolved table rows —
+                # its delete files are the SUBJECT (counted per commit
+                # as delete/update_before rows), not a filter to apply,
+                # so the apply-clause requirement doesn't arise there
                 assert "pd.pos = d.file_row_number" in spec.oracle, (
                     f"{name}: scenario writes position deletes but its "
                     "oracle never applies them"
