@@ -250,7 +250,8 @@ _TT_WH, _TT = _se("lakehouse_time_travel_rollback", "lab.region_tt")
     tags=("lakehouse", "maintenance"),
     doc="M5 rollback_to_snapshot + VERSION AS OF reads (guide :304-316): "
     "append region (5 rows), append again (10), roll back to snapshot 1, and "
-    "time-travel read snapshot 1 — all four row counts pinned.",
+    "time-travel read snapshot 1 — all four row counts recomputed by the "
+    "second engine's log fold at structurally-selected versions.",
 )
 def lakehouse_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
@@ -356,7 +357,8 @@ _DM_WH, _DM = _se("lakehouse_delete_merge", "lab.nation_dm")
     "folded immediately): nation (25 rows, 4 hash-bucket files) loses every "
     "5th key (5 rows), then a MERGE replaces keys 1-4 with UPD_-renamed "
     "rows and inserts keys 100/101 -> 22 rows, 6 of them UPD_-marked. All "
-    "four quantities pinned; only files containing matched keys rewrite.",
+    "four quantities recomputed from the committed file sets at each "
+    "lifecycle version; only files containing matched keys rewrite.",
 )
 def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -488,7 +490,8 @@ _INC_WH, _INC = _se("lakehouse_incremental_read", "lab.nation_inc")
     "appends (10+5+10 rows by key range); the (v1,v2] delta reads exactly "
     "the second batch, (v1,v3] both later batches, while the full scan "
     "still sees all 25 — a downstream pipeline consumes only new files, "
-    "never re-reading the table. All counts pinned.",
+    "never re-reading the table. All counts recomputed from the log's "
+    "per-version file deltas.",
 )
 def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -543,7 +546,8 @@ _EVO_WH, _EVO = _se("lakehouse_schema_evolution", "lab.evo_q")
     "through the schema AS OF the version read, and pre-evolution files "
     "surface the added column as null — no file rewrite, no footer-merge "
     "pass. Time-travel column count, null/filled split, and the new "
-    "column's max all pinned.",
+    "column's max all recomputed (schema widths parsed from the "
+    "per-commit schema records; values from the resolved live files).",
 )
 def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
@@ -599,7 +603,8 @@ _DML_WH, _DML = _se("lakehouse_sql_dml", "lab.dml")
     "WHERE (copy-on-write file-granular rewrite) and MERGE INTO ... "
     "WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT * "
     "(full-row upsert keyed on the ON equality columns). Post-state "
-    "quantities pinned: 40 seed rows; UPDATE doubles n for k<10; MERGE "
+    "quantities recomputed from the committed files at each DML "
+    "version: 40 seed rows; UPDATE doubles n for k<10; MERGE "
     "replaces 7 rows (k divisible by 6) and inserts 5 new (k 40..44).",
 )
 def lakehouse_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,7 +683,10 @@ _BR_WH, _BR = _se(
     "spark-defaults `ref=main`): branch pinned mid-history reads its "
     "snapshot, tag reads its own, fast-forward advances the branch to "
     "head, and expire_snapshots retains ref-pinned snapshots — the tag "
-    "stays readable after retain_last=1. All five row counts pinned.",
+    "stays readable after retain_last=1. Four of five row counts are "
+    "recomputed through the ref records (tag snapshot, branch base); "
+    "rows_branch stays a seed literal — expiry removed the fork-base "
+    "entry it observed (see the oracle comment above).",
 )
 def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
@@ -741,8 +749,9 @@ _WAP_WH, _WAP = _se("lakehouse_wap_publish", "lab.wap_q")
     doc="Write-audit-publish: stage_append commits a 'stage' snapshot "
     "main skips (reads unchanged, snapshot auditable in the snapshots "
     "view, files protected from the orphan sweep), then publish_changes "
-    "graduates it into the main lineage exactly once. All five "
-    "quantities pinned.",
+    "graduates it into the main lineage exactly once. Quantities "
+    "recomputed from the log (stage-snapshot count included); "
+    "orphans_swept stays the literal zero the sweep must report.",
 )
 def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
@@ -1451,7 +1460,8 @@ _MW_WH, _MW = _se("lakehouse_merge_when", "lab.acct")
     "first-matching-clause semantics in one copy-on-write joined "
     "projection. 10 seed accounts: k=5 closed (deleted), k=2/8 "
     "adjusted (+50/-30), k=12 inserted, k=13 filtered out; all five "
-    "post-state quantities pinned.",
+    "post-state quantities recomputed from the post-MERGE committed "
+    "parquet.",
 )
 def lakehouse_merge_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
@@ -2228,7 +2238,9 @@ _DYN_WH, _DYN = _se("lakehouse_dynamic_overwrite", "lab.dynow")
     "c1 replaces ONLY c1 — c0/c2 keep their rows AND their exact files "
     "(zero rewrite outside the touched partition; the idempotent-"
     "backfill primitive at 100 TB). Commit-time validation conflicts "
-    "with racing appends into touched partitions. Quantities pinned.",
+    "with racing appends into touched partitions. Quantities "
+    "recomputed, file-set equality outside the touched partition "
+    "checked path-by-path.",
 )
 def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
