@@ -106,6 +106,15 @@ def _se_oracle(wh: str, ctes, select: str) -> str:
     return oracle(wh, ctes, select)
 
 
+def _se_cat_records(wh: str, alias: str = "cat_refs") -> str:
+    """CTE over the warehouse's catalog-wide ref records (tags keep
+    their fork pins forever — the record JSON is the historical truth
+    the tag-read oracle resolves through)."""
+    from ..secondengine import catalog_records_cte
+
+    return catalog_records_cte(wh, alias)
+
+
 _LC_WH, _LC = _se("lakehouse_snapshot_lifecycle", "lab.nation_lc")
 
 
@@ -389,15 +398,47 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake_2e(spark, "lakehouse_delete_merge", run)
 
 
+_RB_WH, _RB = _se("lakehouse_sql_runbook", "lab.rb", checkpoints=True)
+_RB_REPLACE_V = _RB.v_of("operation = 'replace'")
+
+
 @register(
     "lakehouse_sql_runbook",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(203 AS BIGINT), CAST(1 AS BIGINT), CAST(4 AS BIGINT),
-             CAST(2 AS BIGINT), CAST(203 AS BIGINT), CAST(204 AS BIGINT))
-        ) AS t(rows_total, files_after, snapshots_before_expire,
-               expired, rows_after_rollback, rows_time_travel)
-    """,
+    # SECOND-ENGINE oracle: all six runbook post-conditions recompute
+    # from the post-run log. Mid-lifecycle folds select versions
+    # structurally (the compaction's 'replace' entry anchors the
+    # pre-compaction and pre-expiry points; the final 'append' is the
+    # VERSION AS OF target; head = post-rollback). The two history
+    # quantities use the single-main-lineage contiguity invariant:
+    # versions number 0..N densely, so snapshots-before-expiry =
+    # replace_version + 1 even after expiry DELETED those entries, and
+    # expired = that minus the entries expiry left on disk (<= replace
+    # version). The checkpoint seed must reproduce pre-expiry folds or
+    # rows_total goes red — exactly the resurrect-after-expiry check.
+    oracle=_se_oracle(
+        _RB_WH,
+        [
+            *_RB.ctes(),
+            _RB.live("lv_pre", upto=f"{_RB_REPLACE_V} - 1"),
+            _RB.live("lv_cp", upto=_RB_REPLACE_V),
+            _RB.live("lv_tt", upto=_RB.v_of("operation = 'append'")),
+            _RB.live("lvh"),
+            _RB.rows("r_pre", "lv_pre"),
+            _RB.rows("r_tt", "lv_tt"),
+            _RB.rows("rh", "lvh"),
+        ],
+        f"""SELECT
+  (SELECT count(*) FROM r_pre) AS rows_total,
+  (SELECT count(*) FROM lv_cp WHERE content = 0) AS files_after,
+  (SELECT max(version) + 1 FROM t_main WHERE operation = 'replace')
+    AS snapshots_before_expire,
+  (SELECT max(version) + 1 FROM t_main WHERE operation = 'replace')
+    - (SELECT count(*) FROM t_entries
+       WHERE version <= {_RB_REPLACE_V})
+    AS expired,
+  (SELECT count(*) FROM rh) AS rows_after_rollback,
+  (SELECT count(*) FROM r_tt) AS rows_time_travel""",
+    ),
     tags=("lakehouse", "sql", "maintenance"),
     doc="The reference's PRIMARY interface — the spark-sql runbook "
     "(guide :80-340) — replayed through the SQL front-end "
@@ -405,7 +446,8 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RANGE, `.snapshots`/`.files` metadata tables, CALL "
     "rewrite_data_files / expire_snapshots / rollback_to_snapshot, "
     "and VERSION AS OF time travel, every statement in the guide's "
-    "own syntax. All six post-condition quantities pinned.",
+    "own syntax. All six post-condition quantities recompute from the "
+    "post-run log (version-contiguity dates the expired history).",
 )
 def lakehouse_sql_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(lake: Lakehouse):
@@ -449,7 +491,7 @@ def lakehouse_sql_runbook(spark: SparkSession, sf_dir: str) -> DataFrame:
             " expired bigint, rows_after_rollback bigint, rows_time_travel bigint",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_sql_runbook", run)
 
 
 _INC_WH, _INC = _se("lakehouse_incremental_read", "lab.nation_inc")
@@ -963,23 +1005,181 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake_2e(spark, "lakehouse_branch_write_merge", run)
 
 
+_CB_WH, _CB_T1 = _se("lakehouse_catalog_branch", "lab.cat_t1", p="t1")
+_CB_T2 = _se_table(_CB_WH, "lab.cat_t2", "t2")
+_CB_C1 = _se_table(_CB_WH, "lab.cat_c1", "c1")
+_CB_C2 = _se_table(_CB_WH, "lab.cat_c2", "c2")
+_CB_NW = _se_table(_CB_WH, "lab.cat_new", "nw")
+
+
 @register(
     "lakehouse_catalog_branch",
-    oracle="""
-        SELECT * FROM (VALUES
-            ('branch_writes',     CAST(8  AS BIGINT), CAST(5  AS BIGINT), CAST(12 AS BIGINT), CAST(10 AS BIGINT), '4 commits invisible on main; main move invisible on branch'),
-            ('conflict_rejected', CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'CommitConflictError; neither table published'),
-            ('fork',              CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), CAST(5  AS BIGINT), 'branch == main at fork'),
-            ('merged',            CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'one atomic publish; tables=2 commits=4'),
-            ('rebased',           CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(1  AS BIGINT), CAST(5  AS BIGINT), 'dropped=1 rebased_tables=2'),
-            ('recovered',         CAST(4  AS BIGINT), CAST(5  AS BIGINT), CAST(4  AS BIGINT), CAST(5  AS BIGINT), 'merge after rebase; tables=2'),
-            ('second_merge',      CAST(15 AS BIGINT), CAST(10 AS BIGINT), CAST(15 AS BIGINT), CAST(10 AS BIGINT), 'no-op; tables=0'),
-            ('ddl_create_on_branch', CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(1 AS BIGINT), CAST(3 AS BIGINT), 'created on ref; invisible on main'),
-            ('ddl_published',     CAST(1  AS BIGINT), CAST(3  AS BIGINT), CAST(1  AS BIGINT), CAST(3  AS BIGINT), 'one marker flip; table + schema on main'),
-            ('tag_pinned',        CAST(1  AS BIGINT), CAST(4  AS BIGINT), CAST(1  AS BIGINT), CAST(3  AS BIGINT), 'tag read pinned while main moves')
-        ) AS t(step, t1_main, t2_main, t1_branch, t2_branch, detail)
-        ORDER BY step
-    """,
+    # SECOND-ENGINE oracle: every step's four quantities recompute from
+    # the catalog-ref evidence the engine leaves behind — branch commits
+    # tagged extra.branch='catalog.<ref>' (outside every main fold),
+    # one txn-gated merge entry per member table whose merged_commits
+    # records the published chain, and the .catalog_refs record JSON
+    # (authoritative for the immutable tag's pins). Historical states
+    # resolve structurally: fork = main folded below the first branch
+    # commit; mid-branch main = main folded below the merge; a branch
+    # read = fork fold + the chain (the dropped-conflict read replays
+    # cat_dropped — branch-tagged commits no merge published); the tag
+    # read folds main at the record's pinned version. Detail strings
+    # are control-flow labels except the merge/rebase tallies, which
+    # recompute from the merged_commits census.
+    oracle=_se_oracle(
+        _CB_WH,
+        [
+            *_CB_T1.ctes(),
+            *_CB_T2.ctes(),
+            *_CB_C1.ctes(),
+            *_CB_C2.ctes(),
+            *_CB_NW.ctes(),
+            _se_cat_records(_CB_WH),
+            # etl branch over t1/t2
+            _CB_T1.live("t1_fork", upto=_CB_T1.cat_fork_base("etl")),
+            _CB_T2.live("t2_fork", upto=_CB_T2.cat_fork_base("etl")),
+            _CB_T1.live("t1_pm", upto=f"{_CB_T1.cat_merge_v('etl')} - 1"),
+            _CB_T2.live("t2_pm", upto=f"{_CB_T2.cat_merge_v('etl')} - 1"),
+            _CB_T1.chain_acts(
+                "t1_bw_acts", _CB_T1.cat_fork_base("etl"), _CB_T1.cat_chain("etl")
+            ),
+            _CB_T2.chain_acts(
+                "t2_bw_acts", _CB_T2.cat_fork_base("etl"), _CB_T2.cat_chain("etl")
+            ),
+            _CB_T1.live("t1_bw", acts="t1_bw_acts"),
+            _CB_T2.live("t2_bw", acts="t2_bw_acts"),
+            _CB_T1.live("t1_head"),
+            _CB_T2.live("t2_head"),
+            # fix branch over c1/c2 (conflict -> rebase -> recover)
+            _CB_C1.live("c1_pm", upto=f"{_CB_C1.cat_merge_v('fix')} - 1"),
+            _CB_C2.live("c2_pm", upto=f"{_CB_C2.cat_merge_v('fix')} - 1"),
+            _CB_C1.chain_acts(
+                "c1_cf_acts", _CB_C1.cat_fork_base("fix"), _CB_C1.cat_dropped("fix")
+            ),
+            _CB_C2.chain_acts(
+                "c2_cf_acts", _CB_C2.cat_fork_base("fix"), _CB_C2.cat_chain("fix")
+            ),
+            _CB_C1.live("c1_cf", acts="c1_cf_acts"),
+            _CB_C2.live("c2_cf", acts="c2_cf_acts"),
+            _CB_C1.live("c1_head"),
+            _CB_C2.live("c2_head"),
+            # ddl branch + train tag over cat_new
+            _CB_NW.chain_acts(
+                "nw_ch_acts", _CB_NW.cat_fork_base("ddl"), _CB_NW.cat_chain("ddl")
+            ),
+            _CB_NW.live("nw_ch", acts="nw_ch_acts"),
+            _CB_NW.live("nw_pub", upto=_CB_NW.cat_merge_v("ddl")),
+            _CB_NW.live("nw_head"),
+            _CB_NW.live("nw_tag", upto=_CB_NW.tag_pin("train")),
+            # data rows of every resolved state
+            _CB_T1.rows("t1_fork_r", "t1_fork"),
+            _CB_T2.rows("t2_fork_r", "t2_fork"),
+            _CB_T1.rows("t1_pm_r", "t1_pm"),
+            _CB_T2.rows("t2_pm_r", "t2_pm"),
+            _CB_T1.rows("t1_bw_r", "t1_bw"),
+            _CB_T2.rows("t2_bw_r", "t2_bw"),
+            _CB_T1.rows("t1_head_r", "t1_head"),
+            _CB_T2.rows("t2_head_r", "t2_head"),
+            _CB_C1.rows("c1_pm_r", "c1_pm"),
+            _CB_C2.rows("c2_pm_r", "c2_pm"),
+            _CB_C1.rows("c1_cf_r", "c1_cf"),
+            _CB_C2.rows("c2_cf_r", "c2_cf"),
+            _CB_C1.rows("c1_head_r", "c1_head"),
+            _CB_C2.rows("c2_head_r", "c2_head"),
+            _CB_NW.rows("nw_ch_r", "nw_ch"),
+            _CB_NW.rows("nw_pub_r", "nw_pub"),
+            _CB_NW.rows("nw_head_r", "nw_head"),
+            _CB_NW.rows("nw_tag_r", "nw_tag"),
+            # merged-chain census for the detail tallies
+            """etl_m AS (
+  SELECT CAST(json_extract(extra, '$.merged_commits') AS BIGINT[]) AS chain
+  FROM t1_main WHERE json_extract_string(extra, '$.catalog_ref') = 'etl'
+  UNION ALL
+  SELECT CAST(json_extract(extra, '$.merged_commits') AS BIGINT[])
+  FROM t2_main WHERE json_extract_string(extra, '$.catalog_ref') = 'etl'
+)""",
+            """fix_m AS (
+  SELECT CAST(json_extract(extra, '$.merged_commits') AS BIGINT[]) AS chain
+  FROM c1_main WHERE json_extract_string(extra, '$.catalog_ref') = 'fix'
+  UNION ALL
+  SELECT CAST(json_extract(extra, '$.merged_commits') AS BIGINT[])
+  FROM c2_main WHERE json_extract_string(extra, '$.catalog_ref') = 'fix'
+)""",
+        ],
+        f"""SELECT 'fork' AS step,
+       (SELECT count(*) FROM t1_fork_r) AS t1_main,
+       (SELECT count(*) FROM t2_fork_r) AS t2_main,
+       (SELECT count(*) FROM t1_fork_r) AS t1_branch,
+       (SELECT count(*) FROM t2_fork_r) AS t2_branch,
+       'branch == main at fork' AS detail
+UNION ALL
+SELECT 'branch_writes',
+       (SELECT count(*) FROM t1_pm_r), (SELECT count(*) FROM t2_pm_r),
+       (SELECT count(*) FROM t1_bw_r), (SELECT count(*) FROM t2_bw_r),
+       '4 commits invisible on main; main move invisible on branch'
+UNION ALL
+SELECT 'merged',
+       (SELECT count(*) FROM t1_head_r), (SELECT count(*) FROM t2_head_r),
+       (SELECT count(*) FROM t1_head_r), (SELECT count(*) FROM t2_head_r),
+       'one atomic publish; tables=' ||
+         CAST((SELECT count(*) FROM etl_m) AS VARCHAR) ||
+       ' commits=' ||
+         CAST((SELECT sum(len(chain)) FROM etl_m) AS VARCHAR)
+UNION ALL
+SELECT 'second_merge',
+       (SELECT count(*) FROM t1_head_r), (SELECT count(*) FROM t2_head_r),
+       (SELECT count(*) FROM t1_head_r), (SELECT count(*) FROM t2_head_r),
+       'no-op; tables=0'
+UNION ALL
+SELECT 'conflict_rejected',
+       (SELECT count(*) FROM c1_pm_r), (SELECT count(*) FROM c2_pm_r),
+       (SELECT count(*) FROM c1_cf_r), (SELECT count(*) FROM c2_cf_r),
+       'CommitConflictError; neither table published'
+UNION ALL
+SELECT 'rebased',
+       (SELECT count(*) FROM c1_pm_r), (SELECT count(*) FROM c2_pm_r),
+       (SELECT count(*) FROM c1_pm_r), (SELECT count(*) FROM c2_cf_r),
+       'dropped=' || CAST((SELECT len({_CB_C1.cat_dropped('fix')}) +
+                                  len({_CB_C2.cat_dropped('fix')})) AS VARCHAR) ||
+       ' rebased_tables=2'
+UNION ALL
+SELECT 'recovered',
+       (SELECT count(*) FROM c1_head_r), (SELECT count(*) FROM c2_head_r),
+       (SELECT count(*) FROM c1_head_r), (SELECT count(*) FROM c2_head_r),
+       'merge after rebase; tables=' ||
+         CAST((SELECT count(*) FROM fix_m) AS VARCHAR)
+UNION ALL
+SELECT 'ddl_create_on_branch',
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM nw_main
+                              WHERE version < {_CB_NW.cat_merge_v('ddl')})
+            THEN 1 ELSE 0 END AS BIGINT),
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM nw_main
+                              WHERE version < {_CB_NW.cat_merge_v('ddl')})
+            THEN (SELECT count(*) FROM nw_pub_r) ELSE -1 END AS BIGINT),
+       CAST(CASE WHEN len({_CB_NW.cat_chain('ddl')}) > 0
+            THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM nw_ch_r),
+       'created on ref; invisible on main'
+UNION ALL
+SELECT 'ddl_published',
+       CAST(CASE WHEN {_CB_NW.cat_merge_v('ddl')} IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM nw_pub_r),
+       CAST(CASE WHEN {_CB_NW.cat_merge_v('ddl')} IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM nw_pub_r),
+       'one marker flip; table + schema on main'
+UNION ALL
+SELECT 'tag_pinned',
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM nw_main) THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM nw_head_r),
+       CAST(CASE WHEN {_CB_NW.tag_pin('train')} IS NOT NULL
+            THEN 1 ELSE 0 END AS BIGINT),
+       (SELECT count(*) FROM nw_tag_r),
+       'tag read pinned while main moves'
+ORDER BY step""",
+    ),
     tags=("lakehouse", "branch", "catalog"),
     doc="Catalog-WIDE refs (catalog_refs.py) — the actual Nessie model: "
     "one branch spans the whole warehouse (the reference pins "
@@ -994,7 +1194,9 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the change re-applies, and the merge goes through. r12 adds the "
     "versioned-catalog steps: CREATE TABLE on a ref (invisible on main, "
     "published complete — schema and rows — by one marker flip) and a "
-    "catalog-wide TAG whose read stays pinned while main moves.",
+    "catalog-wide TAG whose read stays pinned while main moves. All "
+    "forty step quantities recompute second-engine-side from the logs, "
+    "txn markers, and the catalog-ref record JSON.",
 )
 def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -1147,7 +1349,7 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1_branch bigint, t2_branch bigint, detail string",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_catalog_branch", run)
 
 
 _RN_WH, _RN = _se("lakehouse_rename_column", "lab.rn_q")
@@ -2290,15 +2492,53 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_lake_2e(spark, "lakehouse_dynamic_overwrite", run)
 
 
+_SPE_WH, _SPE = _se("lakehouse_spec_evolution", "lab.spec_ev", p="ev")
+_SPB = _se_table(_SPE_WH, "lab.spec_bw", "bw")
+
+
 @register(
     "lakehouse_spec_evolution",
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(120 AS BIGINT), TRUE, TRUE,
-             CAST(40 AS BIGINT), CAST(24 AS BIGINT), TRUE)
-        ) AS t(rows_total, old_era_prunes, new_era_prunes,
-               rows_cat_c1, rows_day3, bucket_isolated)
-    """,
+    # SECOND-ENGINE oracle: counts recompute from the resolved live
+    # rows; the pruning booleans recompute from TRUE per-file value
+    # extents (the sort_order_writes pattern) — a filter is prunable
+    # iff some live file contains zero matching rows, so an engine
+    # whose spec-history pruning broke (reports 0 files pruned) goes
+    # red against the recomputed TRUE, and over-pruning (wrong answers)
+    # is caught by the row counts. bucket_isolated recomputes each
+    # probed key's multiplicity from the resolved rows: exactly one
+    # row per id across both bucket-width eras.
+    oracle=_se_oracle(
+        _SPE_WH,
+        [
+            *_SPE.ctes(),
+            *_SPB.ctes(),
+            _SPE.live("ev_lv"),
+            _SPB.live("bw_lv"),
+            _SPE.rows("ev_r", "ev_lv"),
+            _SPB.rows("bw_r", "bw_lv"),
+            """ev_files AS (
+  SELECT filename,
+         count(*) FILTER (WHERE cat = 'c1') AS n_c1,
+         count(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-03'
+                            AND ts < TIMESTAMP '2024-01-04') AS n_day3
+  FROM ev_r GROUP BY filename
+)""",
+        ],
+        """SELECT
+  (SELECT count(*) FROM ev_r) AS rows_total,
+  (SELECT count(*) FILTER (WHERE n_c1 = 0) > 0 FROM ev_files)
+    AS old_era_prunes,
+  (SELECT count(*) FILTER (WHERE n_day3 = 0) > 0 FROM ev_files)
+    AS new_era_prunes,
+  (SELECT count(*) FROM ev_r WHERE cat = 'c1') AS rows_cat_c1,
+  (SELECT count(*) FROM ev_r WHERE ts >= TIMESTAMP '2024-01-03'
+     AND ts < TIMESTAMP '2024-01-04') AS rows_day3,
+  ((SELECT count(*) FROM bw_r WHERE id IN (0, 7, 39, 40, 77)) = 5
+   AND (SELECT coalesce(max(c), 0) FROM (
+          SELECT count(*) AS c FROM bw_r
+          WHERE id IN (0, 7, 39, 40, 77) GROUP BY id)) = 1)
+    AS bucket_isolated""",
+    ),
     tags=("lakehouse", "partition", "evolution"),
     doc="Partition spec evolution (ALTER TABLE ADD/DROP PARTITION "
     "FIELD): era 1 written under `cat`, era 2 under `cat, day(ts)` — "
@@ -2308,7 +2548,8 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "files degrade to scan, never to wrong answers). Bucket-width "
     "evolution is isolated by parameterized partition names "
     "(bucket(4) dirs are never pruned with the bucket(8) hash). All "
-    "quantities pinned.",
+    "quantities recompute second-engine-side: counts from the resolved "
+    "rows, pruning claims from true per-file extents.",
 )
 def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime as _dt
@@ -2368,7 +2609,7 @@ def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_cat_c1 bigint, rows_day3 bigint, bucket_isolated boolean",
         )
 
-    return _with_lake(spark, run)
+    return _with_lake_2e(spark, "lakehouse_spec_evolution", run)
 
 
 @register(

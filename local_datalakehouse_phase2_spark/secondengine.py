@@ -65,6 +65,21 @@ _REF_COLS = (
     "base:'BIGINT', commits:'BIGINT[]'}"
 )
 _TXN_COLS = "{txn:'VARCHAR', status:'VARCHAR'}"
+_CATREC_COLS = "{name:'VARCHAR', kind:'VARCHAR', pins:'JSON', dropped:'VARCHAR[]'}"
+
+
+def catalog_records_cte(wh: str, alias: str = "cat_refs") -> str:
+    """CTE over the warehouse's catalog-wide ref records
+    (.catalog_refs/*.json — the Nessie-model catalog state the second
+    engine resolves tables THROUGH, the way the reference's second
+    engine reads tables through the catalog at a pinned ref,
+    /root/reference/trino/catalog/iceberg.properties:5). `pins` stays
+    JSON because its keys are table identifiers (dotted); extract one
+    with json_extract(pins, '$.\"ns.table\"')."""
+    return f"""{alias} AS (
+  SELECT * FROM read_json('{wh}/.catalog_refs/*.json', format='auto',
+                          columns={_CATREC_COLS})
+)"""
 
 
 def wh_dir(query_name: str) -> str:
@@ -276,6 +291,78 @@ class TableResolver:
   JOIN {live} l ON l.content = 0 AND ends_with(d.filename, l.path)
   WHERE TRUE{"".join(clauses)}
 )"""
+
+    # ---- catalog-ref resolution ----------------------------------------
+    # A catalog-wide ref (catalog_refs.py) leaves three kinds of
+    # evidence a second engine can resolve without any engine code:
+    # branch commits tagged extra.branch = 'catalog.<ref>' (outside
+    # every main fold), ONE merge entry per member table tagged
+    # extra.catalog_ref = '<ref>' carrying the published chain in
+    # extra.merged_commits (txn-gated by the marker flip like any
+    # multi-table commit), and the record JSON under .catalog_refs/
+    # (pins per table — authoritative for TAGS, whose pins never move;
+    # a BRANCH record's pins advance at merge, so historical branch
+    # states resolve from the log evidence instead).
+
+    def cat_merge_v(self, ref: str) -> str:
+        """Scalar: the version of this table's (first) catalog-merge
+        entry for catalog ref `ref` — the point its chain joined main."""
+        return (
+            f"(SELECT min(version) FROM {self.p}_main WHERE "
+            f"json_extract_string(extra, '$.catalog_ref') = '{ref}')"
+        )
+
+    def cat_chain(self, ref: str) -> str:
+        """SQL list: the commit chain the catalog merge of `ref`
+        published on this table (the merge entry's own record of what
+        it folded — Nessie keeps the same parentage in its commit DAG)."""
+        return (
+            f"(SELECT CAST(json_extract(extra, '$.merged_commits') AS BIGINT[]) "
+            f"FROM {self.p}_main "
+            f"WHERE json_extract_string(extra, '$.catalog_ref') = '{ref}' "
+            f"ORDER BY version LIMIT 1)"
+        )
+
+    def cat_dropped(self, ref: str) -> str:
+        """SQL list: branch commits of catalog ref `ref` on this table
+        that NO merge published (rebase dropped them as conflicting, or
+        the branch was abandoned) — branch-tagged entries minus every
+        merge entry's merged_commits."""
+        p = self.p
+        return f"""(SELECT coalesce(list(version ORDER BY version), []) FROM {p}_entries
+  WHERE json_extract_string(extra, '$.branch') = 'catalog.{ref}'
+    AND version NOT IN (
+      SELECT unnest(CAST(json_extract(extra, '$.merged_commits') AS BIGINT[]))
+      FROM {p}_main
+      WHERE json_extract_string(extra, '$.catalog_ref') = '{ref}'))"""
+
+    def cat_fork_base(self, ref: str) -> str:
+        """Scalar: the main version the catalog ref's per-table branch
+        forked at, derived as (first branch-tagged commit) - 1. Valid
+        when no main commit lands between the catalog fork and the
+        branch's first write to this table — the registry scenarios
+        hold that by construction; a second engine replaying a log
+        where the engine misordered those commits resolves a different
+        fork state and the oracle mismatches, which is the check."""
+        return (
+            f"(SELECT min(version) - 1 FROM {self.p}_entries WHERE "
+            f"json_extract_string(extra, '$.branch') = 'catalog.{ref}')"
+        )
+
+    def tag_pin(self, tag: str, cat_refs: str = "cat_refs") -> str:
+        """Scalar: this table's pinned version in catalog tag `tag`,
+        resolved from the record JSON (tag pins are immutable, so the
+        record IS the historical truth)."""
+        return (
+            f"(SELECT CAST(json_extract(pins, '$.\"{self.table_dir_identifier()}\"') "
+            f"AS BIGINT) FROM {cat_refs} WHERE name = '{tag}')"
+        )
+
+    def table_dir_identifier(self) -> str:
+        """The ns.table identifier this resolver was built for (the
+        pins-map key in catalog ref records)."""
+        rel = os.path.relpath(self.table_dir, self.wh)
+        return rel.replace(os.sep, ".")
 
     # ---- scalar helpers ----------------------------------------------
 

@@ -233,3 +233,28 @@ def test_oracle_catches_non_atomic_catalog_merge(spark, con, monkeypatch):
     monkeypatch.setattr(cr.CatalogRefs, "_revalidate", lambda self, t, e: None)
     with pytest.raises(AssertionError):
         _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
+
+
+def test_oracle_catches_drifting_tag_pin(spark, con, monkeypatch):
+    """Break tag immutability: a tag read resolves the table at CURRENT
+    main head instead of the record's pinned version, so the post-tag
+    main append leaks into the tag_pinned row. The r13 recomputing
+    oracle resolves the pin from the .catalog_refs record JSON itself
+    (secondengine.TableResolver.tag_pin), so this mutation is exactly
+    the drift it must discriminate."""
+    from local_datalakehouse_phase2_spark.lakehouse import catalog_refs as cr
+
+    _run_vs_oracle(spark, con, "lakehouse_catalog_branch")  # baseline green
+
+    orig = cr.CatalogRefs._pin_of
+
+    def head_pin(self, record, identifier):
+        pin = orig(self, record, identifier)
+        if self._kind(record) == "tag":
+            head = self.lake.table(identifier, any_lineage=True).log.latest_main_version()
+            return head if head is not None else pin
+        return pin
+
+    monkeypatch.setattr(cr.CatalogRefs, "_pin_of", head_pin)
+    with pytest.raises(AssertionError):
+        _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
