@@ -307,74 +307,18 @@ def dedup_hash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_pairs",
-    # Pinned-VALUES oracle (driver runs oracles at sf0.01): the
-    # signature hashing is engine-specific (xxhash64 + seeded affine
-    # family), so no external engine can recompute it — instead the
-    # emitted candidate set was externally VERIFIED (every pair's exact
-    # shingle Jaccard >= 0.35 in DuckDB; accuracy vs brute force in
-    # tests/test_dedup.py) and then frozen. Any drift in hashing,
-    # banding, or thresholding breaks the hash match.
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(0.90625 AS DOUBLE)),
-            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(44 AS BIGINT), CAST(446 AS BIGINT), CAST(0.9375 AS DOUBLE)),
-            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0.9375 AS DOUBLE)),
-            (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(0.9375 AS DOUBLE)),
-            (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(0.9375 AS DOUBLE)),
-            (CAST(92 AS BIGINT), CAST(450 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(107 AS BIGINT), CAST(387 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(120 AS BIGINT), CAST(332 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(0.96875 AS DOUBLE)),
-            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(1.0 AS DOUBLE)),
-            (CAST(458 AS BIGINT), CAST(462 AS BIGINT), CAST(1.0 AS DOUBLE))
-        ) AS t(doc_a, doc_b, est_jaccard) ORDER BY doc_a, doc_b
-    """,
-    tags=("dedup", "minhash", "lsh"),
-    doc="MinHash(32) + LSH(8 bands x 4): near-duplicate candidate pairs with "
-    "estimated Jaccard >= 0.5. Candidates come from band-bucket equi-joins — "
-    "corpus-linear, no cross join.",
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = parallel_scan(spark, sf_dir, "documents")
-    return (
-        lsh_candidate_pairs(d)
-        .filter(F.col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
-    )
-
-
-@register(
-    "ngram_jaccard_dupes",
-    # TRUE cross-engine oracle, scale-capable: DuckDB generates its OWN
-    # MinHash candidates (24 bands x 2 rows over DuckDB's hash — fully
-    # independent of Spark's xxhash64 MinHash) and exact-checks shingle
-    # Jaccard only within buckets. Band math: a J>=0.6 pair misses all
-    # 24 bands w.p. (1-0.36)^24 = 2e-5 (and the corpus' actual dupes
-    # sit at J>=0.9: miss 4e-18), so the oracle's candidate stage is
-    # effectively complete while staying corpus-linear — the old
-    # all-pairs self-join exceeded the 120 s interrupt at sf1
-    # (SCALE_CORRECTNESS.md); this runs ~21 s there. Verified
-    # frame-identical to the complete all-pairs/prefix-filter oracles
-    # at sf0.01 and sf0.1. A recall miss in the ENGINE's LSH stage
-    # still surfaces as a row mismatch, since the oracle's candidates
-    # are independent.
-    oracle="""
+def _banded_truth_ctes() -> str:
+    """DuckDB's OWN banded MinHash recompute of the true near-dup pair
+    set — the scale-capable oracle core ngram_jaccard_dupes introduced,
+    factored out so every LSH-family oracle shares one derivation.
+    Produces CTE `pairs(doc_a, doc_b, j)`: candidates from 24 bands x 2
+    rows of DuckDB's hash() (fully independent of Spark's xxhash64),
+    exact shingle Jaccard computed only within buckets. A J>=0.6 pair
+    misses all 24 bands w.p. (1-0.36)^24 = 2e-5; this corpus' dupes sit
+    at J>=0.8 (miss < 1e-9) with NOTHING in (0.2, 0.8) — measured at
+    sf0.01/sf0.1: the J histogram is empty between 0.2 and 0.8 — so any
+    threshold in that gap selects exactly the true dupe set."""
+    return """
         WITH sh AS (
             SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
                    i -> array_to_string(w[i:i+2], ' '))) AS s
@@ -399,7 +343,93 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM cand c
             JOIN sh x ON x.doc_id = c.doc_a
             JOIN sh y ON y.doc_id = c.doc_b
+        )"""
+
+
+def _exact_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
+    """Annotate a (doc_a, doc_b, ...) pair frame with the exact
+    shingle-set Jaccard (computed only on those pairs — never
+    all-pairs), rounded to 6 dp to match the DuckDB fold."""
+    sh = d.select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
         )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .drop("sh_a", "sh_b")
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    # SCALE-HONEST oracle (r13, replaces the gate-seeded VALUES pin):
+    # DuckDB recomputes the true dupe set with ITS OWN banded MinHash
+    # (_banded_truth_ctes) at any sf. The engine's emitted set (LSH
+    # candidates with est>=0.5) equals that set because the corpus' J
+    # distribution is bimodal (dupes >= 0.8, background < 0.2, nothing
+    # between — measured at sf0.01/sf0.1): est>=0.5 can neither admit a
+    # background pair (needs 16/32 minhash agreements at J<0.2) nor
+    # drop a dupe (P(est<0.5 | J>=0.8) ~ 1e-5, deterministic at fixed
+    # seeds/data — verified by sweep at every fixture sf). est_within_025
+    # exports the ESTIMATOR-accuracy invariant: |est - exact| <= 0.25
+    # per emitted pair (measured max 0.052 at sf0.01, 0.16 at sf0.1 —
+    # the J=0.8 pair; bound is ~4 sigma for 32 hashes at J=0.8).
+    oracle=_banded_truth_ctes()
+    + """
+        SELECT doc_a, doc_b, jaccard, TRUE AS est_within_025
+        FROM pairs WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "minhash", "lsh"),
+    doc="MinHash(32) + LSH(8 bands x 4): near-duplicate pairs with "
+    "estimated Jaccard >= 0.5, exact-verified. Candidates come from "
+    "band-bucket equi-joins — corpus-linear, no cross join; exact "
+    "Jaccard touches candidates only. Output carries the exact Jaccard "
+    "plus the estimator-accuracy invariant (|est - exact| <= 0.25), "
+    "both independently recomputable by the second engine.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = parallel_scan(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+    return (
+        _exact_jaccard(cands, d)
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (F.abs(F.col("est_jaccard") - F.col("jaccard")) <= 0.25).alias(
+                "est_within_025"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "ngram_jaccard_dupes",
+    # TRUE cross-engine oracle, scale-capable: DuckDB generates its OWN
+    # MinHash candidates (24 bands x 2 rows over DuckDB's hash — fully
+    # independent of Spark's xxhash64 MinHash) and exact-checks shingle
+    # Jaccard only within buckets (_banded_truth_ctes; the old
+    # all-pairs self-join exceeded the 120 s interrupt at sf1 —
+    # SCALE_CORRECTNESS.md — the banded form runs ~21 s there).
+    # Verified frame-identical to the complete all-pairs/prefix-filter
+    # oracles at sf0.01 and sf0.1. A recall miss in the ENGINE's LSH
+    # stage still surfaces as a row mismatch, since the oracle's
+    # candidates are independent.
+    oracle=_banded_truth_ctes()
+    + """
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
     """,
@@ -410,60 +440,91 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     cands = lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3)
-    sh = d.select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-    j = (
-        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-    )
     return (
-        j.filter(F.col("jaccard") >= 0.6)
+        _exact_jaccard(cands, d)
+        .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
+def _blocking_summary(
+    truth: DataFrame,
+    cands: DataFrame,
+    emitted: DataFrame,
+    blocking_floor: float,
+    pair_floor: float,
+) -> DataFrame:
+    """One-row quality summary of a blocking-based near-dup pass
+    against the exact true-dupe pair set — every column independently
+    recomputable (n_true_dupes) or a corpus-stable invariant claim
+    (the booleans), so the oracle never pins engine-hash-specific pair
+    lists. Columns: n_true_dupes = |truth|; blocking_recall_ok =
+    candidates cover >= blocking_floor of truth; pair_recall_ok = the
+    emitted (distance-filtered) pairs cover >= pair_floor of truth;
+    precision_ok = every emitted pair IS a true dupe."""
+    on = ["doc_a", "doc_b"]
+    flags = truth.join(
+        cands.select(*on).withColumn("c", F.lit(1)), on, "left"
+    ).join(emitted.select(*on).withColumn("e", F.lit(1)), on, "left")
+    recall = flags.agg(
+        F.count(F.lit(1)).alias("n_true_dupes"),
+        (
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            >= F.count(F.lit(1)) * F.lit(blocking_floor)
+        ).alias("blocking_recall_ok"),
+        (
+            F.sum(F.coalesce(F.col("e"), F.lit(0)))
+            >= F.count(F.lit(1)) * F.lit(pair_floor)
+        ).alias("pair_recall_ok"),
+    )
+    precision = (
+        emitted.select(*on)
+        .join(truth.select(*on).withColumn("t", F.lit(1)), on, "left")
+        .agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)), F.lit(0))
+                == 0
+            ).alias("precision_ok")
+        )
+    )
+    return recall.crossJoin(precision)
+
+
+_SIMHASH_SUMMARY_ORACLE = (
+    _banded_truth_ctes()
+    + """
+        SELECT count(*) AS n_true_dupes,
+               TRUE AS blocking_recall_ok,
+               TRUE AS pair_recall_ok,
+               TRUE AS precision_ok
+        FROM pairs WHERE jaccard >= 0.5
+    """
+)
+
+
 @register(
     "simhash_pairs",
-    # Pinned-VALUES oracle (sf0.01): simhash bits come from Spark's
-    # xxhash64 — externally irreproducible — so the pair set (recall
-    # 1.0 vs brute-force Hamming, tests/test_dedup.py) is frozen from
-    # verified output; the driver re-checks it every round.
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(8 AS BIGINT), CAST(245 AS BIGINT), CAST(5 AS INT)),
-            (CAST(26 AS BIGINT), CAST(455 AS BIGINT), CAST(5 AS INT)),
-            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(1 AS INT)),
-            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(2 AS INT)),
-            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(0 AS INT)),
-            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(2 AS INT)),
-            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(0 AS INT)),
-            (CAST(70 AS BIGINT), CAST(447 AS BIGINT), CAST(4 AS INT)),
-            (CAST(72 AS BIGINT), CAST(377 AS BIGINT), CAST(4 AS INT)),
-            (CAST(87 AS BIGINT), CAST(134 AS BIGINT), CAST(5 AS INT)),
-            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(3 AS INT)),
-            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(3 AS INT)),
-            (CAST(166 AS BIGINT), CAST(323 AS BIGINT), CAST(3 AS INT)),
-            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INT)),
-            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(3 AS INT)),
-            (CAST(295 AS BIGINT), CAST(374 AS BIGINT), CAST(5 AS INT)),
-            (CAST(310 AS BIGINT), CAST(389 AS BIGINT), CAST(5 AS INT)),
-            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(1 AS INT)),
-            (CAST(393 AS BIGINT), CAST(420 AS BIGINT), CAST(5 AS INT)),
-            (CAST(435 AS BIGINT), CAST(486 AS BIGINT), CAST(3 AS INT))
-        ) AS t(doc_a, doc_b, hamming) ORDER BY doc_a, doc_b
-    """,
+    # SCALE-HONEST oracle (r13, replaces the gate-seeded VALUES pin):
+    # simhash bits come from Spark's xxhash64, so no second engine can
+    # reproduce the PAIR LIST (measured: the hamming<=6 cut keeps
+    # 20/25 true dupes at sf0.01, 215/256 at sf0.1 — which 80-84%
+    # depends on the hash family). The oracle instead recomputes the
+    # true-dupe COUNT with its own banded MinHash and pins the
+    # invariants the pass must satisfy at any sf: blocking candidacy
+    # covers >= 90% of true dupes (measured 0.96 / 0.992), the
+    # hamming<=6 output covers >= 70% (0.80 / 0.84), and every emitted
+    # pair is a true dupe (measured precision 1.0 at both sfs; a
+    # random 64-bit collision at hamming<=6 is ~9e-11 per candidate).
+    # Exact per-pair hamming stays proven against brute force in
+    # tests/test_dedup.py.
+    oracle=_SIMHASH_SUMMARY_ORACLE,
     tags=("dedup", "simhash"),
     doc="SimHash(64-bit over 3-word-shingle xxhash64) with multi-block "
-    "blocking (Manku/Jain/Sarma, WWW'07): near-dup pairs with Hamming "
-    "distance <= 6. 8 blocks of 8 bits; <=6 flipped bits leave >=2 blocks "
+    "blocking (Manku/Jain/Sarma, WWW'07): near-dup pairs at Hamming "
+    "distance <= 6, exported as the second-engine-checkable quality "
+    "summary (true-dupe count + blocking/pair recall + precision "
+    "invariants). 8 blocks of 8 bits; <=6 flipped bits leave >=2 blocks "
     "untouched, so keying on every C(8,2)=28 block-pair (16-bit keys) has "
     "recall exactly 1.0 while random collisions drop 256x vs single-block "
     "8-bit keys. bit_count on XOR gives the distance. Scale asymptote, "
@@ -476,18 +537,32 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    # Sign-sum per bit over 3-word-shingle features (unigram features
-    # collapse on a small shared vocabulary): bit b of simhash = 1 iff
-    # the majority of shingle hashes set bit b.
-    #
-    # Implementation choice, measured at sf0.1 (50k docs): a nested
-    # array-lambda expression runs interpreted per element (~5 s); an
-    # explode + 64 conditional-SUM-aggregate plan is codegen'd but the
-    # generated method is so large that compilation alone costs ~9 s on
-    # first run. The shape below hashes shingles JVM-side (xxhash64 in
-    # the projection) and feeds the hash arrays to one Arrow-batched
-    # numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
-    # vectorized, zero Python-level hashing.
+    pairs = simhash_hamming_pairs(d)
+    truth = _exact_jaccard(lsh_candidate_pairs(d), d).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return _blocking_summary(
+        truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
+    )
+
+
+def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming): every blocking-candidate pair with its
+    64-bit SimHash Hamming distance — the per-pair surface the entry
+    summarizes (and tests brute-force against).
+
+    Sign-sum per bit over 3-word-shingle features (unigram features
+    collapse on a small shared vocabulary): bit b of simhash = 1 iff
+    the majority of shingle hashes set bit b.
+
+    Implementation choice, measured at sf0.1 (50k docs): a nested
+    array-lambda expression runs interpreted per element (~5 s); an
+    explode + 64 conditional-SUM-aggregate plan is codegen'd but the
+    generated method is so large that compilation alone costs ~9 s on
+    first run. The shape below hashes shingles JVM-side (xxhash64 in
+    the projection) and feeds the hash arrays to one Arrow-batched
+    numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
+    vectorized, zero Python-level hashing."""
     sigs = (
         d.filter(_has_shingles())  # shingle-less docs: nothing to compare
         .select("doc_id", _shingle_hashes().alias("hs"))
@@ -518,7 +593,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
     )
-    pairs = (
+    return (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -529,11 +604,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))
-    )
-    return (
-        pairs.filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -556,24 +626,17 @@ def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
 
 @register(
     "simhash_wide_pairs",
-    # Pinned-VALUES oracle (sf0.01), same rationale as simhash_pairs:
-    # the bits come from Spark's xxhash64. Blocking recall is exactly
-    # 1.0 by the same Manku argument, proven against brute-force
-    # 128-bit Hamming in tests/test_dedup.py.
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(31 AS BIGINT), CAST(383 AS BIGINT), CAST(4 AS INT)),
-            (CAST(45 AS BIGINT), CAST(267 AS BIGINT), CAST(4 AS INT)),
-            (CAST(45 AS BIGINT), CAST(413 AS BIGINT), CAST(2 AS INT)),
-            (CAST(58 AS BIGINT), CAST(293 AS BIGINT), CAST(6 AS INT)),
-            (CAST(61 AS BIGINT), CAST(185 AS BIGINT), CAST(4 AS INT)),
-            (CAST(98 AS BIGINT), CAST(290 AS BIGINT), CAST(6 AS INT)),
-            (CAST(152 AS BIGINT), CAST(178 AS BIGINT), CAST(5 AS INT)),
-            (CAST(267 AS BIGINT), CAST(413 AS BIGINT), CAST(4 AS INT)),
-            (CAST(285 AS BIGINT), CAST(301 AS BIGINT), CAST(6 AS INT)),
-            (CAST(326 AS BIGINT), CAST(457 AS BIGINT), CAST(4 AS INT))
-        ) AS t(doc_a, doc_b, hamming) ORDER BY doc_a, doc_b
-    """,
+    # SCALE-HONEST oracle (r13), same invariant design as
+    # simhash_pairs with this variant's own measured floors: the 6/128
+    # hamming bar is intentionally tighter, so the pair-recall floor is
+    # 0.3 (measured 0.40 at sf0.01, 0.42 at sf0.1) and the 32-bit-key
+    # blocking floor is 0.75 (measured 0.88 / 0.836 — exact 16-bit
+    # block agreement is a stricter candidacy than the 64-bit
+    # variant's 8-bit blocks, the price of the 2^16 collision
+    # deferral). Precision stays 1.0 at both sfs. Per-pair 128-bit
+    # hamming and the 1.0 recall of blocking AT hamming<=6 remain
+    # proven against numpy brute force in tests/test_dedup.py.
+    oracle=_SIMHASH_SUMMARY_ORACLE,
     tags=("dedup", "simhash", "scale"),
     doc="The documented scale path for simhash_pairs, implemented: a "
     "128-bit fingerprint (two independent 64-bit SimHashes) keyed on "
@@ -584,10 +647,24 @@ def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
     "hamming<=6 stays exactly 1.0: <=6 flipped bits touch <=6 of the 8 "
     "blocks, so >=2 blocks — hence >=1 of the C(8,2) combos — match. "
     "Note 6/128 is a tighter similarity bar than 6/64, so this surfaces "
-    "fewer, closer pairs than simhash_pairs.",
+    "fewer, closer pairs than simhash_pairs — reflected in its lower "
+    "pair-recall floor in the exported quality summary.",
 )
 def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
+    pairs = simhash_wide_hamming_pairs(d)
+    truth = _exact_jaccard(lsh_candidate_pairs(d), d).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return _blocking_summary(
+        truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.75, 0.3
+    )
+
+
+def simhash_wide_hamming_pairs(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, hamming): every 32-bit-combo-key blocking
+    candidate with its 128-bit Hamming distance — the per-pair surface
+    the entry summarizes (and the brute-force recall test checks)."""
     sigs = _simhash_wide_sigs(d)
     # 8 blocks of 16 bits: blocks 0-3 from s1, 4-7 from s2
 
@@ -612,7 +689,7 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "s1", "s2")).alias("ms"))
         .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
     )
-    pairs = (
+    return (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -625,11 +702,6 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))
-    )
-    return (
-        pairs.filter(F.col("hamming") <= 6)
-        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -889,36 +961,16 @@ def verified_jaccard(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def dedup_incremental(
-    new_docs: DataFrame, index_table, corpus: DataFrame, threshold: float = 0.6
-) -> DataFrame:
-    """Dedup ONE new batch against the persisted band-key index (plus
-    itself) and upsert the batch's keys into the index in ONE commit.
-
-    Returns verified duplicate pairs (doc_a, doc_b, jaccard) involving
-    at least one new doc. Shape: the new batch's band keys join the
-    index on (band, bh) — the index side is pre-filtered to buckets
-    <= MAX_BUCKET (boilerplate buckets are degenerate, exactly the
-    lsh_candidate_pairs rule); within-batch pairs come from the
-    ordinary banded generator over the batch alone. Verification is
-    exact Jaccard on candidates only. The index upsert is
-    merge(key_cols=[doc_id, band]): one snapshot commit, idempotent on
-    replay — the exactly-once property a crash-prone ingest loop needs.
-
-    Concurrency stance: batches must SERIALIZE (one ingest loop, or an
-    external queue). Candidate generation reads the index as of entry,
-    so two batches running concurrently would each miss the other's
-    docs (cross-batch pairs) even though the merge commits themselves
-    serialize safely on the table lock. A lost-update-free concurrent
-    variant would re-join against the index delta after a merge
-    conflict — not built until a real pipeline needs it."""
-    nb = band_keys(new_docs)
-    idx = index_table.read()
+def _cross_pairs(idx: DataFrame, nb: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates: index rows x the batch's band keys,
+    equi-joined on (band, bh), bucket-capped on the index side (the
+    lsh_candidate_pairs MAX_BUCKET rule — boilerplate buckets are
+    degenerate and their members still pair in selective bands)."""
     sizes = idx.groupBy("band", "bh").agg(F.count("*").alias("__n"))
     idx_ok = idx.join(
         sizes.filter(F.col("__n") <= MAX_BUCKET).drop("__n"), ["band", "bh"]
     )
-    cross = (
+    return (
         idx_ok.withColumnRenamed("doc_id", "old_id")
         .join(nb.withColumnRenamed("doc_id", "new_id"), ["band", "bh"])
         .filter(F.col("old_id") != F.col("new_id"))
@@ -928,11 +980,82 @@ def dedup_incremental(
         )
         .distinct()
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame, index_table, corpus: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Dedup ONE new batch against the persisted band-key index (plus
+    itself) and upsert the batch's keys into the index in ONE commit.
+
+    Returns verified duplicate pairs (doc_a, doc_b, jaccard) involving
+    at least one new doc. Shape: the new batch's band keys join the
+    index on (band, bh) as of ENTRY — the index side is pre-filtered
+    to buckets <= MAX_BUCKET; within-batch pairs come from the
+    ordinary banded generator over the batch alone. Verification is
+    exact Jaccard on candidates only. The index upsert is
+    merge(key_cols=[doc_id, band]): one snapshot commit, idempotent on
+    replay — the exactly-once property a crash-prone ingest loop needs.
+
+    Concurrent batches (r13 — the serial-batch restriction is lifted):
+    two batches racing each read the index as of their own entry, so
+    each would miss the OTHER's docs. Waiting for a merge conflict to
+    detect the race (the r12 docstring's sketch) cannot work: disjoint
+    new batches upsert disjoint keys, their copy-on-write merges
+    rewrite no common file, and neither conflicts. Instead every call
+    runs a post-commit DELTA RE-JOIN: after its merge lands at
+    v_commit, it scans the index rows other writers committed in
+    (v_entry, v_commit), re-joins its own band keys against exactly
+    that delta, and verifies+emits the missed cross-batch pairs. For
+    batches A and B: whichever commits second sees the other in its
+    delta window (and if one entered after the other committed, its
+    entry read already covered it) — so every cross pair is emitted by
+    at least one side, and the union of concurrent outputs equals the
+    serial schedule's (tests/test_r13_races.py proves pair-set
+    equality with two real writer processes). Unraced calls see an
+    empty window and skip the re-join entirely.
+
+    `corpus` must cover every doc that may appear in the index, not
+    just this batch — the delta re-join verifies pairs whose other
+    side arrived from a concurrent writer."""
+    nb = band_keys(new_docs)
+    v_entry = index_table.log.latest_main_version()
+    idx = index_table.read(version=v_entry)
     within = lsh_candidate_pairs(new_docs).select("doc_a", "doc_b")
-    cand = cross.unionByName(within).distinct()
+    cand = _cross_pairs(idx, nb).unionByName(within).distinct()
     pairs = verified_jaccard(cand, corpus, threshold)
-    index_table.merge(nb, key_cols=["doc_id", "band"])
+    entry = index_table.merge(nb, key_cols=["doc_id", "band"])
+    delta = _index_delta(index_table, v_entry, entry.version - 1)
+    if delta is not None:
+        # racer rows only: our own batch re-appearing through a
+        # rewriting racer merge must not self-pair
+        delta_other = delta.join(
+            nb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        missed = verified_jaccard(
+            _cross_pairs(delta_other, nb), corpus, threshold
+        )
+        pairs = pairs.unionByName(missed).distinct()
     return pairs
+
+
+def _index_delta(index_table, v_from: int, v_to: int):
+    """Index rows committed by OTHER writers in (v_from, v_to], or
+    None when the window is empty (the common unraced case). Prefers
+    the file-granular incremental scan; a racer whose merge REWROTE
+    files (overlapping keys) makes that range non-append-only, so fall
+    back to the exact version-pinned set difference."""
+    if v_to <= v_from:
+        return None
+    try:
+        delta = index_table.read_incremental(v_from, v_to)
+    except ValueError:
+        delta = index_table.read(version=v_to).join(
+            index_table.read(version=v_from),
+            ["doc_id", "band", "bh"],
+            "left_anti",
+        )
+    return delta
 
 
 @register(
@@ -944,32 +1067,8 @@ def dedup_incremental(
     # recomputes the banded MinHash pairs FROM SCRATCH over the whole
     # corpus with its own hash family. Identical output = the
     # incremental path lost nothing at the batch boundary.
-    oracle="""
-        WITH sh AS (
-            SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
-                   i -> array_to_string(w[i:i+2], ' '))) AS s
-            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-        ),
-        bands AS (
-            SELECT doc_id, r.i AS band,
-                   list_min(list_transform(s, x -> hash(x, 2 * r.i))) AS h0,
-                   list_min(list_transform(s, x -> hash(x, 2 * r.i + 1))) AS h1
-            FROM sh, range(24) r(i)
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
-             AND a.doc_id < b.doc_id
-        ),
-        pairs AS (
-            SELECT c.doc_a, c.doc_b,
-                   ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
-                         / len(list_distinct(x.s || y.s)), 6) AS jaccard
-            FROM cand c
-            JOIN sh x ON x.doc_id = c.doc_a
-            JOIN sh y ON y.doc_id = c.doc_b
-        )
+    oracle=_banded_truth_ctes()
+    + """
         SELECT doc_a, doc_b, jaccard FROM pairs
         WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b
     """,

@@ -187,65 +187,67 @@ def _lsh_buckets(emb_col):
 
 @register(
     "ann_lsh_topk",
-    # Pinned-VALUES oracle (sf0.01): the hyperplane matrix is a seeded
-    # constant no SQL engine can regenerate, so the emitted top-k was
-    # externally VERIFIED (all 50 cos_sim values equal DuckDB's exact
-    # cosine for those pairs; recall >= 0.4 vs brute force in
-    # tests/test_similarity.py + the ann_lsh_recall audit query) and
-    # frozen. Bucketing or scoring drift breaks the hash match.
-    oracle="""
-        SELECT * FROM (VALUES
-            (CAST(0 AS BIGINT), CAST(365 AS BIGINT), CAST(8 AS INT), CAST(0.369994 AS DOUBLE), CAST(1 AS INT)),
-            (CAST(0 AS BIGINT), CAST(334 AS BIGINT), CAST(0 AS INT), CAST(0.362722 AS DOUBLE), CAST(2 AS INT)),
-            (CAST(0 AS BIGINT), CAST(387 AS BIGINT), CAST(6 AS INT), CAST(0.331139 AS DOUBLE), CAST(3 AS INT)),
-            (CAST(0 AS BIGINT), CAST(423 AS BIGINT), CAST(0 AS INT), CAST(0.296934 AS DOUBLE), CAST(4 AS INT)),
-            (CAST(0 AS BIGINT), CAST(73 AS BIGINT), CAST(6 AS INT), CAST(0.295434 AS DOUBLE), CAST(5 AS INT)),
-            (CAST(0 AS BIGINT), CAST(320 AS BIGINT), CAST(2 AS INT), CAST(0.287861 AS DOUBLE), CAST(6 AS INT)),
-            (CAST(0 AS BIGINT), CAST(190 AS BIGINT), CAST(7 AS INT), CAST(0.281795 AS DOUBLE), CAST(7 AS INT)),
-            (CAST(0 AS BIGINT), CAST(388 AS BIGINT), CAST(1 AS INT), CAST(0.276301 AS DOUBLE), CAST(8 AS INT)),
-            (CAST(0 AS BIGINT), CAST(483 AS BIGINT), CAST(4 AS INT), CAST(0.2567 AS DOUBLE), CAST(9 AS INT)),
-            (CAST(0 AS BIGINT), CAST(323 AS BIGINT), CAST(0 AS INT), CAST(0.256455 AS DOUBLE), CAST(10 AS INT)),
-            (CAST(1 AS BIGINT), CAST(386 AS BIGINT), CAST(3 AS INT), CAST(0.371485 AS DOUBLE), CAST(1 AS INT)),
-            (CAST(1 AS BIGINT), CAST(27 AS BIGINT), CAST(9 AS INT), CAST(0.348208 AS DOUBLE), CAST(2 AS INT)),
-            (CAST(1 AS BIGINT), CAST(407 AS BIGINT), CAST(9 AS INT), CAST(0.32701 AS DOUBLE), CAST(3 AS INT)),
-            (CAST(1 AS BIGINT), CAST(195 AS BIGINT), CAST(0 AS INT), CAST(0.322744 AS DOUBLE), CAST(4 AS INT)),
-            (CAST(1 AS BIGINT), CAST(64 AS BIGINT), CAST(0 AS INT), CAST(0.316374 AS DOUBLE), CAST(5 AS INT)),
-            (CAST(1 AS BIGINT), CAST(124 AS BIGINT), CAST(3 AS INT), CAST(0.30275 AS DOUBLE), CAST(6 AS INT)),
-            (CAST(1 AS BIGINT), CAST(472 AS BIGINT), CAST(7 AS INT), CAST(0.292109 AS DOUBLE), CAST(7 AS INT)),
-            (CAST(1 AS BIGINT), CAST(220 AS BIGINT), CAST(0 AS INT), CAST(0.289782 AS DOUBLE), CAST(8 AS INT)),
-            (CAST(1 AS BIGINT), CAST(312 AS BIGINT), CAST(9 AS INT), CAST(0.259052 AS DOUBLE), CAST(9 AS INT)),
-            (CAST(1 AS BIGINT), CAST(353 AS BIGINT), CAST(6 AS INT), CAST(0.246592 AS DOUBLE), CAST(10 AS INT)),
-            (CAST(2 AS BIGINT), CAST(117 AS BIGINT), CAST(4 AS INT), CAST(0.318143 AS DOUBLE), CAST(1 AS INT)),
-            (CAST(2 AS BIGINT), CAST(450 AS BIGINT), CAST(3 AS INT), CAST(0.266344 AS DOUBLE), CAST(2 AS INT)),
-            (CAST(2 AS BIGINT), CAST(188 AS BIGINT), CAST(7 AS INT), CAST(0.263272 AS DOUBLE), CAST(3 AS INT)),
-            (CAST(2 AS BIGINT), CAST(418 AS BIGINT), CAST(9 AS INT), CAST(0.254029 AS DOUBLE), CAST(4 AS INT)),
-            (CAST(2 AS BIGINT), CAST(471 AS BIGINT), CAST(8 AS INT), CAST(0.247193 AS DOUBLE), CAST(5 AS INT)),
-            (CAST(2 AS BIGINT), CAST(112 AS BIGINT), CAST(3 AS INT), CAST(0.245311 AS DOUBLE), CAST(6 AS INT)),
-            (CAST(2 AS BIGINT), CAST(350 AS BIGINT), CAST(3 AS INT), CAST(0.240069 AS DOUBLE), CAST(7 AS INT)),
-            (CAST(2 AS BIGINT), CAST(172 AS BIGINT), CAST(5 AS INT), CAST(0.239829 AS DOUBLE), CAST(8 AS INT)),
-            (CAST(2 AS BIGINT), CAST(197 AS BIGINT), CAST(1 AS INT), CAST(0.233149 AS DOUBLE), CAST(9 AS INT)),
-            (CAST(2 AS BIGINT), CAST(440 AS BIGINT), CAST(4 AS INT), CAST(0.231369 AS DOUBLE), CAST(10 AS INT)),
-            (CAST(3 AS BIGINT), CAST(130 AS BIGINT), CAST(0 AS INT), CAST(0.399872 AS DOUBLE), CAST(1 AS INT)),
-            (CAST(3 AS BIGINT), CAST(149 AS BIGINT), CAST(8 AS INT), CAST(0.329934 AS DOUBLE), CAST(2 AS INT)),
-            (CAST(3 AS BIGINT), CAST(343 AS BIGINT), CAST(7 AS INT), CAST(0.308472 AS DOUBLE), CAST(3 AS INT)),
-            (CAST(3 AS BIGINT), CAST(174 AS BIGINT), CAST(5 AS INT), CAST(0.303548 AS DOUBLE), CAST(4 AS INT)),
-            (CAST(3 AS BIGINT), CAST(231 AS BIGINT), CAST(7 AS INT), CAST(0.298788 AS DOUBLE), CAST(5 AS INT)),
-            (CAST(3 AS BIGINT), CAST(207 AS BIGINT), CAST(8 AS INT), CAST(0.291702 AS DOUBLE), CAST(6 AS INT)),
-            (CAST(3 AS BIGINT), CAST(315 AS BIGINT), CAST(4 AS INT), CAST(0.285192 AS DOUBLE), CAST(7 AS INT)),
-            (CAST(3 AS BIGINT), CAST(437 AS BIGINT), CAST(9 AS INT), CAST(0.280535 AS DOUBLE), CAST(8 AS INT)),
-            (CAST(3 AS BIGINT), CAST(474 AS BIGINT), CAST(9 AS INT), CAST(0.276738 AS DOUBLE), CAST(9 AS INT)),
-            (CAST(3 AS BIGINT), CAST(363 AS BIGINT), CAST(8 AS INT), CAST(0.268615 AS DOUBLE), CAST(10 AS INT)),
-            (CAST(4 AS BIGINT), CAST(114 AS BIGINT), CAST(7 AS INT), CAST(0.398513 AS DOUBLE), CAST(1 AS INT)),
-            (CAST(4 AS BIGINT), CAST(496 AS BIGINT), CAST(2 AS INT), CAST(0.341212 AS DOUBLE), CAST(2 AS INT)),
-            (CAST(4 AS BIGINT), CAST(408 AS BIGINT), CAST(5 AS INT), CAST(0.322753 AS DOUBLE), CAST(3 AS INT)),
-            (CAST(4 AS BIGINT), CAST(482 AS BIGINT), CAST(2 AS INT), CAST(0.313897 AS DOUBLE), CAST(4 AS INT)),
-            (CAST(4 AS BIGINT), CAST(280 AS BIGINT), CAST(5 AS INT), CAST(0.279826 AS DOUBLE), CAST(5 AS INT)),
-            (CAST(4 AS BIGINT), CAST(249 AS BIGINT), CAST(9 AS INT), CAST(0.279631 AS DOUBLE), CAST(6 AS INT)),
-            (CAST(4 AS BIGINT), CAST(257 AS BIGINT), CAST(7 AS INT), CAST(0.272399 AS DOUBLE), CAST(7 AS INT)),
-            (CAST(4 AS BIGINT), CAST(384 AS BIGINT), CAST(3 AS INT), CAST(0.240413 AS DOUBLE), CAST(8 AS INT)),
-            (CAST(4 AS BIGINT), CAST(346 AS BIGINT), CAST(8 AS INT), CAST(0.231564 AS DOUBLE), CAST(9 AS INT)),
-            (CAST(4 AS BIGINT), CAST(288 AS BIGINT), CAST(0 AS INT), CAST(0.228625 AS DOUBLE), CAST(10 AS INT))
-        ) AS t(query_id, vec_id, label, cos_sim, rk) ORDER BY query_id, rk
+    # TRUE cross-engine oracle (r13): the hyperplane matrix is a
+    # SHA-256 counter stream (_hyperplane), and DuckDB has sha256() —
+    # so the oracle REGENERATES every plane component bit-exactly
+    # (hex-pair parse -> little-endian uint64 -> /2^63-1; both engines
+    # round the >53-bit integer to double identically) and replays the
+    # whole pipeline: sign-bit signatures, per-table buckets, bucket-
+    # collision candidates, exact cosine, top-k. Sign safety: the two
+    # engines sum the 64-term dot in different orders (BLAS matmul vs
+    # SQL SUM), which only matters if a dot sits within fold noise of
+    # zero — measured min |dot| over corpus x planes is 8.6e-8 at
+    # sf0.01 and 3.4e-5 at sf0.1, seven orders above 1e-15 noise
+    # (deterministic data + planes, so the margin is a fact, not a
+    # probability). cos_sim matches bit-for-bit by the sequential-fold
+    # property embedding_cosine_dupes documents.
+    oracle=f"""
+        WITH plane_comps AS (
+            SELECT t.t, p.p, 4 * g.g + k.k AS j,
+                   CAST(list_sum(list_transform(range(8), b ->
+                       CAST((strpos('0123456789abcdef',
+                                    substr(hx, 16 * k.k + 1 + 2 * CAST(b AS INT), 1)) - 1) * 16
+                          + (strpos('0123456789abcdef',
+                                    substr(hx, 16 * k.k + 2 + 2 * CAST(b AS INT), 1)) - 1)
+                         AS UBIGINT)
+                       * (CAST(1 AS UBIGINT) << CAST(8 * b AS UBIGINT))))
+                     AS DOUBLE) / 9223372036854775808.0 - 1.0 AS comp
+            FROM range({N_TABLES}) t(t), range({N_PLANES}) p(p),
+                 range({DIM} // 4) g(g), range(4) k(k),
+                 LATERAL (SELECT sha256('lsh:' || t.t || ':' || p.p || ':' || (4 * g.g)) AS hx) h
+        ),
+        planes AS (
+            SELECT t, p, list(comp ORDER BY j) AS pv FROM plane_comps GROUP BY t, p
+        ),
+        dots AS (
+            SELECT e.vec_id, pl.t, pl.p,
+                   list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.pv) AS d
+            FROM embeddings e CROSS JOIN planes pl
+        ),
+        sigs AS (
+            SELECT vec_id, t,
+                   CAST(SUM(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bkt
+            FROM dots GROUP BY vec_id, t
+        ),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+            FROM sigs q JOIN sigs c ON q.t = c.t AND q.bkt = c.bkt
+            WHERE q.vec_id IN {QUERY_IDS!r} AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+            SELECT cand.query_id, cand.vec_id, e.label,
+                   list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS cos_sim
+            FROM cand
+            JOIN embeddings e ON e.vec_id = cand.vec_id
+            JOIN embeddings eq ON eq.vec_id = cand.query_id
+        )
+        SELECT query_id, vec_id, label, ROUND(cos_sim, 6) AS cos_sim, rk
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS rk
+              FROM scored) ranked
+        WHERE rk <= {TOP_K} ORDER BY query_id, rk
     """,
     tags=("similarity", "ann", "lsh"),
     doc=f"ANN via random-hyperplane LSH: {N_TABLES} tables x {N_PLANES} sign "

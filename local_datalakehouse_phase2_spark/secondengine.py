@@ -147,10 +147,12 @@ class TableResolver:
         acts = f"""{p}_acts AS (
   SELECT f.path AS path, version, 1 AS add_, f.row_count AS frows,
          COALESCE(f.content, 0) AS content, COALESCE(f.seq, -1) AS seq,
-         f.eq_cols AS eq_cols
+         f.eq_cols AS eq_cols,
+         COALESCE(f.name_epoch, f.seq) AS name_epoch
   FROM (SELECT version, unnest(added_files) AS f FROM {p}_main)
   UNION ALL
-  SELECT unnest(removed_files) AS path, version, 0, NULL, NULL, NULL, NULL
+  SELECT unnest(removed_files) AS path, version, 0, NULL, NULL, NULL, NULL,
+         NULL
   FROM {p}_main"""
         if self.checkpoints:
             # a checkpoint freezes resolved state at its version: its
@@ -160,7 +162,7 @@ class TableResolver:
             acts += f"""
   UNION ALL
   SELECT f.path, version, 1, f.row_count, COALESCE(f.content, 0),
-         COALESCE(f.seq, -1), f.eq_cols
+         COALESCE(f.seq, -1), f.eq_cols, COALESCE(f.name_epoch, f.seq)
   FROM (SELECT version, unnest(files) AS f
         FROM read_json('{td}/metadata/checkpoint-*.json', format='auto',
                        columns={_CP_COLS}))"""
@@ -190,7 +192,7 @@ class TableResolver:
         action source (e.g. a reconstructed historical branch chain)."""
         cond = f"WHERE version <= ({upto})" if upto is not None else ""
         return f"""{alias} AS (
-  SELECT path, frows, content, seq, eq_cols FROM (
+  SELECT path, frows, content, seq, eq_cols, name_epoch FROM (
     SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC) AS rn
     FROM {acts or f"{self.p}_acts"} {cond}
   ) WHERE rn = 1 AND add_ = 1
@@ -208,11 +210,11 @@ class TableResolver:
   UNION ALL
   SELECT f.path, e.version, 1 AS add_, f.row_count AS frows,
          COALESCE(f.content, 0) AS content, COALESCE(f.seq, -1) AS seq,
-         f.eq_cols
+         f.eq_cols, COALESCE(f.name_epoch, f.seq) AS name_epoch
   FROM (SELECT version, unnest(added_files) AS f FROM {p}_entries
         WHERE version IN (SELECT unnest({chain_versions}))) e(version, f)
   UNION ALL
-  SELECT unnest(e.removed_files), e.version, 0, NULL, NULL, NULL, NULL
+  SELECT unnest(e.removed_files), e.version, 0, NULL, NULL, NULL, NULL, NULL
   FROM {p}_entries e
   WHERE e.version IN (SELECT unnest({chain_versions}))
 )"""
@@ -225,19 +227,21 @@ class TableResolver:
         delete never gates chain rows)."""
         p = self.p
         return f"""{alias} AS (
-  SELECT path, frows, content, seq, eq_cols FROM (
+  SELECT path, frows, content, seq, eq_cols, name_epoch FROM (
     SELECT *, row_number() OVER (PARTITION BY path ORDER BY version DESC) AS rn
     FROM (
       SELECT a.* FROM {p}_acts a
       WHERE a.version <= (SELECT base FROM {p}_refs WHERE name = '{branch}')
       UNION ALL
       SELECT f.path, e.version, 1, f.row_count, COALESCE(f.content, 0),
-             CAST(4611686018427387904 AS BIGINT), f.eq_cols
+             CAST(4611686018427387904 AS BIGINT), f.eq_cols,
+             COALESCE(f.name_epoch, f.seq)
       FROM (SELECT version, unnest(added_files) AS f FROM {p}_entries
             WHERE version IN (SELECT unnest(commits) FROM {p}_refs
                               WHERE name = '{branch}')) e(version, f)
       UNION ALL
-      SELECT unnest(e.removed_files), e.version, 0, NULL, NULL, NULL, NULL
+      SELECT unnest(e.removed_files), e.version, 0, NULL, NULL, NULL, NULL,
+             NULL
       FROM {p}_entries e
       WHERE e.version IN (SELECT unnest(commits) FROM {p}_refs
                           WHERE name = '{branch}')

@@ -68,11 +68,25 @@ def test_minhash_estimates_track_true_jaccard(spark, sf_small, docs):
     sets = {i: shingle_set(docs[i]) for i in docs}
     for r in rows:
         true_j = len(sets[r.doc_a] & sets[r.doc_b]) / len(sets[r.doc_a] | sets[r.doc_b])
-        assert abs(r.est_jaccard - true_j) <= 0.35, (r.doc_a, r.doc_b, r.est_jaccard, true_j)
+        # the entry reports the EXACT jaccard and the estimator-accuracy flag
+        assert abs(r.jaccard - true_j) < 1e-6, (r.doc_a, r.doc_b, r.jaccard, true_j)
+        assert r.est_within_025, (r.doc_a, r.doc_b)
+    # and the emitted set IS the true near-dup set (the bimodal-gap claim
+    # the scale-honest oracle relies on)
+    assert {(r.doc_a, r.doc_b) for r in rows} == brute_force_pairs(docs, 0.5)
 
 
 def test_simhash_finds_near_identical_docs(spark, sf_small, docs):
-    rows = simhash_pairs(spark, sf_small).collect()
+    from local_datalakehouse_phase2_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import parallel_scan
+
+    rows = (
+        simhash_hamming_pairs(parallel_scan(spark, sf_small, "documents"))
+        .filter("hamming <= 6")
+        .collect()
+    )
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     # hamming<=6 on 64-bit simhash is a tighter near-dup bar than J>=0.6;
     # every simhash pair should be genuinely similar (J >= 0.3 at least)
@@ -84,6 +98,11 @@ def test_simhash_finds_near_identical_docs(spark, sf_small, docs):
     want = brute_force_pairs(docs, 0.9)
     found = len(want & pairs)
     assert found / len(want) >= 0.8 if want else True
+    # the registry entry exports the quality summary over these pairs
+    summary = simhash_pairs(spark, sf_small).collect()[0]
+    assert summary.n_true_dupes == len(brute_force_pairs(docs, 0.5))
+    assert summary.blocking_recall_ok and summary.pair_recall_ok
+    assert summary.precision_ok
 
 
 def test_connected_components_chain_and_islands(spark):
@@ -142,12 +161,15 @@ def test_simhash_wide_blocking_recall_is_exact(spark, sf_small):
 
     from local_datalakehouse_phase2_spark.operators.dedup import (
         _simhash_wide_sigs,
-        simhash_wide_pairs,
+        simhash_wide_hamming_pairs,
     )
     from local_datalakehouse_phase2_spark.sources.loaders import parallel_scan
 
     got = {
-        (r.doc_a, r.doc_b) for r in simhash_wide_pairs(spark, sf_small).collect()
+        (r.doc_a, r.doc_b)
+        for r in simhash_wide_hamming_pairs(parallel_scan(spark, sf_small, "documents"))
+        .filter("hamming <= 6")
+        .collect()
     }
     sigs = _simhash_wide_sigs(parallel_scan(spark, sf_small, "documents")).collect()
     ids = np.array([r.doc_id for r in sigs])
