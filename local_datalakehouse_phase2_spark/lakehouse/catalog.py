@@ -384,23 +384,32 @@ class Lakehouse:
         branch DROP) or whose table no other ref can see (removing a
         branch-created table with its branch).
 
-        Residual window: the pin check and the rmtree are not
-        serialized against a concurrent create_tag/create_branch (no
-        global catalog lock), so a ref forked in that window can pin a
-        just-vanished table; its read of THAT table then fails loudly
-        rather than silently — same check-then-act class as the
-        bookkeeping-after-flip stances in catalog_refs.py."""
+        The pin check and the rmtree run under the catalog-refs
+        REGISTRY lock (r13), mutually atomic with create_tag/
+        create_branch's {pin walk + record write} span: a ref created
+        concurrently either pins the table before the guard runs (the
+        drop refuses) or walks the tables after the rmtree (the
+        vanished table simply isn't pinned) — the torn state where a
+        fresh ref pins a just-vanished table can no longer form. The
+        `ignore_ref_pins` internal path keeps the smaller documented
+        bookkeeping-after-flip window (a tag created between a
+        catalog merge's marker flip and its published-DROP apply —
+        catalog_refs.py module docstring)."""
         table_dir = self._table_dir(identifier)
-        if not self.io.is_dir(os.path.join(table_dir, "metadata")):
-            raise CatalogError(f"table {identifier} does not exist")
-        if not ignore_ref_pins:
-            holders = self._catalog_refs.pinning_refs(identifier)
-            if holders:
-                raise CatalogError(
-                    f"table {identifier} is pinned by catalog ref(s) "
-                    f"{holders} — drop or merge those refs first"
-                )
-        self.io.rmtree(table_dir)
+
+        def run():
+            if not self.io.is_dir(os.path.join(table_dir, "metadata")):
+                raise CatalogError(f"table {identifier} does not exist")
+            if not ignore_ref_pins:
+                holders = self._catalog_refs.pinning_refs(identifier)
+                if holders:
+                    raise CatalogError(
+                        f"table {identifier} is pinned by catalog ref(s) "
+                        f"{holders} — drop or merge those refs first"
+                    )
+            self.io.rmtree(table_dir)
+
+        self._catalog_refs.with_registry_lock(run)
 
     def describe_table(self, identifier: str) -> dict:
         t = self.table(identifier)

@@ -164,13 +164,11 @@ class CatalogRefs:
             self._record_path(record["name"]), json.dumps(record, indent=1)
         )
 
-    def _with_merge_lock(self, name: str, fn):
-        """Serialize catalog merges (and drop) on one ref: O_EXCL lock
-        file with a 60 s crashed-holder steal — the same discipline as
-        log._with_ref_lock, at catalog scope."""
+    def _with_lock_file(self, lock: str, what: str, fn):
+        """O_EXCL lock file with a 60 s crashed-holder steal — the same
+        discipline as log._with_ref_lock, at catalog scope."""
         from . import log as _log
 
-        lock = self._record_path(name) + ".lock"
         deadline = time.monotonic() + 30.0
         while not self.io.create_exclusive(lock, str(os.getpid())):
             try:
@@ -180,9 +178,7 @@ class CatalogRefs:
             except OSError:
                 continue
             if time.monotonic() >= deadline:
-                raise CatalogRefError(
-                    f"timed out waiting for catalog merge lock on {name!r}"
-                )
+                raise CatalogRefError(f"timed out waiting for {what}")
             time.sleep(0.01)
         try:
             return fn()
@@ -191,6 +187,33 @@ class CatalogRefs:
                 self.io.remove(lock)
             except OSError:
                 pass
+
+    def _with_merge_lock(self, name: str, fn):
+        """Serialize catalog merges (and drop) on one ref."""
+        return self._with_lock_file(
+            self._record_path(name) + ".lock",
+            f"catalog merge lock on {name!r}",
+            fn,
+        )
+
+    def with_registry_lock(self, fn):
+        """Serialize ref CREATION against table drops (r13): create()
+        collects pins with a tables walk and then writes the record —
+        a drop_table whose pin-guard ran before that write but whose
+        rmtree ran after the walk would leave the new ref pinning a
+        vanished table (the check-then-act window drop_table's r12
+        docstring documented). One warehouse-level lock around
+        {pin walk + record write} on the create side and {pin guard +
+        rmtree} on the drop side makes the two check-then-act spans
+        mutually atomic. Lock ordering: merge lock -> registry lock
+        (drop() and _apply_reanchor hold a merge lock when they reach
+        drop_table); nothing takes them in the other order."""
+        self.io.makedirs(self.refs_dir)
+        return self._with_lock_file(
+            os.path.join(self.refs_dir, "_registry.lock"),
+            "the catalog-refs registry lock",
+            fn,
+        )
 
     # ---- lifecycle ------------------------------------------------------
 
@@ -205,28 +228,35 @@ class CatalogRefs:
         and every write/merge/rebase path refuses the ref."""
         if kind not in ("branch", "tag"):
             raise CatalogRefError(f"catalog ref kind must be branch or tag, got {kind!r}")
-        pins: dict[str, int] = {}
-        for ns in self.lake.namespaces():
-            for tbl in self.lake.tables(ns):
-                ident = f"{ns}.{tbl}"
-                head = self.lake.table(ident).log.latest_main_version()
-                if head is not None:
-                    pins[ident] = head
-        record = {
-            "name": name,
-            "kind": kind,
-            "created_at": time.time(),
-            "pins": pins,
-            "created": {},
-            "dropped": [],
-            "pending_merge": None,
-        }
-        self.io.makedirs(self.refs_dir)
-        if not self.io.create_exclusive(
-            self._record_path(name), json.dumps(record, indent=1)
-        ):
-            raise CatalogRefError(f"catalog ref {name!r} already exists")
-        return record
+
+        def run():
+            # pin walk + record write under the registry lock: a
+            # concurrent drop_table either finishes before the walk
+            # (table skipped — no head) or waits until the record is
+            # written (its pin guard then sees this ref and refuses)
+            pins: dict[str, int] = {}
+            for ns in self.lake.namespaces():
+                for tbl in self.lake.tables(ns):
+                    ident = f"{ns}.{tbl}"
+                    head = self.lake.table(ident).log.latest_main_version()
+                    if head is not None:
+                        pins[ident] = head
+            record = {
+                "name": name,
+                "kind": kind,
+                "created_at": time.time(),
+                "pins": pins,
+                "created": {},
+                "dropped": [],
+                "pending_merge": None,
+            }
+            if not self.io.create_exclusive(
+                self._record_path(name), json.dumps(record, indent=1)
+            ):
+                raise CatalogRefError(f"catalog ref {name!r} already exists")
+            return record
+
+        return self.with_registry_lock(run)
 
     @staticmethod
     def _kind(record: dict) -> str:

@@ -349,8 +349,23 @@ def _banded_truth_ctes() -> str:
 def _exact_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
     """Annotate a (doc_a, doc_b, ...) pair frame with the exact
     shingle-set Jaccard (computed only on those pairs — never
-    all-pairs), rounded to 6 dp to match the DuckDB fold."""
-    sh = d.select("doc_id", F.array_distinct(_shingles()).alias("sh"))
+    all-pairs), rounded to 6 dp to match the DuckDB fold.
+
+    The shingle projection is restricted to the docs the pairs touch
+    BEFORE it evaluates (broadcast semi-join on the candidate ids):
+    candidates are O(dupes) — sparse relative to the corpus — so this
+    turns a corpus-wide split/transform/distinct pass into one over
+    just the candidate docs. Catalyst cannot do this itself: without
+    partition-level dynamic pruning the Project under the join still
+    evaluates for every corpus row."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = d.join(F.broadcast(ids), "doc_id").select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    )
     return (
         pairs.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
@@ -538,9 +553,12 @@ _SIMHASH_SUMMARY_ORACLE = (
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     pairs = simhash_hamming_pairs(d)
-    truth = _exact_jaccard(lsh_candidate_pairs(d), d).filter(
-        F.col("jaccard") >= 0.5
-    )
+    # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
+    # junk before the exact join; a J>=0.8 dupe estimating under 0.3
+    # would need 26 of 32 minhash disagreements — effectively never
+    truth = _exact_jaccard(
+        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
+    ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
     )
@@ -653,9 +671,12 @@ def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
 def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     pairs = simhash_wide_hamming_pairs(d)
-    truth = _exact_jaccard(lsh_candidate_pairs(d), d).filter(
-        F.col("jaccard") >= 0.5
-    )
+    # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
+    # junk before the exact join; a J>=0.8 dupe estimating under 0.3
+    # would need 26 of 32 minhash disagreements — effectively never
+    truth = _exact_jaccard(
+        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
+    ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.75, 0.3
     )
@@ -935,30 +956,17 @@ def verified_jaccard(
     cand: DataFrame, corpus: DataFrame, threshold: float = 0.6
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs -> exact word-shingle Jaccard,
-    keeping pairs >= threshold. Candidates-only: shingles re-derive for
-    the candidate doc_ids via two hash joins against the corpus — at
-    scale that is a tiny fraction of the corpus, which is the entire
-    reason the banded index exists."""
-    sh = corpus.select("doc_id", F.array_distinct(_shingles()).alias("sh"))
-    j = (
-        cand.join(
-            sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"),
-            "doc_a",
-        )
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
+    keeping pairs >= threshold. Candidates-only — genuinely (r13): the
+    shingle projection runs AFTER a broadcast semi-join on the
+    candidate ids, so it evaluates for the O(dupes) docs the pairs
+    touch, not the whole corpus (_exact_jaccard shares the shape; at
+    scale the candidate-id set is sparse, which is the entire reason
+    the banded index exists)."""
+    return (
+        _exact_jaccard(cand.select("doc_a", "doc_b"), corpus)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def _cross_pairs(idx: DataFrame, nb: DataFrame) -> DataFrame:

@@ -163,3 +163,151 @@ def test_unraced_incremental_dedup_skips_delta_scan(spark, tmp_path):
         verified_jaccard(lsh_candidate_pairs(base).select("doc_a", "doc_b"), docs)
     )
     assert got >= want  # every pair involving a new doc is present
+
+
+def test_incremental_dedup_vs_index_compaction(spark, tmp_path):
+    """rewrite_data_files lands on the index table INSIDE a batch's
+    protocol window (between its entry-time read and its merge). The
+    compaction's `replace` entry makes the delta window non-append-only
+    (read_incremental refuses), so _index_delta must take the
+    version-pinned set-difference fallback — and since compaction is
+    value-neutral, that delta is EMPTY: no spurious pairs, same output
+    as the unraced run, index content intact."""
+    import types
+
+    from local_datalakehouse_phase2_spark.lakehouse import rewrite_data_files
+    from local_datalakehouse_phase2_spark.operators import dedup as dd
+
+    docs, base, batch_a, _ = _batches(spark)
+
+    # unraced reference
+    lake_s = Lakehouse(spark, str(tmp_path / "plain"))
+    lake_s.create_namespace("lab")
+    idx_s = lake_s.create_table("lab.bands", schema=IDX_SCHEMA)
+    idx_s.append(band_keys(base))
+    want = _pairs(dedup_incremental(batch_a, idx_s, docs))
+
+    # raced: compaction fires while the batch is mid-protocol
+    lake = Lakehouse(spark, str(tmp_path / "raced"))
+    lake.create_namespace("lab")
+    idx = lake.create_table("lab.bands", schema=IDX_SCHEMA)
+    # several small files so the compaction has real work
+    for part in (0, 1, 2):
+        idx.append(band_keys(base.filter(F.col("doc_id") % 9 == part * 3)))
+
+    compactor = Lakehouse(spark, str(tmp_path / "raced")).table("lab.bands")
+    orig_merge = idx.merge
+
+    def merge_after_compaction(self, *a, **kw):
+        rewrite_data_files(compactor, min_input_files=2)
+        return orig_merge(*a, **kw)
+
+    idx.merge = types.MethodType(merge_after_compaction, idx)
+
+    deltas = []
+    orig_delta = dd._index_delta
+
+    def spy(index_table, v_from, v_to):
+        out = orig_delta(index_table, v_from, v_to)
+        deltas.append(out)
+        return out
+
+    dd._index_delta = spy
+    try:
+        got = _pairs(dedup_incremental(batch_a, idx, docs))
+    finally:
+        dd._index_delta = orig_delta
+
+    assert got == want
+    # the window was non-empty (the replace entry) and the fallback
+    # produced a value-level delta of zero rows — compaction moved
+    # bytes, not facts
+    assert deltas and deltas[0] is not None
+    assert deltas[0].count() == 0
+    final = Lakehouse(spark, str(tmp_path / "raced")).table("lab.bands").read()
+    assert final.count() == band_keys(base).count() + band_keys(batch_a).count()
+
+
+def test_tag_create_vs_drop_table_serialized(spark, tmp_path):
+    """create_tag's {pin walk + record write} and drop_table's {pin
+    guard + rmtree} are mutually atomic under the catalog-refs registry
+    lock (r13): a drop racing a tag create can no longer interleave
+    into the torn state where a fresh tag pins a just-vanished table.
+    Forced schedule: the creator stalls MID-WALK (holding the lock);
+    the dropper must block, then lose to the pin guard."""
+    import threading
+    import types
+    import time as _time
+
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError
+
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    for name in ("a", "b"):
+        t = lake.create_table(f"lab.{name}", schema="k bigint")
+        t.append(spark.range(3).selectExpr("id AS k"))
+
+    entered, release = threading.Event(), threading.Event()
+    creator_lake = Lakehouse(spark, str(tmp_path / "w"))
+    orig_tables = type(creator_lake).tables
+
+    def slow_tables(self, ns, **kw):
+        out = orig_tables(self, ns, **kw)
+        entered.set()
+        release.wait(20)  # stall mid-walk, registry lock held
+        return out
+
+    creator_lake.tables = types.MethodType(slow_tables, creator_lake)
+    errors: list[BaseException] = []
+    drop_result: list[str] = []
+
+    def creator():
+        try:
+            creator_lake.create_tag("pinit")
+        except BaseException as e:
+            errors.append(e)
+
+    def dropper():
+        entered.wait(20)
+        try:
+            Lakehouse(spark, str(tmp_path / "w")).drop_table("lab.a")
+            drop_result.append("dropped")
+        except CatalogError as e:
+            drop_result.append(f"refused: {e}")
+
+    tc, td = threading.Thread(target=creator), threading.Thread(target=dropper)
+    tc.start(), td.start()
+    entered.wait(20)
+    _time.sleep(0.5)  # give the dropper time to reach the lock
+    assert td.is_alive(), "dropper must BLOCK on the registry lock mid-walk"
+    release.set()
+    tc.join(30), td.join(30)
+    assert not errors, errors
+    # the creator won the lock, so its record landed first and the
+    # dropper's guard saw the pin
+    assert drop_result and drop_result[0].startswith("refused"), drop_result
+    # the tag reads the still-alive table at its pin
+    assert Lakehouse(spark, str(tmp_path / "w")).read(
+        "lab.a", catalog_ref="pinit"
+    ).count() == 3
+
+
+def test_tag_create_after_drop_skips_vanished_table(spark, tmp_path):
+    """Opposite serialization order: the drop wins the lock first, so
+    the creator's walk simply never sees the table — the tag is born
+    without the pin instead of born broken."""
+    from local_datalakehouse_phase2_spark.lakehouse import CatalogError
+    from local_datalakehouse_phase2_spark.lakehouse.catalog_refs import (
+        CatalogRefError,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    for name in ("a", "b"):
+        t = lake.create_table(f"lab.{name}", schema="k bigint")
+        t.append(spark.range(2).selectExpr("id AS k"))
+    lake.drop_table("lab.a")
+    lake.create_tag("after")
+    with pytest.raises((CatalogError, CatalogRefError)):
+        lake.read("lab.a", catalog_ref="after")
+    assert lake.read("lab.b", catalog_ref="after").count() == 2
