@@ -479,31 +479,25 @@ def _blocking_summary(
     emitted (distance-filtered) pairs cover >= pair_floor of truth;
     precision_ok = every emitted pair IS a true dupe."""
     on = ["doc_a", "doc_b"]
-    flags = truth.join(
-        cands.select(*on).withColumn("c", F.lit(1)), on, "left"
-    ).join(emitted.select(*on).withColumn("e", F.lit(1)), on, "left")
-    recall = flags.agg(
-        F.count(F.lit(1)).alias("n_true_dupes"),
-        (
-            F.sum(F.coalesce(F.col("c"), F.lit(0)))
-            >= F.count(F.lit(1)) * F.lit(blocking_floor)
-        ).alias("blocking_recall_ok"),
-        (
-            F.sum(F.coalesce(F.col("e"), F.lit(0)))
-            >= F.count(F.lit(1)) * F.lit(pair_floor)
-        ).alias("pair_recall_ok"),
+    # ONE aggregation over a full-outer flag join — no 1-row x 1-row
+    # cross join (which plans a BroadcastNestedLoopJoin the registry
+    # plan gate forbids), and one Spark job instead of two
+    flags = (
+        truth.select(*on)
+        .withColumn("t", F.lit(1))
+        .join(cands.select(*on).withColumn("c", F.lit(1)), on, "full")
+        .join(emitted.select(*on).withColumn("e", F.lit(1)), on, "full")
     )
-    precision = (
-        emitted.select(*on)
-        .join(truth.select(*on).withColumn("t", F.lit(1)), on, "left")
-        .agg(
-            (
-                F.coalesce(F.sum(F.when(F.col("t").isNull(), 1).otherwise(0)), F.lit(0))
-                == 0
-            ).alias("precision_ok")
-        )
+    t, c, e = (F.coalesce(F.col(x), F.lit(0)) for x in ("t", "c", "e"))
+    n_true = F.sum(t)
+    return flags.agg(
+        n_true.alias("n_true_dupes"),
+        (F.sum(t * c) >= n_true * F.lit(blocking_floor)).alias(
+            "blocking_recall_ok"
+        ),
+        (F.sum(t * e) >= n_true * F.lit(pair_floor)).alias("pair_recall_ok"),
+        (F.sum(e * (1 - t)) == 0).alias("precision_ok"),
     )
-    return recall.crossJoin(precision)
 
 
 _SIMHASH_SUMMARY_ORACLE = (

@@ -145,7 +145,7 @@ def test_unraced_incremental_dedup_skips_delta_scan(spark, tmp_path):
         calls.append((v_from, v_to, out))
         return out
 
-    dd._index_delta, spy_token = spy, None
+    dd._index_delta = spy
     try:
         got = _pairs(dedup_incremental(batch_a, idx, docs))
     finally:
