@@ -9,8 +9,10 @@ functions (JVM-side, codegen'd — no Python UDFs):
             cross join (minhash_lsh_pairs)
 - Jaccard:  exact shingle-set Jaccard computed only on LSH candidates
             (ngram_jaccard_dupes)
-- SimHash:  64-bit token-hash sign-sum + 4x16-bit banding for
-            Hamming-distance candidates (simhash_pairs)
+- SimHash:  64/128-bit shingle-hash sign-sum + block-pair banding for
+            Hamming-distance candidates; the registry entries export
+            oracle-recomputable quality summaries over the pair
+            surfaces (simhash_pairs, simhash_wide_pairs)
 
 Scale design (the whole point at 100 TB): near-dup detection is
 shingle -> signature (narrow, linear) -> explode bands (x BANDS) ->
