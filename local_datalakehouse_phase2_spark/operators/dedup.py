@@ -148,7 +148,7 @@ def _simhash64(hs: pd.Series) -> pd.Series:
     return pd.Series(sim.astype(np.int64))
 
 
-def with_minhash(d: DataFrame) -> DataFrame:
+def with_minhash(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     """documents -> (doc_id, sig: array<bigint>).
 
     Shape history (measured at sf0.1, 50k docs): a pure array-expression
@@ -162,9 +162,25 @@ def with_minhash(d: DataFrame) -> DataFrame:
 
     Docs with NO shingles (shorter than SHINGLE words) are dropped
     before the UDF: they have nothing to compare, and an empty segment
-    would break the reduceat segment math."""
-    hs = d.filter(_has_shingles()).select("doc_id", _shingle_hashes().alias("hs"))
+    would break the reduceat segment math.
+
+    `hs` — a precomputed (doc_id, hs) shingle-hash frame to build the
+    signatures from instead of deriving one (the dual-signature
+    entries cache ONE hash pass and feed it to both UDFs)."""
+    if hs is None:
+        hs = shingle_hash_frame(d)
     return hs.select("doc_id", _minhash_sigs("hs").alias("sig"))
+
+
+def shingle_hash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, hs: array<bigint>): the corpus' shingle-hash pass —
+    the shared upstream of every signature family. Entries that need
+    TWO signature kinds over the same corpus (simhash blocking + the
+    minhash truth census) cache this frame so the scan + split +
+    shingle-build + xxhash64 pipeline runs once, not per family."""
+    return d.filter(_has_shingles()).select(
+        "doc_id", _shingle_hashes().alias("hs")
+    )
 
 
 MAX_BUCKET = 1000  # cap pathological buckets (boilerplate text) — see doc below
@@ -205,7 +221,7 @@ def band_keys(d: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> within-bucket pairs.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
@@ -226,7 +242,7 @@ def lsh_candidate_pairs(d: DataFrame) -> DataFrame:
     at sf0.1 that string building was ~30% of the query (2.4 s -> 1.4 s
     warm, 7.1 s -> 6.1 s cold).
     """
-    sigs = with_minhash(d)
+    sigs = with_minhash(d, hs=hs)
     bands = sigs.select("doc_id", "sig", _band_structs().alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
@@ -548,19 +564,24 @@ _SIMHASH_SUMMARY_ORACLE = (
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    pairs = simhash_hamming_pairs(d)
+    # ONE cached shingle-hash pass feeds BOTH signature families (the
+    # simhash blocking and the minhash truth census) — without the
+    # cache each family re-runs the corpus scan + shingle build +
+    # xxhash64 pipeline
+    hs = shingle_hash_frame(d).cache()
+    pairs = simhash_hamming_pairs(d, hs=hs)
     # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
     # junk before the exact join; a J>=0.8 dupe estimating under 0.3
     # would need 26 of 32 minhash disagreements — effectively never
     truth = _exact_jaccard(
-        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
+        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), d
     ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
     )
 
 
-def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
+def simhash_hamming_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming): every blocking-candidate pair with its
     64-bit SimHash Hamming distance — the per-pair surface the entry
     summarizes (and tests brute-force against).
@@ -577,11 +598,9 @@ def simhash_hamming_pairs(d: DataFrame) -> DataFrame:
     the projection) and feeds the hash arrays to one Arrow-batched
     numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
     vectorized, zero Python-level hashing."""
-    sigs = (
-        d.filter(_has_shingles())  # shingle-less docs: nothing to compare
-        .select("doc_id", _shingle_hashes().alias("hs"))
-        .select("doc_id", _simhash64("hs").alias("simhash"))
-    )
+    if hs is None:
+        hs = shingle_hash_frame(d)
+    sigs = hs.select("doc_id", _simhash64("hs").alias("simhash"))
     # Multi-block keys: 8 blocks of 8 bits. A single 8-bit block key has
     # only 256 buckets — at 50k docs that is ~200 docs/bucket and ~40M
     # all-pairs candidates (measured 35 s at sf0.1). Instead key on every
@@ -669,7 +688,9 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = simhash_wide_hamming_pairs(d)
     # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
     # junk before the exact join; a J>=0.8 dupe estimating under 0.3
-    # would need 26 of 32 minhash disagreements — effectively never
+    # would need 26 of 32 minhash disagreements — effectively never.
+    # (No shared hs here: the wide fingerprint derives BOTH halves in
+    # one projection over the shingle strings, a different upstream.)
     truth = _exact_jaccard(
         lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
     ).filter(F.col("jaccard") >= 0.5)
