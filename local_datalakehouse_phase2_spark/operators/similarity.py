@@ -295,11 +295,21 @@ def _fit_coarse_quantizer(emb: DataFrame) -> np.ndarray:
     pipeline would run k-means iterations with the same per-cell mean
     aggregate). The model is 10x64 doubles: collected ONCE driver-side
     as model parameters (same category as the LSH hyperplane constants,
-    not a data collect) and shipped to executors inside the UDF closure."""
+    not a data collect) and shipped to executors inside the UDF closure.
+
+    The fitted means are QUANTIZED to 6 dp (engine and oracle alike):
+    Spark's float aggregation order is partition-layout-dependent, so
+    an unrounded mean wobbles by ~1 ulp between runs — once per many
+    sf1 sweeps that wobble amplified through the ADC lookup sums into
+    a ROUND(cos,6) boundary flip (a one-off pq_adc_topk REAL-MISMATCH
+    under a loaded 154-entry session, unreproducible in isolation).
+    Rounding the MODEL kills the nondeterminism at its source: both
+    engines proceed from bit-identical parameters and everything
+    downstream is deterministic math."""
     rows = (
         emb.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
@@ -339,7 +349,7 @@ def _nearest_cells(emb_col, centroids: np.ndarray, n: int):
         ),
         centroids AS (
             SELECT label, list(c ORDER BY pos) AS centroid
-            FROM (SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos) pc
+            FROM (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM comps GROUP BY label, pos) pc
             GROUP BY label
         ),
         sims AS (
@@ -420,7 +430,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         centroids AS (
             SELECT label, list(c ORDER BY pos) AS centroid
-            FROM (SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos) pc
+            FROM (SELECT label, pos, ROUND(AVG(v), 6) AS c FROM comps GROUP BY label, pos) pc
             GROUP BY label
         )
         SELECT e.label AS label, COUNT(*) AS n_vecs,
@@ -440,7 +450,7 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     centroids = (
         comps.groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
@@ -568,7 +578,7 @@ def _pq_encode(emb_col, codebooks: np.ndarray):
             FROM embeddings, generate_series(1, {DIM}) AS t(i)
         ),
         cent AS (  -- (label, pos) -> centroid component
-            SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos
+            SELECT label, pos, ROUND(AVG(v), 6) AS c FROM comps GROUP BY label, pos
         ),
         vec AS (
             SELECT vec_id, label AS vlabel, i - 1 AS pos,
@@ -689,7 +699,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings, generate_series(1, {DIM}) AS t(i)
         ),
         cent AS (
-            SELECT label, pos, AVG(v) AS c FROM comps GROUP BY label, pos
+            SELECT label, pos, ROUND(AVG(v), 6) AS c FROM comps GROUP BY label, pos
         ),
         vec AS (
             SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
