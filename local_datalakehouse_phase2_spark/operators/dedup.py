@@ -564,17 +564,19 @@ _SIMHASH_SUMMARY_ORACLE = (
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    # ONE cached shingle-hash pass feeds BOTH signature families (the
-    # simhash blocking and the minhash truth census) — without the
-    # cache each family re-runs the corpus scan + shingle build +
-    # xxhash64 pipeline
-    hs = shingle_hash_frame(d).cache()
-    pairs = simhash_hamming_pairs(d, hs=hs)
+    # NOT cached on purpose, measured: caching the shared shingle-hash
+    # frame to feed both signature families looked like an obvious
+    # diamond-DAG win, but the InMemoryRelation's columnar
+    # encode/decode of ~100-element bigint arrays costs MORE than
+    # re-running the scan + shingle + xxhash64 pipeline per family
+    # (bench median 2.94 s -> 4.1-4.7 s with the cache at sf0.1) —
+    # each branch recomputes its narrow map instead
+    pairs = simhash_hamming_pairs(d)
     # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
     # junk before the exact join; a J>=0.8 dupe estimating under 0.3
     # would need 26 of 32 minhash disagreements — effectively never
     truth = _exact_jaccard(
-        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), d
+        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
     ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
