@@ -40,6 +40,7 @@ import uuid
 from collections.abc import Iterator
 from contextlib import contextmanager
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 
@@ -257,6 +258,9 @@ def stats_from_footer(md) -> dict[str, list]:
                 ok = False
                 break
             try:
+                # st.min/.max themselves can raise (pyarrow refuses to
+                # decode stats for some physical types, e.g. Spark's
+                # INT96 timestamps) — treat exactly like non-encodable
                 lo, hi = st.min, st.max
                 widen = isinstance(lo, Decimal) or isinstance(hi, Decimal)
                 lo, hi = _canonical_stat(lo), _canonical_stat(hi)
@@ -265,7 +269,7 @@ def stats_from_footer(md) -> dict[str, list]:
 
                     lo = _math.nextafter(lo, -_math.inf)
                     hi = _math.nextafter(hi, _math.inf)
-            except ValueError:
+            except (ValueError, NotImplementedError, pa.lib.ArrowNotImplementedError):
                 ok = False
                 break
             mins.append(lo)

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fastwrite
 from . import partition as _part
 from . import pruning
 from .fs import FileIO, LocalFileIO
@@ -2532,6 +2533,17 @@ class LakehouseTable:
         mode = props.get(PROP_DISTRIBUTION_MODE, "none")
         hash_cols = [c.strip() for c in props.get(PROP_HASH_COLUMNS, "").split(",") if c.strip()]
 
+        if (
+            not shaped
+            and input_bytes is None
+            and mode == "none"
+            and not props.get(PROP_SORT_ORDER, "")
+            and not props.get(PROP_PARTITION_SPEC)
+        ):
+            fast = self._write_files_local(df, target)
+            if fast is not None:
+                return fast
+
         def ordered(frame: DataFrame, prefix: tuple[str, ...] = ()) -> DataFrame:
             """`write.sort-order`: in-partition sort just before the
             write — a per-partition sort (no extra shuffle), enough for
@@ -2650,6 +2662,37 @@ class LakehouseTable:
         final = scan(write_dir(reshaped))
         self.io.rmtree(staged_dir)
         return final
+
+    def _write_files_local(self, df: DataFrame, target: int):
+        """Fast path for LocalRelation-backed tiny commits: write the
+        driver-held rows as ONE pyarrow parquet file, skipping Spark's
+        ~200 ms per-write job-scheduling + committer-rename floor
+        (fastwrite.py has the fidelity contract). Returns None whenever
+        the write isn't eligible — scan-backed plan, empty frame (the
+        Spark writer's empty-file behavior is observable in the files
+        metadata view and must not change), unsupported type, over the
+        target file size, or a non-local warehouse path — and the
+        caller proceeds with the Spark writer."""
+        if "://" in self.table_dir:
+            return None
+        try:
+            plan = df._jdf.queryExecution().optimizedPlan()
+            if plan.getClass().getSimpleName() != "LocalRelation":
+                return None
+        except Exception:
+            return None
+        rows = df.collect()  # LocalTableScanExec.executeCollect — no job
+        if not rows:
+            return None
+        tbl = fastwrite.rows_to_arrow(rows, df.schema)
+        if tbl is None or tbl.nbytes > target:
+            return None
+        out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+        os.makedirs(out, exist_ok=True)
+        fastwrite.write_rows(
+            tbl, os.path.join(out, f"part-00000-{uuid.uuid4().hex[:12]}.parquet")
+        )
+        return self._scan_written(out)
 
     def _scan_written(self, out_dir: str) -> tuple[FileInfo, ...]:
         """FileInfos for a freshly written commit dir: exact row count +
