@@ -221,7 +221,48 @@ def band_keys(d: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
+def exact_jaccard_hashed(pairs: DataFrame, hs: DataFrame) -> DataFrame:
+    """`_exact_jaccard` over the snapshot's hashed shingles instead of
+    re-deriving string shingles from the corpus: Jaccard over distinct
+    xxhash64 values equals Jaccard over distinct shingle strings unless
+    two distinct shingles of the compared pair collide in 64 bits
+    (~200^2/2^65 ≈ 1e-15 per pair — below every other error source;
+    the cross-engine sweep would surface one as a value mismatch).
+    Candidate-restricted exactly like `_exact_jaccard`."""
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = hs.join(F.broadcast(ids), "doc_id").select(
+        "doc_id", F.array_distinct("hs").alias("sh")
+    )
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .drop("sh_a", "sh_b")
+    )
+
+
+def lsh_candidate_pairs(
+    d: DataFrame,
+    hs: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> within-bucket pairs.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
 
@@ -242,7 +283,8 @@ def lsh_candidate_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
     at sf0.1 that string building was ~30% of the query (2.4 s -> 1.4 s
     warm, 7.1 s -> 6.1 s cold).
     """
-    sigs = with_minhash(d, hs=hs)
+    if sigs is None:
+        sigs = with_minhash(d, hs=hs)
     bands = sigs.select("doc_id", "sig", _band_structs().alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
@@ -434,9 +476,10 @@ def _exact_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.5)
+    hs = shingle_hash_frame(d)
+    cands = lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.5)
     return (
-        _exact_jaccard(cands, d)
+        exact_jaccard_hashed(cands, hs)
         .select(
             "doc_a",
             "doc_b",
@@ -472,9 +515,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3)
+    hs = shingle_hash_frame(d)
+    cands = lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3)
     return (
-        _exact_jaccard(cands, d)
+        exact_jaccard_hashed(cands, hs)
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -564,26 +608,33 @@ _SIMHASH_SUMMARY_ORACLE = (
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    # NOT cached on purpose, measured: caching the shared shingle-hash
-    # frame to feed both signature families looked like an obvious
-    # diamond-DAG win, but the InMemoryRelation's columnar
-    # encode/decode of ~100-element bigint arrays costs MORE than
-    # re-running the scan + shingle + xxhash64 pipeline per family
-    # (bench median 2.94 s -> 4.1-4.7 s with the cache at sf0.1) —
-    # each branch recomputes its narrow map instead
-    pairs = simhash_hamming_pairs(d)
+    # Materialization experiments, both measured SLOWER than recompute
+    # on local[32] (idle cores absorb the duplicated narrow maps, so a
+    # shared barrier only lengthens the critical path): .cache() of the
+    # hash frame hit InMemoryRelation's columnar encode of the
+    # ~100-element arrays (2.94 s -> 4.1-4.7 s, r12), and an eager
+    # localCheckpoint of (hs, sig, simhash) measured 3.23 s vs 2.97 s
+    # for plain branch recompute (r13). Each family re-derives its
+    # narrow map; the exact-verify step reads the HASHED shingles
+    # (exact_jaccard_hashed) so no branch re-scans the document text.
+    hs = shingle_hash_frame(d)
+    pairs = simhash_hamming_pairs(d, hs=hs)
     # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
     # junk before the exact join; a J>=0.8 dupe estimating under 0.3
     # would need 26 of 32 minhash disagreements — effectively never
-    truth = _exact_jaccard(
-        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
+    truth = exact_jaccard_hashed(
+        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), hs
     ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
     )
 
 
-def simhash_hamming_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFrame:
+def simhash_hamming_pairs(
+    d: DataFrame,
+    hs: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
     """(doc_a, doc_b, hamming): every blocking-candidate pair with its
     64-bit SimHash Hamming distance — the per-pair surface the entry
     summarizes (and tests brute-force against).
@@ -600,9 +651,10 @@ def simhash_hamming_pairs(d: DataFrame, hs: DataFrame | None = None) -> DataFram
     the projection) and feeds the hash arrays to one Arrow-batched
     numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
     vectorized, zero Python-level hashing."""
-    if hs is None:
-        hs = shingle_hash_frame(d)
-    sigs = hs.select("doc_id", _simhash64("hs").alias("simhash"))
+    if sigs is None:
+        if hs is None:
+            hs = shingle_hash_frame(d)
+        sigs = hs.select("doc_id", _simhash64("hs").alias("simhash"))
     # Multi-block keys: 8 blocks of 8 bits. A single 8-bit block key has
     # only 256 buckets — at 50k docs that is ~200 docs/bucket and ~40M
     # all-pairs candidates (measured 35 s at sf0.1). Instead key on every
@@ -693,10 +745,12 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
     # junk before the exact join; a J>=0.8 dupe estimating under 0.3
     # would need 26 of 32 minhash disagreements — effectively never.
-    # (No shared hs here: the wide fingerprint derives BOTH halves in
-    # one projection over the shingle strings, a different upstream.)
-    truth = _exact_jaccard(
-        lsh_candidate_pairs(d).filter(F.col("est_jaccard") >= 0.3), d
+    # (The wide fingerprint derives BOTH halves in one projection over
+    # the shingle strings — a different upstream — so only the truth
+    # census shares the plain shingle-hash frame.)
+    hs = shingle_hash_frame(d)
+    truth = exact_jaccard_hashed(
+        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), hs
     ).filter(F.col("jaccard") >= 0.5)
     return _blocking_summary(
         truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.6, 0.3
