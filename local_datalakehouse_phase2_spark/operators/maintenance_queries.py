@@ -57,6 +57,67 @@ def _nrows(*dfs) -> tuple[int, ...]:
     return tuple(int(got[i]) for i in range(len(dfs)))
 
 
+class _Slot:
+    """Placeholder for a deferred verification count (see _CountLedger)."""
+
+    __slots__ = ("i",)
+
+    def __init__(self, i: int):
+        self.i = i
+
+
+class _CountLedger:
+    """Defer every per-step verification count into ONE Spark job.
+
+    A lifecycle entry reads table state between commits purely to
+    record row counts. Each `lake.read(...)` pins its snapshot's live
+    file set at call time (`_assemble_read` takes the resolved
+    data_state, and committed files are never physically removed by
+    later commits — only the orphan sweep deletes bytes), so the
+    DataFrame is a stable snapshot read no matter when it is counted.
+    Capturing the reads per step and collecting ALL counts in one
+    union-of-aggregates job at the end is therefore value-identical to
+    counting at each step — it is snapshot isolation doing the work —
+    while paying Spark's per-job floor once instead of once per step.
+    NOT safe for entries that physically delete files mid-run
+    (expire_snapshots / remove_orphan_files demos count eagerly)."""
+
+    def __init__(self):
+        self._dfs: list[DataFrame] = []
+
+    def counts(self, *dfs: DataFrame) -> tuple["_Slot", ...]:
+        out = []
+        for d in dfs:
+            self._dfs.append(d)
+            out.append(_Slot(len(self._dfs) - 1))
+        return tuple(out)
+
+    def resolve(self, rows: list[tuple]) -> list[tuple]:
+        got = _nrows(*self._dfs) if self._dfs else ()
+        return [
+            tuple(got[v.i] if isinstance(v, _Slot) else v for v in row)
+            for row in rows
+        ]
+
+
+_LOCALIZE_CAP = 500  # localrows falls back past this; keep the scan then
+
+
+def _localize(df: DataFrame) -> DataFrame:
+    """Collect a SMALL fixture frame once and rebuild it as a pure-JVM
+    LocalRelation (localrows.local_df). Filters/projections over the
+    result stay LocalRelations (Catalyst's ConvertToLocalRelation), so
+    every tiny lifecycle append sliced from it takes the driver-side
+    parquet fast path (table._write_files_local) — no Spark job per
+    commit — instead of re-scanning the fixture parquet per slice.
+    Values are identical by construction (same rows, localrows renders
+    round-trippable literals); frames past the cap stay as-is."""
+    rows = df.limit(_LOCALIZE_CAP + 1).collect()
+    if len(rows) > _LOCALIZE_CAP:
+        return df
+    return local_df(df.sparkSession, rows, df.schema)
+
+
 def _with_lake(spark: SparkSession, fn) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="lakehouse_q_")
     try:
@@ -157,7 +218,7 @@ ORDER BY snapshot_id""",
     "Second-engine checked: the oracle re-resolves the committed log itself.",
 )
 def lakehouse_snapshot_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"))
 
     def run(lake: Lakehouse):
         t = lake.create_table(
@@ -210,7 +271,7 @@ _CF_WH, _CF = _se("lakehouse_compaction_files", "lab.nation_cf")
     "the guide's own post-check (:333-340).",
 )
 def lakehouse_compaction_files(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.nation_cf", properties={"write.target-file-size-bytes": "65536"})
@@ -263,7 +324,7 @@ _TT_WH, _TT = _se("lakehouse_time_travel_rollback", "lab.region_tt")
     "second engine's log fold at structurally-selected versions.",
 )
 def lakehouse_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region = _localize(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.region_tt")
@@ -312,7 +373,7 @@ _EXP_WH, _EXP = _se("lakehouse_expire_and_orphans", "lab.region_exp", checkpoint
     "the sweep, current data intact.",
 )
 def lakehouse_expire_and_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region = _localize(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.region_exp")
@@ -370,14 +431,15 @@ _DM_WH, _DM = _se("lakehouse_delete_merge", "lab.nation_dm")
     "lifecycle version; only files containing matched keys rewrite.",
 )
 def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
+        led = _CountLedger()
         t = lake.create_table("lab.nation_dm")
         t.append(nation.repartition(4, "n_nationkey"))
-        rows_initial = t.read().count()
+        (rows_initial,) = led.counts(t.read())
         t.delete_where("n_nationkey % 5 = 0")
-        rows_after_delete = t.read().count()
+        (rows_after_delete,) = led.counts(t.read())
         source = nation.filter(F.col("n_nationkey").between(1, 4)).select(
             "n_nationkey", F.concat(F.lit("UPD_"), F.col("n_name")).alias("n_name")
         ).unionByName(
@@ -387,10 +449,11 @@ def lakehouse_delete_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         t.merge(source, key_cols=["n_nationkey"])
-        rows_after_merge = t.read().count()
-        upd = t.read().filter(F.col("n_name").startswith("UPD_")).count()
+        rows_after_merge, upd = led.counts(
+            t.read(), t.read().filter(F.col("n_name").startswith("UPD_"))
+        )
         return (
-            [(rows_initial, rows_after_delete, rows_after_merge, upd)],
+            led.resolve([(rows_initial, rows_after_delete, rows_after_merge, upd)]),
             "rows_initial bigint, rows_after_delete bigint,"
             " rows_after_merge bigint, upd_rows bigint",
         )
@@ -536,7 +599,7 @@ _INC_WH, _INC = _se("lakehouse_incremental_read", "lab.nation_inc")
     "per-version file deltas.",
 )
 def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.nation_inc")
@@ -731,7 +794,7 @@ _BR_WH, _BR = _se(
     "entry it observed (see the oracle comment above).",
 )
 def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region = _localize(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.refs_q", schema="r_regionkey bigint, r_name string")
@@ -798,7 +861,7 @@ _WAP_WH, _WAP = _se("lakehouse_wap_publish", "lab.wap_q")
 def lakehouse_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
 
-    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    region = _localize(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
 
     def run(lake: Lakehouse):
         from ..lakehouse import publish_changes
@@ -923,30 +986,30 @@ ORDER BY step""",
     "pair, complete.",
 )
 def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         from ..lakehouse import CommitConflictError, merge_branch, rebase_branch
 
+        led = _CountLedger()
         t = lake.create_table("lab.branch_q", schema="n_nationkey bigint, n_name string")
         t.append(nation.filter(F.col("n_nationkey") < 5))
         t.create_branch("dev")
-        rows = [("fork", t.read().count(), t.read(ref="dev").count(), "branch == main at fork")]
+        rows = [("fork", *led.counts(t.read(), t.read(ref="dev")), "branch == main at fork")]
 
         # two branch commits + concurrent main progress
         t.append(nation.filter(F.col("n_nationkey").between(5, 9)), ref="dev")
         t.append(nation.filter(F.col("n_nationkey").between(10, 14)), ref="dev")
         t.append(nation.filter(F.col("n_nationkey").between(22, 24)))  # main moves
         rows.append(
-            ("branch_writes", t.read().count(), t.read(ref="dev").count(), "invisible on main")
+            ("branch_writes", *led.counts(t.read(), t.read(ref="dev")), "invisible on main")
         )
 
         res = merge_branch(t, "dev")
         rows.append(
             (
                 "merged",
-                t.read().count(),
-                t.read(ref="dev").count(),
+                *led.counts(t.read(), t.read(ref="dev")),
                 f"replay; fast_forward={res['fast_forward']}",
             )
         )
@@ -954,8 +1017,7 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "second_merge",
-                t.read().count(),
-                t.read(ref="dev").count(),
+                *led.counts(t.read(), t.read(ref="dev")),
                 f"no-op; merged_commits={res2['merged_commits']}",
             )
         )
@@ -972,7 +1034,7 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail = "MERGE UNEXPECTEDLY SUCCEEDED"
         except CommitConflictError:
             detail = "CommitConflictError"
-        rows.append(("conflict_rejected", c.read().count(), c.read(ref="dev").count(), detail))
+        rows.append(("conflict_rejected", *led.counts(c.read(), c.read(ref="dev")), detail))
 
         # recovery: rebase drops the conflicting commit (reported), the
         # branch view refreshes to current main, the change is re-applied
@@ -981,8 +1043,7 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "rebased",
-                c.read().count(),
-                c.read(ref="dev").count(),
+                *led.counts(c.read(), c.read(ref="dev")),
                 f"kept={reb['kept_commits']} dropped={len(reb['dropped_commits'])}",
             )
         )
@@ -991,14 +1052,13 @@ def lakehouse_branch_write_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "recovered",
-                c.read().count(),
-                c.read(ref="dev").count(),
+                *led.counts(c.read(), c.read(ref="dev")),
                 f"merge after rebase; merged_commits={res3['merged_commits']}",
             )
         )
 
         return (
-            sorted(rows),
+            sorted(led.resolve(rows)),
             "step string, main_rows bigint, branch_rows bigint, detail string",
         )
 
@@ -1199,7 +1259,7 @@ ORDER BY step""",
     "txn markers, and the catalog-ref record JSON.",
 )
 def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         from ..lakehouse import CommitConflictError
@@ -1210,10 +1270,12 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.append(nation.filter(F.col("n_nationkey").between(5, 9)))
         lake.create_branch("etl")
 
+        led = _CountLedger()
+
         def counts(ref):
-            # all four verification counts (2 tables x main+ref) in ONE
-            # Spark job — per-job overhead dominates these tiny scans
-            return _nrows(
+            # all four verification reads (2 tables x main+ref) pinned
+            # NOW, counted in the entry's single deferred job
+            return led.counts(
                 lake.read("lab.cat_t1"),
                 lake.read("lab.cat_t2"),
                 lake.read("lab.cat_t1", catalog_ref=ref),
@@ -1269,7 +1331,7 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail = "CommitConflictError; neither table published"
 
         def ccounts():
-            return _nrows(
+            return led.counts(
                 lake.read("lab.cat_c1"),
                 lake.read("lab.cat_c2"),
                 lake.read("lab.cat_c1", catalog_ref="fix"),
@@ -1324,8 +1386,8 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             try:
                 main_read = lake.read("lab.cat_new")  # raises pre-merge
             except CatalogError:
-                return (0, -1, 1, _nrows(ref_read)[0])
-            n_main, n_ref = _nrows(main_read, ref_read)
+                return (0, -1, 1, *led.counts(ref_read))
+            n_main, n_ref = led.counts(main_read, ref_read)
             return (1, n_main, 1, n_ref)
 
         rows.append(
@@ -1344,7 +1406,7 @@ def lakehouse_catalog_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("tag_pinned", *dstate(ref="train"), "tag read pinned while main moves")
         )
         return (
-            sorted(rows),
+            sorted(led.resolve(rows)),
             "step string, t1_main bigint, t2_main bigint, "
             "t1_branch bigint, t2_branch bigint, detail string",
         )
@@ -1435,7 +1497,7 @@ def _rn_cols_at(v: str) -> str:
     "physical names).",
 )
 def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table("lab.rn_q", schema="n_nationkey bigint, n_name string")
@@ -1564,7 +1626,7 @@ ORDER BY step""",
     "commit invalidating the staged rewrite aborts both.",
 )
 def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         from ..lakehouse import CommitConflictError
@@ -1572,25 +1634,26 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_t = lake.create_table("lab.txn_orders", schema="n_nationkey bigint, n_name string")
         agg_t = lake.create_table("lab.txn_agg", schema="n_cnt bigint")
         orders_t.append(nation.filter(F.col("n_nationkey") < 5))
-        agg_t.append(spark.range(1).select(F.lit(5).cast("long").alias("n_cnt")))
+        agg_t.append(local_df(spark, [(5,)], "n_cnt long"))
 
         # pipeline step: append a batch AND its aggregate, atomically
+        led = _CountLedger()
         txn = lake.transaction()
         txn.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(5, 9)))
-        txn.append("lab.txn_agg", spark.range(1).select(F.lit(10).cast("long").alias("n_cnt")))
+        txn.append("lab.txn_agg", local_df(spark, [(10,)], "n_cnt long"))
         rows = [
-            ("staged", *_nrows(orders_t.read(), agg_t.read()), "undecided: both invisible")
+            ("staged", *led.counts(orders_t.read(), agg_t.read()), "undecided: both invisible")
         ]
         txn.commit()
         rows.append(
-            ("committed", *_nrows(orders_t.read(), agg_t.read()), "one marker flip: both visible")
+            ("committed", *led.counts(orders_t.read(), agg_t.read()), "one marker flip: both visible")
         )
 
         # conflict path: stage an overwrite on the aggregate, lose the
         # race to a direct writer -> the whole txn aborts
         txn2 = lake.transaction()
         txn2.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(10, 14)))
-        txn2.overwrite("lab.txn_agg", spark.range(1).select(F.lit(15).cast("long").alias("n_cnt")))
+        txn2.overwrite("lab.txn_agg", local_df(spark, [(15,)], "n_cnt long"))
         agg_t.overwrite(
             agg_t.read().withColumn("n_cnt", F.col("n_cnt"))
         )  # concurrent rewrite wins
@@ -1599,7 +1662,7 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
             detail = "TXN UNEXPECTEDLY COMMITTED"
         except CommitConflictError:
             detail = "CommitConflictError: nothing published"
-        rows.append(("conflict", *_nrows(orders_t.read(), agg_t.read()), detail))
+        rows.append(("conflict", *led.counts(orders_t.read(), agg_t.read()), detail))
 
         # generalized shapes: append on orders + row-level delete_where
         # on the aggregate, one atomic flip
@@ -1610,7 +1673,7 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (
                 "mixed_commit",
-                *_nrows(orders_t.read(), agg_t.read()),
+                *led.counts(orders_t.read(), agg_t.read()),
                 "append + delete_where, one flip",
             )
         )
@@ -1620,16 +1683,16 @@ def lakehouse_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         txn4 = lake.transaction()
         txn4.append("lab.txn_orders", nation.filter(F.col("n_nationkey").between(15, 19)))
         txn4.delete_where("lab.txn_agg", "n_cnt = 10")
-        agg_t.overwrite(spark.range(1).select(F.lit(99).cast("long").alias("n_cnt")))
+        agg_t.overwrite(local_df(spark, [(99,)], "n_cnt long"))
         try:
             txn4.commit()
             detail4 = "TXN UNEXPECTEDLY COMMITTED"
         except CommitConflictError:
             detail4 = "CommitConflictError: nothing published"
-        rows.append(("mixed_abort", *_nrows(orders_t.read(), agg_t.read()), detail4))
+        rows.append(("mixed_abort", *led.counts(orders_t.read(), agg_t.read()), detail4))
 
         return (
-            sorted(rows),
+            sorted(led.resolve(rows)),
             "step string, orders_rows bigint, agg_rows bigint, detail string",
         )
 
@@ -1899,7 +1962,7 @@ _MOR_WH, _MOR = _se("lakehouse_mor_delete", "lab.nation_mor")
     "file_path+pos over the raw parquet).",
 )
 def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table(
@@ -2002,7 +2065,7 @@ _EQD_WH, _EQD = _se("lakehouse_equality_delete", "lab.nation_eq")
 def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..lakehouse import rewrite_equality_deletes
 
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table(
@@ -2170,7 +2233,7 @@ _MT_WH, _MT = _se("lakehouse_metadata_tables", "lab.nation_meta")
     "clearing the tombstones.",
 )
 def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         t = lake.create_table(
@@ -2278,9 +2341,7 @@ def lakehouse_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         v0 = t.log.latest_version()
         t.append(
-            spark.range(0, 20)
-            .select(F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v"))
-            .coalesce(1)
+            local_df(spark, [(i, f"v{i}") for i in range(20)], "k bigint, v string")
         )
         t.delete_where("k IN (3, 4)")
         t.update_where({"v": "concat('u', k)"}, "k = 7")
@@ -2350,7 +2411,7 @@ _AF_WH, _AF = _se("lakehouse_add_files", "lab.adopted")
 def lakehouse_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
-    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
         from ..lakehouse import MaintenanceError, add_files
@@ -2638,8 +2699,10 @@ def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-engine pattern applied to the view layer).",
 )
 def lakehouse_views(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
+    nation = _localize(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
     )
 
     def run(lake: Lakehouse):
