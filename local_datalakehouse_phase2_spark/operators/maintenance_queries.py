@@ -277,14 +277,15 @@ def lakehouse_compaction_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = lake.create_table("lab.nation_cf", properties={"write.target-file-size-bytes": "65536"})
         t.append(nation.filter(F.col("n_nationkey") < 10).repartition(4, "n_nationkey"))
         t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(4, "n_nationkey"))
+        led = _CountLedger()
         files_before = t.files().count()
-        rows_before = t.read().count()
+        (rows_before,) = led.counts(t.read())
         rewrite_data_files(t, target_file_size_bytes=134217728)
         rewrite_manifests(t)
         files_after = t.files().count()
-        rows_after = t.read().count()
+        (rows_after,) = led.counts(t.read())
         return (
-            [(files_before, files_after, rows_before, rows_after)],
+            led.resolve([(files_before, files_after, rows_before, rows_after)]),
             "files_before bigint, files_after bigint, rows_before bigint, rows_after bigint",
         )
 
@@ -327,16 +328,16 @@ def lakehouse_time_travel_rollback(spark: SparkSession, sf_dir: str) -> DataFram
     region = _localize(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"))
 
     def run(lake: Lakehouse):
+        led = _CountLedger()
         t = lake.create_table("lab.region_tt")
         t.append(region)
-        rows_v1 = t.read().count()
+        (rows_v1,) = led.counts(t.read())
         t.append(region)
-        rows_v2 = t.read().count()
+        (rows_v2,) = led.counts(t.read())
         rollback_to_snapshot(t, 1)
-        rows_rb = t.read().count()
-        rows_tt = t.read(version=1).count()
+        rows_rb, rows_tt = led.counts(t.read(), t.read(version=1))
         return (
-            [(rows_v1, rows_v2, rows_rb, rows_tt)],
+            led.resolve([(rows_v1, rows_v2, rows_rb, rows_tt)]),
             "rows_v1 bigint, rows_v2 bigint, rows_after_rollback bigint, rows_time_travel_v1 bigint",
         )
 
@@ -607,9 +608,9 @@ def lakehouse_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(nation.filter(F.col("n_nationkey").between(10, 14)))  # v2
         t.append(nation.filter(F.col("n_nationkey") >= 15))         # v3
         v1 = t.log.latest_version() - 2
-        d2 = t.read_incremental(v1, v1 + 1).count()
-        d23 = t.read_incremental(v1).count()
-        full = t.read().count()
+        d2, d23, full = _nrows(
+            t.read_incremental(v1, v1 + 1), t.read_incremental(v1), t.read()
+        )
         return (
             [(d2, d23, full)],
             "rows_delta_v2 bigint, rows_delta_v2_v3 bigint, rows_full bigint",
@@ -663,9 +664,12 @@ def lakehouse_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols_v1 = len(t.read(version=v1).columns)
         cur = t.read()
         cols_v2 = len(cur.columns)
-        null_scores = cur.filter(F.col("score").isNull()).count()
-        filled = cur.filter(F.col("score").isNotNull()).count()
-        mx = cur.agg(F.max("score")).first()[0]
+        # one job: both null-split counts and the max
+        null_scores, filled, mx = cur.agg(
+            F.count_if(F.col("score").isNull()),
+            F.count_if(F.col("score").isNotNull()),
+            F.max("score"),
+        ).first()
         return (
             [(cols_v1, cols_v2, null_scores, filled, float(mx))],
             "cols_v1 bigint, cols_v2 bigint, null_scores bigint,"
@@ -803,11 +807,13 @@ def lakehouse_branch_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(region.withColumn("r_regionkey", F.col("r_regionkey") + 100))
         t.create_tag("release-1.0")
         t.append(region.withColumn("r_regionkey", F.col("r_regionkey") + 200))
-        rows_branch = t.read(ref="audit").count()
-        rows_tag = t.read(ref="release-1.0").count()
-        rows_head = t.read().count()
+        rows_branch, rows_tag, rows_head = _nrows(
+            t.read(ref="audit"), t.read(ref="release-1.0"), t.read()
+        )
         t.fast_forward("audit")
         rows_branch_ff = t.read(ref="audit").count()
+        # counts stay EAGER from here: expire_snapshots physically
+        # deletes files, which invalidates earlier-captured plans
         expire_snapshots(t, retain_last=1)
         rows_tag_post = t.read(ref="release-1.0").count()
         return (
@@ -1500,6 +1506,7 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _localize(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
 
     def run(lake: Lakehouse):
+        led = _CountLedger()
         t = lake.create_table("lab.rn_q", schema="n_nationkey bigint, n_name string")
         t.append(nation.filter(F.col("n_nationkey") < 5))
         v_before = t.log.latest_version()
@@ -1508,7 +1515,7 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "renamed_schema",
                 ",".join(f.name for f in t.schema().fields),
-                t.read().count(),
+                *led.counts(t.read()),
                 "metadata-only commit",
             )
         ]
@@ -1521,13 +1528,13 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "mixed_epoch_read",
                 ",".join(t.read().columns),
-                t.read().count(),
+                *led.counts(t.read()),
                 "old files resolve physical n_name",
             )
         )
         old = t.read(version=v_before)
         rows.append(
-            ("time_travel", ",".join(old.columns), old.count(), "as-of schema shows old name")
+            ("time_travel", ",".join(old.columns), *led.counts(old), "as-of schema shows old name")
         )
         t.rename_column("label", "title")
         t.append(
@@ -1539,7 +1546,7 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "chained",
                 ",".join(t.read().columns),
-                t.read().count(),
+                *led.counts(t.read()),
                 "n_name->label->title across 3 epochs",
             )
         )
@@ -1550,12 +1557,12 @@ def lakehouse_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 "filtered",
                 ",".join(filt.columns),
-                filt.count(),
+                *led.counts(filt),
                 "filter on renamed col spans epochs",
             )
         )
         return (
-            sorted(rows),
+            sorted(led.resolve(rows)),
             "step string, cols string, n_rows bigint, detail string",
         )
 
@@ -1973,11 +1980,12 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "write.delete.mode": "merge-on-read",
             },
         )
+        led = _CountLedger()
         t.append(nation.repartition(4, "n_nationkey"))
-        rows_initial = t.read().count()
+        (rows_initial,) = led.counts(t.read())
         q = LakehouseSQL(lake, catalog_name="nessie")
         q.sql("DELETE FROM nessie.lab.nation_mor WHERE n_nationkey % 5 = 0")
-        rows_after = t.read().count()
+        (rows_after,) = led.counts(t.read())
         delete_entry = t.log.read_entry(t.log.latest_version())
         no_rewrite = not delete_entry.removed_files
         # the guide's content-class accounting query (:336-340)
@@ -1995,9 +2003,9 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             "options => map('target-file-size-bytes','134217728'))"
         )
         pos_after = t.files().filter(F.col("content") == 1).count()
-        rows_final = t.read().count()
+        (rows_final,) = led.counts(t.read())
         return (
-            [
+            led.resolve([
                 (
                     rows_initial,
                     rows_after,
@@ -2007,7 +2015,7 @@ def lakehouse_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pos_after,
                     rows_final,
                 )
-            ],
+            ]),
             "rows_initial bigint, rows_after_delete bigint, "
             "tombstone_entries bigint, tombstones_present boolean, "
             "no_data_rewritten boolean, pos_delete_files_after bigint, "
@@ -2071,23 +2079,31 @@ def lakehouse_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = lake.create_table(
             "lab.nation_eq", schema="n_nationkey bigint, n_name string"
         )
+        led = _CountLedger()
         t.append(nation.repartition(4, "n_nationkey"))
-        rows_initial = t.read().count()
+        (rows_initial,) = led.counts(t.read())
         keys = local_df(t.spark, [(k,) for k in range(5)], "n_nationkey bigint")
         t.equality_delete(keys, ["n_nationkey"])
-        rows_after_eq = t.read().count()
+        (rows_after_eq,) = led.counts(t.read())
         # re-append one deleted key AFTER the delete: must survive
         t.append(
             local_df(t.spark, 
                 [(2, "REBORN")], "n_nationkey bigint, n_name string"
             )
         )
-        rows_re = t.read().count()
-        seq_ok = t.read().filter(F.col("n_name") == "REBORN").count() == 1
+        rows_re, reborn_pre = led.counts(
+            t.read(), t.read().filter(F.col("n_name") == "REBORN")
+        )
         rewrite_equality_deletes(t)
         eq_after = t.files().filter(F.col("content") == 2).count()
-        rows_fold = t.read().count()
-        seq_ok = seq_ok and t.read().filter(F.col("n_name") == "REBORN").count() == 1
+        rows_fold, reborn_post = led.counts(
+            t.read(), t.read().filter(F.col("n_name") == "REBORN")
+        )
+        # resolve the deferred counts, then derive the boolean
+        [(rows_initial, rows_after_eq, rows_re, rows_fold, rb1, rb2)] = led.resolve(
+            [(rows_initial, rows_after_eq, rows_re, rows_fold, reborn_pre, reborn_post)]
+        )
+        seq_ok = rb1 == 1 and rb2 == 1
         return (
             [
                 (
@@ -2245,9 +2261,11 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.append(nation.filter(F.col("n_nationkey") >= 10).repartition(2, "n_nationkey"))
         pre_rollback_version = t.log.latest_version()
         t.delete_where("n_nationkey % 5 = 0")  # 5 tombstones, 1 delete file
+        led = _CountLedger()
         pos = t.position_deletes()
-        pos_rows = pos.count()
-        pos_files = pos.select("delete_file_path").distinct().count()
+        pos_rows, pos_files = led.counts(
+            pos, pos.select("delete_file_path").distinct()
+        )
         all_files = t.all_files().count()
         rollback_to_snapshot(t, pre_rollback_version)
         hist = t.history().collect()
@@ -2256,9 +2274,9 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         added = sum(1 for r in ent if r.status == 1)
         deleted = sum(1 for r in ent if r.status == 2)
         live = t.files().count()
-        pos_after = t.position_deletes().count()
+        (pos_after,) = led.counts(t.position_deletes())
         return (
-            [
+            led.resolve([
                 (
                     len(hist),
                     non_ancestors,
@@ -2270,7 +2288,7 @@ def lakehouse_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
                     live,
                     pos_after,
                 )
-            ],
+            ]),
             "history_rows bigint, abandoned_snapshots bigint, entries_added bigint, "
             "entries_deleted bigint, pos_delete_rows bigint, pos_delete_files bigint, "
             "all_files_count bigint, live_files_count bigint, "
@@ -2539,10 +2557,12 @@ def lakehouse_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             [
                 (
-                    r.filter("cat = 'c1'").count(),
-                    r.filter("cat = 'c0'").count(),
-                    r.filter("cat = 'c2'").count(),
-                    r.count(),
+                    *_nrows(
+                        r.filter("cat = 'c1'"),
+                        r.filter("cat = 'c0'"),
+                        r.filter("cat = 'c2'"),
+                        r,
+                    ),
                     before == after,
                 )
             ],
@@ -2640,10 +2660,6 @@ def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_plan = t.scan_plan(
             [("ts", ">=", day), ("ts", "<", day + _dt.timedelta(days=1))]
         )
-        rows_c1 = t.read(filters=[("cat", "=", "c1")]).count()
-        rows_day3 = t.read(
-            filters=[("ts", ">=", day), ("ts", "<", day + _dt.timedelta(days=1))]
-        ).count()
         # bucket-width evolution isolation on a second table
         t2 = lake.create_table(
             "lab.spec_bw", schema="id bigint", partition_by="bucket(4, id)"
@@ -2652,13 +2668,21 @@ def lakehouse_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.drop_partition_field("bucket(4, id)")
         t2.add_partition_field("bucket(8, id)")
         t2.append(spark.range(40, 80).select("id"))
-        isolated = all(
-            t2.read(filters=[("id", "=", p)]).count() == 1 for p in (0, 7, 39, 40, 77)
+        # every verification count in ONE job (all reads are of the
+        # final committed state; nothing commits after this point)
+        (rows_c1, rows_day3, rows_total, *iso) = _nrows(
+            t.read(filters=[("cat", "=", "c1")]),
+            t.read(
+                filters=[("ts", ">=", day), ("ts", "<", day + _dt.timedelta(days=1))]
+            ),
+            t.read(),
+            *[t2.read(filters=[("id", "=", p)]) for p in (0, 7, 39, 40, 77)],
         )
+        isolated = all(n == 1 for n in iso)
         return (
             [
                 (
-                    t.read().count(),
+                    rows_total,
                     bool(cat_plan["files_pruned_by_partition"] > 0),
                     bool(day_plan["files_pruned_by_partition"] > 0),
                     rows_c1,
