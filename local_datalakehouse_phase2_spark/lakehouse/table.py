@@ -1148,14 +1148,32 @@ class LakehouseTable:
             changed.update(p for p in e.removed_files)
             old_df = scoped(changed, old_state)
             new_df = scoped(changed, new_state)
-            deleted = old_df.exceptAll(new_df).withColumn(
-                "_change_type", F.lit("delete")
-            )
-            inserted = new_df.exceptAll(old_df).withColumn(
-                "_change_type", F.lit("insert")
+            # Multiset diff in ONE aggregation: per distinct row, the
+            # signed copy-count sum over (old tagged -1) ∪ (new tagged
+            # +1) is negative for net-deleted copies and positive for
+            # net-inserted — exactly old.exceptAll(new) plus
+            # new.exceptAll(old), which Spark would each rewrite into
+            # their own union + count + generate plan (RewriteExceptAll)
+            # for twice the shuffles over the same inputs. GroupBy and
+            # exceptAll share null-safe row equality, so events match
+            # row-for-row.
+            delta = (
+                old_df.withColumn("__d", F.lit(-1))
+                .unionByName(new_df.withColumn("__d", F.lit(1)))
+                .groupBy(*cols)
+                .agg(F.sum("__d").alias("__n"))
+                .filter(F.col("__n") != 0)
             )
             parts.append(
-                deleted.unionByName(inserted)
+                delta.select(
+                    *cols,
+                    F.explode(
+                        F.expr(
+                            "array_repeat(CASE WHEN __n > 0 THEN 'insert' "
+                            "ELSE 'delete' END, CAST(abs(__n) AS INT))"
+                        )
+                    ).alias("_change_type"),
+                )
                 .withColumn("_change_ordinal", F.lit(ordinal))
                 .withColumn("_commit_snapshot_id", F.lit(e.snapshot_id))
             )
