@@ -404,42 +404,64 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle — the composition proof that the primitives chain.",
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..localrows import local_df
+
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.expr(TOKENS).cast("long").alias("n_tokens")
     )
+    # Stage membership as PER-ROW FLAGS over one windowed pass, so all
+    # four funnel counts and the mixed token total come out of a single
+    # aggregation job — the earlier per-stage .count() chain re-executed
+    # the dedup window shuffle once per stage (5 actions for 5 numbers).
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    dedup = (
-        base.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    flagged = base.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("rn") == 1).alias("is_dedup"),
+        F.expr(
+            "rn = 1 AND n_tokens BETWEEN 20 AND 1000 "
+            "AND (length(text) - n_tokens + 1.0) / n_tokens < 12"
+        ).alias("is_quality"),
+        (
+            F.expr(
+                "rn = 1 AND n_tokens BETWEEN 20 AND 1000 "
+                "AND (length(text) - n_tokens + 1.0) / n_tokens < 12"
+            )
+            & F.col("source").isin(*[f"src{i}" for i in range(10)])
+            & (F.pmod("doc_id", F.lit(1000)) < 600)
+        ).alias("is_mixed"),
     )
-    quality = dedup.filter(
-        "n_tokens BETWEEN 20 AND 1000 AND "
-        "(length(text) - n_tokens + 1.0) / n_tokens < 12"
-    )
-    mixed = quality.filter(
-        F.col("source").isin(*[f"src{i}" for i in range(10)])
-        & (F.pmod("doc_id", F.lit(1000)) < 600)
-    )
+    funnel = flagged.agg(
+        F.count("*").alias("docs_in"),
+        F.count_if("is_dedup").alias("docs_after_dedup"),
+        F.count_if("is_quality").alias("docs_after_quality"),
+        F.count_if("is_mixed").alias("docs_after_mix"),
+        F.sum(F.when(F.col("is_mixed"), F.col("n_tokens"))).alias("total_tokens"),
+    ).first()
     packed = prefix_sum(
-        mixed.select("doc_id", "n_tokens"), "doc_id", "n_tokens", "start_tok"
+        flagged.filter("is_mixed").select("doc_id", "n_tokens"),
+        "doc_id",
+        "n_tokens",
+        "start_tok",
     )
-    agg = packed.agg(
-        F.sum("n_tokens").alias("total_tokens"),
+    n_sequences = packed.agg(
         (
             F.max(
                 F.floor((F.col("start_tok") + F.col("n_tokens") - 1) / PACK_CAPACITY)
             )
             + 1
-        ).alias("n_sequences"),
-    ).first()
-    return spark.createDataFrame(
+        ).alias("n_sequences")
+    ).first().n_sequences
+    return local_df(
+        spark,
         [
             (
-                base.count(),
-                dedup.count(),
-                quality.count(),
-                mixed.count(),
-                agg.total_tokens,
-                agg.n_sequences,
+                funnel.docs_in,
+                funnel.docs_after_dedup,
+                funnel.docs_after_quality,
+                funnel.docs_after_mix,
+                funnel.total_tokens,
+                n_sequences,
             )
         ],
         "docs_in bigint, docs_after_dedup bigint, docs_after_quality bigint, "
