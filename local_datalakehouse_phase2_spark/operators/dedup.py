@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table, parallel_scan
 
@@ -1192,8 +1193,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b")
             .collect()
         ]
-        return spark.createDataFrame(
-            rows, "doc_a bigint, doc_b bigint, jaccard double"
+        return local_df(
+            spark, rows, "doc_a bigint, doc_b bigint, jaccard double"
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table
 
@@ -217,7 +218,8 @@ def outer_join_nation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("budget", 0.0, 1000.0), ("mid", 1000.0, 1500.0), ("premium", 1500.0, 100000.0)],
         "band STRING, lo DOUBLE, hi DOUBLE",
     )

@@ -34,6 +34,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table
 
@@ -123,7 +124,7 @@ def prefix_sum(
         offsets.append((pid, acc))
         acc += totals.get(pid, 0)
     spark = df.sparkSession
-    off = spark.createDataFrame(offsets or [(0, 0)], "__pid int, __offset long")
+    off = local_df(spark, offsets or [(0, 0)], "__pid int, __offset long")
     w = (
         Window.partitionBy("__pid")
         .orderBy(order_col)
@@ -338,7 +339,7 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s, int(math.floor(min(MIX_TARGET[s] * k / observed[s], 1.0) * MIX_DENOM + 0.5)))
         for s in sorted(MIX_TARGET)
     ]
-    spec = spark.createDataFrame(rates, "source string, keep_below long")
+    spec = local_df(spark, rates, "source string, keep_below long")
     return (
         d.join(F.broadcast(spec), "source")
         .filter(F.pmod(F.col("doc_id"), F.lit(MIX_DENOM)) < F.col("keep_below"))
@@ -404,8 +405,6 @@ def mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the oracle — the composition proof that the primitives chain.",
 )
 def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..localrows import local_df
-
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.expr(TOKENS).cast("long").alias("n_tokens")
     )

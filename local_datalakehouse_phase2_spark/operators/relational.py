@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table
 
@@ -194,8 +195,8 @@ def range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="S5 inline VALUES source joined to a table (guide :124-127 literal batches).",
 )
 def values_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = spark.createDataFrame(
-        [(1, "alice", 0), (2, "bob", 2), (3, "charlie", 4)], "id INT, name STRING, rkey INT"
+    v = local_df(
+        spark, [(1, "alice", 0), (2, "bob", 2), (3, "charlie", 4)], "id INT, name STRING, rkey INT"
     )
     r = load_table(spark, sf_dir, "region")
     return (

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table
 
@@ -45,7 +46,8 @@ def stratified_mix(
     """Per-stratum deterministic rates via a broadcast spec join;
     strata absent from `rates` are dropped (rate 0)."""
     spark = df.sparkSession
-    spec = spark.createDataFrame(
+    spec = local_df(
+        spark,
         [(s, round(r * denominator)) for s, r in rates.items()],
         f"{stratum_col} string, __keep_below int",
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..localrows import local_df
 from ..registry import register
 from ..sources.loaders import load_table
 
@@ -659,8 +660,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(PQ_M)
         ]
         luts.append((r.vec_id, lut))
-    qdf = spark.createDataFrame(
-        luts, "query_id bigint, lut array<array<double>>"
+    qdf = local_df(
+        spark, luts, "query_id bigint, lut array<array<double>>"
     )
     scored = (
         coded.crossJoin(F.broadcast(qdf))
