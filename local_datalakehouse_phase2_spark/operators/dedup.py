@@ -542,16 +542,24 @@ def _blocking_summary(
     emitted (distance-filtered) pairs cover >= pair_floor of truth;
     precision_ok = every emitted pair IS a true dupe."""
     on = ["doc_a", "doc_b"]
-    # ONE aggregation over a full-outer flag join — no 1-row x 1-row
-    # cross join (which plans a BroadcastNestedLoopJoin the registry
-    # plan gate forbids), and one Spark job instead of two
+    # ONE aggregation over a tagged UNION — a full-outer join chain
+    # would shuffle each pair frame per join (full outer can't
+    # broadcast); the union groups all three tag streams in a single
+    # (doc_a, doc_b) shuffle, and max() per tag reproduces the outer
+    # join's presence flags exactly
+    def tagged(df, t_, c_, e_):
+        return df.select(
+            *on, F.lit(t_).alias("t"), F.lit(c_).alias("c"), F.lit(e_).alias("e")
+        )
+
     flags = (
-        truth.select(*on)
-        .withColumn("t", F.lit(1))
-        .join(cands.select(*on).withColumn("c", F.lit(1)), on, "full")
-        .join(emitted.select(*on).withColumn("e", F.lit(1)), on, "full")
+        tagged(truth, 1, 0, 0)
+        .unionByName(tagged(cands, 0, 1, 0))
+        .unionByName(tagged(emitted, 0, 0, 1))
+        .groupBy(*on)
+        .agg(F.max("t").alias("t"), F.max("c").alias("c"), F.max("e").alias("e"))
     )
-    t, c, e = (F.coalesce(F.col(x), F.lit(0)) for x in ("t", "c", "e"))
+    t, c, e = (F.col(x) for x in ("t", "c", "e"))
     n_true = F.sum(t)
     return flags.agg(
         n_true.alias("n_true_dupes"),
