@@ -1199,20 +1199,21 @@ class LakehouseTable:
         one commit into update_before/update_after. Pairing only fires
         when the identifier appears EXACTLY once on each side of that
         commit — a repeated key stays delete+insert instead of a
-        guessed pairing. One window + one aggregated self-join, both
-        keyed on (ordinal, identifier): shuffle-bounded by the
-        changelog size, not the table."""
+        guessed pairing. ONE window partitioning on (ordinal,
+        identifier) carries both per-side counts (only delete/insert
+        exist before pairing, so a row's own-side count IS its type's
+        count — no second (ordinal, identifier, type)-partitioned
+        window needed): shuffle-bounded by the changelog size, not the
+        table."""
         from pyspark.sql import Window
 
         key = ["_change_ordinal", *id_cols]
-        w = Window.partitionBy(*key, "_change_type")
         both = Window.partitionBy(*key)
         marked = (
-            log_df.withColumn("__side_n", F.count("*").over(w))
-            .withColumn("__del_n", F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).over(both))
+            log_df.withColumn("__del_n", F.sum(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).over(both))
             .withColumn("__ins_n", F.sum(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).over(both))
         )
-        paired = (F.col("__del_n") == 1) & (F.col("__ins_n") == 1) & (F.col("__side_n") == 1)
+        paired = (F.col("__del_n") == 1) & (F.col("__ins_n") == 1)
         return marked.withColumn(
             "_change_type",
             F.when(
@@ -1222,7 +1223,7 @@ class LakehouseTable:
                 paired & (F.col("_change_type") == "insert"), F.lit("update_after")
             )
             .otherwise(F.col("_change_type")),
-        ).drop("__side_n", "__del_n", "__ins_n")
+        ).drop("__del_n", "__ins_n")
 
     def _schema(self) -> T.StructType:
         # empty table: recover schema from any DATA file ever written
