@@ -100,7 +100,21 @@ def _convert(v, dt: T.DataType):
         # under any host TZ before arrow normalizes it to UTC
         if v.tzinfo is None:
             v = v.astimezone()
-        return v.astimezone(_dt.timezone.utc)
+        v = v.astimezone(_dt.timezone.utc)
+        if v.year < 1900:
+            # INT96 files without Spark's writer-version footer key hit
+            # Spark's unknown-writer int96 rebase heuristic on read: an
+            # ancient instant could raise SparkUpgradeException or
+            # rebase differently than a Spark-written file. Decline the
+            # fast path (ValueError -> rows_to_arrow returns None).
+            raise ValueError("pre-1900 timestamp: leave to the Spark writer")
+        return v
+    if isinstance(dt, T.DateType):
+        if v.year < 1583:
+            # proleptic-vs-hybrid calendar rebase applies to ancient
+            # dates the same way; decline rather than re-derive it
+            raise ValueError("pre-1583 date: leave to the Spark writer")
+        return v
     if isinstance(dt, T.ArrayType):
         return [_convert(e, dt.elementType) for e in v]
     return v

@@ -2692,7 +2692,11 @@ class LakehouseTable:
         metadata view and must not change), unsupported type, over the
         target file size, or a non-local warehouse path — and the
         caller proceeds with the Spark writer."""
-        if "://" in self.table_dir:
+        if "://" in self.table_dir or type(self.io) is not LocalFileIO:
+            # the direct os/pyarrow writes below bypass self.io; a
+            # custom FileIO wrapping plain local paths (arbitration,
+            # fault injection) must keep the Spark-writer path so its
+            # interposition still sees every byte
             return None
         try:
             plan = df._jdf.queryExecution().optimizedPlan()

@@ -222,47 +222,203 @@ def band_keys(d: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard_hashed(pairs: DataFrame, hs: DataFrame) -> DataFrame:
-    """`_exact_jaccard` over the snapshot's hashed shingles instead of
-    re-deriving string shingles from the corpus: Jaccard over distinct
-    xxhash64 values equals Jaccard over distinct shingle strings unless
-    two distinct shingles of the compared pair collide in 64 bits
-    (~200^2/2^65 ≈ 1e-15 per pair — below every other error source;
-    the cross-engine sweep would surface one as a value mismatch).
-    Candidate-restricted exactly like `_exact_jaccard`."""
-    ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+# SimHash block-pair key tables (Manku/Jain/Sarma, WWW'07). 64-bit
+# variant: 8 blocks of 8 bits keyed on every C(8,2)=28 block PAIR
+# (16-bit keys) — hamming <= 6 flips <= 6 blocks, so >= 2 blocks,
+# hence >= 1 combo, match exactly: recall 1.0, collisions 256x lower
+# than single-block 8-bit keys. Shared between the fused entry pass
+# and `simhash_hamming_pairs` (the brute-force-tested pair surface) so
+# the two can never diverge.
+_SIMHASH64_COMBO_KEYS = [
+    f"{cid} * 65536 + ((simhash >> {i * 8}) & 255) * 256"
+    f" + ((simhash >> {j * 8}) & 255)"
+    for cid, (i, j) in enumerate((i, j) for i in range(8) for j in range(i + 1, 8))
+]
+
+
+def _wide_block(b: int) -> str:
+    # 128-bit fingerprint as 8 blocks of 16 bits: blocks 0-3 from s1,
+    # 4-7 from s2
+    col = "s1" if b < 4 else "s2"
+    return f"(({col} >> {(b % 4) * 16}) & 65535)"
+
+
+# 128-bit variant: same 28 combo tables over 16-bit blocks -> 32-bit
+# keys, deferring the birthday collision term by 2^16 (the documented
+# scale path; SCALE_CORRECTNESS.md r11 measurement).
+_SIMHASH_WIDE_COMBO_KEYS = [
+    f"{cid}L * 4294967296L + {_wide_block(i)} * 65536L + {_wide_block(j)}"
+    for cid, (i, j) in enumerate((i, j) for i in range(8) for j in range(i + 1, 8))
+]
+
+
+def _fused_band_pairs(
+    base: DataFrame,
+    want_est: bool = False,
+    combo_keys: list[str] | None = None,
+    ham_sql: str | None = None,
+    sim_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ONE-pass candidate generation + exact verification for every
+    LSH-family entry: `base` is (doc_id, hs[, sim_cols...]) — the
+    shingle-hash frame, plus any SimHash fingerprints computed in the
+    same projection — and the result is one row per candidate pair:
+
+        (doc_a, doc_b[, est_jaccard], jaccard[, hamming])
+
+    where `jaccard` is the EXACT hashed-shingle Jaccard (non-null iff
+    the pair collided in a MinHash band) and `hamming` the SimHash
+    distance (non-null iff it collided in a block-pair combo table).
+
+    Shape (the r14 clawback; interleaved A/B at sf0.1, quiet host):
+    one family-tagged explode emits the 8 MinHash band keys AND the 28
+    SimHash combo keys per doc, so candidate buckets for BOTH families
+    form in a SINGLE shuffle, and the corpus pipeline (scan -> shingle
+    -> xxhash64 -> signature UDFs) runs exactly once — the previous
+    shape ran it once per family per reference (the summary's 3-way
+    union re-evaluated the SimHash pipeline twice, and the exact
+    verify re-derived the corpus frame for its semi-join). Exact
+    Jaccard rides the SAME shuffle: fam-0 payloads carry the doc's
+    distinct shingle hashes, so the verify is an in-bucket
+    array_intersect/array_union at pair expansion — no ids-distinct,
+    no broadcast, no re-join, no branch duplication. Measured:
+    simhash_pairs 3.90 -> 2.55 s, simhash_wide_pairs 4.91 -> 2.92 s,
+    ngram_jaccard_dupes 2.70 -> 2.24 s; cold first-run minhash 9.85 ->
+    3.62 s (value-identical at sf0.001/0.01/0.1, all four entries).
+
+    Scale accounting at 100 TB: the fam-0 payload ships each doc's
+    distinct shingle hashes once per band (8x corpus in the bucket
+    shuffle) — the standard banded-LSH-join cost — in exchange for
+    zero corpus-wide joins afterwards; fam-1 payloads are 8-16 bytes.
+    Per-pair verify work duplicates per colliding band (dupes collide
+    in ~all 8), but only for candidate pairs — O(dupes), not corpus.
+    The arrays are dropped before the pair-level shuffle: only
+    (doc_a, doc_b, est/jaccard/hamming) ride the second exchange.
+    Jaccard over distinct xxhash64 values equals Jaccard over shingle
+    strings up to a ~1e-15/pair 64-bit collision — below every other
+    error source (the cross-engine sweep would surface one).
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    sigs = base.select("doc_id", "hs", *sim_cols, _minhash_sigs("hs").alias("sig"))
+    fam0 = [
+        F.struct(
+            F.lit(0).alias("fam"),
+            F.lit(b).cast("long").alias("k1"),
+            F.xxhash64(
+                *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias("k2"),
+        )
+        for b in range(N_BANDS)
+    ]
+    fam1 = [
+        F.struct(
+            F.lit(1).alias("fam"),
+            F.expr(k).cast("long").alias("k1"),
+            F.lit(0).cast("long").alias("k2"),
+        )
+        for k in (combo_keys or [])
+    ]
+    is0 = F.col("fk.fam") == 0
+    # per-family payload nulling keeps the bucket shuffle lean: combo
+    # rows don't ship shingle arrays, band rows don't ship fingerprints
+    member = F.struct(
+        F.col("doc_id"),
+        F.when(is0, F.array_distinct("hs")).alias("sh"),
+        *([F.when(is0, F.col("sig")).alias("sig")] if want_est else []),
+        *[F.when(~is0, F.col(c)).alias(c) for c in sim_cols],
     )
-    sh = hs.join(F.broadcast(ids), "doc_id").select(
-        "doc_id", F.array_distinct("hs").alias("sh")
+    keyed = sigs.select(
+        "doc_id", "hs", "sig", *sim_cols, F.explode(F.array(*fam0, *fam1)).alias("fk")
+    ).select(
+        F.col("fk.fam").alias("fam"),
+        F.col("fk.k1").alias("k1"),
+        F.col("fk.k2").alias("k2"),
+        member.alias("m"),
     )
+    buckets = (
+        keyed.groupBy("fam", "k1", "k2")
+        .agg(F.collect_list("m").alias("ms"))
+        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+        / F.size(F.array_union("a.sh", "b.sh")),
+        6,
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(N_HASHES)),
+        6,
+    )
+    cols = [
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        *([F.when(F.col("fam") == 0, est).alias("est_jaccard")] if want_est else []),
+        F.when(F.col("fam") == 0, jac).alias("jaccard"),
+        *(
+            [F.when(F.col("fam") == 1, F.expr(ham_sql)).alias("hamming")]
+            if combo_keys
+            else []
+        ),
+    ]
+    # max() folds the per-band/per-combo duplicates: est, jaccard and
+    # hamming are pair-functions (identical on every colliding row of
+    # their family, null on the other family's rows — max skips nulls)
+    aggs = [
+        F.max(c).alias(c)
+        for c in (["est_jaccard"] if want_est else [])
+        + ["jaccard"]
+        + (["hamming"] if combo_keys else [])
+    ]
     return (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .drop("sh_a", "sh_b")
+        buckets.select("fam", F.explode("ms").alias("a"), "ms")
+        .select("fam", "a", F.explode("ms").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(*cols)
+        .groupBy("doc_a", "doc_b")
+        .agg(*aggs)
+    )
+
+
+def _flags_summary(
+    pairs: DataFrame, blocking_floor: float, pair_floor: float
+) -> DataFrame:
+    """One-row quality summary of a SimHash blocking pass from the
+    fused pair frame — every column independently recomputable
+    (n_true_dupes) or a corpus-stable invariant claim (the booleans),
+    so the oracle never pins engine-hash-specific pair lists. Each
+    fused row already carries both families' evidence, so the flags
+    are column expressions over ONE frame — no tagged 3-way union, no
+    second pair shuffle (the union shape also re-evaluated the SimHash
+    pipeline twice, once for the candidate stream and once for the
+    emitted stream). truth = exact jaccard >= 0.5 (MinHash-banded,
+    independent of the audited blocking); candidate = collided in a
+    combo table; emitted = candidate at hamming <= 6."""
+    t = F.coalesce(F.col("jaccard") >= 0.5, F.lit(False)).cast("long")
+    c = F.col("hamming").isNotNull().cast("long")
+    e = F.coalesce(F.col("hamming") <= 6, F.lit(False)).cast("long")
+    n_true = F.coalesce(F.sum(t), F.lit(0))
+    return pairs.agg(
+        n_true.alias("n_true_dupes"),
+        (F.coalesce(F.sum(t * c), F.lit(0)) >= n_true * F.lit(blocking_floor)).alias(
+            "blocking_recall_ok"
+        ),
+        (F.coalesce(F.sum(t * e), F.lit(0)) >= n_true * F.lit(pair_floor)).alias(
+            "pair_recall_ok"
+        ),
+        (F.coalesce(F.sum(e * (1 - t)), F.lit(0)) == 0).alias("precision_ok"),
     )
 
 
 def lsh_candidate_pairs(
     d: DataFrame,
     hs: DataFrame | None = None,
-    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures -> LSH band buckets -> within-bucket pairs.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
@@ -284,8 +440,7 @@ def lsh_candidate_pairs(
     at sf0.1 that string building was ~30% of the query (2.4 s -> 1.4 s
     warm, 7.1 s -> 6.1 s cold).
     """
-    if sigs is None:
-        sigs = with_minhash(d, hs=hs)
+    sigs = with_minhash(d, hs=hs)
     bands = sigs.select("doc_id", "sig", _band_structs().alias("bb")).select(
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
@@ -477,10 +632,10 @@ def _exact_jaccard(pairs: DataFrame, d: DataFrame) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    hs = shingle_hash_frame(d)
-    cands = lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.5)
+    base = shingle_hash_frame(d)
     return (
-        exact_jaccard_hashed(cands, hs)
+        _fused_band_pairs(base, want_est=True)
+        .filter(F.col("est_jaccard") >= 0.5)
         .select(
             "doc_a",
             "doc_b",
@@ -516,58 +671,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    hs = shingle_hash_frame(d)
-    cands = lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3)
     return (
-        exact_jaccard_hashed(cands, hs)
+        _fused_band_pairs(shingle_hash_frame(d))
         .filter(F.col("jaccard") >= 0.6)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
-    )
-
-
-def _blocking_summary(
-    truth: DataFrame,
-    cands: DataFrame,
-    emitted: DataFrame,
-    blocking_floor: float,
-    pair_floor: float,
-) -> DataFrame:
-    """One-row quality summary of a blocking-based near-dup pass
-    against the exact true-dupe pair set — every column independently
-    recomputable (n_true_dupes) or a corpus-stable invariant claim
-    (the booleans), so the oracle never pins engine-hash-specific pair
-    lists. Columns: n_true_dupes = |truth|; blocking_recall_ok =
-    candidates cover >= blocking_floor of truth; pair_recall_ok = the
-    emitted (distance-filtered) pairs cover >= pair_floor of truth;
-    precision_ok = every emitted pair IS a true dupe."""
-    on = ["doc_a", "doc_b"]
-    # ONE aggregation over a tagged UNION — a full-outer join chain
-    # would shuffle each pair frame per join (full outer can't
-    # broadcast); the union groups all three tag streams in a single
-    # (doc_a, doc_b) shuffle, and max() per tag reproduces the outer
-    # join's presence flags exactly
-    def tagged(df, t_, c_, e_):
-        return df.select(
-            *on, F.lit(t_).alias("t"), F.lit(c_).alias("c"), F.lit(e_).alias("e")
-        )
-
-    flags = (
-        tagged(truth, 1, 0, 0)
-        .unionByName(tagged(cands, 0, 1, 0))
-        .unionByName(tagged(emitted, 0, 0, 1))
-        .groupBy(*on)
-        .agg(F.max("t").alias("t"), F.max("c").alias("c"), F.max("e").alias("e"))
-    )
-    t, c, e = (F.col(x) for x in ("t", "c", "e"))
-    n_true = F.sum(t)
-    return flags.agg(
-        n_true.alias("n_true_dupes"),
-        (F.sum(t * c) >= n_true * F.lit(blocking_floor)).alias(
-            "blocking_recall_ok"
-        ),
-        (F.sum(t * e) >= n_true * F.lit(pair_floor)).alias("pair_recall_ok"),
-        (F.sum(e * (1 - t)) == 0).alias("precision_ok"),
     )
 
 
@@ -617,32 +725,29 @@ _SIMHASH_SUMMARY_ORACLE = (
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    # Materialization experiments, both measured SLOWER than recompute
-    # on local[32] (idle cores absorb the duplicated narrow maps, so a
-    # shared barrier only lengthens the critical path): .cache() of the
-    # hash frame hit InMemoryRelation's columnar encode of the
-    # ~100-element arrays (2.94 s -> 4.1-4.7 s, r12), and an eager
-    # localCheckpoint of (hs, sig, simhash) measured 3.23 s vs 2.97 s
-    # for plain branch recompute (r13). Each family re-derives its
-    # narrow map; the exact-verify step reads the HASHED shingles
-    # (exact_jaccard_hashed) so no branch re-scans the document text.
-    hs = shingle_hash_frame(d)
-    pairs = simhash_hamming_pairs(d, hs=hs)
-    # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
-    # junk before the exact join; a J>=0.8 dupe estimating under 0.3
-    # would need 26 of 32 minhash disagreements — effectively never
-    truth = exact_jaccard_hashed(
-        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), hs
-    ).filter(F.col("jaccard") >= 0.5)
-    return _blocking_summary(
-        truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.9, 0.7
+    # Fused shape (r14): the truth census (MinHash bands + in-bucket
+    # exact Jaccard) and the audited SimHash candidates come out of ONE
+    # family-tagged band pass — see _fused_band_pairs. This replaced
+    # the per-family branch recompute the r12/r13 materialization A/Bs
+    # settled on (cache/localCheckpoint both measured slower than
+    # recompute; the fused pass beats both because it deletes the
+    # duplicated work instead of materializing it: 3.90 -> 2.55 s at
+    # sf0.1 interleaved, value-identical at every fixture sf).
+    base = shingle_hash_frame(d).select(
+        "doc_id", "hs", _simhash64("hs").alias("simhash")
     )
+    pairs = _fused_band_pairs(
+        base,
+        combo_keys=_SIMHASH64_COMBO_KEYS,
+        ham_sql="bit_count(a.simhash ^ b.simhash)",
+        sim_cols=("simhash",),
+    )
+    return _flags_summary(pairs, 0.9, 0.7)
 
 
 def simhash_hamming_pairs(
     d: DataFrame,
     hs: DataFrame | None = None,
-    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming): every blocking-candidate pair with its
     64-bit SimHash Hamming distance — the per-pair surface the entry
@@ -660,29 +765,22 @@ def simhash_hamming_pairs(
     the projection) and feeds the hash arrays to one Arrow-batched
     numpy UDF (unpackbits + reduceat) — plan stays tiny, math stays
     vectorized, zero Python-level hashing."""
-    if sigs is None:
-        if hs is None:
-            hs = shingle_hash_frame(d)
-        sigs = hs.select("doc_id", _simhash64("hs").alias("simhash"))
-    # Multi-block keys: 8 blocks of 8 bits. A single 8-bit block key has
-    # only 256 buckets — at 50k docs that is ~200 docs/bucket and ~40M
-    # all-pairs candidates (measured 35 s at sf0.1). Instead key on every
-    # PAIR of blocks (28 combos, 16-bit keys): hamming <= 6 touches at
-    # most 6 blocks, so >= 2 blocks — hence >= 1 of the 28 combos — match
-    # exactly; recall stays 1.0 and random collisions fall 256x. Same
-    # one-shuffle bucket-grouping shape as lsh_candidate_pairs: a
-    # band-key self-join would evaluate the signature UDF twice.
-    combo_keys = [
-        f"{cid} * 65536 + ((simhash >> {i * 8}) & 255) * 256"
-        f" + ((simhash >> {j * 8}) & 255)"
-        for cid, (i, j) in enumerate(
-            (i, j) for i in range(8) for j in range(i + 1, 8)
-        )
-    ]
+    if hs is None:
+        hs = shingle_hash_frame(d)
+    sigs = hs.select("doc_id", _simhash64("hs").alias("simhash"))
+    # Multi-block keys (_SIMHASH64_COMBO_KEYS): a single 8-bit block
+    # key has only 256 buckets — at 50k docs that is ~200 docs/bucket
+    # and ~40M all-pairs candidates (measured 35 s at sf0.1); the
+    # 28 block-pair tables keep recall exactly 1.0 at hamming <= 6
+    # while collisions fall 256x. Same one-shuffle bucket-grouping
+    # shape as lsh_candidate_pairs: a band-key self-join would
+    # evaluate the signature UDF twice.
     bands = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.expr(k) for k in combo_keys])).alias("bk"),
+        F.explode(
+            F.array(*[F.expr(k) for k in _SIMHASH64_COMBO_KEYS])
+        ).alias("bk"),
     )
     buckets = (
         bands.groupBy("bk")
@@ -750,20 +848,29 @@ def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
 )
 def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    pairs = simhash_wide_hamming_pairs(d)
-    # est>=0.3 pre-cut (the ngram rule): drops the bucket-collision
-    # junk before the exact join; a J>=0.8 dupe estimating under 0.3
-    # would need 26 of 32 minhash disagreements — effectively never.
-    # (The wide fingerprint derives BOTH halves in one projection over
-    # the shingle strings — a different upstream — so only the truth
-    # census shares the plain shingle-hash frame.)
-    hs = shingle_hash_frame(d)
-    truth = exact_jaccard_hashed(
-        lsh_candidate_pairs(d, hs=hs).filter(F.col("est_jaccard") >= 0.3), hs
-    ).filter(F.col("jaccard") >= 0.5)
-    return _blocking_summary(
-        truth, pairs, pairs.filter(F.col("hamming") <= 6), 0.6, 0.3
+    # Fused shape (r14, 4.91 -> 2.92 s at sf0.1 interleaved): both
+    # 64-bit halves, the MinHash truth bands, and the 32-bit combo
+    # keys derive from ONE shingle projection (h2 = the same shingles
+    # under xxhash64 seed 7), so the corpus is scanned/shingled once
+    # for the whole entry — see _fused_band_pairs.
+    h2 = F.expr(f"transform({_shingles_sql('text')}, s -> xxhash64(s, 7))")
+    base = (
+        d.filter(_has_shingles())
+        .select("doc_id", _shingle_hashes().alias("hs"), h2.alias("h2"))
+        .select(
+            "doc_id",
+            "hs",
+            _simhash64("hs").alias("s1"),
+            _simhash64("h2").alias("s2"),
+        )
     )
+    pairs = _fused_band_pairs(
+        base,
+        combo_keys=_SIMHASH_WIDE_COMBO_KEYS,
+        ham_sql="bit_count(a.s1 ^ b.s1) + bit_count(a.s2 ^ b.s2)",
+        sim_cols=("s1", "s2"),
+    )
+    return _flags_summary(pairs, 0.6, 0.3)
 
 
 def simhash_wide_hamming_pairs(d: DataFrame) -> DataFrame:
@@ -771,23 +878,13 @@ def simhash_wide_hamming_pairs(d: DataFrame) -> DataFrame:
     candidate with its 128-bit Hamming distance — the per-pair surface
     the entry summarizes (and the brute-force recall test checks)."""
     sigs = _simhash_wide_sigs(d)
-    # 8 blocks of 16 bits: blocks 0-3 from s1, 4-7 from s2
-
-    def block(src_expr: str, b: int) -> str:
-        col = "s1" if b < 4 else "s2"
-        return f"(({col} >> {(b % 4) * 16}) & 65535)"
-
-    combo_keys = [
-        f"{cid}L * 4294967296L + {block('s', i)} * 65536L + {block('s', j)}"
-        for cid, (i, j) in enumerate(
-            (i, j) for i in range(8) for j in range(i + 1, 8)
-        )
-    ]
     bands = sigs.select(
         "doc_id",
         "s1",
         "s2",
-        F.explode(F.array(*[F.expr(k) for k in combo_keys])).alias("bk"),
+        F.explode(
+            F.array(*[F.expr(k) for k in _SIMHASH_WIDE_COMBO_KEYS])
+        ).alias("bk"),
     )
     buckets = (
         bands.groupBy("bk")
