@@ -44,6 +44,7 @@ from . import pruning
 from .fs import FileIO, LocalFileIO
 from .log import CommitConflictError, FileInfo, LogEntry, TransactionLog
 from .partition import PROP_PARTITION_SPEC, PROP_PARTITION_SPEC_HISTORY
+from ..localrows import _MAX_ROWS as _LOCAL_VALUES_MAX
 from ..localrows import local_df
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
@@ -1116,9 +1117,13 @@ class LakehouseTable:
             and self.log.in_main_lineage(e)
         ]
 
-        def scoped(paths: set[str], state: dict[str, FileInfo]) -> DataFrame:
+        def scoped(paths: set[str], state: dict[str, FileInfo]) -> DataFrame | None:
             data_state, pos, eq = self._split_state(state)
             subset = {p: data_state[p] for p in paths if p in data_state}
+            if not subset:
+                # e.g. an append's old side: the changed files did not
+                # exist yet — contribute no rows, skip the plan build
+                return None
             return self._assemble_read(subset, pos, eq, version=to_version).select(*cols)
 
         prev_version = from_version
@@ -1146,37 +1151,36 @@ class LakehouseTable:
                         if dfi.content == 0 and self._eq_delete_may_apply(dfi, fi)
                     )
             changed.update(p for p in e.removed_files)
-            old_df = scoped(changed, old_state)
-            new_df = scoped(changed, new_state)
-            # Multiset diff in ONE aggregation: per distinct row, the
-            # signed copy-count sum over (old tagged -1) ∪ (new tagged
-            # +1) is negative for net-deleted copies and positive for
+            # Multiset diff via signed copy-counts: per distinct row,
+            # the sum over (old tagged -1) ∪ (new tagged +1) is
+            # negative for net-deleted copies and positive for
             # net-inserted — exactly old.exceptAll(new) plus
             # new.exceptAll(old), which Spark would each rewrite into
             # their own union + count + generate plan (RewriteExceptAll)
             # for twice the shuffles over the same inputs. GroupBy and
             # exceptAll share null-safe row equality, so events match
-            # row-for-row.
-            delta = (
-                old_df.withColumn("__d", F.lit(-1))
-                .unionByName(new_df.withColumn("__d", F.lit(1)))
-                .groupBy(*cols)
-                .agg(F.sum("__d").alias("__n"))
-                .filter(F.col("__n") != 0)
-            )
-            parts.append(
-                delta.select(
-                    *cols,
-                    F.explode(
-                        F.expr(
-                            "array_repeat(CASE WHEN __n > 0 THEN 'insert' "
-                            "ELSE 'delete' END, CAST(abs(__n) AS INT))"
-                        )
-                    ).alias("_change_type"),
+            # row-for-row. The ordinal joins the grouping key so EVERY
+            # commit's diff lands in the ONE aggregation below the
+            # loop — one shuffle for the whole range instead of one
+            # per commit (a 10-commit demo paid 10 exchange floors;
+            # at scale the per-commit scoped sides still bound the
+            # data, the shuffle just batches them).
+            for side_df, d in (
+                (scoped(changed, old_state), -1),
+                (scoped(changed, new_state), 1),
+            ):
+                if side_df is None:
+                    continue
+                parts.append(
+                    side_df.select(
+                        *cols,
+                        F.lit(ordinal).cast("int").alias("_change_ordinal"),
+                        F.lit(e.snapshot_id).cast("long").alias(
+                            "_commit_snapshot_id"
+                        ),
+                        F.lit(d).alias("__d"),
+                    )
                 )
-                .withColumn("_change_ordinal", F.lit(ordinal))
-                .withColumn("_commit_snapshot_id", F.lit(e.snapshot_id))
-            )
             prev_version = e.version
         out_schema = T.StructType(
             list(schema.fields)
@@ -1188,7 +1192,23 @@ class LakehouseTable:
         )
         if not parts:
             return local_df(self.spark, [], out_schema)
-        log_df = _reduce(DataFrame.unionByName, parts)
+        delta = (
+            _reduce(DataFrame.unionByName, parts)
+            .groupBy("_change_ordinal", "_commit_snapshot_id", *cols)
+            .agg(F.sum("__d").alias("__n"))
+            .filter(F.col("__n") != 0)
+        )
+        log_df = delta.select(
+            *cols,
+            F.explode(
+                F.expr(
+                    "array_repeat(CASE WHEN __n > 0 THEN 'insert' "
+                    "ELSE 'delete' END, CAST(abs(__n) AS INT))"
+                )
+            ).alias("_change_type"),
+            "_change_ordinal",
+            "_commit_snapshot_id",
+        )
         if identifier_columns:
             log_df = self._pair_updates(log_df, identifier_columns)
         return log_df
@@ -1846,11 +1866,15 @@ class LakehouseTable:
         # survivors are a subset of the affected files' rows, so the
         # logged byte total is a sound (upper-bound) size estimate:
         # skip the measure-then-shape staging write entirely
+        input_bytes = self._logged_bytes(affected, ref=ref)
+        if ref is None and self._live_rows_small(cap=_LOCAL_VALUES_MAX):
+            survivors = self._localize_commit_frame(survivors)
+            input_bytes = None  # the LocalRelation fast path self-sizes
         return self._commit_write(
             survivors,
             operation="delete",
             removed=tuple(affected),
-            input_bytes=self._logged_bytes(affected, ref=ref),
+            input_bytes=input_bytes,
             deletes_fingerprint=fingerprint,
             branch=ref,
             extra=extra,
@@ -1868,6 +1892,59 @@ class LakehouseTable:
             self.log.state_at_branch(ref) if ref is not None else self.log.state_at()
         )
         return tuple(sorted(p for p, fi in state.items() if fi.content != 0))
+
+    def _live_rows_small(self, cap: int | None = None) -> bool:
+        """True when the table's live DATA row count — known exactly
+        from the log's per-file metadata, no job — is within `cap`
+        (default: the driver-side fast-write cap) and the warehouse is
+        plain-local. Any row-level op's matched/survivor set is bounded
+        by this, so it gates collect-then-pyarrow fast paths soundly:
+        a 100 TB table never qualifies, a lifecycle-demo table always
+        does."""
+        if "://" in self.table_dir or type(self.io) is not LocalFileIO:
+            return False
+        total = sum(
+            fi.row_count for fi in self.log.state_at().values() if fi.content == 0
+        )
+        return total <= (fastwrite.MAX_ROWS if cap is None else cap)
+
+    def _localize_commit_frame(self, df: DataFrame) -> DataFrame:
+        """Collect a lifecycle-scale commit frame (caller gated by
+        `_live_rows_small`) and rebuild it as a pure-JVM LocalRelation
+        so the following `_write_files` takes the pyarrow fast path:
+        one collect job replaces the Spark write job plus the
+        committer's temp-dir rename dance. If the collected set still
+        exceeds localrows' VALUES cap (e.g. a big MERGE source), the
+        original frame is returned and the Spark writer keeps it."""
+        rows = df.collect()
+        if len(rows) > _LOCAL_VALUES_MAX:
+            return df
+        return local_df(self.spark, [tuple(r) for r in rows], df.schema)
+
+    def _write_pos_deletes_rows(
+        self, rows
+    ) -> tuple[tuple[FileInfo, ...], list[str]]:
+        """Driver-side variant of `_write_pos_deletes` for collected
+        (file_path, pos) rows (caller gated by `_live_rows_small`):
+        python-sorts them — same (file_path, pos) order contract, the
+        footer bounds reads use to scope the anti-join — and writes ONE
+        pyarrow file, skipping the global-sort shuffle, the committer
+        rename dance, and the referenced-files re-read job (the
+        distinct file_paths come straight from the rows in hand)."""
+        rows = sorted(tuple(r) for r in rows)
+        if not rows:
+            return (), []
+        referenced = sorted({fp for fp, _ in rows})
+        tbl = fastwrite.rows_to_arrow(rows, POS_DELETE_SCHEMA)
+        out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
+        os.makedirs(out, exist_ok=True)
+        fastwrite.write_rows(
+            tbl, os.path.join(out, f"part-00000-{uuid.uuid4().hex[:12]}.parquet")
+        )
+        delete_files = tuple(
+            _dc_replace(fi, content=1) for fi in self._scan_written(out)
+        )
+        return delete_files, referenced
 
     def _write_pos_deletes(
         self, matches: DataFrame
@@ -1959,7 +2036,14 @@ class LakehouseTable:
         matches = tagged.filter(cond).select(
             F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
         )
-        delete_files, referenced = self._write_pos_deletes(matches)
+        if self._live_rows_small():
+            # lifecycle-scale table: ONE job (the matched scan) instead
+            # of sort-shuffle + write + referenced re-read
+            delete_files, referenced = self._write_pos_deletes_rows(
+                matches.collect()
+            )
+        else:
+            delete_files, referenced = self._write_pos_deletes(matches)
         if not delete_files:  # nothing matched: no commit
             return self.log.read_entry(self.log.latest_version())
         return self._commit_mor(
@@ -2082,11 +2166,15 @@ class LakehouseTable:
             else:
                 exprs.append(F.col(f.name))
         rewritten = self._read_rel(affected, ref=ref).select(*exprs)
+        input_bytes = self._logged_bytes(affected, ref=ref)
+        if ref is None and self._live_rows_small(cap=_LOCAL_VALUES_MAX):
+            rewritten = self._localize_commit_frame(rewritten)
+            input_bytes = None
         return self._commit_write(
             rewritten,
             operation="update",
             removed=tuple(affected),
-            input_bytes=self._logged_bytes(affected, ref=ref),
+            input_bytes=input_bytes,
             deletes_fingerprint=fingerprint,
             branch=ref,
             extra=extra,
@@ -2101,9 +2189,30 @@ class LakehouseTable:
         two jobs over that filtered scan."""
         tagged = self._tagged_read()
         matched = tagged.filter(cond)
-        delete_files, referenced = self._write_pos_deletes(
-            matched.select(F.col("__file").alias("file_path"), F.col("__pos").alias("pos"))
-        )
+        src = matched
+        # cap at the VALUES limit: the updated rows re-enter via
+        # local_df, which only stays a pure-JVM LocalRelation that far
+        if self._live_rows_small(cap=_LOCAL_VALUES_MAX):
+            # lifecycle-scale table: collect the matched rows ONCE —
+            # tombstones come straight from their (__file, __pos), and
+            # the updated versions re-enter as a LocalRelation so the
+            # data write takes the pyarrow fast path too. One job
+            # total instead of tombstone-sort + tombstone-write +
+            # referenced re-read + data write.
+            mrows = matched.collect()
+            delete_files, referenced = self._write_pos_deletes_rows(
+                [(r["__file"], r["__pos"]) for r in mrows]
+            )
+            names = [f.name for f in schema.fields]
+            src = local_df(
+                self.spark, [tuple(r[c] for c in names) for r in mrows], schema
+            )
+        else:
+            delete_files, referenced = self._write_pos_deletes(
+                matched.select(
+                    F.col("__file").alias("file_path"), F.col("__pos").alias("pos")
+                )
+            )
         if not delete_files:  # nothing matched: no commit
             return self.log.read_entry(self.log.latest_version())
         exprs = []
@@ -2115,9 +2224,13 @@ class LakehouseTable:
             else:
                 exprs.append(F.col(f.name))
         try:
-            # updated rows are bounded by the referenced files' bytes
+            # updated rows are bounded by the referenced files' bytes;
+            # the LocalRelation fast path measures its own bytes
             data_files = self._write_files(
-                matched.select(*exprs), input_bytes=self._logged_bytes(referenced)
+                src.select(*exprs),
+                input_bytes=(
+                    None if src is not matched else self._logged_bytes(referenced)
+                ),
             )
         except BaseException:
             for fi in delete_files:  # tombstones already staged
@@ -2198,11 +2311,19 @@ class LakehouseTable:
             new_data = carried.unionByName(source)
         else:
             new_data = source
+        input_bytes = self._merge_input_bytes(affected, source)
+        if ref is None and self._live_rows_small(cap=_LOCAL_VALUES_MAX):
+            # carried rows are metadata-bounded by the gate; the MERGE
+            # source may still be big — _localize_commit_frame hands
+            # the frame back to the Spark writer in that case
+            localized = self._localize_commit_frame(new_data)
+            if localized is not new_data:
+                new_data, input_bytes = localized, None
         return self._commit_write(
             new_data,
             operation="merge",
             removed=tuple(affected),
-            input_bytes=self._merge_input_bytes(affected, source),
+            input_bytes=input_bytes,
             extra=extra,
             deletes_fingerprint=fingerprint,
             branch=ref,
