@@ -63,17 +63,15 @@ one atomic point:
    is the atomic point: every table's merge entry joins its main
    lineage in the same instant. Any conflict before the marker
    decides the txn as `aborted` instead — nothing on ANY table
-   publishes. Residual window: the gap between the final re-validate
-   pass and the marker create is NOT serialized against per-table
-   main writers — they take table commit locks, not the catalog merge
-   lock, and cannot see pending-txn staged entries — so a main commit
-   in that window (e.g. a compaction replacing a file the branch also
-   replaced) can invalidate a staged entry after its last check,
-   yielding duplicate files post-flip. This mirrors
-   Transaction.commit's documented stance; ArbitratedFileIO narrows
-   the window (marker create is a real conditional-put) but does not
-   close it — closing it needs writers to check pending catalog-merge
-   intents, i.e. the catalog service a real Nessie deployment is.
+   publishes. The validate->flip gap is CLOSED (r14): staged entries
+   already own version slots, so a main commit claiming a later slot
+   re-validates against a log containing them, and on file overlap it
+   decides THIS txn aborted through the same O_EXCL marker create
+   (first committer wins — log.decide_txn,
+   table._check_pending_txn_claims; compaction included). Either the
+   writer's abort or the merge's commit lands, never both; writers
+   that landed BEFORE staging are what the re-validate pass catches.
+   Directed races: tests/test_r14_races.py.
 5. bookkeeping after the flip: re-anchor each per-table branch at its
    merge version (dropping exactly the merged chain, keeping racers —
    log.reanchor_branch) and advance the record's pins for merged
@@ -943,11 +941,17 @@ class CatalogRefs:
                 self._write_record(record)
                 raise
             decided = self._decide(txn_id, "committed", reanchor)
-            if decided != "committed":  # unreachable under the lock; CAS-shaped
+            if decided != "committed":
+                # a main writer whose commit overlapped a staged entry
+                # aborted this txn through the marker (first committer
+                # wins, table._check_pending_txn_claims) — the merge
+                # lock serializes merges, not per-table writers
                 record["pending_merge"] = None
                 self._write_record(record)
-                raise CatalogRefError(
-                    f"catalog merge {txn_id} was decided {decided!r} by a racer"
+                raise CommitConflictError(
+                    f"merge_catalog_branch {name!r}: a concurrent main commit "
+                    f"conflicted with a staged entry and aborted txn {txn_id} "
+                    "at the marker — rebase and retry the merge"
                 )
             self._apply_reanchor(record, reanchor)
             return {

@@ -177,6 +177,32 @@ class TransactionLog:
             self._txn_cache[txn_id] = status
         return status
 
+    def decide_txn(self, txn_id: str, status: str) -> str:
+        """Decide an undecided multi-table/catalog-merge txn with the
+        SAME O_EXCL marker create its orchestrator uses, returning the
+        status that actually stuck. A main writer whose commit overlaps
+        a pending txn's staged removals calls this with 'aborted' —
+        first committer wins: either the abort lands (the writer
+        proceeds, the txn's own flip later reads it and reports the
+        abort) or the txn's commit landed first (the writer learns
+        'committed' and must re-plan). Both directions resolve through
+        one atomic create, which is what closes the txn's
+        validate->flip window."""
+        self.io.makedirs(self.txn_dir)
+        path = os.path.join(self.txn_dir, f"{txn_id}.json")
+        payload = json.dumps(
+            {
+                "txn": txn_id,
+                "status": status,
+                "decided_at": _time.time(),
+                "decided_by": "conflicting-writer",
+            }
+        )
+        if self.io.create_exclusive(path, payload):
+            self._txn_cache[txn_id] = status
+            return status
+        return self.txn_status(txn_id)
+
     def in_main_lineage(self, entry: LogEntry) -> bool:
         """Does this entry participate in main-lineage state folds?
         False for write-audit-publish stage snapshots (await publish),
@@ -195,6 +221,33 @@ class TransactionLog:
     def latest_version(self) -> int | None:
         vs = self.versions()
         return vs[-1] if vs else None
+
+    def pending_txn_removed_claims(self) -> dict[str, str]:
+        """path -> txn id for every file a STAGED, still-UNDECIDED
+        multi-table/catalog-merge entry removes. This is half of the
+        validate->marker-flip race closure (r14): a staged txn entry
+        already owns a version slot, so any main commit claiming a
+        LATER slot re-runs its make() against a log that contains the
+        pending entry; on overlap the writer DECIDES the undecided txn
+        aborted through the same O_EXCL marker create the txn's own
+        commit uses (`decide_txn`) — first committer wins, arbitrated
+        by one atomic primitive, so exactly one of {racing writer, txn
+        flip} survives and the silent-duplication window is closed,
+        not shrunk. Writers that landed BEFORE the staging are seen by
+        the txn's marker-time revalidation (the other half). Pending
+        entries always sit above the newest checkpoint (checkpoints
+        refuse to freeze past a pending txn), so the scan is bounded."""
+        cp = self.latest_checkpoint_version()
+        out: dict[str, str] = {}
+        for v in self.versions():
+            if cp is not None and v <= cp:
+                continue
+            e = self.read_entry(v)
+            tx = (e.extra or {}).get("txn")
+            if tx is not None and self.txn_status(tx) == "pending":
+                for p in e.removed_files:
+                    out[p] = tx
+        return out
 
     def read_entry(self, version: int) -> LogEntry:
         path = os.path.join(self.metadata_dir, f"{version:010d}.json")

@@ -488,6 +488,11 @@ def rewrite_data_files(
                     f"rewrite_data_files on {table.identifier}: {len(gone)} input "
                     f"file(s) no longer live (e.g. {gone[0]!r}) — re-plan compaction"
                 )
+            if ref is None:
+                # files a staged-undecided txn removes are off limits:
+                # replacing one while the marker flips duplicates rows
+                # (table._check_pending_txn_claims rationale)
+                table._check_pending_txn_claims("rewrite_data_files", removed_paths)
             # the group was read with the PLAN-time delete files applied;
             # a delete file added (or removed) since would make the
             # rewritten rows wrong — Iceberg's rewrite validates new

@@ -1880,6 +1880,35 @@ class LakehouseTable:
             extra=extra,
         )
 
+    def _check_pending_txn_claims(self, operation: str, paths) -> None:
+        """First-committer-wins against staged-but-UNDECIDED
+        multi-table/catalog-merge txns: when this main commit's planned
+        removals / merge-on-read referenced files overlap a pending txn
+        entry's removals, DECIDE that txn aborted through the same
+        O_EXCL marker create its orchestrator uses. Runs inside
+        make(), i.e. at the claimed version slot, where the pending
+        entry is already visible in the log. Exactly one side survives
+        the marker arbitration: either our abort lands (the txn's flip
+        later reads it and reports the abort — the pre-r14 writer-wins
+        semantics, now race-free) or the txn committed first and we
+        raise for a re-plan against the merged state. This is what
+        closes (not shrinks) the txn validate->marker-flip window; see
+        log.pending_txn_removed_claims. Staged txns never act as file
+        locks — an open interactive transaction cannot block writers."""
+        claims = self.log.pending_txn_removed_claims()
+        hits: dict[str, str] = {}
+        for p in paths:
+            tx = claims.get(p)
+            if tx is not None and tx not in hits:
+                hits[tx] = p
+        for tx, p in hits.items():
+            if self.log.decide_txn(tx, "aborted") != "aborted":
+                raise CommitConflictError(
+                    f"{operation} on {self.identifier}: planned file {p!r} was "
+                    f"claimed by transaction {tx!r}, which committed first — "
+                    "re-plan from the post-transaction state"
+                )
+
     def _deletes_fingerprint(self, ref: str | None = None) -> tuple[str, ...]:
         """The live delete-file set at PLAN time. Every commit that
         plans row content from a read (COW rewrites, compaction) must
@@ -2010,6 +2039,10 @@ class LakehouseTable:
                     f"referenced data file(s) no longer live (e.g. {gone[0]!r}) — "
                     "a concurrent commit replaced them; re-plan"
                 )
+            # a file a pending txn is about to remove counts as
+            # unavailable too: tombstoning it would target rows the
+            # marker flip replaces
+            self._check_pending_txn_claims(operation, referenced)
             return LogEntry(
                 version=version,
                 snapshot_id=version,
@@ -2620,6 +2653,8 @@ class LakehouseTable:
                         f"removed file(s) no longer live (e.g. {gone[0]!r}) — a "
                         "concurrent commit replaced them; re-plan from the new state"
                     )
+                if branch is None:
+                    self._check_pending_txn_claims(operation, removed)
             if deletes_fingerprint is not None:
                 now_deletes = tuple(
                     sorted(p for p, fi in live.items() if fi.content != 0)

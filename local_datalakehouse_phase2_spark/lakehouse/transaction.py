@@ -47,10 +47,14 @@ Scale/deployment note: the marker create is atomic on POSIX/HDFS; on
 raw S3 it is check-then-put — the same documented caveat as the
 per-table commit arbiter (fs.py), resolved in production by fronting
 the marker dir with a catalog service, exactly Iceberg's guidance.
-The window between commit-time validation and the marker create is
-the check-then-put gap of that primitive; per-table writers racing
-into exactly that window are not re-validated. Single-node scope
-documented in SURVEY.md §4.
+The validate->marker-create window is closed (r14): staged txn
+entries hold version slots, so a racing main commit re-validates
+against a log that contains them, and on file overlap it decides the
+pending txn aborted through the same O_EXCL marker create this
+commit() uses — first committer wins, one atomic arbiter, exactly one
+survivor (log.decide_txn, table._check_pending_txn_claims; directed
+races in tests/test_r14_races.py). Single-node scope documented in
+SURVEY.md §4.
 
 Sequence semantics: staged files keep the data sequence numbers
 stamped at stage time — the transaction serializes at its entries'
