@@ -376,6 +376,42 @@ class LocalFileIO(FileIO):
         return md.num_rows, stats_from_footer(md)
 
 
+# ---- mutex backend contract (r14) -------------------------------------
+#
+# A mutex backend for ArbitratedFileIO is any callable
+#
+#     mutex(path: str) -> context manager
+#
+# satisfying, at the backend's documented scope (process / host /
+# multi-host), the contract the conformance suite
+# (tests/test_mutex_conformance.py) enforces against every registered
+# backend:
+#
+#   1. EXCLUSION — at most one participant is inside the context for a
+#      given canonical path at a time (two spellings of one file must
+#      arbitrate as one path: resolve symlinks / normalize before
+#      keying).
+#   2. NO RETURN WITHOUT THE LOCK — __enter__ either acquires or
+#      raises (e.g. a bounded-wait timeout); it never yields
+#      optimistically.
+#   3. RELEASE ON EXIT — normal or exceptional exit frees the path for
+#      the next waiter.
+#   4. CRASH LIVENESS — a holder that dies without releasing must not
+#      wedge the path forever. Kernel-mediated backends (flock) get
+#      this from automatic release; lease-based backends (endpoint
+#      conditional-put: sqlite stand-in, DynamoDB, etcd) must steal
+#      holder records older than log.LOCK_STEAL_SECONDS, and a LIVE
+#      holder younger than that must never be stolen.
+#   5. NON-REENTRANT — like threading.Lock; ArbitratedFileIO never
+#      nests acquisitions of one path.
+#
+# Known lease-backend caveat (documented, not solved — real
+# deployments fence or keep critical sections far under the TTL): a
+# holder stalled PAST the steal horizon can overlap its thief; flock
+# backends cannot exhibit this because release is tied to process
+# lifetime.
+
+
 class FlockMutex:
     """`flock(2)`-based cross-process arbiter for `ArbitratedFileIO`.
 
