@@ -186,3 +186,51 @@ def test_simhash_wide_blocking_recall_is_exact(spark, sf_small):
             if ids[i] < ids[j]:
                 brute.add((int(ids[i]), int(ids[j])))
     assert got == brute  # not just recall 1.0: exactly the brute set
+
+
+def test_ratcheted_floors_catch_recall_regression(spark, sf_small):
+    """The r14 per-fixture floors (measured-minus-0.03) must BITE: a
+    simulated ~20% pair-recall loss (a regression the old global 0.7 /
+    0.3 floors would have passed) flips pair_recall_ok to False, while
+    the unmutated pass stays green at the same floors."""
+    from pyspark.sql import functions as F
+
+    from local_datalakehouse_phase2_spark.operators.dedup import (
+        _SIMHASH64_COMBO_KEYS,
+        _SIMHASH_FLOORS,
+        _SIMHASH_WIDE_FLOORS,
+        _floors,
+        _flags_summary,
+        _fused_band_pairs,
+        shingle_hash_frame,
+        _simhash64,
+    )
+    from local_datalakehouse_phase2_spark.sources.loaders import parallel_scan
+
+    d = parallel_scan(spark, sf_small, "documents")
+    base = shingle_hash_frame(d).select(
+        "doc_id", "hs", _simhash64("hs").alias("simhash")
+    )
+    pairs = _fused_band_pairs(
+        base,
+        combo_keys=_SIMHASH64_COMBO_KEYS,
+        ham_sql="bit_count(a.simhash ^ b.simhash)",
+        sim_cols=("simhash",),
+    )
+    floors = _floors(sf_small, _SIMHASH_FLOORS, (0.9, 0.7))
+    assert floors != (0.9, 0.7)  # the fixture actually hits a ratchet
+    ok = _flags_summary(pairs, *floors).collect()[0]
+    assert ok.blocking_recall_ok and ok.pair_recall_ok and ok.precision_ok
+
+    # mutation: silently drop ~20% of emitted pairs (hamming -> null on
+    # every 5th doc_a) — a real regression of exactly the size the old
+    # global floor ignored
+    mutated = pairs.withColumn(
+        "hamming", F.when(F.col("doc_a") % 5 != 0, F.col("hamming"))
+    )
+    bad = _flags_summary(mutated, *floors).collect()[0]
+    assert not bad.pair_recall_ok
+
+    # unknown corpora fall back to the conservative globals
+    assert _floors("/nowhere/sf7", _SIMHASH_FLOORS, (0.9, 0.7)) == (0.9, 0.7)
+    assert _floors("/nowhere/sf7", _SIMHASH_WIDE_FLOORS, (0.6, 0.3)) == (0.6, 0.3)
