@@ -45,6 +45,8 @@ from .table import (
 )
 
 ORPHAN_SAFETY_SECONDS = 24 * 3600  # guide :274
+# future-stamped commits beyond this prove writer/sweeper clock skew
+CLOCK_SKEW_TOLERANCE_SECONDS = 300.0
 
 
 class MaintenanceError(RuntimeError):
@@ -785,6 +787,25 @@ def remove_orphan_files(
     if older_than > now - ORPHAN_SAFETY_SECONDS:
         raise MaintenanceError(
             "remove_orphan_files: older_than must be >= 24h in the past (guide :274)"
+        )
+    # Clock-skew tripwire (r14): the 24h safety window assumes writer
+    # and sweeper clocks agree to well under 24h — a writer whose clock
+    # runs BEHIND the sweeper's by more than the window makes its
+    # freshly staged files (pyarrow fast-path commits included, which
+    # never pass through a committer rename) look ancient and
+    # sweepable mid-commit. Past-direction skew is indistinguishable
+    # from age, but FUTURE-direction evidence is observable: any commit
+    # stamped ahead of this host's clock proves the fleet's clocks
+    # disagree, so refuse to delete anything rather than trust mtimes.
+    # (Entry timestamps are writer-clock time.time(), like file mtimes.)
+    newest = max(
+        (e.committed_at for e in table.log.entries()), default=0.0
+    )
+    if newest > now + CLOCK_SKEW_TOLERANCE_SECONDS:
+        raise MaintenanceError(
+            f"remove_orphan_files: newest commit is stamped {newest - now:.0f}s in "
+            "this host's future — writer/sweeper clocks disagree; refusing to "
+            "sweep on untrustworthy mtimes"
         )
 
     referenced: set[str] = set()

@@ -80,7 +80,12 @@ class _CountLedger:
     counting at each step — it is snapshot isolation doing the work —
     while paying Spark's per-job floor once instead of once per step.
     NOT safe for entries that physically delete files mid-run
-    (expire_snapshots / remove_orphan_files demos count eagerly)."""
+    (expire_snapshots / remove_orphan_files demos count eagerly) — and
+    the same applies CROSS-process: a concurrent expire_snapshots from
+    another process can delete files a deferred read references, which
+    fails LOUDLY at resolve (Spark's missing-file error; never a
+    silently wrong count) — the standard snapshot-reader-vs-expiry
+    contract, proven by tests/test_r14_races.py's directed schedule."""
 
     def __init__(self):
         self._dfs: list[DataFrame] = []

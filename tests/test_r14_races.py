@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 
 import pytest
 
@@ -233,3 +234,69 @@ def test_update_aborts_pending_txn_it_overlaps(spark, tmp_path):
     t.update_where({"v": "'u'"}, "k = 1")
     assert _marker(lake, "fake-txn-3")["status"] == "aborted"
     assert _rows(lake, "lab.t1") == {(1, "u"), (2, "m2")}
+
+
+# ---- r13-seam hunt (VERDICT item 7): fastwrite mtimes & the ledger --
+
+
+def test_orphan_sweep_refuses_on_observed_clock_skew(spark, tmp_path):
+    """A commit stamped in the sweeper's future proves writer/sweeper
+    clocks disagree; the sweep must refuse (mtimes untrustworthy)
+    rather than risk deleting another host's in-flight staged files —
+    the fastwrite path never passes a committer rename, so its staged
+    bytes have exactly one mtime protecting them."""
+    from local_datalakehouse_phase2_spark.lakehouse import maintenance as mnt
+    from local_datalakehouse_phase2_spark.lakehouse.maintenance import (
+        MaintenanceError,
+        remove_orphan_files,
+    )
+
+    lake = _lake(spark, tmp_path)
+    t = lake.table("lab.t1")
+    remove_orphan_files(t)  # sane clocks: runs fine
+    # skewed writer: re-stamp the newest entry 1h into the future
+    v = t.log.latest_version()
+    p = os.path.join(t.log.metadata_dir, f"{v:010d}.json")
+    raw = json.load(open(p))
+    raw["committed_at"] = time.time() + 3600.0
+    with open(p, "w") as f:
+        json.dump(raw, f)
+    with pytest.raises(MaintenanceError, match="clocks disagree"):
+        remove_orphan_files(t)
+
+
+def test_ledger_deferred_read_fails_loud_on_cross_process_expire(spark, tmp_path):
+    """_CountLedger's soundness rests on snapshot pinning; a SECOND
+    process expiring snapshots can delete pinned bytes. The contract:
+    the deferred resolve fails LOUDLY (Spark missing-file error) —
+    never a silently wrong count — and the eager schedule the
+    file-deleting entries use is correct under the same interleaving."""
+    from local_datalakehouse_phase2_spark.lakehouse.maintenance import (
+        expire_snapshots,
+    )
+    from local_datalakehouse_phase2_spark.operators.maintenance_queries import (
+        _CountLedger,
+    )
+
+    wh = str(tmp_path / "w")
+    lake_a = Lakehouse(spark, wh)
+    lake_a.create_namespace("lab")
+    t_a = lake_a.create_table("lab.t", schema="k bigint, v string")
+    t_a.append(_df(spark, (1, "a"), (2, "b")).coalesce(1))
+
+    led = _CountLedger()
+    pinned = lake_a.table("lab.t").read()  # snapshot-pinned file set
+    (slot,) = led.counts(pinned)
+    eager = pinned.count()  # the documented-safe schedule
+    assert eager == 2
+
+    # "another process": an independent Lakehouse over the same path
+    lake_b = Lakehouse(spark, wh)
+    t_b = lake_b.table("lab.t")
+    t_b.overwrite(_df(spark, (9, "z")).coalesce(1))
+    expire_snapshots(t_b, retain_last=1)  # deletes the pinned file
+
+    with pytest.raises(Exception) as ei:
+        led.resolve([(slot,)])
+    msg = str(ei.value)
+    assert "exist" in msg or "FileNotFound" in msg or "FILE" in msg.upper()

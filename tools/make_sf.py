@@ -22,6 +22,12 @@ region/nation are dimension universes (5/25 rows joined by value) and
 are copied verbatim.
 
 Usage: python tools/make_sf.py [--factor 10] [--out /tmp/spark_graft_sf1]
+       [--src /root/testdata/sf0.1] [--tables documents,embeddings]
+`--src` chains rungs (sf1 -> sf10 at another 10x without re-shuffling
+5M rows from the 50k base); `--tables` restricts to a subset — the
+sf10 dedup/ANN rung only needs documents+embeddings (r14). Documents
+stream copy-by-copy through one ParquetWriter so a 100x corpus never
+materializes as Python dicts.
 Deterministic: same inputs + factor => byte-identical logical content.
 """
 
@@ -109,8 +115,9 @@ def scale_documents(out: str, factor: int) -> None:
     t = pq.read_table(f"{SRC}/documents.parquet")
     base = t.to_pylist()
     doc_off = max(r["doc_id"] for r in base) + 1
-    rows = []
+    writer = pq.ParquetWriter(f"{out}/documents.parquet", t.schema)
     for i in range(factor):
+        rows = []
         for r in base:
             text = r["text"]
             if i > 0:
@@ -126,7 +133,8 @@ def scale_documents(out: str, factor: int) -> None:
                     "n_chars": len(text),
                 }
             )
-    pq.write_table(pa.Table.from_pylist(rows, schema=t.schema), f"{out}/documents.parquet")
+        writer.write_table(pa.Table.from_pylist(rows, schema=t.schema))
+    writer.close()
 
 
 def scale_embeddings(out: str, factor: int) -> None:
@@ -154,15 +162,23 @@ def scale_embeddings(out: str, factor: int) -> None:
 
 
 def main() -> None:
+    global SRC
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
+    ap.add_argument("--src", default=SRC)
+    ap.add_argument("--tables", default="all", help="comma list or 'all'")
     args = ap.parse_args()
+    SRC = args.src
+    tables = None if args.tables == "all" else set(args.tables.split(","))
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
-    scale_relational(con, args.out, args.factor)
-    scale_documents(args.out, args.factor)
-    scale_embeddings(args.out, args.factor)
+    if tables is None:
+        scale_relational(con, args.out, args.factor)
+    if tables is None or "documents" in tables:
+        scale_documents(args.out, args.factor)
+    if tables is None or "embeddings" in tables:
+        scale_embeddings(args.out, args.factor)
     for f in sorted(os.listdir(args.out)):
         p = os.path.join(args.out, f)
         n = con.sql(f"SELECT count(*) FROM read_parquet('{p}')").fetchone()[0]
