@@ -337,10 +337,37 @@ def _fused_band_pairs(
         F.col("fk.k2").alias("k2"),
         member.alias("m"),
     )
+    # Hot-bucket prefilter (r14b): almost every band row lands in a
+    # singleton bucket (500k-doc measurement: 4M band rows, ~15% in
+    # buckets of size > 1), yet the member payload carries the doc's
+    # shingle-hash array — shipping ALL of it through the collect_list
+    # shuffle measured 25+ min at 500k docs (GC/spill thrash on ~6 GB
+    # of array payloads) vs ~20 s for the key-only pass. So: a LIGHT
+    # pass (keys only, count() aggregates map-side) finds the bucket
+    # keys with 2..MAX_BUCKET members, and only those rows ship
+    # payloads. The join adds one corpus-narrow signature recompute
+    # (cheap, parallel) and AQE turns it into a broadcast hash join at
+    # runtime from the hot side's ACTUAL post-shuffle size — hot keys
+    # are O(candidate buckets) ~ O(dupes + collisions), corpus-sparse
+    # at any scale; past the broadcast threshold AQE falls back to a
+    # shuffle join, which still only shuffles the key columns of the
+    # light side.
+    hot = (
+        sigs.select(F.explode(F.array(*fam0, *fam1)).alias("fk"))
+        .groupBy(
+            F.col("fk.fam").alias("fam"),
+            F.col("fk.k1").alias("k1"),
+            F.col("fk.k2").alias("k2"),
+        )
+        .count()
+        .filter((F.col("count") > 1) & (F.col("count") <= MAX_BUCKET))
+        .drop("count")
+    )
     buckets = (
-        keyed.groupBy("fam", "k1", "k2")
+        keyed.join(hot, ["fam", "k1", "k2"])
+        .groupBy("fam", "k1", "k2")
         .agg(F.collect_list("m").alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
+        .filter(F.size("ms") > 1)
     )
     jac = F.round(
         F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
@@ -696,9 +723,11 @@ _SIMHASH_FLOORS = {  # sf-dir basename -> (blocking_floor, pair_floor)
     "sf0.1": (0.96, 0.80),
 }
 _SIMHASH_WIDE_FLOORS = {
-    "sf0.001": (0.68, 0.47),
-    "sf0.01": (0.85, 0.37),
-    "sf0.1": (0.80, 0.39),
+    # re-measured after the r14b hash-of-hash second family (s2 values
+    # changed): blocking 0.7857/0.84/0.8477, pair 0.4643/0.44/0.4648
+    "sf0.001": (0.75, 0.43),
+    "sf0.01": (0.81, 0.41),
+    "sf0.1": (0.81, 0.43),
 }
 
 
@@ -830,19 +859,28 @@ def simhash_hamming_pairs(
     )
 
 
+_H2_FROM_HS = "transform(hs, h -> xxhash64(h, 7))"
+
+
 def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
     """(doc_id, s1, s2): a 128-bit SimHash as two independent 64-bit
-    halves — the second from the same shingles under a different
-    xxhash64 seed (JVM-side, one extra hash per shingle). Factored out
-    so the recall test can brute-force the same fingerprints."""
-    h2 = F.expr(f"transform({_shingles_sql('text')}, s -> xxhash64(s, 7))")
+    halves — the second family re-hashes each shingle's xxhash64 value
+    under seed 7 (hash-of-hash; avalanche makes the bit planes as
+    independent as a second string hash) instead of re-hashing the
+    shingle STRINGS. The distinction matters at corpus scale: the
+    shingle string pipeline (split -> slice -> concat_ws per shingle)
+    is the most expensive expression in the whole family (the r8
+    measurement), and the string-seeded h2 paid it a second time —
+    at 500k docs the switch plus the hot-bucket prefilter cut the
+    entry ~6x. Factored out so the recall test brute-forces the same
+    fingerprints."""
     return (
         d.filter(_has_shingles())
-        .select("doc_id", _shingle_hashes().alias("h1"), h2.alias("h2"))
+        .select("doc_id", _shingle_hashes().alias("hs"))
         .select(
             "doc_id",
-            _simhash64("h1").alias("s1"),
-            _simhash64("h2").alias("s2"),
+            _simhash64("hs").alias("s1"),
+            _simhash64(F.expr(_H2_FROM_HS)).alias("s2"),
         )
     )
 
@@ -853,10 +891,10 @@ def _simhash_wide_sigs(d: DataFrame) -> DataFrame:
     # simhash_pairs with this variant's own RATCHETED per-fixture
     # floors (_SIMHASH_WIDE_FLOORS, measured-minus-0.03; 0.6/0.3
     # fallback): the 6/128 hamming bar is intentionally tighter, so
-    # pair recall sits lower (measured 0.50/0.40/0.4219) and blocking
-    # at 0.7143 on sf0.001's short noisy docs vs 0.88/0.836 — exact
-    # 16-bit block agreement is a stricter candidacy than the 64-bit
-    # variant's 8-bit blocks, the price of the 2^16 collision
+    # pair recall sits lower (measured 0.4643/0.44/0.4648) and
+    # blocking at 0.7857 on sf0.001's short noisy docs vs 0.84/0.8477
+    # — exact 16-bit block agreement is a stricter candidacy than the
+    # 64-bit variant's 8-bit blocks, the price of the 2^16 collision
     # deferral. Precision stays 1.0 at every sf. Per-pair
     # 128-bit hamming and the 1.0 recall of blocking AT hamming<=6
     # remain proven against numpy brute force in tests/test_dedup.py.
@@ -878,19 +916,15 @@ def simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
     # Fused shape (r14, 4.91 -> 2.92 s at sf0.1 interleaved): both
     # 64-bit halves, the MinHash truth bands, and the 32-bit combo
-    # keys derive from ONE shingle projection (h2 = the same shingles
-    # under xxhash64 seed 7), so the corpus is scanned/shingled once
-    # for the whole entry — see _fused_band_pairs.
-    h2 = F.expr(f"transform({_shingles_sql('text')}, s -> xxhash64(s, 7))")
-    base = (
-        d.filter(_has_shingles())
-        .select("doc_id", _shingle_hashes().alias("hs"), h2.alias("h2"))
-        .select(
-            "doc_id",
-            "hs",
-            _simhash64("hs").alias("s1"),
-            _simhash64("h2").alias("s2"),
-        )
+    # keys derive from ONE shingle-hash projection (the second family
+    # is hash-of-hash — see _simhash_wide_sigs), so the expensive
+    # shingle-string pipeline runs once for the whole entry — see
+    # _fused_band_pairs.
+    base = shingle_hash_frame(d).select(
+        "doc_id",
+        "hs",
+        _simhash64("hs").alias("s1"),
+        _simhash64(F.expr(_H2_FROM_HS)).alias("s2"),
     )
     pairs = _fused_band_pairs(
         base,
