@@ -258,3 +258,56 @@ def test_oracle_catches_drifting_tag_pin(spark, con, monkeypatch):
     monkeypatch.setattr(cr.CatalogRefs, "_pin_of", head_pin)
     with pytest.raises(AssertionError):
         _run_vs_oracle(spark, con, "lakehouse_catalog_branch")
+
+
+# ---- r14: catalog-ref RESOLVER mutations (VERDICT r13 item 8) -------
+# The r13 conversion made the second engine DERIVE catalog-branch
+# history structurally (secondengine.py cat_fork_base / cat_chain /
+# branch-evidence tagging) instead of pinning literals. These cases
+# mutate each derivation in the GENERATED oracle SQL and run the real
+# engine against it — red proves the derivation is load-bearing, i.e.
+# the forty recomputed quantities actually depend on it.
+RESOLVER_MUTATIONS = [
+    # NOTE a bare off-by-one (min(version) - 1 -> min(version)) is
+    # structurally INVISIBLE, and the audit proved it: version slots
+    # are globally unique, so no MAIN entry can sit at the branch
+    # commit's own version and the fold upto v equals the fold upto
+    # v-1. The load-bearing property is that the fork base stays
+    # BEFORE the post-fork main commits — so the seeded mutation
+    # resolves the fork past them.
+    (
+        "lakehouse_catalog_branch",
+        "min(version) - 1",
+        "min(version) + 100",
+        "wrong fork base: the branch resolves against post-fork main"
+        " state, breaking fork isolation in every branch-scoped count",
+    ),
+    (
+        "lakehouse_catalog_branch",
+        "CAST(json_extract(extra, '$.merged_commits') AS BIGINT[])",
+        "(CAST(json_extract(extra, '$.merged_commits') AS BIGINT[]))[1:-2]",
+        "merged_commits census off by one: the chain's last published"
+        " commit drops from every merge fold and census count",
+    ),
+    (
+        "lakehouse_catalog_branch",
+        "catalog.etl",
+        "catalog.wrong",
+        "chain commits mis-tagged: branch evidence resolves empty, so"
+        " fork bases and branch reads derive from nothing",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,old,new,why",
+    RESOLVER_MUTATIONS,
+    ids=[f"resolver:{why[:40]}" for _, _, _, why in RESOLVER_MUTATIONS],
+)
+def test_oracle_catches_resolver_mutation(name, old, new, why, spark, con):
+    spec = SPECS[name]
+    assert old in spec.oracle, f"mutation anchor drifted out of {name}'s oracle"
+    df = spec.fn(spark, SF_ORACLE)
+    compare(df, con, spec.oracle)  # baseline: unmutated resolver is green
+    with pytest.raises(AssertionError):
+        compare(df, con, spec.oracle.replace(old, new))
