@@ -1179,7 +1179,20 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    comp = connected_components(exact_jaccard_pairs(d))
+    # Edges from the fused banded pass (r14) — the exact same
+    # candidates + in-bucket exact Jaccard that ngram_jaccard_dupes
+    # emits at the same 0.6 threshold, already sweep-proven equal to
+    # the banded DuckDB edge derivation at every fixture sf. The
+    # previous deterministic shingle-bucket counting join emits
+    # sum(bucket^2) rows; at 500k docs the common-shingle buckets sit
+    # just under CC_BUCKET_CAP, so it emitted ~100x its 50k volume
+    # (hours) while the banded pass stays corpus-sparse (~35 s).
+    # exact_jaccard_pairs remains as the deterministic cross-check the
+    # brute-force test exercises.
+    edges = _fused_band_pairs(shingle_hash_frame(d)).filter(
+        F.col("jaccard") >= CC_JACCARD
+    )
+    comp = connected_components(edges.select("doc_a", "doc_b"))
     return (
         comp.groupBy("cluster")
         .agg(F.count("*").alias("cluster_size"))
