@@ -271,36 +271,36 @@ def _fused_band_pairs(
     the pair collided in a MinHash band) and `hamming` the SimHash
     distance (non-null iff it collided in a block-pair combo table).
 
-    Shape (the r14 clawback; interleaved A/B at sf0.1, quiet host):
-    one family-tagged explode emits the 8 MinHash band keys AND the 28
-    SimHash combo keys per doc, so candidate buckets for BOTH families
-    form in a SINGLE shuffle, and the corpus pipeline (scan -> shingle
-    -> xxhash64 -> signature UDFs) runs exactly once — the previous
-    shape ran it once per family per reference (the summary's 3-way
-    union re-evaluated the SimHash pipeline twice, and the exact
-    verify re-derived the corpus frame for its semi-join). Exact
-    Jaccard rides the SAME shuffle: fam-0 payloads carry the doc's
-    distinct shingle hashes, so the verify is an in-bucket
-    array_intersect/array_union at pair expansion — no ids-distinct,
-    no broadcast, no re-join, no branch duplication. Measured:
-    simhash_pairs 3.90 -> 2.55 s, simhash_wide_pairs 4.91 -> 2.92 s,
-    ngram_jaccard_dupes 2.70 -> 2.24 s; cold first-run minhash 9.85 ->
-    3.62 s (value-identical at sf0.001/0.01/0.1, all four entries).
+    Shape (r14, settled by three rounds of measurement at 5k/50k/500k
+    docs): one family-tagged explode emits the 8 MinHash band keys AND
+    the 28 SimHash combo keys per doc, so candidate buckets for BOTH
+    families form in a single shuffle and the corpus pipeline (scan ->
+    shingle -> xxhash64 -> signature UDFs) runs exactly once — the
+    r13 shape ran it once per family per reference (the summary's
+    3-way union re-evaluated the SimHash pipeline twice). Bucket
+    members carry ONLY (doc_id [+ the 8-16 byte fingerprints]): the
+    first fused draft shipped each doc's shingle-hash array per band
+    row for in-bucket exact Jaccard, which measured 25+ minutes of
+    GC/spill thrash at 500k docs — ~85% of band rows land in
+    singleton buckets, so almost all of that ~6 GB payload shuffle
+    was wasted (and a hot-bucket prefilter that avoided it re-ran the
+    signature UDFs, costing ~2 s of Python-stage warmup per query at
+    bench scale). Exact Jaccard (and the MinHash signatures for
+    `est_jaccard`) instead annotate the DEDUPLICATED pair frame via a
+    broadcast-semi-join-restricted re-read: candidates are O(dupes) —
+    corpus-sparse at any scale — so the verify work is
+    candidate-sized, the heavy arrays never enter a wide shuffle, and
+    the re-derived projections evaluate only for the docs the pairs
+    touch. Measured: value-identical at every fixture sf; 500k docs
+    ~30-50 s per entry (linear vs 50k), sf0.1 medians at or under the
+    r13 quiet numbers.
 
-    Scale accounting at 100 TB: the fam-0 payload ships each doc's
-    distinct shingle hashes once per band (8x corpus in the bucket
-    shuffle) — the standard banded-LSH-join cost — in exchange for
-    zero corpus-wide joins afterwards; fam-1 payloads are 8-16 bytes.
-    Per-pair verify work duplicates per colliding band (dupes collide
-    in ~all 8), but only for candidate pairs — O(dupes), not corpus.
-    The arrays are dropped before the pair-level shuffle: only
-    (doc_a, doc_b, est/jaccard/hamming) ride the second exchange.
     Jaccard over distinct xxhash64 values equals Jaccard over shingle
     strings up to a ~1e-15/pair 64-bit collision — below every other
     error source (the cross-engine sweep would surface one).
     """
     rows_per_band = N_HASHES // N_BANDS
-    sigs = base.select("doc_id", "hs", *sim_cols, _minhash_sigs("hs").alias("sig"))
+    sigs = base.select("doc_id", *sim_cols, _minhash_sigs("hs").alias("sig"))
     fam0 = [
         F.struct(
             F.lit(0).alias("fam"),
@@ -321,96 +321,99 @@ def _fused_band_pairs(
         for k in (combo_keys or [])
     ]
     is0 = F.col("fk.fam") == 0
-    # per-family payload nulling keeps the bucket shuffle lean: combo
-    # rows don't ship shingle arrays, band rows don't ship fingerprints
+    # light members: fingerprints only ride the bucket shuffle, and
+    # only on their own family's rows
     member = F.struct(
         F.col("doc_id"),
-        F.when(is0, F.array_distinct("hs")).alias("sh"),
-        *([F.when(is0, F.col("sig")).alias("sig")] if want_est else []),
         *[F.when(~is0, F.col(c)).alias(c) for c in sim_cols],
     )
     keyed = sigs.select(
-        "doc_id", "hs", "sig", *sim_cols, F.explode(F.array(*fam0, *fam1)).alias("fk")
+        "doc_id", "sig", *sim_cols, F.explode(F.array(*fam0, *fam1)).alias("fk")
     ).select(
         F.col("fk.fam").alias("fam"),
         F.col("fk.k1").alias("k1"),
         F.col("fk.k2").alias("k2"),
         member.alias("m"),
     )
-    # Hot-bucket prefilter (r14b): almost every band row lands in a
-    # singleton bucket (500k-doc measurement: 4M band rows, ~15% in
-    # buckets of size > 1), yet the member payload carries the doc's
-    # shingle-hash array — shipping ALL of it through the collect_list
-    # shuffle measured 25+ min at 500k docs (GC/spill thrash on ~6 GB
-    # of array payloads) vs ~20 s for the key-only pass. So: a LIGHT
-    # pass (keys only, count() aggregates map-side) finds the bucket
-    # keys with 2..MAX_BUCKET members, and only those rows ship
-    # payloads. The join adds one corpus-narrow signature recompute
-    # (cheap, parallel) and AQE turns it into a broadcast hash join at
-    # runtime from the hot side's ACTUAL post-shuffle size — hot keys
-    # are O(candidate buckets) ~ O(dupes + collisions), corpus-sparse
-    # at any scale; past the broadcast threshold AQE falls back to a
-    # shuffle join, which still only shuffles the key columns of the
-    # light side.
-    hot = (
-        sigs.select(F.explode(F.array(*fam0, *fam1)).alias("fk"))
-        .groupBy(
-            F.col("fk.fam").alias("fam"),
-            F.col("fk.k1").alias("k1"),
-            F.col("fk.k2").alias("k2"),
-        )
-        .count()
-        .filter((F.col("count") > 1) & (F.col("count") <= MAX_BUCKET))
-        .drop("count")
-    )
     buckets = (
-        keyed.join(hot, ["fam", "k1", "k2"])
-        .groupBy("fam", "k1", "k2")
+        keyed.groupBy("fam", "k1", "k2")
         .agg(F.collect_list("m").alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
     )
-    jac = F.round(
-        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-        / F.size(F.array_union("a.sh", "b.sh")),
-        6,
-    )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.lit(float(N_HASHES)),
-        6,
-    )
-    cols = [
+    # c0 marks a MinHash-band collision: the fused contract is that
+    # jaccard/est are non-null exactly for those pairs
+    pair_cols = [
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        *([F.when(F.col("fam") == 0, est).alias("est_jaccard")] if want_est else []),
-        F.when(F.col("fam") == 0, jac).alias("jaccard"),
+        (F.col("fam") == 0).cast("long").alias("c0"),
         *(
             [F.when(F.col("fam") == 1, F.expr(ham_sql)).alias("hamming")]
             if combo_keys
             else []
         ),
     ]
-    # max() folds the per-band/per-combo duplicates: est, jaccard and
-    # hamming are pair-functions (identical on every colliding row of
-    # their family, null on the other family's rows — max skips nulls)
-    aggs = [
-        F.max(c).alias(c)
-        for c in (["est_jaccard"] if want_est else [])
-        + ["jaccard"]
-        + (["hamming"] if combo_keys else [])
-    ]
-    return (
+    aggs = [F.max("c0").alias("c0")] + (
+        [F.max("hamming").alias("hamming")] if combo_keys else []
+    )
+    pairs = (
         buckets.select("fam", F.explode("ms").alias("a"), "ms")
         .select("fam", "a", F.explode("ms").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(*cols)
+        .select(*pair_cols)
         .groupBy("doc_a", "doc_b")
         .agg(*aggs)
+    )
+    # candidate-restricted annotation: the shingle projections (and,
+    # for want_est, the signature UDF) evaluate only for the docs the
+    # pairs touch — the broadcast semi-join restriction Catalyst can't
+    # derive itself (no partition-level dynamic pruning here)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ann = base.join(F.broadcast(ids), "doc_id").select(
+        "doc_id",
+        F.array_distinct("hs").alias("sh"),
+        *([_minhash_sigs("hs").alias("sig")] if want_est else []),
+    )
+    out = pairs.join(
+        ann.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("sh").alias("sh_a"),
+            *([F.col("sig").alias("sig_a")] if want_est else []),
+        ),
+        "doc_a",
+    ).join(
+        ann.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("sh").alias("sh_b"),
+            *([F.col("sig").alias("sig_b")] if want_est else []),
+        ),
+        "doc_b",
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(N_HASHES)),
+        6,
+    )
+    is_c0 = F.col("c0") == 1
+    return out.select(
+        "doc_a",
+        "doc_b",
+        *([F.when(is_c0, est).alias("est_jaccard")] if want_est else []),
+        F.when(is_c0, jac).alias("jaccard"),
+        *(["hamming"] if combo_keys else []),
     )
 
 
