@@ -366,10 +366,21 @@ def _fused_band_pairs(
     # candidate-restricted annotation: the shingle projections (and,
     # for want_est, the signature UDF) evaluate only for the docs the
     # pairs touch — the broadcast semi-join restriction Catalyst can't
-    # derive itself (no partition-level dynamic pruning here)
+    # derive itself (no partition-level dynamic pruning here). Only
+    # MinHash-band-collided pairs (c0) need annotation at all: their
+    # id set is O(dupes) — the corpus-sparse bound that makes the
+    # broadcast sound at any sf. The SimHash combo families' candidate
+    # ids are NOT in that bound (the 16-bit birthday junk approaches
+    # the whole corpus at 500k docs, and force-broadcasting it blew
+    # the driver — the sf10 ladder caught it), so combo-only pairs
+    # LEFT-join and keep null jaccard, which is the fused contract
+    # anyway.
     ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        pairs.filter(F.col("c0") == 1)
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionByName(
+            pairs.filter(F.col("c0") == 1).select(F.col("doc_b").alias("doc_id"))
+        )
         .distinct()
     )
     ann = base.join(F.broadcast(ids), "doc_id").select(
@@ -377,6 +388,7 @@ def _fused_band_pairs(
         F.array_distinct("hs").alias("sh"),
         *([_minhash_sigs("hs").alias("sig")] if want_est else []),
     )
+    how = "left" if combo_keys else "inner"
     out = pairs.join(
         ann.select(
             F.col("doc_id").alias("doc_a"),
@@ -384,6 +396,7 @@ def _fused_band_pairs(
             *([F.col("sig").alias("sig_a")] if want_est else []),
         ),
         "doc_a",
+        how,
     ).join(
         ann.select(
             F.col("doc_id").alias("doc_b"),
@@ -391,6 +404,7 @@ def _fused_band_pairs(
             *([F.col("sig").alias("sig_b")] if want_est else []),
         ),
         "doc_b",
+        how,
     )
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
