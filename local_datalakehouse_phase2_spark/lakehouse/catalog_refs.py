@@ -785,8 +785,20 @@ class CatalogRefs:
             }
         )
         if self.io.create_exclusive(self._txn_marker_path(txn_id), payload):
+            self._clear_intent(txn_id)
             return status
         return self._txn_status(txn_id)
+
+    def _clear_intent(self, txn_id: str) -> None:
+        """Retire the `<id>.intent` sentinel log.append created with the
+        first staged merge entry (see log.pending_txn_removed_claims) —
+        best-effort; a leftover only costs one bounded scan."""
+        try:
+            self.io.remove(
+                os.path.join(self.lake.warehouse_dir, ".txns", f"{txn_id}.intent")
+            )
+        except OSError:
+            pass
 
     def _apply_reanchor(self, record: dict, reanchor: dict) -> dict:
         """Post-flip bookkeeping, idempotent: re-anchor each member's

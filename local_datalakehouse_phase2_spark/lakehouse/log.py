@@ -122,6 +122,14 @@ class TransactionLog:
         self._state_cache: dict[int, dict[str, FileInfo]] = {}
         # decided (committed/aborted) transaction-marker states only
         self._txn_cache: dict[str, str] = {}
+        # parsed-entry memo: entry files are write-once (created with
+        # O_EXCL at log.append, never rewritten; expiry deletes, never
+        # edits), so a successfully parsed LogEntry is immutable and
+        # cacheable for the life of this instance. Callers never mutate
+        # entries (frozen dataclasses, treated as values throughout).
+        self._entry_cache: dict[int, LogEntry] = {}
+        # txn ids whose intent sentinel this instance already ensured
+        self._txn_intents_ensured: set[str] = set()
 
     # ---- reading -----------------------------------------------------
 
@@ -175,6 +183,10 @@ class TransactionLog:
             return "pending"
         if status in ("committed", "aborted"):
             self._txn_cache[txn_id] = status
+            # first discovery of a decision made elsewhere: retire the
+            # intent sentinel so future commits' pending-claims guard
+            # short-circuits (guarded by _txn_cache — runs once)
+            self._clear_txn_intent(txn_id)
         return status
 
     def decide_txn(self, txn_id: str, status: str) -> str:
@@ -200,8 +212,39 @@ class TransactionLog:
         )
         if self.io.create_exclusive(path, payload):
             self._txn_cache[txn_id] = status
+            self._clear_txn_intent(txn_id)
             return status
         return self.txn_status(txn_id)
+
+    # ---- txn intent sentinels ------------------------------------------
+    # `<warehouse>/.txns/<id>.intent`, created by log.append BEFORE the
+    # first entry tagged `extra.txn = <id>` lands (create-before-stage:
+    # a crash between the two leaves a harmless stale sentinel, never a
+    # staged entry without one). They exist so the per-commit pending-
+    # claims guard (`pending_txn_removed_claims`) can answer "no txn in
+    # flight" — the overwhelmingly common case — from ONE dir listing
+    # instead of re-reading every above-checkpoint log entry on every
+    # main commit (the r14 +34% lakehouse_multi_table_txn regression).
+    # Decided txns clear their sentinel best-effort (marker creators and
+    # first status discovery); a leftover sentinel only costs one extra
+    # bounded scan, never correctness.
+
+    def _txn_intent_path(self, txn_id: str) -> str:
+        return os.path.join(self.txn_dir, f"{txn_id}.intent")
+
+    def _ensure_txn_intent(self, txn_id: str) -> None:
+        if txn_id in self._txn_intents_ensured:
+            return
+        self.io.makedirs(self.txn_dir)
+        self.io.create_exclusive(self._txn_intent_path(txn_id), txn_id)
+        self._txn_intents_ensured.add(txn_id)
+
+    def _clear_txn_intent(self, txn_id: str) -> None:
+        try:
+            self.io.remove(self._txn_intent_path(txn_id))
+        except OSError:
+            pass
+        self._txn_intents_ensured.discard(txn_id)
 
     def in_main_lineage(self, entry: LogEntry) -> bool:
         """Does this entry participate in main-lineage state folds?
@@ -236,7 +279,29 @@ class TransactionLog:
         not shrunk. Writers that landed BEFORE the staging are seen by
         the txn's marker-time revalidation (the other half). Pending
         entries always sit above the newest checkpoint (checkpoints
-        refuse to freeze past a pending txn), so the scan is bounded."""
+        refuse to freeze past a pending txn), so the scan is bounded.
+
+        Cost (r15): the common case — no txn in flight — is ONE
+        `.txns/` dir listing, zero entry reads. log.append creates an
+        `<id>.intent` sentinel before the first `extra.txn` entry
+        lands (every staged entry goes through append, so
+        staged-pending implies intent-present), and decided txns
+        retire theirs; only while an undecided intent exists does the
+        above-checkpoint entry scan run — and those parses hit the
+        immutable-entry cache. Pre-r15 this re-read every
+        above-checkpoint entry JSON per commit: O(n²) metadata IO
+        across an uncheckpointed lifecycle, pure waste with no txns."""
+        pending: set[str] = set()
+        for name in self.io.listdir(self.txn_dir):
+            if not name.endswith(".intent"):
+                continue
+            tx = name[: -len(".intent")]
+            if self.txn_status(tx) == "pending":
+                pending.add(tx)
+            else:
+                self._clear_txn_intent(tx)  # stale sentinel of a decided txn
+        if not pending:
+            return {}
         cp = self.latest_checkpoint_version()
         out: dict[str, str] = {}
         for v in self.versions():
@@ -250,6 +315,9 @@ class TransactionLog:
         return out
 
     def read_entry(self, version: int) -> LogEntry:
+        cached = self._entry_cache.get(version)
+        if cached is not None:
+            return cached
         path = os.path.join(self.metadata_dir, f"{version:010d}.json")
         try:
             raw = json.loads(self.io.read_text(path))
@@ -271,7 +339,7 @@ class TransactionLog:
                 except json.JSONDecodeError:
                     if _time.monotonic() >= deadline:
                         raise
-        return LogEntry(
+        entry = LogEntry(
             version=raw["version"],
             snapshot_id=raw["snapshot_id"],
             committed_at=raw["committed_at"],
@@ -281,6 +349,8 @@ class TransactionLog:
             properties=raw.get("properties"),
             extra=raw.get("extra"),
         )
+        self._entry_cache[version] = entry
+        return entry
 
     def entries(self, upto: int | None = None) -> list[LogEntry]:
         vs = self.versions()
@@ -484,6 +554,13 @@ class TransactionLog:
                 entry = _dc_replace(
                     entry, extra={**(entry.extra or {}), "branch": branch}
                 )
+            tx = (entry.extra or {}).get("txn")
+            if tx is not None:
+                # intent-before-stage: the pending-claims guard's
+                # short-circuit relies on staged-pending ⇒ intent-present
+                # (see pending_txn_removed_claims). Created here, at the
+                # single chokepoint every staged entry passes through.
+                self._ensure_txn_intent(tx)
             raw = asdict(entry)
             raw["added_files"] = [asdict(fi) for fi in entry.added_files]
             raw["removed_files"] = list(entry.removed_files)
@@ -720,6 +797,7 @@ class TransactionLog:
 
     def remove_entries(self, versions: list[int]) -> None:
         for v in versions:
+            self._entry_cache.pop(v, None)
             p = os.path.join(self.metadata_dir, f"{v:010d}.json")
             if self.io.exists(p):
                 self.io.remove(p)

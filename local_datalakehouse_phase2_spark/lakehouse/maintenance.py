@@ -798,8 +798,17 @@ def remove_orphan_files(
     # stamped ahead of this host's clock proves the fleet's clocks
     # disagree, so refuse to delete anything rather than trust mtimes.
     # (Entry timestamps are writer-clock time.time(), like file mtimes.)
+    # Bounded scan (r15): only entries ABOVE the latest checkpoint (plus
+    # the newest entry when the checkpoint is current) — O(suffix), not
+    # O(all versions) of JSON reads per sweep. Skew evidence lives in
+    # the newest stamps: an old future-stamped entry below a checkpoint
+    # drifts into the past on its own, and every sweep re-checks the
+    # live suffix where active writers commit.
+    _vs = table.log.versions()
+    _cp = table.log.latest_checkpoint_version()
+    _recent = [v for v in _vs if _cp is None or v > _cp] or _vs[-1:]
     newest = max(
-        (e.committed_at for e in table.log.entries()), default=0.0
+        (table.log.read_entry(v).committed_at for v in _recent), default=0.0
     )
     if newest > now + CLOCK_SKEW_TOLERANCE_SECONDS:
         raise MaintenanceError(

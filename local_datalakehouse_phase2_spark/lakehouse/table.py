@@ -1894,7 +1894,15 @@ class LakehouseTable:
         raise for a re-plan against the merged state. This is what
         closes (not shrinks) the txn validate->marker-flip window; see
         log.pending_txn_removed_claims. Staged txns never act as file
-        locks — an open interactive transaction cannot block writers."""
+        locks — an open interactive transaction cannot block writers.
+
+        The abort is PESSIMISTIC by design: it fires during a make()
+        attempt that may itself lose its version slot, hit a later
+        validation conflict, or crash before our entry lands — so a
+        txn can be aborted with no surviving conflicting main commit.
+        Markers decide once; undoing one would reopen the window this
+        guard exists to close. The txn-side error message says so
+        (transaction.py commit): rebase + retry may simply succeed."""
         claims = self.log.pending_txn_removed_claims()
         hits: dict[str, str] = {}
         for p in paths:

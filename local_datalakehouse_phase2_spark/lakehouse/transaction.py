@@ -277,6 +277,13 @@ class Transaction:
         else:
             decided = json.loads(io.read_text(path)).get("status", "pending")
         self._decided = decided
+        try:
+            # retire the intent sentinel (created by log.append with the
+            # first staged entry) so main commits' pending-claims guard
+            # goes back to its zero-read short-circuit
+            io.remove(os.path.join(self.txn_dir, f"{self.txn_id}.intent"))
+        except OSError:
+            pass
         return decided
 
     def _validate_table(self, t: LakehouseTable, staged: list[_Staged]) -> None:
@@ -356,8 +363,19 @@ class Transaction:
             raise
         decided = self._write_marker("committed")
         if decided != "committed":
+            # NOTE the abort may be PESSIMISTIC: a racing main writer
+            # decides an overlapping pending txn aborted while its own
+            # make() attempt may still lose its slot, fail a later
+            # validation, or crash before its entry lands — markers
+            # decide once, so no conflicting main commit need be
+            # visible afterwards. Acceptable under first-committer-wins
+            # (the alternative reopens the validate->flip window);
+            # operationally: re-staging the same work and retrying may
+            # simply succeed.
             raise TransactionError(
-                f"transaction {self.txn_id} was aborted by a racing decision"
+                f"transaction {self.txn_id} was aborted by a racing decision "
+                "(possibly pessimistic: the decider's own commit may not have "
+                "survived — re-staging and retrying may succeed)"
             )
         return self._result("committed")
 

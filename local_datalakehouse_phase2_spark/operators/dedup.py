@@ -104,27 +104,38 @@ def _hash_params(n: int) -> tuple[np.ndarray, np.ndarray]:
     return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
 
 
-# type objects, not DDL strings: string return types are parsed at
-# decoration time and require an active SparkSession (breaks import)
-@pandas_udf(ArrayType(LongType()))
-def _minhash_sigs(hs: pd.Series) -> pd.Series:
-    """Per-doc MinHash signature from its shingle-hash array, one Arrow
+def _make_minhash_udf(n_hashes: int):
+    """Build an Arrow-batched MinHash-signature UDF of `n_hashes`
+    slots. Per-doc signature from its shingle-hash array, one Arrow
     batch at a time: concatenate all docs' hashes into one flat vector,
-    apply each of the N_HASHES affine families vectorized, and take
-    per-doc minima with a single minimum.reduceat per family. Row-local
-    (no explode, no shuffle) — the signature job is a pure narrow map."""
-    arrs = hs.to_numpy()
-    lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
-    offsets = np.zeros(len(arrs), dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs]).astype(np.uint64)
-    h32 = flat >> np.uint64(32)  # top 32 bits of xxhash64
-    A, B = _hash_params(N_HASHES)
-    out = np.empty((len(arrs), N_HASHES), dtype=np.int64)
-    for i in range(N_HASHES):
-        m = (A[i] * h32 + B[i]) % np.uint64(_MERSENNE31)
-        out[:, i] = np.minimum.reduceat(m, offsets).astype(np.int64)
-    return pd.Series(list(out))
+    apply each affine family vectorized, and take per-doc minima with a
+    single minimum.reduceat per family. Row-local (no explode, no
+    shuffle) — the signature job is a pure narrow map. A factory so
+    dedup_clusters can mirror its oracle's 24x2 banding (48 slots)
+    without widening the shared 32-slot signature every other entry
+    pays for. (Type objects, not DDL strings: string return types are
+    parsed at decoration time and require an active SparkSession,
+    which breaks import.)"""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sigs(hs: pd.Series) -> pd.Series:
+        arrs = hs.to_numpy()
+        lens = np.fromiter((len(x) for x in arrs), dtype=np.int64, count=len(arrs))
+        offsets = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        flat = np.concatenate([np.asarray(x, dtype=np.int64) for x in arrs]).astype(np.uint64)
+        h32 = flat >> np.uint64(32)  # top 32 bits of xxhash64
+        A, B = _hash_params(n_hashes)
+        out = np.empty((len(arrs), n_hashes), dtype=np.int64)
+        for i in range(n_hashes):
+            m = (A[i] * h32 + B[i]) % np.uint64(_MERSENNE31)
+            out[:, i] = np.minimum.reduceat(m, offsets).astype(np.int64)
+        return pd.Series(list(out))
+
+    return _sigs
+
+
+_minhash_sigs = _make_minhash_udf(N_HASHES)
 
 
 @pandas_udf(LongType())
@@ -1068,6 +1079,105 @@ def exact_jaccard_pairs(d: DataFrame, threshold: float = CC_JACCARD) -> DataFram
     )
 
 
+CC_N_HASHES = 48  # dedup_clusters candidate signature: 24 bands x 2 rows
+_minhash_sigs_cc = _make_minhash_udf(CC_N_HASHES)
+
+
+def capped_banded_edges(d: DataFrame, threshold: float = CC_JACCARD) -> DataFrame:
+    """Cluster edges (doc_a, doc_b) with semantics MATCHED to the
+    dedup_clusters oracle end to end (r15, closing the cap-mismatch
+    the r14 fused-pass edges introduced):
+
+    - **Candidates** from 24 bands x 2 rows of MinHash over the
+      CAP-FILTERED shingle set — structurally the oracle's own banding
+      (different hash families, same recall law): a true edge needs
+      J >= 0.6, so per-edge band miss is (1 - J^2)^24 <= 2.2e-5
+      (~1e-15 at the fixtures' J >= 0.9) on BOTH engines — vs the
+      shared 8x4 fused pass whose ~33% miss at J = 0.6 only agreed
+      with the oracle because fixture dupes sit far above threshold.
+    - **Edge test** is exact_jaccard_pairs' (and the oracle's)
+      cap-matched rule: intersection over shingles shared by
+      <= CC_BUCKET_CAP docs, union from FULL per-doc shingle counts
+      (inter >= J * (n_a + n_b - inter)) — so a boilerplate shingle
+      shared by >cap docs can never create an edge on either engine,
+      where the fused pass' full-set Jaccard kept edges the capped
+      oracle rejects once common-shingle buckets cross the cap (the
+      sf10 corpus sits just under it).
+
+    Scale shape: the shingle-hash pipeline runs once; signatures are a
+    narrow Arrow-batched map; ONE band shuffle with doc_id-only bucket
+    members; the capped-shingle re-read is restricted to candidate ids
+    (plain semi-join, NOT force-broadcast — 2-row bands admit more
+    moderate-overlap junk than the fused pass' 4-row bands, so the
+    candidate id set has no O(dupes) bound to justify a driver-sized
+    broadcast; AQE may still choose one when it measures small). A
+    band bucket holding an N-doc near-identical clique emits its N^2
+    pairs — those are real edges, same volume the oracle's band join
+    produces."""
+    sh = d.select("doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    capped = sh.join(
+        sh.groupBy("s").agg(F.count("*").alias("bucket")).filter(F.col("bucket") <= CC_BUCKET_CAP),
+        "s",
+    ).select("doc_id", "s")
+    clists = capped.groupBy("doc_id").agg(F.collect_list("s").alias("hs"))
+    sigs = clists.select("doc_id", _minhash_sigs_cc("hs").alias("sig"))
+    n_bands = CC_N_HASHES // 2
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(F.col("sig")[2 * b], F.col("sig")[2 * b + 1], F.lit(b)).alias("bh"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    )
+    cand = (
+        sigs.select("doc_id", bands.alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        .groupBy("band", "bh")
+        .agg(F.collect_list("doc_id").alias("ms"))
+        .filter(F.size("ms") > 1)
+        .select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ann = clists.join(ids, "doc_id").join(sizes, "doc_id")
+    return (
+        cand.join(
+            ann.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("hs_a"),
+                F.col("n").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            ann.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hs_b"),
+                F.col("n").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .filter(
+            F.col("inter")
+            >= F.lit(threshold) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """Min-label propagation connected components over an undirected
     edge list (doc_a, doc_b) -> (doc_id, cluster) where cluster is the
@@ -1185,30 +1295,33 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         ORDER BY cluster
     """,
     tags=("dedup", "clusters", "graph", "llm-pipeline"),
-    doc="Duplicate CLUSTERS, not just pairs: exact shingle-Jaccard "
-    f">= {CC_JACCARD} edges (deterministic shingle-bucket join, bucket "
-    f"cap {CC_BUCKET_CAP}), then DataFrame-only min-label-propagation "
-    "connected components — the step an LLM dedup pipeline needs after "
-    "pair generation, since keep-one-per-cluster requires components, "
-    "not pairwise matches. The DuckDB oracle rebuilds the same edges "
-    "and resolves components with a recursive CTE — an end-to-end "
-    "cross-engine check of an iterative graph algorithm.",
+    doc="Duplicate CLUSTERS, not just pairs: banded cap-matched "
+    f"Jaccard >= {CC_JACCARD} edges (24x2 MinHash bands over the "
+    f"cap-{CC_BUCKET_CAP} shingle set; per-edge band miss "
+    "(1-J^2)^24 <= 2.2e-5 at threshold, ~1e-15 at fixture J >= 0.9; "
+    "edge test = capped intersection over full-size union, exactly "
+    "exact_jaccard_pairs' rule), then DataFrame-only "
+    "min-label-propagation connected components — the step an LLM "
+    "dedup pipeline needs after pair generation, since "
+    "keep-one-per-cluster requires components, not pairwise matches. "
+    "The DuckDB oracle derives edges the same way (its own 24x2 "
+    "banding over the same capped lists, recursive-CTE components) — "
+    "an end-to-end cross-engine check of an iterative graph "
+    "algorithm. exact_jaccard_pairs remains the deterministic "
+    "brute-force cross-check on the edge rule (test-side only: its "
+    "counting join emits sum(bucket^2) rows, hours at sf10).",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = parallel_scan(spark, sf_dir, "documents")
-    # Edges from the fused banded pass (r14) — the exact same
-    # candidates + in-bucket exact Jaccard that ngram_jaccard_dupes
-    # emits at the same 0.6 threshold, already sweep-proven equal to
-    # the banded DuckDB edge derivation at every fixture sf. The
-    # previous deterministic shingle-bucket counting join emits
-    # sum(bucket^2) rows; at 500k docs the common-shingle buckets sit
-    # just under CC_BUCKET_CAP, so it emitted ~100x its 50k volume
-    # (hours) while the banded pass stays corpus-sparse (~35 s).
-    # exact_jaccard_pairs remains as the deterministic cross-check the
-    # brute-force test exercises.
-    edges = _fused_band_pairs(shingle_hash_frame(d)).filter(
-        F.col("jaccard") >= CC_JACCARD
-    )
+    # Edges from the cap-matched banded generator (r15): candidates
+    # and edge rule both mirror the oracle (see capped_banded_edges) —
+    # the r14 fused-pass edges used 8x4 banding (~33% miss at J=0.6)
+    # and FULL-set Jaccard, which agreed with the capped oracle only
+    # because fixture dupes sit at J>=0.9 and under the cap. The
+    # r13-era counting join stays out of the query path: it emits
+    # sum(bucket^2) rows (~100x/decade growth just under the cap at
+    # sf10) while the banded pass stays corpus-sparse.
+    edges = capped_banded_edges(d)
     comp = connected_components(edges.select("doc_a", "doc_b"))
     return (
         comp.groupBy("cluster")

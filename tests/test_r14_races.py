@@ -261,6 +261,11 @@ def test_orphan_sweep_refuses_on_observed_clock_skew(spark, tmp_path):
     raw["committed_at"] = time.time() + 3600.0
     with open(p, "w") as f:
         json.dump(raw, f)
+    # re-open: a real skewed commit arrives as a NEW entry from another
+    # host; this in-place edit must bypass the (write-once-justified)
+    # parsed-entry cache the same way — via a cold log instance, the
+    # sweeper-as-separate-process view
+    t = Lakehouse(spark, str(tmp_path / "w")).table("lab.t1")
     with pytest.raises(MaintenanceError, match="clocks disagree"):
         remove_orphan_files(t)
 
