@@ -31,9 +31,11 @@ from __future__ import annotations
 
 import abc
 import hashlib
+import json
 import os
 import re
 import shutil
+import socket
 import threading
 import time
 import uuid
@@ -405,11 +407,22 @@ class LocalFileIO(FileIO):
 #   5. NON-REENTRANT — like threading.Lock; ArbitratedFileIO never
 #      nests acquisitions of one path.
 #
-# Known lease-backend caveat (documented, not solved — real
-# deployments fence or keep critical sections far under the TTL): a
-# holder stalled PAST the steal horizon can overlap its thief; flock
-# backends cannot exhibit this because release is tied to process
-# lifetime.
+# Known lease-backend caveat and the FENCING answer (r15): a holder
+# stalled PAST the steal horizon can overlap its thief; flock backends
+# cannot exhibit this because release is tied to process lifetime.
+# The complete fix is a fencing token — a per-path monotone counter
+# issued on every acquire (insert or steal) that the protected MEDIUM
+# checks at write time, rejecting writes carrying a stale token
+# (DynamoDB condition expressions, S3 conditional writes, etcd txn
+# revisions all can; Lamport's rule via Kleppmann's formulation).
+# HttpCasMutex implements the token end: its endpoint issues fences
+# and its release VERIFIES one, raising LockStolenError when the path
+# was stolen mid-hold — on a plain-filesystem medium (which cannot
+# check a token per write) an overlap that does happen is therefore
+# reported loudly to the stalled writer, never absorbed silently.
+# Operational rule where the medium can't fence: size
+# LOCK_STEAL_SECONDS far above any plausible GC/IO stall, and treat
+# LockStolenError as "my commit may not have survived — re-plan".
 
 
 class FlockMutex:
@@ -564,6 +577,87 @@ class EndpointMutex:
                 )
         finally:
             con.close()
+
+
+class LockStolenError(RuntimeError):
+    """Raised at RELEASE when the lock endpoint's per-path fence
+    advanced past this holder's acquisition — i.e. the holder stalled
+    beyond the steal horizon and a thief took the path mid-hold. The
+    protected operation may have overlapped the thief's; the caller
+    must treat its write as of unknown outcome and re-plan (the loud
+    half of the fencing answer; see the contract's clause-4 note)."""
+
+
+class HttpCasMutex:
+    """HTTP conditional-put arbiter for `ArbitratedFileIO` — the
+    genuinely remote-SHAPED lease backend (r15, conformance kit's
+    third entry): cooperating writers share NOTHING but a TCP endpoint
+    (`casd.py`, run standalone), the deployment shape of a real
+    DynamoDB table / etcd cluster / Nessie server (the reference
+    stack's commit arbiter, docker-compose.yml:6,
+    spark/conf/spark-defaults.conf:8).
+
+    Acquire = one POST /acquire the SERVER applies atomically
+    (insert-if-absent, or steal when the holder row is older than
+    log.LOCK_STEAL_SECONDS — read at call time so crash-recovery tests
+    can lower it). The response carries a per-path monotone FENCE
+    token, incremented on every successful acquire including steals.
+    Release = POST /release with that fence; a response flagging the
+    fence stale means a thief acquired mid-hold, and release raises
+    `LockStolenError` AFTER freeing the row — the stalled holder
+    learns loudly that its critical section may have overlapped.
+    Media that can check a condition per write should instead store
+    the fence with the resource and reject stale-fenced writes, which
+    closes the overlap entirely (clause-4 note above).
+
+    Not reentrant, like the other backends. stdlib urllib only."""
+
+    def __init__(self, endpoint: str, timeout_s: float = 30.0):
+        # endpoint: "http://127.0.0.1:<port>"
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout_s = timeout_s
+
+    def _post(self, route: str, body: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.endpoint}{route}",
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=max(self.timeout_s, 5.0)) as r:
+            return json.loads(r.read())
+
+    @contextmanager
+    def __call__(self, path: str):
+        from . import log as _log
+
+        canon = os.path.realpath(path) if "://" not in path else os.path.normpath(path)
+        owner = f"{socket.gethostname()}-{os.getpid()}-{threading.get_ident()}"
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            res = self._post(
+                "/acquire",
+                {"path": canon, "owner": owner, "steal_after": _log.LOCK_STEAL_SECONDS},
+            )
+            if res.get("ok"):
+                fence = res["fence"]
+                break
+            if time.monotonic() >= deadline:
+                raise RuntimeError(f"timed out waiting for CAS endpoint lock on {canon!r}")
+            time.sleep(0.005)
+        try:
+            yield
+        finally:
+            rel = self._post("/release", {"path": canon, "owner": owner, "fence": fence})
+            if rel.get("stolen"):
+                raise LockStolenError(
+                    f"lock on {canon!r} was stolen mid-hold (fence {fence} -> "
+                    f"{rel.get('fence')}): this writer stalled past "
+                    "LOCK_STEAL_SECONDS and its protected operation may have "
+                    "overlapped the thief's — treat the outcome as unknown and re-plan"
+                )
 
 
 class ArbitratedFileIO(FileIO):

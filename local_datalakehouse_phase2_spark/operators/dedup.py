@@ -270,6 +270,7 @@ def _fused_band_pairs(
     combo_keys: list[str] | None = None,
     ham_sql: str | None = None,
     sim_cols: tuple[str, ...] = (),
+    _mutate: str | None = None,
 ) -> DataFrame:
     """ONE-pass candidate generation + exact verification for every
     LSH-family entry: `base` is (doc_id, hs[, sim_cols...]) — the
@@ -309,6 +310,15 @@ def _fused_band_pairs(
     Jaccard over distinct xxhash64 values equals Jaccard over shingle
     strings up to a ~1e-15/pair 64-bit collision — below every other
     error source (the cross-engine sweep would surface one).
+
+    `_mutate` — MUTATION-AUDIT seams (tests/test_fused_mutations.py,
+    r15 VERDICT item 6), never set in product paths: "drop_fam0" /
+    "drop_fam1" delete one band family, "c0_all" tags every pair as
+    MinHash-collided, "no_singleton_filter" keeps 1-member buckets.
+    Each exists to prove the banded DuckDB comparison (or a crafted
+    brute-force fixture) actually discriminates that semantic
+    dimension — or, for the singleton filter, to witness that it is
+    pure perf (output-identical without it).
     """
     rows_per_band = N_HASHES // N_BANDS
     sigs = base.select("doc_id", *sim_cols, _minhash_sigs("hs").alias("sig"))
@@ -331,6 +341,21 @@ def _fused_band_pairs(
         )
         for k in (combo_keys or [])
     ]
+    if _mutate == "drop_fam0":
+        fam0 = []
+    if _mutate == "drop_fam1":
+        fam1 = []
+    fams = [*fam0, *fam1]
+    if not fams:
+        # a mutation deleted the only family: per-doc unique keys, so
+        # every bucket is a singleton and no pair survives
+        fams = [
+            F.struct(
+                F.lit(-1).alias("fam"),
+                F.xxhash64(F.col("doc_id"), F.lit(-1)).alias("k1"),
+                F.lit(0).cast("long").alias("k2"),
+            )
+        ]
     is0 = F.col("fk.fam") == 0
     # light members: fingerprints only ride the bucket shuffle, and
     # only on their own family's rows
@@ -339,24 +364,26 @@ def _fused_band_pairs(
         *[F.when(~is0, F.col(c)).alias(c) for c in sim_cols],
     )
     keyed = sigs.select(
-        "doc_id", "sig", *sim_cols, F.explode(F.array(*fam0, *fam1)).alias("fk")
+        "doc_id", "sig", *sim_cols, F.explode(F.array(*fams)).alias("fk")
     ).select(
         F.col("fk.fam").alias("fam"),
         F.col("fk.k1").alias("k1"),
         F.col("fk.k2").alias("k2"),
         member.alias("m"),
     )
+    min_bucket = 0 if _mutate == "no_singleton_filter" else 1
     buckets = (
         keyed.groupBy("fam", "k1", "k2")
         .agg(F.collect_list("m").alias("ms"))
-        .filter((F.size("ms") > 1) & (F.size("ms") <= MAX_BUCKET))
+        .filter((F.size("ms") > min_bucket) & (F.size("ms") <= MAX_BUCKET))
     )
     # c0 marks a MinHash-band collision: the fused contract is that
     # jaccard/est are non-null exactly for those pairs
+    c0_expr = F.lit(True) if _mutate == "c0_all" else (F.col("fam") == 0)
     pair_cols = [
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        (F.col("fam") == 0).cast("long").alias("c0"),
+        c0_expr.cast("long").alias("c0"),
         *(
             [F.when(F.col("fam") == 1, F.expr(ham_sql)).alias("hamming")]
             if combo_keys
@@ -1104,24 +1131,41 @@ def capped_banded_edges(d: DataFrame, threshold: float = CC_JACCARD) -> DataFram
       oracle rejects once common-shingle buckets cross the cap (the
       sf10 corpus sits just under it).
 
-    Scale shape: the shingle-hash pipeline runs once; signatures are a
-    narrow Arrow-batched map; ONE band shuffle with doc_id-only bucket
-    members; the capped-shingle re-read is restricted to candidate ids
-    (plain semi-join, NOT force-broadcast — 2-row bands admit more
-    moderate-overlap junk than the fused pass' 4-row bands, so the
-    candidate id set has no O(dupes) bound to justify a driver-sized
-    broadcast; AQE may still choose one when it measures small). A
-    band bucket holding an N-doc near-identical clique emits its N^2
-    pairs — those are real edges, same volume the oracle's band join
-    produces."""
+    Scale shape (settled by a 3-variant interleaved A/B at sf0.1:
+    11.6 / 9.3 / 6.3 s medians — this is the 6.3): ONE regroup
+    produces BOTH the capped list and the full size (collect_list
+    skips the over-cap nulls; count(*) keeps them), so the naive
+    extra sizes-aggregation branch never exists; the resulting
+    per-doc frame — compact: (doc_id, capped hashes, n), corpus-rows
+    but a few MB per 50k docs — feeds two consumers (signatures,
+    candidate annotation) and is localCheckpoint'd because each
+    consumer otherwise re-runs the explode + doc-frequency join +
+    regroup subtree (three shuffles) from scratch; this is the
+    reused-compact-frame case where a barrier WINS (cf. the r12/r13
+    traps where it lost: those materialized heavy single-use frames).
+    Signatures are a narrow Arrow-batched map; ONE band shuffle with
+    doc_id-only bucket members; annotation is a plain semi-join, NOT
+    force-broadcast — 2-row bands admit more moderate-overlap junk
+    than the fused pass' 4-row bands, so the candidate id set has no
+    O(dupes) bound to justify a driver-sized broadcast (AQE may still
+    choose one when it measures small). A band bucket holding an
+    N-doc near-identical clique emits its N^2 pairs — those are real
+    edges, same volume the oracle's band join produces."""
     sh = d.select("doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("s"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    capped = sh.join(
-        sh.groupBy("s").agg(F.count("*").alias("bucket")).filter(F.col("bucket") <= CC_BUCKET_CAP),
-        "s",
-    ).select("doc_id", "s")
-    clists = capped.groupBy("doc_id").agg(F.collect_list("s").alias("hs"))
-    sigs = clists.select("doc_id", _minhash_sigs_cc("hs").alias("sig"))
+    counts = sh.groupBy("s").agg(F.count("*").alias("bucket"))
+    per_doc = (
+        sh.join(counts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.when(F.col("bucket") <= CC_BUCKET_CAP, F.col("s"))
+            ).alias("hs"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.size("hs") > 0)
+        .localCheckpoint()
+    )
+    sigs = per_doc.select("doc_id", _minhash_sigs_cc("hs").alias("sig"))
     n_bands = CC_N_HASHES // 2
     bands = F.explode(
         F.array(
@@ -1151,7 +1195,7 @@ def capped_banded_edges(d: DataFrame, threshold: float = CC_JACCARD) -> DataFram
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    ann = clists.join(ids, "doc_id").join(sizes, "doc_id")
+    ann = per_doc.join(ids, "doc_id")
     return (
         cand.join(
             ann.select(

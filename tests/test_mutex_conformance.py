@@ -33,19 +33,28 @@ from local_datalakehouse_phase2_spark.lakehouse.fs import (
     ArbitratedFileIO,
     EndpointMutex,
     FlockMutex,
+    HttpCasMutex,
     LocalFileIO,
+    LockStolenError,
 )
 
 _MP = multiprocessing.get_context("fork")
 
-# spec -> constructible INSIDE a forked worker (picklable tuple)
+# spec -> constructible INSIDE a forked worker (picklable tuple).
+# "http-cas" is the genuinely remote-shaped one (r15): workers share
+# NOTHING but the TCP endpoint of a casd.py server subprocess.
 BACKENDS = [
     pytest.param(("endpoint", "endpoint.db"), id="endpoint-sqlite"),
     pytest.param(("flock", "shared_locks"), id="flock-shared-dir"),
+    pytest.param(("http", None), id="http-cas"),
 ]
 # backends whose crash-liveness mechanism is a TTL steal on the holder
 # record (clause 4's lease half; flock releases via the kernel instead)
-LEASE_BACKENDS = [pytest.param(("endpoint", "endpoint.db"), id="endpoint-sqlite")]
+LEASE_BACKENDS = [
+    pytest.param(("endpoint", "endpoint.db"), id="endpoint-sqlite"),
+    pytest.param(("http", None), id="http-cas"),
+]
+_LEASE_KINDS = ("endpoint", "http")
 
 
 def _make_mutex(spec, **kw):
@@ -54,22 +63,46 @@ def _make_mutex(spec, **kw):
         return EndpointMutex(arg, **kw)
     if kind == "flock":
         return FlockMutex(arg)
+    if kind == "http":
+        return HttpCasMutex(arg, **kw)
     raise ValueError(kind)
 
 
-def _spec(request_param, tmp_path):
-    kind, rel = request_param
+@pytest.fixture(scope="session")
+def casd_endpoint():
+    """One casd.py lock server for the whole session; tests key on
+    tmp_path-unique lock paths so state never crosses tests."""
+    import subprocess
+    import sys
+
+    p = subprocess.Popen(
+        [sys.executable, "-m", "local_datalakehouse_phase2_spark.lakehouse.casd"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    line = p.stdout.readline()
+    assert line.startswith("CASD LISTENING "), line
+    port = int(line.split()[-1])
+    yield f"http://127.0.0.1:{port}"
+    p.terminate()
+    p.wait(timeout=10)
+
+
+def _spec(request, tmp_path):
+    kind, rel = request.param
+    if kind == "http":
+        return (kind, request.getfixturevalue("casd_endpoint"))
     return (kind, str(tmp_path / rel))
 
 
 @pytest.fixture(params=BACKENDS)
 def backend(request, tmp_path):
-    return _spec(request.param, tmp_path)
+    return _spec(request, tmp_path)
 
 
 @pytest.fixture(params=LEASE_BACKENDS)
 def lease_backend(request, tmp_path):
-    return _spec(request.param, tmp_path)
+    return _spec(request, tmp_path)
 
 
 def _join(*procs, timeout=60):
@@ -147,11 +180,13 @@ def _hold_and_die(spec, lock_path, held_evt):
 
 
 def _acquire_after_crash(spec, lock_path, out_path):
-    if spec[0] == "endpoint":
+    if spec[0] in _LEASE_KINDS:
         from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
 
         lh_log.LOCK_STEAL_SECONDS = 0.2  # this worker's own module copy
-    mutex = _make_mutex(spec, **({"timeout_s": 20.0} if spec[0] == "endpoint" else {}))
+    mutex = _make_mutex(
+        spec, **({"timeout_s": 20.0} if spec[0] in _LEASE_KINDS else {})
+    )
     t0 = time.monotonic()
     with mutex(lock_path):
         pass
@@ -205,12 +240,21 @@ def test_live_holder_not_stolen(lease_backend, tmp_path):
 
 def _seed_stale_row(spec, lock_path):
     mutex = _make_mutex(spec)
-    con = mutex._connect()
-    con.execute(
-        "INSERT INTO locks VALUES (?, ?, ?)",
-        (os.path.realpath(lock_path), "dead-proc", time.time() - 3600.0),
-    )
-    con.close()
+    canon = os.path.realpath(lock_path)
+    if spec[0] == "endpoint":
+        con = mutex._connect()
+        con.execute(
+            "INSERT INTO locks VALUES (?, ?, ?)",
+            (canon, "dead-proc", time.time() - 3600.0),
+        )
+        con.close()
+    elif spec[0] == "http":
+        mutex._post(
+            "/_seed",
+            {"path": canon, "owner": "dead-proc", "acquired_at": time.time() - 3600.0},
+        )
+    else:
+        raise ValueError(spec[0])
 
 
 def _thief_worker(spec, lock_path, counter_path, n):
@@ -237,3 +281,77 @@ def test_concurrent_thieves_exclude(lease_backend, tmp_path):
     [p.start() for p in ps]
     _join(*ps)
     assert open(counter).read() == "50"
+
+
+# ---- clause 4d (fencing, http-cas only): stolen holder learns loudly
+
+
+def _stall_past_ttl(endpoint, lock_path, held_evt, stolen_evt, out_path):
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+    mutex = HttpCasMutex(endpoint, timeout_s=20.0)
+    try:
+        with mutex(lock_path):
+            held_evt.set()
+            assert stolen_evt.wait(20)  # stall until the thief took it
+    except LockStolenError:
+        with open(out_path, "w") as f:
+            f.write("stolen-detected")
+    else:
+        with open(out_path, "w") as f:
+            f.write("silent")
+
+
+def test_fence_reports_stolen_holder(casd_endpoint, tmp_path):
+    """The stalled-holder-past-TTL caveat, made LOUD by the fence
+    token: a holder that stalls past LOCK_STEAL_SECONDS while a thief
+    acquires must get LockStolenError at release — never a silent
+    normal exit — and the thief's fence must exceed the victim's."""
+    lock_target = str(tmp_path / "res")
+    out = str(tmp_path / "verdict")
+    held, stolen = _MP.Event(), _MP.Event()
+    victim = _MP.Process(
+        target=_stall_past_ttl, args=(casd_endpoint, lock_target, held, stolen, out)
+    )
+    victim.start()
+    assert held.wait(10)
+    time.sleep(0.4)  # age the holder row past the lowered TTL
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+
+    old = lh_log.LOCK_STEAL_SECONDS
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+    try:
+        thief = HttpCasMutex(casd_endpoint, timeout_s=10.0)
+        with thief(lock_target):
+            pass  # thief holds and releases cleanly (its fence is newest)
+    finally:
+        lh_log.LOCK_STEAL_SECONDS = old
+    stolen.set()
+    _join(victim)
+    assert open(out).read() == "stolen-detected"
+
+
+def test_fence_monotone_across_steal(casd_endpoint, tmp_path):
+    """Fence tokens are per-path monotone across insert, steal and
+    re-acquire — the property a fencing-capable medium relies on."""
+    mutex = HttpCasMutex(casd_endpoint)
+    canon = os.path.realpath(str(tmp_path / "res"))
+    f1 = mutex._post(
+        "/acquire", {"path": canon, "owner": "a", "steal_after": 60.0}
+    )["fence"]
+    # stale-seed then steal
+    mutex._post(
+        "/_seed", {"path": canon, "owner": "a", "acquired_at": time.time() - 3600.0}
+    )
+    f2 = mutex._post(
+        "/acquire", {"path": canon, "owner": "b", "steal_after": 60.0}
+    )["fence"]
+    rel = mutex._post("/release", {"path": canon, "owner": "b", "fence": f2})
+    f3 = mutex._post(
+        "/acquire", {"path": canon, "owner": "c", "steal_after": 60.0}
+    )["fence"]
+    assert f1 < f2 < f3 and rel["released"] and not rel["stolen"]
+    # the victim's release sees the advanced fence
+    rel_a = mutex._post("/release", {"path": canon, "owner": "a", "fence": f1})
+    assert rel_a["stolen"] and not rel_a["released"]
