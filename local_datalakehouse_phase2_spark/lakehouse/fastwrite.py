@@ -5,9 +5,12 @@ fixtures, SQL result feeds — every `localrows.local_df` product) does
 not need a Spark job at all: the rows already live on the driver, and
 `df.write.parquet` spends its ~180-200 ms floor on job scheduling plus
 the Hadoop committer's temporary-directory rename dance, not on IO.
-This module converts such a frame's collected rows straight to ONE
-pyarrow parquet file (~5 ms), preserving everything the engine and the
-DuckDB second engine read back:
+This module converts such a frame's collected rows straight to pyarrow
+parquet (~5 ms) — one file, or one file per hash partition when the
+frame is `repartition(n, cols)` over a LocalRelation (r15:
+`spark_partition_ids` reproduces Spark's Murmur3 placement bit-exactly
+so even row->file assignment matches the Spark writer) — preserving
+everything the engine and the DuckDB second engine read back:
 
 - value fidelity: types map 1:1 (timestamps written as
   TIMESTAMP(MICROS) with the correct isAdjustedToUTC flag per
@@ -38,7 +41,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import types as T
 
-__all__ = ["rows_to_arrow", "write_rows"]
+__all__ = ["rows_to_arrow", "write_rows", "spark_partition_ids"]
 
 # conversion cap: beyond this the frame is not "tiny metadata" and the
 # Spark writer's distribution machinery should own it
@@ -118,6 +121,119 @@ def _convert(v, dt: T.DataType):
     if isinstance(dt, T.ArrayType):
         return [_convert(e, dt.elementType) for e in v]
     return v
+
+
+# ---- Spark-exact hash partitioning (r15) ------------------------------
+# `df.repartition(n, cols)` over a LocalRelation is still a driver-known
+# frame: the shuffle only decides row->file placement. These helpers
+# reproduce Spark's HashPartitioning id exactly — Murmur3_x86_32 with
+# seed 42 chained across columns, pmod into n — so the fast path's
+# multi-file output places every row in the same file the Spark writer
+# would have (tests/test_fastwrite_partitioning.py proves bit-parity
+# against F.hash on randomized values). Only AttributeReference keys of
+# the types below are claimed; anything else falls back to the Spark
+# writer.
+
+_MM3_C1 = 0xCC9E2D51
+_MM3_C2 = 0x1B873593
+_U32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _U32
+
+
+def _mix_k1(k1: int) -> int:
+    k1 = (k1 * _MM3_C1) & _U32
+    k1 = _rotl32(k1, 15)
+    return (k1 * _MM3_C2) & _U32
+
+
+def _mix_h1(h1: int, k1: int) -> int:
+    h1 = (h1 ^ k1) & _U32
+    h1 = _rotl32(h1, 13)
+    return (h1 * 5 + 0xE6546B64) & _U32
+
+
+def _fmix(h1: int, length: int) -> int:
+    h1 ^= length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & _U32
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & _U32
+    return h1 ^ (h1 >> 16)
+
+
+def _hash_int(i: int, seed: int) -> int:
+    return _fmix(_mix_h1(seed & _U32, _mix_k1(i & _U32)), 4)
+
+
+def _hash_long(value: int, seed: int) -> int:
+    v = value & 0xFFFFFFFFFFFFFFFF
+    h1 = _mix_h1(seed & _U32, _mix_k1(v & _U32))
+    h1 = _mix_h1(h1, _mix_k1(v >> 32))
+    return _fmix(h1, 8)
+
+
+def _hash_bytes(b: bytes, seed: int) -> int:
+    n = len(b)
+    aligned = n - n % 4
+    h1 = seed & _U32
+    for i in range(0, aligned, 4):
+        word = int.from_bytes(b[i : i + 4], "little")  # Platform.getInt, LE
+        h1 = _mix_h1(h1, _mix_k1(word))
+    for i in range(aligned, n):
+        byte = b[i]
+        if byte > 127:
+            byte -= 256  # java byte is signed; sign-extends through mixK1
+        h1 = _mix_h1(h1, _mix_k1(byte & _U32))
+    return _fmix(h1, n)
+
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _hash_value(v, dt: T.DataType, seed: int) -> int | None:
+    """One column's contribution to the row hash (Spark's
+    HashExpression: null leaves the seed unchanged). Returns None for
+    an unsupported type — caller must decline the fast path."""
+    if v is None:
+        return seed
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return _hash_int(v, seed)
+    if isinstance(dt, T.LongType):
+        return _hash_long(v, seed)
+    if isinstance(dt, T.BooleanType):
+        return _hash_int(1 if v else 0, seed)
+    if isinstance(dt, T.StringType):
+        return _hash_bytes(v.encode("utf-8"), seed)
+    if isinstance(dt, T.DateType):
+        return _hash_int((v - _EPOCH).days, seed)
+    return None
+
+
+def spark_partition_ids(
+    rows, schema: T.StructType, key_cols: list[str], n: int
+) -> list[int] | None:
+    """Spark's HashPartitioning partition id — pmod(hash(keys, 42), n)
+    — per collected Row, or None when any key type is unsupported.
+    Python's floored % equals Spark's pmod for positive n."""
+    idx = {f.name: (i, f.dataType) for i, f in enumerate(schema.fields)}
+    try:
+        keys = [idx[c] for c in key_cols]
+    except KeyError:
+        return None
+    out = []
+    for r in rows:
+        h = 42
+        for i, dt in keys:
+            h = _hash_value(r[i], dt, h)
+            if h is None:
+                return None
+        # java int: interpret the 32-bit value as signed before pmod
+        signed = h - (1 << 32) if h >= (1 << 31) else h
+        out.append(signed % n)
+    return out
 
 
 def rows_to_arrow(rows, schema: T.StructType) -> pa.Table | None:

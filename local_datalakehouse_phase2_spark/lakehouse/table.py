@@ -2862,23 +2862,66 @@ class LakehouseTable:
             # fault injection) must keep the Spark-writer path so its
             # interposition still sees every byte
             return None
+        part_cols: list[str] | None = None
+        n_parts = 0
         try:
             plan = df._jdf.queryExecution().optimizedPlan()
-            if plan.getClass().getSimpleName() != "LocalRelation":
+            cls = plan.getClass().getSimpleName()
+            if cls == "RepartitionByExpression":
+                # repartition(n, cols) over a driver-known frame (r15):
+                # the shuffle only decides row->file placement, which
+                # fastwrite.spark_partition_ids reproduces bit-exactly
+                # (Murmur3 seed-42 pmod — parity-tested vs F.hash), so
+                # the multi-file write needs no job either. Only plain
+                # column keys are claimed; computed keys fall back.
+                child = plan.child()
+                if child.getClass().getSimpleName() != "LocalRelation":
+                    return None
+                exprs = plan.partitionExpressions()
+                part_cols = []
+                for i in range(exprs.size()):
+                    e = exprs.apply(i)
+                    if e.getClass().getSimpleName() != "AttributeReference":
+                        return None
+                    part_cols.append(e.name())
+                n_parts = plan.numPartitions()
+                if not part_cols or n_parts < 1:
+                    return None
+                jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    self.spark._jsparkSession, child
+                )
+                df = DataFrame(jdf, self.spark)
+            elif cls != "LocalRelation":
                 return None
         except Exception:
             return None
         rows = df.collect()  # LocalTableScanExec.executeCollect — no job
-        if not rows:
+        if not rows or len(rows) > fastwrite.MAX_ROWS:
             return None
-        tbl = fastwrite.rows_to_arrow(rows, df.schema)
-        if tbl is None or tbl.nbytes > target:
-            return None
+        if part_cols is None:
+            groups = [rows]
+        else:
+            pids = fastwrite.spark_partition_ids(rows, df.schema, part_cols, n_parts)
+            if pids is None:
+                return None
+            by_pid: dict[int, list] = {}
+            for r, pid in zip(rows, pids):
+                by_pid.setdefault(pid, []).append(r)
+            # pid order mirrors the Spark writer's task numbering;
+            # empty partitions write no file, exactly like Spark
+            groups = [by_pid[p] for p in sorted(by_pid)]
+        tables = []
+        for g in groups:
+            tbl = fastwrite.rows_to_arrow(g, df.schema)
+            if tbl is None or tbl.nbytes > target:
+                return None
+            tables.append(tbl)
         out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
         os.makedirs(out, exist_ok=True)
-        fastwrite.write_rows(
-            tbl, os.path.join(out, f"part-00000-{uuid.uuid4().hex[:12]}.parquet")
-        )
+        for i, tbl in enumerate(tables):
+            fastwrite.write_rows(
+                tbl, os.path.join(out, f"part-{i:05d}-{uuid.uuid4().hex[:12]}.parquet")
+            )
         return self._scan_written(out)
 
     def _scan_written(self, out_dir: str) -> tuple[FileInfo, ...]:

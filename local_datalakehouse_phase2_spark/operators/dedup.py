@@ -264,62 +264,18 @@ _SIMHASH_WIDE_COMBO_KEYS = [
 ]
 
 
-def _fused_band_pairs(
+def _fused_keyed(
     base: DataFrame,
     want_est: bool = False,
     combo_keys: list[str] | None = None,
-    ham_sql: str | None = None,
     sim_cols: tuple[str, ...] = (),
     _mutate: str | None = None,
 ) -> DataFrame:
-    """ONE-pass candidate generation + exact verification for every
-    LSH-family entry: `base` is (doc_id, hs[, sim_cols...]) — the
-    shingle-hash frame, plus any SimHash fingerprints computed in the
-    same projection — and the result is one row per candidate pair:
-
-        (doc_a, doc_b[, est_jaccard], jaccard[, hamming])
-
-    where `jaccard` is the EXACT hashed-shingle Jaccard (non-null iff
-    the pair collided in a MinHash band) and `hamming` the SimHash
-    distance (non-null iff it collided in a block-pair combo table).
-
-    Shape (r14, settled by three rounds of measurement at 5k/50k/500k
-    docs): one family-tagged explode emits the 8 MinHash band keys AND
-    the 28 SimHash combo keys per doc, so candidate buckets for BOTH
-    families form in a single shuffle and the corpus pipeline (scan ->
-    shingle -> xxhash64 -> signature UDFs) runs exactly once — the
-    r13 shape ran it once per family per reference (the summary's
-    3-way union re-evaluated the SimHash pipeline twice). Bucket
-    members carry ONLY (doc_id [+ the 8-16 byte fingerprints]): the
-    first fused draft shipped each doc's shingle-hash array per band
-    row for in-bucket exact Jaccard, which measured 25+ minutes of
-    GC/spill thrash at 500k docs — ~85% of band rows land in
-    singleton buckets, so almost all of that ~6 GB payload shuffle
-    was wasted (and a hot-bucket prefilter that avoided it re-ran the
-    signature UDFs, costing ~2 s of Python-stage warmup per query at
-    bench scale). Exact Jaccard (and the MinHash signatures for
-    `est_jaccard`) instead annotate the DEDUPLICATED pair frame via a
-    broadcast-semi-join-restricted re-read: candidates are O(dupes) —
-    corpus-sparse at any scale — so the verify work is
-    candidate-sized, the heavy arrays never enter a wide shuffle, and
-    the re-derived projections evaluate only for the docs the pairs
-    touch. Measured: value-identical at every fixture sf; 500k docs
-    ~30-50 s per entry (linear vs 50k), sf0.1 medians at or under the
-    r13 quiet numbers.
-
-    Jaccard over distinct xxhash64 values equals Jaccard over shingle
-    strings up to a ~1e-15/pair 64-bit collision — below every other
-    error source (the cross-engine sweep would surface one).
-
-    `_mutate` — MUTATION-AUDIT seams (tests/test_fused_mutations.py,
-    r15 VERDICT item 6), never set in product paths: "drop_fam0" /
-    "drop_fam1" delete one band family, "c0_all" tags every pair as
-    MinHash-collided, "no_singleton_filter" keeps 1-member buckets.
-    Each exists to prove the banded DuckDB comparison (or a crafted
-    brute-force fixture) actually discriminates that semantic
-    dimension — or, for the singleton filter, to witness that it is
-    pure perf (output-identical without it).
-    """
+    """The fused pass's family-tagged band-key frame — (fam, k1, k2,
+    m) with one row per (doc, band-or-combo key) and light member
+    structs. Extracted from `_fused_band_pairs` so the counted-curve
+    tool (tools/count_curves.py) measures the exact production key
+    stream, not a reimplementation that could drift."""
     rows_per_band = N_HASHES // N_BANDS
     sigs = base.select("doc_id", *sim_cols, _minhash_sigs("hs").alias("sig"))
     fam0 = [
@@ -358,12 +314,15 @@ def _fused_band_pairs(
         ]
     is0 = F.col("fk.fam") == 0
     # light members: fingerprints only ride the bucket shuffle, and
-    # only on their own family's rows
+    # only on their own family's rows; under want_est the 32-slot
+    # signature (256 B FIXED-width — bounded, unlike hs) rides fam0
+    # rows so est_jaccard forms in-bucket with no UDF re-run later
     member = F.struct(
         F.col("doc_id"),
+        *([F.when(is0, F.col("sig")).alias("sig")] if want_est else []),
         *[F.when(~is0, F.col(c)).alias(c) for c in sim_cols],
     )
-    keyed = sigs.select(
+    return sigs.select(
         "doc_id", "sig", *sim_cols, F.explode(F.array(*fams)).alias("fk")
     ).select(
         F.col("fk.fam").alias("fam"),
@@ -371,6 +330,81 @@ def _fused_band_pairs(
         F.col("fk.k2").alias("k2"),
         member.alias("m"),
     )
+
+
+def _fused_band_pairs(
+    base: DataFrame,
+    want_est: bool = False,
+    combo_keys: list[str] | None = None,
+    ham_sql: str | None = None,
+    sim_cols: tuple[str, ...] = (),
+    _mutate: str | None = None,
+) -> DataFrame:
+    """ONE-pass candidate generation + exact verification for every
+    LSH-family entry: `base` is (doc_id, hs[, sim_cols...]) — the
+    shingle-hash frame, plus any SimHash fingerprints computed in the
+    same projection — and the result is one row per candidate pair:
+
+        (doc_a, doc_b[, est_jaccard], jaccard[, hamming])
+
+    where `jaccard` is the EXACT hashed-shingle Jaccard (non-null iff
+    the pair collided in a MinHash band) and `hamming` the SimHash
+    distance (non-null iff it collided in a block-pair combo table).
+
+    Shape (r14, settled by three rounds of measurement at 5k/50k/500k
+    docs): one family-tagged explode emits the 8 MinHash band keys AND
+    the 28 SimHash combo keys per doc, so candidate buckets for BOTH
+    families form in a single shuffle and the corpus pipeline (scan ->
+    shingle -> xxhash64 -> signature UDFs) runs exactly once — the
+    r13 shape ran it once per family per reference (the summary's
+    3-way union re-evaluated the SimHash pipeline twice). Bucket
+    members carry ONLY (doc_id [+ the 8-16 byte fingerprints]): the
+    first fused draft shipped each doc's shingle-hash array per band
+    row for in-bucket exact Jaccard, which measured 25+ minutes of
+    GC/spill thrash at 500k docs — ~85% of band rows land in
+    singleton buckets, so almost all of that ~6 GB payload shuffle
+    was wasted (and a hot-bucket prefilter that avoided it re-ran the
+    signature UDFs, costing ~2 s of Python-stage warmup per query at
+    bench scale). Exact Jaccard instead annotates the DEDUPLICATED
+    pair frame via a broadcast-semi-join-restricted re-read:
+    candidates are O(dupes) — corpus-sparse at any scale — so the
+    verify work is candidate-sized, the heavy arrays never enter a
+    wide shuffle, and the re-derived projections evaluate only for
+    the docs the pairs touch. Measured: value-identical at every
+    fixture sf; 500k docs ~30-50 s per entry (linear vs 50k).
+
+    r15 refinements, each settled by a 4-variant interleaved A/B at
+    sf0.1 (committed/ckpt/sig/sigckpt medians 3.00/2.56/2.01/1.90 s
+    on minhash_lsh_pairs — the r14 +19% clawback, VERDICT item 4):
+    - `want_est` carries the 32-slot signature THROUGH the bucket
+      shuffle on fam0 member rows (256 B fixed-width — NOT the
+      unbounded `hs` array that caused the sf10 GC/spill blowup) and
+      computes `est_jaccard` at pair formation, so the annotation
+      re-read never re-runs the signature UDF (whose ~2 s Python-
+      stage warmup was the r14 regression).
+    - `pairs` is localCheckpoint'd for MinHash-ONLY entries: there it
+      is fam0 collisions = O(dupes), and it is re-planned three times
+      otherwise (the broadcast-ids source and both annotation probes
+      re-evaluate the two-explode band-shuffle subtree) — the
+      compact-reused-frame case where a barrier wins, unlike the
+      r12/r13 heavy-single-use traps. Combo entries skip it: their
+      pair frame includes the fam1 birthday term (no O(dupes) bound;
+      materializing it blew the sf10 rung's heap).
+
+    Jaccard over distinct xxhash64 values equals Jaccard over shingle
+    strings up to a ~1e-15/pair 64-bit collision — below every other
+    error source (the cross-engine sweep would surface one).
+
+    `_mutate` — MUTATION-AUDIT seams (tests/test_fused_mutations.py,
+    r15 VERDICT item 6), never set in product paths: "drop_fam0" /
+    "drop_fam1" delete one band family, "c0_all" tags every pair as
+    MinHash-collided, "no_singleton_filter" keeps 1-member buckets.
+    Each exists to prove the banded DuckDB comparison (or a crafted
+    brute-force fixture) actually discriminates that semantic
+    dimension — or, for the singleton filter, to witness that it is
+    pure perf (output-identical without it).
+    """
+    keyed = _fused_keyed(base, want_est, combo_keys, sim_cols, _mutate)
     min_bucket = 0 if _mutate == "no_singleton_filter" else 1
     buckets = (
         keyed.groupBy("fam", "k1", "k2")
@@ -380,18 +414,31 @@ def _fused_band_pairs(
     # c0 marks a MinHash-band collision: the fused contract is that
     # jaccard/est are non-null exactly for those pairs
     c0_expr = F.lit(True) if _mutate == "c0_all" else (F.col("fam") == 0)
+    est_in = F.round(
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / F.lit(float(N_HASHES)),
+        6,
+    )
     pair_cols = [
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
         c0_expr.cast("long").alias("c0"),
+        *([est_in.alias("est_jaccard")] if want_est else []),
         *(
             [F.when(F.col("fam") == 1, F.expr(ham_sql)).alias("hamming")]
             if combo_keys
             else []
         ),
     ]
-    aggs = [F.max("c0").alias("c0")] + (
-        [F.max("hamming").alias("hamming")] if combo_keys else []
+    aggs = (
+        [F.max("c0").alias("c0")]
+        + ([F.max("est_jaccard").alias("est_jaccard")] if want_est else [])
+        + ([F.max("hamming").alias("hamming")] if combo_keys else [])
     )
     pairs = (
         buckets.select("fam", F.explode("ms").alias("a"), "ms")
@@ -401,10 +448,22 @@ def _fused_band_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(*aggs)
     )
-    # candidate-restricted annotation: the shingle projections (and,
-    # for want_est, the signature UDF) evaluate only for the docs the
-    # pairs touch — the broadcast semi-join restriction Catalyst can't
-    # derive itself (no partition-level dynamic pruning here). Only
+    if not combo_keys:
+        # MinHash-only entries: pairs is fam0 collisions = O(dupes),
+        # so materializing it is bounded at ANY sf and saves the 3x
+        # re-plan of the band-shuffle subtree (ids + both annotation
+        # probes; A/B'd as part of the r15 clawback). Combo entries
+        # must NOT checkpoint here: their pair frame includes the
+        # fam1 birthday term (~100x/decade for 16-bit keys — tens of
+        # millions of rows at 500k docs), and materializing THAT blew
+        # the 8g heap on the sf10 rung when checkpointed blocks
+        # accumulated across a session.
+        pairs = pairs.localCheckpoint()
+    # candidate-restricted annotation: the shingle projections
+    # evaluate only for the docs the pairs touch — the broadcast
+    # semi-join restriction Catalyst can't derive itself (no
+    # partition-level dynamic pruning here). est_jaccard needs no
+    # annotation at all since r15: it formed in-bucket. Only
     # MinHash-band-collided pairs (c0) need annotation at all: their
     # id set is O(dupes) — the corpus-sparse bound that makes the
     # broadcast sound at any sf. The SimHash combo families' candidate
@@ -424,23 +483,14 @@ def _fused_band_pairs(
     ann = base.join(F.broadcast(ids), "doc_id").select(
         "doc_id",
         F.array_distinct("hs").alias("sh"),
-        *([_minhash_sigs("hs").alias("sig")] if want_est else []),
     )
     how = "left" if combo_keys else "inner"
     out = pairs.join(
-        ann.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("sh").alias("sh_a"),
-            *([F.col("sig").alias("sig_a")] if want_est else []),
-        ),
+        ann.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
         "doc_a",
         how,
     ).join(
-        ann.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("sh").alias("sh_b"),
-            *([F.col("sig").alias("sig_b")] if want_est else []),
-        ),
+        ann.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
         "doc_b",
         how,
     )
@@ -449,21 +499,11 @@ def _fused_band_pairs(
         / F.size(F.array_union("sh_a", "sh_b")),
         6,
     )
-    est = F.round(
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.lit(float(N_HASHES)),
-        6,
-    )
     is_c0 = F.col("c0") == 1
     return out.select(
         "doc_a",
         "doc_b",
-        *([F.when(is_c0, est).alias("est_jaccard")] if want_est else []),
+        *([F.when(is_c0, F.col("est_jaccard")).alias("est_jaccard")] if want_est else []),
         F.when(is_c0, jac).alias("jaccard"),
         *(["hamming"] if combo_keys else []),
     )
@@ -1153,8 +1193,15 @@ def capped_banded_edges(d: DataFrame, threshold: float = CC_JACCARD) -> DataFram
     edges, same volume the oracle's band join produces."""
     sh = d.select("doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("s"))
     counts = sh.groupBy("s").agg(F.count("*").alias("bucket"))
+    # shuffle_hash, never broadcast: `counts` is |vocab|-scaled (webtext
+    # vocab is unbounded), and AQE's post-agg size estimate undershoots
+    # enough to pick a broadcast that OOM'd the 8g heap at 500k docs in
+    # a loaded session (the r15 ladder caught it). The s-shuffle this
+    # forces is the SAME exchange the groupBy above already created, so
+    # it reuses; interleaved A/B at sf0.1: no measurable cost
+    # (5.7/6.1/5.7 s none/shuffle_hash/merge warm medians).
     per_doc = (
-        sh.join(counts, "s")
+        sh.join(counts.hint("shuffle_hash"), "s")
         .groupBy("doc_id")
         .agg(
             F.collect_list(
@@ -1163,6 +1210,14 @@ def capped_banded_edges(d: DataFrame, threshold: float = CC_JACCARD) -> DataFram
             F.count("*").alias("n"),
         )
         .filter(F.size("hs") > 0)
+        # localCheckpoint, NOT persist: a lazily-cached InMemoryRelation
+        # inside the consumer jobs measured 17.1 s vs 6.0 s for the
+        # eager checkpoint (and 10.1 s for plain recompute) in a
+        # 3-variant interleaved A/B at sf0.1 — in-job caching blocks
+        # AQE re-planning of the subtree. Blocks are reclaimed by
+        # ContextCleaner once the returned frame is GC'd (the same
+        # lifecycle connected_components' per-iteration checkpoints
+        # have relied on since r9).
         .localCheckpoint()
     )
     sigs = per_doc.select("doc_id", _minhash_sigs_cc("hs").alias("sig"))
