@@ -68,24 +68,8 @@ def _make_mutex(spec, **kw):
     raise ValueError(kind)
 
 
-@pytest.fixture(scope="session")
-def casd_endpoint():
-    """One casd.py lock server for the whole session; tests key on
-    tmp_path-unique lock paths so state never crosses tests."""
-    import subprocess
-    import sys
-
-    p = subprocess.Popen(
-        [sys.executable, "-m", "local_datalakehouse_phase2_spark.lakehouse.casd"],
-        stdout=subprocess.PIPE,
-        text=True,
-    )
-    line = p.stdout.readline()
-    assert line.startswith("CASD LISTENING "), line
-    port = int(line.split()[-1])
-    yield f"http://127.0.0.1:{port}"
-    p.terminate()
-    p.wait(timeout=10)
+# casd_endpoint fixture lives in conftest.py (shared with the
+# end-to-end lifecycle test in test_r15_races.py)
 
 
 def _spec(request, tmp_path):

@@ -200,3 +200,41 @@ def test_staged_pending_implies_intent_present(spark, tmp_path):
     assert os.path.exists(os.path.join(t.log.txn_dir, "inv-txn.intent"))
     cold = Lakehouse(spark, lake.warehouse_dir).table("lab.t1")
     assert cold.log.pending_txn_removed_claims() == {claimed: "inv-txn"}
+
+
+def test_full_lifecycle_through_remote_cas_arbiter(spark, tmp_path, casd_endpoint):
+    """End-to-end: a Lakehouse whose every create_exclusive routes
+    through the REMOTE HTTP conditional-put arbiter (casd) runs a real
+    lifecycle — appends, a COW delete, a merge, a multi-table txn with
+    a conflicting direct write — and the conflict semantics come out
+    identical to the local-arbiter runs. The conformance kit proves
+    the mutex contract in isolation; this proves the seam carries
+    production traffic."""
+    from local_datalakehouse_phase2_spark.lakehouse.fs import HttpCasMutex
+
+    io = ArbitratedFileIO(LocalFileIO(), mutex=HttpCasMutex(casd_endpoint))
+    lake = _lake(spark, tmp_path, io=io)
+    t = lake.table("lab.t1")
+    t.delete_where("k = 1")
+    assert {tuple(r) for r in t.read().collect()} == {(2, "m2")}
+    t.merge(_df(spark, (2, "M2"), (3, "m3")), key_cols=["k"])
+    assert {tuple(r) for r in t.read().collect()} == {(2, "M2"), (3, "m3")}
+    # multi-table txn losing to a direct writer, arbitrated remotely
+    lake.create_table("lab.t2", schema="k bigint, v string")
+    txn = lake.transaction()
+    txn.append("lab.t2", _df(spark, (10, "x")))
+    txn.overwrite("lab.t1", _df(spark, (9, "ow")))
+    t.overwrite(_df(spark, (5, "direct")))  # direct writer wins
+    from local_datalakehouse_phase2_spark.lakehouse import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        txn.commit()
+    assert {tuple(r) for r in t.read().collect()} == {(5, "direct")}
+    assert lake.table("lab.t2").read().count() == 0  # nothing leaked
+    # and a clean txn commits atomically through the same endpoint
+    txn2 = lake.transaction()
+    txn2.append("lab.t1", _df(spark, (7, "t7")))
+    txn2.append("lab.t2", _df(spark, (8, "t8")))
+    assert txn2.commit()["status"] == "committed"
+    assert {tuple(r) for r in t.read().collect()} == {(5, "direct"), (7, "t7")}
+    assert lake.table("lab.t2").read().count() == 1
