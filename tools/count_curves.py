@@ -150,6 +150,72 @@ def _entry_counts(spark, sf_dir: str, which: str) -> dict:
         out = {"fams": _bucket_counts(keyed)}
         out.update(_pair_counts(pairs, has_combo=True))
         return out
+    if which == "dedup_clusters":
+        from local_datalakehouse_phase2_spark.operators.dedup import (
+            CC_BUCKET_CAP,
+            CC_JACCARD,
+            CC_N_HASHES,
+            _minhash_sigs_cc,
+            _shingle_hashes,
+            capped_banded_edges,
+        )
+
+        sh = d.select(
+            "doc_id", F.explode(F.array_distinct(_shingle_hashes())).alias("s")
+        )
+        counts = sh.groupBy("s").agg(F.count("*").alias("bucket"))
+        per_doc = (
+            sh.join(counts.hint("shuffle_hash"), "s")
+            .groupBy("doc_id")
+            .agg(
+                F.collect_list(
+                    F.when(F.col("bucket") <= CC_BUCKET_CAP, F.col("s"))
+                ).alias("hs"),
+                F.count("*").alias("n"),
+            )
+            .filter(F.size("hs") > 0)
+        )
+        sigs = per_doc.select("doc_id", _minhash_sigs_cc("hs").alias("sig"))
+        n_bands = CC_N_HASHES // 2
+        bands = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.col("sig")[2 * b], F.col("sig")[2 * b + 1], F.lit(b)
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        )
+        bsizes = (
+            sigs.select("doc_id", bands.alias("bb"))
+            .select(F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+            .groupBy("band", "bh")
+            .agg(F.count("*").alias("m"))
+        )
+        brow = bsizes.agg(
+            F.sum("m").alias("band_rows"),
+            F.sum(F.when(F.col("m") > 1, 1)).alias("buckets_pairable"),
+            F.sum(
+                F.when(F.col("m") > 1, F.col("m") * (F.col("m") - 1) / 2)
+            ).alias("pair_volume"),
+            F.max("m").alias("max_bucket"),
+        ).collect()[0]
+        shingle_rows = counts.agg(
+            F.count("*").alias("distinct_shingles"),
+            F.sum(F.when(F.col("bucket") > CC_BUCKET_CAP, 1)).alias(
+                "shingles_over_cap"
+            ),
+        ).collect()[0]
+        edges = capped_banded_edges(d, threshold=CC_JACCARD).count()
+        return {
+            **{k: int(v or 0) for k, v in brow.asDict().items()},
+            **{k: int(v or 0) for k, v in shingle_rows.asDict().items()},
+            "edges": edges,
+        }
     if which == "dedup_incremental_minhash":
         old = d.filter(F.col("doc_id") % 3 != 0)
         new = d.filter(F.col("doc_id") % 3 == 0)
@@ -175,6 +241,7 @@ ENTRIES = [
     "simhash_pairs",
     "simhash_wide_pairs",
     "dedup_incremental_minhash",
+    "dedup_clusters",
 ]
 
 
@@ -210,10 +277,13 @@ def main() -> None:
         print(name, json.dumps(result[name]["ratio_sf10_over_sf1"]), flush=True)
     path = os.path.join(REPO, "BENCH_ladder.json")
     doc = json.load(open(path)) if os.path.exists(path) else {}
-    doc["counted_curves"] = {
-        "fixture": "sf1=50k docs, sf10=500k docs (make_sf.py x10)",
-        "entries": result,
-    }
+    block = doc.setdefault(
+        "counted_curves",
+        {"fixture": "sf1=50k docs, sf10=500k docs (make_sf.py x10)", "entries": {}},
+    )
+    # MERGE per entry — a targeted --entries re-run must not drop the
+    # other entries' recorded curves
+    block.setdefault("entries", {}).update(result)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps({n: r["ratio_sf10_over_sf1"] for n, r in result.items()}, indent=1))
