@@ -650,7 +650,19 @@ class HttpCasMutex:
         try:
             yield
         finally:
-            rel = self._post("/release", {"path": canon, "owner": owner, "fence": fence})
+            import urllib.error
+
+            try:
+                rel = self._post(
+                    "/release", {"path": canon, "owner": owner, "fence": fence}
+                )
+            except (urllib.error.URLError, OSError):
+                # endpoint unreachable at release: swallow — failing
+                # here would mask the protected operation's own outcome,
+                # and the lease TTL exists exactly so an unreleased row
+                # is reclaimed (the holder row ages past
+                # LOCK_STEAL_SECONDS and the next waiter steals it)
+                rel = {}
             if rel.get("stolen"):
                 raise LockStolenError(
                     f"lock on {canon!r} was stolen mid-hold (fence {fence} -> "

@@ -339,3 +339,31 @@ def test_fence_monotone_across_steal(casd_endpoint, tmp_path):
     # the victim's release sees the advanced fence
     rel_a = mutex._post("/release", {"path": canon, "owner": "a", "fence": f1})
     assert rel_a["stolen"] and not rel_a["released"]
+
+
+def test_release_tolerates_dead_endpoint(tmp_path):
+    """An endpoint that dies mid-hold must not mask the protected
+    operation's outcome: release swallows the network failure (the
+    lease TTL reclaims the row) instead of raising."""
+    import subprocess
+    import sys
+
+    p = subprocess.Popen(
+        [sys.executable, "-m", "local_datalakehouse_phase2_spark.lakehouse.casd"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        line = p.stdout.readline()
+        port = int(line.split()[-1])
+        mutex = HttpCasMutex(f"http://127.0.0.1:{port}", timeout_s=5.0)
+        outcome = []
+        with mutex(str(tmp_path / "res")):
+            p.terminate()
+            p.wait(timeout=10)
+            outcome.append("work-done")
+        assert outcome == ["work-done"]  # exit did not raise
+    finally:
+        if p.poll() is None:
+            p.terminate()
+            p.wait(timeout=10)
