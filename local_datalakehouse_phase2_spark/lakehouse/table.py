@@ -2877,6 +2877,13 @@ class LakehouseTable:
                 child = plan.child()
                 if child.getClass().getSimpleName() != "LocalRelation":
                     return None
+                if not plan.optNumPartitions().isDefined():
+                    # repartition(cols) WITHOUT an explicit n: AQE may
+                    # coalesce the shuffle at runtime (REPARTITION_BY_COL
+                    # origin is coalescible), so the Spark writer can
+                    # legally produce fewer files than a hash emulation
+                    # would — only the user-pinned-n form is claimable
+                    return None
                 exprs = plan.partitionExpressions()
                 part_cols = []
                 for i in range(exprs.size()):

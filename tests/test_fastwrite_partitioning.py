@@ -122,3 +122,22 @@ def test_computed_key_falls_back_to_spark_writer(spark, tmp_path):
     ).repartition(3, (F.col("k") % 2).alias("e"))
     t.append(frame)
     assert t.read().count() == 10
+
+
+def test_repartition_without_n_falls_back(spark, tmp_path):
+    """repartition(cols) with NO explicit n is AQE-coalescible — the
+    Spark writer may legally merge partitions at runtime, so the fast
+    path must decline rather than emulate a file count Spark wouldn't
+    produce."""
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.n", schema="k bigint, v string")
+    frame = local_df(
+        spark, [(i, f"n{i}") for i in range(10)], "k bigint, v string"
+    ).repartition("k")
+    sc = spark.sparkContext
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    t.append(frame)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after > before  # Spark writer ran (fast path declined)
+    assert t.read().count() == 10
