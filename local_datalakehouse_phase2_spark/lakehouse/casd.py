@@ -21,6 +21,11 @@ lock — the role DynamoDB's conditional expression or etcd's txn plays):
          caller's acquisition — i.e. some thief took the lock while
          the caller believed it held it (the stalled-holder caveat,
          detected loudly at release).
+  POST /validate {path, owner, fence}
+      -> {ok: true, fence: N}    fence is still the newest for path and
+         owner still holds it; the lease is renewed (see validate())
+      -> {ok: false, fence: M}   stale — a thief acquired a newer fence
+         (or the row is gone): the caller MUST NOT write
   POST /_seed    {path, owner, acquired_at}   test-only stale-row seed
   GET  /health   -> {ok: true}
 
@@ -31,10 +36,14 @@ that can check a condition at write time (S3 conditional writes,
 DynamoDB attribute checks) should store the fence with the resource
 and reject writes carrying a lower one, which CLOSES the
 stalled-holder-past-TTL overlap. A plain local filesystem cannot check
-a token at write time, so `HttpCasMutex` (fs.py) instead verifies the
-fence at RELEASE and raises `LockStolenError` — an overlap that does
-happen is reported loudly to the writer that stalled, never absorbed
-silently. See the fs.py contract, clause 4 note.
+a token per write, so the endpoint stands in as the condition checker:
+`/validate` (r16) atomically answers "may fence N still write?" and
+`ArbitratedFileIO` calls it under the held lock immediately before the
+protected write — a stalled holder's late commit is REJECTED
+(`StaleFenceError`, write never issued), not merely reported. Release
+still verifies the fence as the backstop and raises `LockStolenError`
+when the path was stolen mid-hold. See the fs.py contract, clause 4
+note.
 
 Run: `python -m local_datalakehouse_phase2_spark.lakehouse.casd
 [--port 0]` — prints `CASD LISTENING <port>` once bound.
@@ -82,6 +91,26 @@ class _LockState:
             stolen = fence is not None and cur > fence
             return {"ok": True, "released": released, "fence": cur, "stolen": stolen}
 
+    def validate(self, path: str, owner: str, fence: int) -> dict:
+        """Conditional write-check (r16): is `fence` still the newest
+        issued for `path`, held by `owner`? Atomic under the server
+        lock, so the DECISION of which fence may write is serialized at
+        the endpoint — the role DynamoDB's condition expression / S3's
+        conditional PUT / an etcd txn revision check plays. On success
+        the holder's lease is RENEWED (acquired_at := now): a writer
+        that just proved it still holds the newest fence is live by
+        definition, so the steal horizon restarts — the residual
+        validate->write overlap window now requires a SECOND full-TTL
+        stall between this check and the write, the same assumption
+        every lease system makes per critical section."""
+        with self._mu:
+            row = self._rows.get(path)
+            cur = self._fences.get(path, 0)
+            if cur != fence or row is None or row["owner"] != owner:
+                return {"ok": False, "fence": cur}
+            row["acquired_at"] = time.time()
+            return {"ok": True, "fence": cur}
+
     def seed(self, path: str, owner: str, acquired_at: float) -> dict:
         with self._mu:
             fence = self._fences.get(path, 0) + 1
@@ -126,6 +155,11 @@ def make_server(port: int = 0) -> ThreadingHTTPServer:
                 self._reply(
                     200,
                     state.release(req["path"], req["owner"], req.get("fence")),
+                )
+            elif self.path == "/validate":
+                self._reply(
+                    200,
+                    state.validate(req["path"], req["owner"], int(req["fence"])),
                 )
             elif self.path == "/_seed":
                 self._reply(

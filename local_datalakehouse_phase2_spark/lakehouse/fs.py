@@ -415,14 +415,21 @@ class LocalFileIO(FileIO):
 # checks at write time, rejecting writes carrying a stale token
 # (DynamoDB condition expressions, S3 conditional writes, etcd txn
 # revisions all can; Lamport's rule via Kleppmann's formulation).
-# HttpCasMutex implements the token end: its endpoint issues fences
-# and its release VERIFIES one, raising LockStolenError when the path
-# was stolen mid-hold — on a plain-filesystem medium (which cannot
-# check a token per write) an overlap that does happen is therefore
-# reported loudly to the stalled writer, never absorbed silently.
-# Operational rule where the medium can't fence: size
-# LOCK_STEAL_SECONDS far above any plausible GC/IO stall, and treat
-# LockStolenError as "my commit may not have survived — re-plan".
+# HttpCasMutex implements the token end: its endpoint issues fences,
+# answers a conditional `/validate` ("may fence N still write?", with
+# lease renewal on success), and its release VERIFIES the fence,
+# raising LockStolenError when the path was stolen mid-hold. r16
+# closes the loop: ArbitratedFileIO calls validate() under the held
+# lock immediately before each protected write, so a stalled holder's
+# late commit raises StaleFenceError and the write is NEVER ISSUED —
+# rejection at write time, with release-time detection kept as the
+# backstop. The residual window (a second full-TTL stall between the
+# successful validate and the write itself) is the standard lease
+# assumption; media with native conditional writes (DynamoDB, S3
+# conditional PUT, etcd txns) shrink it to zero by checking the token
+# atomically with the put. Operational rule for non-fencing backends:
+# size LOCK_STEAL_SECONDS far above any plausible GC/IO stall, and
+# treat LockStolenError as "my commit may not have survived — re-plan".
 
 
 class FlockMutex:
@@ -588,6 +595,46 @@ class LockStolenError(RuntimeError):
     half of the fencing answer; see the contract's clause-4 note)."""
 
 
+class StaleFenceError(LockStolenError):
+    """Raised BEFORE the protected write when the endpoint's
+    conditional check (`/validate`) reports the holder's fence is no
+    longer the newest for the path — the stalled-holder-past-TTL
+    overlap, CLOSED rather than reported: the write was never issued,
+    so the thief's committed bytes stand untouched and the stalled
+    caller can re-plan from clean state (unlike LockStolenError at
+    release, where the outcome is unknown). Subclasses LockStolenError
+    so callers treating "my hold was stolen" generically keep
+    working."""
+
+
+class _FenceHandle:
+    """What a fencing-capable mutex yields from its context manager:
+    the acquire's fence token plus a `validate()` the arbitrated IO
+    calls immediately before each protected write. Non-fencing
+    backends yield None (or a bare lock object) and the IO skips the
+    check — the seam stays one optional method, not a new contract."""
+
+    __slots__ = ("_mutex", "_path", "_owner", "fence")
+
+    def __init__(self, mutex: "HttpCasMutex", path: str, owner: str, fence: int):
+        self._mutex = mutex
+        self._path = path
+        self._owner = owner
+        self.fence = fence
+
+    def validate(self) -> None:
+        res = self._mutex._post(
+            "/validate",
+            {"path": self._path, "owner": self._owner, "fence": self.fence},
+        )
+        if not res.get("ok"):
+            raise StaleFenceError(
+                f"fence {self.fence} on {self._path!r} is stale (endpoint now at "
+                f"{res.get('fence')}): a thief acquired mid-hold — the protected "
+                "write was REJECTED before it was issued; re-plan from current state"
+            )
+
+
 class HttpCasMutex:
     """HTTP conditional-put arbiter for `ArbitratedFileIO` — the
     genuinely remote-SHAPED lease backend (r15, conformance kit's
@@ -647,23 +694,48 @@ class HttpCasMutex:
             if time.monotonic() >= deadline:
                 raise RuntimeError(f"timed out waiting for CAS endpoint lock on {canon!r}")
             time.sleep(0.005)
+        body_exc: BaseException | None = None
         try:
-            yield
+            yield _FenceHandle(self, canon, owner, fence)
+        except BaseException as e:
+            body_exc = e
+            raise
         finally:
             import urllib.error
 
-            try:
-                rel = self._post(
-                    "/release", {"path": canon, "owner": owner, "fence": fence}
+            rel = None
+            for attempt in range(3):
+                try:
+                    rel = self._post(
+                        "/release", {"path": canon, "owner": owner, "fence": fence}
+                    )
+                    break
+                except (urllib.error.URLError, OSError):
+                    # endpoint unreachable at release: retry briefly (a
+                    # blip shouldn't forfeit steal detection), then
+                    # swallow — failing here would mask the protected
+                    # operation's own outcome, and the lease TTL exists
+                    # exactly so an unreleased row is reclaimed (the
+                    # holder row ages past LOCK_STEAL_SECONDS and the
+                    # next waiter steals it)
+                    if attempt < 2:
+                        time.sleep(0.05 * (attempt + 1))
+            if rel is None:
+                import warnings
+
+                warnings.warn(
+                    f"CAS endpoint {self.endpoint} unreachable at release of "
+                    f"{canon!r}: steal detection was SKIPPED for this hold — a "
+                    "mid-hold thief would go unreported here (fence-checked "
+                    "writes still bounce a stale holder at write time)",
+                    RuntimeWarning,
+                    stacklevel=2,
                 )
-            except (urllib.error.URLError, OSError):
-                # endpoint unreachable at release: swallow — failing
-                # here would mask the protected operation's own outcome,
-                # and the lease TTL exists exactly so an unreleased row
-                # is reclaimed (the holder row ages past
-                # LOCK_STEAL_SECONDS and the next waiter steals it)
                 rel = {}
-            if rel.get("stolen"):
+            # release-time detection is the BACKSTOP: if the body already
+            # raised for this steal (StaleFenceError from the write-time
+            # check), re-raising here would mask the more precise error
+            if rel.get("stolen") and not isinstance(body_exc, LockStolenError):
                 raise LockStolenError(
                     f"lock on {canon!r} was stolen mid-hold (fence {fence} -> "
                     f"{rel.get('fence')}): this writer stalled past "
@@ -691,10 +763,25 @@ class ArbitratedFileIO(FileIO):
     lock registry — correct for many threads in one process, a
     documented NON-solution for separate processes (matching the
     single-node scope in SURVEY.md §4); tests inject doubles through
-    the same parameter to prove the race and its fix."""
+    the same parameter to prove the race and its fix.
 
-    def __init__(self, inner: FileIO, mutex=None):
+    FENCE-CHECKED WRITES (r16): when the mutex's context manager
+    yields a handle exposing `validate()` (HttpCasMutex does — the
+    endpoint's conditional check), `create_exclusive` calls it under
+    the held lock immediately before the inner write. A holder that
+    stalled past LOCK_STEAL_SECONDS while a thief took the path gets
+    `StaleFenceError` and its write is NEVER ISSUED — the overlap
+    release-time LockStolenError only reports is closed at the write.
+    `fence_writes=False` opts out (measurement / compat only; fencing
+    is strictly safer). Backends that yield nothing (FlockMutex,
+    EndpointMutex, the default thread-lock registry) skip the check:
+    their crash-liveness story doesn't admit a same-process stalled
+    holder overlapping (flock: release is tied to process lifetime) or
+    they predate fence issuance (documented clause-4 caveat)."""
+
+    def __init__(self, inner: FileIO, mutex=None, fence_writes: bool = True):
         self._inner = inner
+        self._fence_writes = fence_writes
         if mutex is None:
             import collections
             import threading
@@ -711,7 +798,10 @@ class ArbitratedFileIO(FileIO):
         self._mutex = mutex
 
     def create_exclusive(self, path: str, data: str) -> bool:
-        with self._mutex(path):
+        with self._mutex(path) as handle:
+            validate = getattr(handle, "validate", None)
+            if self._fence_writes and callable(validate):
+                validate()  # StaleFenceError: write rejected, not issued
             return self._inner.create_exclusive(path, data)
 
     # ---- pure delegation --------------------------------------------

@@ -2906,7 +2906,7 @@ class LakehouseTable:
         if not rows or len(rows) > fastwrite.MAX_ROWS:
             return None
         if part_cols is None:
-            groups = [rows]
+            groups = [(0, rows)]
         else:
             pids = fastwrite.spark_partition_ids(rows, df.schema, part_cols, n_parts)
             if pids is None:
@@ -2914,20 +2914,21 @@ class LakehouseTable:
             by_pid: dict[int, list] = {}
             for r, pid in zip(rows, pids):
                 by_pid.setdefault(pid, []).append(r)
-            # pid order mirrors the Spark writer's task numbering;
-            # empty partitions write no file, exactly like Spark
-            groups = [by_pid[p] for p in sorted(by_pid)]
+            # file names carry the ACTUAL shuffle partition id, like the
+            # Spark writer's task numbering (empty partitions write no
+            # file, so indices may have gaps — exactly like Spark)
+            groups = [(p, by_pid[p]) for p in sorted(by_pid)]
         tables = []
-        for g in groups:
+        for pid, g in groups:
             tbl = fastwrite.rows_to_arrow(g, df.schema)
             if tbl is None or tbl.nbytes > target:
                 return None
-            tables.append(tbl)
+            tables.append((pid, tbl))
         out = os.path.join(self.data_dir, f"v{uuid.uuid4().hex[:12]}")
         os.makedirs(out, exist_ok=True)
-        for i, tbl in enumerate(tables):
+        for pid, tbl in tables:
             fastwrite.write_rows(
-                tbl, os.path.join(out, f"part-{i:05d}-{uuid.uuid4().hex[:12]}.parquet")
+                tbl, os.path.join(out, f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.parquet")
             )
         return self._scan_written(out)
 

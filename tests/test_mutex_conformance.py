@@ -367,3 +367,108 @@ def test_release_tolerates_dead_endpoint(tmp_path):
         if p.poll() is None:
             p.terminate()
             p.wait(timeout=10)
+
+
+# ---- clause 4e (fencing at WRITE, http-cas only): stalled holder's
+# commit is REJECTED, not merely flagged (r16, VERDICT item 1)
+
+
+def _stalled_fenced_writer(endpoint, target, held_evt, resume_evt, out_path):
+    """Victim: acquire through ArbitratedFileIO's fence-checked path,
+    stall past the TTL INSIDE the hold (the GC-pause shape: after
+    acquire, before the protected write), then attempt the write."""
+    from contextlib import contextmanager
+
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        ArbitratedFileIO,
+        HttpCasMutex,
+        LocalFileIO,
+        LockStolenError,
+        StaleFenceError,
+    )
+
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+    inner = HttpCasMutex(endpoint, timeout_s=20.0)
+
+    @contextmanager
+    def stalling_mutex(path):
+        with inner(path) as handle:
+            held_evt.set()
+            assert resume_evt.wait(20)  # the stall, lock held
+            yield handle
+
+    io = ArbitratedFileIO(LocalFileIO(), mutex=stalling_mutex)
+    try:
+        won = io.create_exclusive(target, "victim")
+    except StaleFenceError:
+        verdict = "rejected-at-write"
+    except LockStolenError:
+        verdict = "flagged-at-release-only"
+    else:
+        verdict = "wrote" if won else "lost-quietly"
+    with open(out_path, "w") as f:
+        f.write(verdict)
+
+
+def _fenced_thief_commit(endpoint, target, done_evt):
+    """Thief: steal the aged hold and commit through the SAME
+    fence-checked path, then release cleanly."""
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        ArbitratedFileIO,
+        HttpCasMutex,
+        LocalFileIO,
+    )
+
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+    io = ArbitratedFileIO(LocalFileIO(), mutex=HttpCasMutex(endpoint, timeout_s=20.0))
+    assert io.create_exclusive(target, "thief")
+    done_evt.set()
+
+
+def test_fenced_write_rejects_stalled_holder(casd_endpoint, tmp_path):
+    """Three processes (victim, thief, casd server): the victim
+    acquires, stalls past LOCK_STEAL_SECONDS while holding, the thief
+    steals the path and COMMITS; the victim's late write must bounce
+    with StaleFenceError BEFORE reaching the medium — the thief's
+    bytes stand and the victim learns at the write, not the release.
+    This closes the clause-4 lease caveat release-time LockStolenError
+    (clause 4d above) only reports."""
+    target = str(tmp_path / "res.json")
+    held, resume, thief_done = _MP.Event(), _MP.Event(), _MP.Event()
+    out = str(tmp_path / "verdict")
+    victim = _MP.Process(
+        target=_stalled_fenced_writer,
+        args=(casd_endpoint, target, held, resume, out),
+    )
+    victim.start()
+    assert held.wait(10)
+    time.sleep(0.4)  # age the victim's holder row past the lowered TTL
+    thief = _MP.Process(
+        target=_fenced_thief_commit, args=(casd_endpoint, target, thief_done)
+    )
+    thief.start()
+    assert thief_done.wait(10)
+    _join(thief)
+    resume.set()
+    _join(victim)
+    assert open(out).read() == "rejected-at-write"
+    assert open(target).read() == "thief"  # the thief's commit survived
+
+
+def test_fenced_write_passes_live_holder(casd_endpoint, tmp_path):
+    """The fence check must be invisible to the healthy path: a live
+    holder's validate renews the lease and the write proceeds."""
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        ArbitratedFileIO,
+        HttpCasMutex,
+        LocalFileIO,
+    )
+
+    target = str(tmp_path / "ok.json")
+    io = ArbitratedFileIO(LocalFileIO(), mutex=HttpCasMutex(casd_endpoint))
+    assert io.create_exclusive(target, "healthy")
+    assert open(target).read() == "healthy"
+    # second writer loses by O_EXCL, not by fence (its own fence is fresh)
+    assert io.create_exclusive(target, "late") is False

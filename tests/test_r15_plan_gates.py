@@ -65,8 +65,22 @@ def test_repartitioned_local_append_runs_zero_jobs(spark, tmp_path):
         spark, [(i, f"n{i}") for i in range(20)], "k bigint, v string"
     ).repartition(4, "k")
     sc = spark.sparkContext
-    before = sc._jsc.sc().dagScheduler().nextJobId()
-    t.append(frame)
-    after = sc._jsc.sc().dagScheduler().nextJobId()
+
+    def _next_job_id() -> int:
+        # py4j auto-converts the AtomicInteger on some Spark builds and
+        # hands back the raw Java object on others; comparing the raw
+        # object would be vacuous (same instance, reference equality)
+        nid = sc._jsc.sc().dagScheduler().nextJobId()
+        return nid.get() if hasattr(nid, "get") else int(nid)
+
+    before = _next_job_id()
+    sc.setJobGroup("zero-jobs-gate", "fastwrite append must not run jobs")
+    try:
+        t.append(frame)
+    finally:
+        sc.setJobGroup(None, None)
+    after = _next_job_id()
     assert after == before, f"append launched {after - before} Spark job(s)"
+    group_jobs = list(sc.statusTracker().getJobIdsForGroup("zero-jobs-gate"))
+    assert group_jobs == [], f"append ran Spark jobs {group_jobs}"
     assert len(t.log.state_at()) == 4  # one file per non-empty partition
