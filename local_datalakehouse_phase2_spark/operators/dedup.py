@@ -1374,12 +1374,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             JOIN clists la ON la.doc_id = c.a
             JOIN clists lb ON lb.doc_id = c.b
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT a, b FROM pairs
             JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
             WHERE inter >= {CC_JACCARD} * (sa.n + sb.n - inter)
         ),
-        sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+        -- MATERIALIZED (r16): without it DuckDB inlines sym into the
+        -- recursive walk and re-derives the ENTIRE band join per
+        -- iteration — 104 s at sf1 (the r15 sweep's only timeout)
+        -- vs 7.3 s materialized, identical rows. The recursion itself
+        -- is O(edges) and edges are output-bound (~256 at sf1).
+        sym AS MATERIALIZED (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
         cc AS (
             WITH RECURSIVE walk(id, lbl) AS (
                 SELECT a, a FROM sym
