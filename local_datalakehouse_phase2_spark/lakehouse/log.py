@@ -358,6 +358,21 @@ class TransactionLog:
             vs = [v for v in vs if v <= upto]
         return [self.read_entry(v) for v in vs]
 
+    def entries_range(self, start: int = 0, upto: int | None = None):
+        """Surviving entries with start <= version <= upto, reading
+        ONLY those entry files. Checkpoint-seeded folds must iterate
+        this, not `entries(upto)` with a below-start skip — that shape
+        still READS every entry JSON below the checkpoint, turning
+        every cold fold into O(all versions) metadata IO (the r16
+        orphan-sweep finding; at 100 TB the metadata log is the hot
+        path, not the data)."""
+        for v in self.versions():
+            if v < start:
+                continue
+            if upto is not None and v > upto:
+                break
+            yield self.read_entry(v)
+
     def latest_checkpoint_version(self, upto: int | None = None) -> int | None:
         best = None
         for name in self.io.listdir(self.metadata_dir):
@@ -386,9 +401,7 @@ class TransactionLog:
             state = {fi["path"]: FileInfo(**fi) for fi in cp_raw["files"]}
             start = cp + 1
         saw_pending_txn = False
-        for entry in self.entries(upto=version):
-            if entry.version < start:
-                continue
+        for entry in self.entries_range(start, upto=version):
             if not self.in_main_lineage(entry):
                 # outside the main lineage: write-audit-publish stage
                 # (until published), branch commit (until merged), or
@@ -423,8 +436,21 @@ class TransactionLog:
         entry carries properties (expiry removed them), the newest
         checkpoint at or before `version` supplies them — checkpoints
         snapshot properties exactly so expiry can't reset a table to
-        defaults."""
-        for entry in reversed(self.entries(upto=version)):
+        defaults.
+
+        The reverse scan STOPS at the newest checkpoint (r16):
+        anything below it is frozen in the checkpoint's own property
+        snapshot, so reading those entry files is pure O(all versions)
+        IO — this runs on every write (target size / distribution mode
+        lookup) and inside the orphan sweep's gc gate."""
+        cpv = self.latest_checkpoint_version(upto=version)
+        vs = self.versions()
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        for v in reversed(vs):
+            if cpv is not None and v <= cpv:
+                break
+            entry = self.read_entry(v)
             if not self.in_main_lineage(entry):
                 continue  # only main-lineage entries define metadata
             if entry.properties is not None:
@@ -463,9 +489,7 @@ class TransactionLog:
             cp_raw = self._read_checkpoint(version)
             out = list(cp_raw.get("renames") or [])
             start = cp + 1
-        for entry in self.entries(upto=version):
-            if entry.version < start:
-                continue
+        for entry in self.entries_range(start, upto=version):
             if not self.in_main_lineage(entry):
                 continue
             r = (entry.extra or {}).get("rename")
@@ -492,9 +516,7 @@ class TransactionLog:
             cp_raw = self._read_checkpoint(version)
             out = list(cp_raw.get("drops") or [])
             start = cp + 1
-        for entry in self.entries(upto=version):
-            if entry.version < start:
-                continue
+        for entry in self.entries_range(start, upto=version):
             if not self.in_main_lineage(entry):
                 continue
             d = (entry.extra or {}).get("dropped")
@@ -507,8 +529,16 @@ class TransactionLog:
         wins; falls back to the newest checkpoint (which snapshots the
         schema so expiring the commit that recorded it — a create /
         add_column / evolving append — can't silently drop evolved
-        columns)."""
-        for entry in reversed(self.entries(upto=version)):
+        columns). Reverse scan stops at the newest checkpoint, same
+        O(suffix) rule as properties_at."""
+        cpv = self.latest_checkpoint_version(upto=version)
+        vs = self.versions()
+        if version is not None:
+            vs = [v for v in vs if v <= version]
+        for v in reversed(vs):
+            if cpv is not None and v <= cpv:
+                break
+            entry = self.read_entry(v)
             if not self.in_main_lineage(entry):
                 continue  # branch/stage/uncommitted-txn entries cannot evolve the schema
             if entry.extra and entry.extra.get("schema"):
@@ -765,7 +795,11 @@ class TransactionLog:
             version = self.latest_version()
         if version is None:
             raise ValueError("cannot checkpoint an empty log")
-        for e in self.entries(upto=version):
+        # pending entries always sit above the newest existing
+        # checkpoint (this very clamp guarantees it inductively), so
+        # the scan starts there — O(suffix) entry reads, not O(all)
+        prev_cp = self.latest_checkpoint_version(upto=version)
+        for e in self.entries_range(0 if prev_cp is None else prev_cp + 1, upto=version):
             tx = (e.extra or {}).get("txn")
             if tx is not None and self.txn_status(tx) == "pending":
                 if e.version == 0:
@@ -775,6 +809,7 @@ class TransactionLog:
                 version = e.version - 1
                 break
         state = self.state_at(version)
+        referenced, max_stamp = self._referenced_upto(version)
         path = os.path.join(self.metadata_dir, f"checkpoint-{version:010d}.json")
         self.io.write_text_atomic(
             path,
@@ -790,10 +825,97 @@ class TransactionLog:
                     "properties": self.properties_at(version),
                     "renames": self.renames_upto(version),
                     "drops": self.drops_upto(version),
+                    # cumulative orphan-sweep protection set (r16): every
+                    # file path reachable at ANY version <= here (time
+                    # travel) or added by a stage/branch/txn entry <=
+                    # here, carried forward checkpoint-to-checkpoint so
+                    # remove_orphan_files folds only the suffix instead
+                    # of O(all versions) of state replays per sweep.
+                    # expire_snapshots subtracts the paths it deletes
+                    # (see its refresh step).
+                    "referenced": sorted(referenced),
+                    # newest writer-clock stamp frozen at/below this
+                    # checkpoint: the orphan sweep's clock-skew tripwire
+                    # includes it so future-stamped evidence can't hide
+                    # under a checkpoint (r16, ADVICE)
+                    "max_committed_at": max_stamp,
                 }
             ),
         )
         return version
+
+    def _checkpoint_versions(self) -> list[int]:
+        out = []
+        for name in self.io.listdir(self.metadata_dir):
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _referenced_upto(self, version: int) -> tuple[set[str], float]:
+        """(cumulative referenced-path set, newest committed_at stamp)
+        over everything at or below `version`.
+
+        Incremental when the newest prior checkpoint carries the
+        `referenced` field: seed from it and fold only the entries
+        above it — O(suffix). Otherwise (first checkpoint after the
+        r16 upgrade, or a pre-upgrade chain) derive the full set: every
+        prior checkpoint's resolved file list (covers files whose
+        adding entries were expired — they are still reachable at the
+        checkpointed versions) plus every surviving entry's added
+        files, which is exactly the union remove_orphan_files used to
+        recompute per sweep (any-lineage adds subsume both the
+        per-version state union and the stage/branch/txn protection
+        loop)."""
+        referenced: set[str] = set()
+        max_stamp = 0.0
+        start_v = 0
+        priors = [v for v in self._checkpoint_versions() if v < version]
+        prior_raw = None
+        if priors:
+            prior_raw = json.loads(
+                self.io.read_text(
+                    os.path.join(
+                        self.metadata_dir, f"checkpoint-{priors[-1]:010d}.json"
+                    )
+                )
+            )
+        if prior_raw is not None and "referenced" in prior_raw:
+            referenced.update(prior_raw["referenced"])
+            max_stamp = float(prior_raw.get("max_committed_at") or 0.0)
+            start_v = prior_raw["version"] + 1
+        else:
+            for cv in priors:
+                cp_raw = json.loads(
+                    self.io.read_text(
+                        os.path.join(self.metadata_dir, f"checkpoint-{cv:010d}.json")
+                    )
+                )
+                referenced.update(fi["path"] for fi in cp_raw["files"])
+        for e in self.entries_range(start_v, upto=version):
+            referenced.update(fi.path for fi in e.added_files)
+            max_stamp = max(max_stamp, e.committed_at)
+        return referenced, max_stamp
+
+    def subtract_referenced(self, paths: set[str]) -> None:
+        """Drop `paths` from the NEWEST checkpoint's cumulative
+        `referenced` set — expire_snapshots calls this after deleting
+        the files only expired snapshots referenced, so the carried-
+        forward protection set doesn't shield deleted paths forever
+        (the orphan sweep reads only the newest checkpoint's set, and
+        later checkpoints seed from it). No-op when no checkpoint
+        carries the field."""
+        cps = self._checkpoint_versions()
+        if not cps:
+            return
+        path = os.path.join(self.metadata_dir, f"checkpoint-{cps[-1]:010d}.json")
+        raw = json.loads(self.io.read_text(path))
+        if "referenced" not in raw:
+            return
+        kept = [p for p in raw["referenced"] if p not in paths]
+        if len(kept) != len(raw["referenced"]):
+            raw["referenced"] = kept
+            self.io.write_text_atomic(path, json.dumps(raw))
 
     def remove_entries(self, versions: list[int]) -> None:
         for v in versions:

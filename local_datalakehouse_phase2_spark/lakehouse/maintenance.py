@@ -769,16 +769,32 @@ def expire_snapshots(
         if table.io.exists(full):
             table.io.remove(full)
             deleted += 1
+    # the deleted paths must leave the cumulative orphan-protection set
+    # (r16) or the carried-forward `referenced` field would shield them
+    # forever. Runs AFTER the deletes: a crash above leaves the paths
+    # protected (a leak, reclaimed by remove_orphan_files(full_scan=
+    # True)), never a window where a still-reachable file is sweepable.
+    table.log.subtract_referenced(doomed)
     return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
 
 def remove_orphan_files(
     table: LakehouseTable,
     older_than: float | None = None,
+    full_scan: bool = False,
 ) -> dict:
     """M4: delete files under the table dir referenced by NO snapshot
     (guide :272-280). Refuses cutoffs younger than 24 h (:274) — files
     may belong to an in-flight commit.
+
+    `full_scan=True` recomputes the protection set from every surviving
+    version instead of the newest checkpoint's cumulative `referenced`
+    field (the r16 O(suffix) fast path), and refreshes that field with
+    the result — the recovery lever for the one leak the fast path
+    admits: an expire_snapshots that crashed between dropping entries
+    and deleting/unprotecting the doomed files leaves those paths in
+    `referenced` (protected, never reclaimed) until a full scan prunes
+    the set.
     """
     _check_gc_enabled(table, "remove_orphan_files")
     now = time.time()
@@ -806,10 +822,18 @@ def remove_orphan_files(
     # live suffix where active writers commit.
     _vs = table.log.versions()
     _cp = table.log.latest_checkpoint_version()
+    _cp_raw = table.log._read_checkpoint() if _cp is not None else None
     _recent = [v for v in _vs if _cp is None or v > _cp] or _vs[-1:]
     newest = max(
         (table.log.read_entry(v).committed_at for v in _recent), default=0.0
     )
+    # skew evidence frozen BELOW the checkpoint still counts (r16,
+    # ADVICE): checkpoints record the max writer stamp they froze, so a
+    # future-stamped entry can't hide under one — without the field
+    # (pre-upgrade checkpoints) the suffix scan is all there is, and
+    # an old future stamp drifts into the past on its own.
+    if _cp_raw is not None:
+        newest = max(newest, float(_cp_raw.get("max_committed_at") or 0.0))
     if newest > now + CLOCK_SKEW_TOLERANCE_SECONDS:
         raise MaintenanceError(
             f"remove_orphan_files: newest commit is stamped {newest - now:.0f}s in "
@@ -818,22 +842,44 @@ def remove_orphan_files(
         )
 
     referenced: set[str] = set()
-    for v in table.log.versions():
-        referenced.update(table.log.state_at(v).keys())
-    # staged (write-audit-publish) snapshots and BRANCH commits are
-    # outside every state fold but their files are NOT orphans — stages
-    # await publish, branch files are reachable through read(ref=...)
-    # and the eventual merge_branch. Every branch-tagged entry still in
-    # the log is protected (even after its branch is dropped/rewound):
-    # the safe direction — expire_snapshots reclaims the entries once
-    # no live ref lists them, and THEN the sweep may collect the files.
-    for e in table.log.entries():
-        if (
-            e.operation == "stage"
-            or (e.extra or {}).get("branch")
-            or (e.extra or {}).get("txn")
-        ):
-            referenced.update(fi.path for fi in e.added_files)
+    if not full_scan and _cp_raw is not None and "referenced" in _cp_raw:
+        # O(suffix) fast path (r16): the newest checkpoint carries the
+        # cumulative protection set for everything at/below it (time-
+        # travel reachability AND stage/branch/txn adds — see
+        # TransactionLog._referenced_upto); anything referenced only
+        # above it was added by a suffix entry, any lineage, so the
+        # suffix's added_files complete the set.
+        referenced.update(_cp_raw["referenced"])
+        for v in _vs:
+            if v > _cp_raw["version"]:
+                referenced.update(
+                    fi.path for fi in table.log.read_entry(v).added_files
+                )
+    else:
+        for v in _vs:
+            referenced.update(table.log.state_at(v).keys())
+        # staged (write-audit-publish) snapshots and BRANCH commits are
+        # outside every state fold but their files are NOT orphans —
+        # stages await publish, branch files are reachable through
+        # read(ref=...) and the eventual merge_branch. Every
+        # branch-tagged entry still in the log is protected (even after
+        # its branch is dropped/rewound): the safe direction —
+        # expire_snapshots reclaims the entries once no live ref lists
+        # them, and THEN the sweep may collect the files.
+        for e in table.log.entries():
+            if (
+                e.operation == "stage"
+                or (e.extra or {}).get("branch")
+                or (e.extra or {}).get("txn")
+            ):
+                referenced.update(fi.path for fi in e.added_files)
+        if full_scan and _cp_raw is not None and "referenced" in _cp_raw:
+            # self-heal: replace the carried set with the freshly
+            # derived one so a crashed expiry's leaked paths lose
+            # protection for good (see the docstring)
+            stale = set(_cp_raw["referenced"]) - referenced
+            if stale:
+                table.log.subtract_referenced(stale)
 
     deleted = 0
     dir_mtimes: dict[str, float] = {}

@@ -183,3 +183,48 @@ def test_stale_intent_without_stage_is_inert(tmp_path):
     reader.decide_txn("t-crashed", "aborted")
     reader.pending_txn_removed_claims()
     assert not os.path.exists(intent)
+
+
+def test_fastwrite_append_racing_distribution_mode_change(spark, tmp_path):
+    """Seam (r16 hunt, half 2): an append whose fastwrite eligibility
+    was decided under mode=none races a concurrent ALTER to
+    write.distribution-mode=hash, landing in the window between the
+    append's file write and its entry commit. Distribution mode is
+    write-time LAYOUT only (no reader consumes it — grep:
+    PROP_DISTRIBUTION_MODE is read in _write_files and the fastwrite
+    gate alone), so the benign outcome to pin is: both commits land,
+    no rows lost, the final property map reflects the ALTER, and the
+    NEXT append honors the new mode."""
+    from local_datalakehouse_phase2_spark.lakehouse import Lakehouse
+    from local_datalakehouse_phase2_spark.localrows import local_df
+
+    wh = str(tmp_path / "w")
+    lake = Lakehouse(spark, wh)
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.t", schema="k bigint, v string")
+    t2 = Lakehouse(spark, wh).table("lab.t")  # the concurrent ALTER-er
+
+    real_append = t.log.append
+    fired = []
+
+    def hooked(make_entry, **kw):
+        if not fired:
+            fired.append(True)
+            t2.set_properties(
+                {"write.distribution-mode": "hash", "write.hash-columns": "k"}
+            )
+        return real_append(make_entry, **kw)
+
+    t.log.append = hooked
+    t.append(local_df(spark, [(i, f"v{i}") for i in range(6)], "k bigint, v string"))
+    t.log.append = real_append
+
+    assert fired  # the ALTER really landed inside the window
+    assert t.read().count() == 6
+    props = t.log.properties_at()
+    assert props.get("write.distribution-mode") == "hash"
+    # the next append sees the new mode (fastwrite gate requires
+    # mode=none, so this one must take the Spark writer) and data stays
+    # complete
+    t.append(local_df(spark, [(10, "x")], "k bigint, v string"))
+    assert t.read().count() == 7
