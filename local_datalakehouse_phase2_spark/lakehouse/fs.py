@@ -513,6 +513,15 @@ class EndpointMutex:
     claim: swapping multi-host arbitration in changes ZERO consumer
     code — commits, ref locks, and txn markers still route through the
     one `create_exclusive` method. Not reentrant, like FlockMutex.
+
+    FENCING (r16, parity with HttpCasMutex): every successful acquire
+    (insert or steal) bumps a per-path monotone fence row; the yielded
+    handle's `validate()` — which ArbitratedFileIO calls right before
+    each protected write — checks the fence is still newest inside ONE
+    `BEGIN IMMEDIATE` transaction (the DynamoDB condition-expression
+    role) and renews the lease on success; release verifies the fence
+    and raises `LockStolenError` as the backstop when a thief acquired
+    mid-hold.
     """
 
     def __init__(self, db_path: str, timeout_s: float = 30.0):
@@ -528,7 +537,54 @@ class EndpointMutex:
             "CREATE TABLE IF NOT EXISTS locks ("
             " path TEXT PRIMARY KEY, owner TEXT, acquired_at REAL)"
         )
+        # per-path monotone fence counter: never reset, bumped on every
+        # successful acquire including steals (Lamport's fencing rule)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS lock_fences ("
+            " path TEXT PRIMARY KEY, fence INTEGER)"
+        )
         return con
+
+    class _SqlFenceHandle:
+        __slots__ = ("_con", "_path", "_owner", "fence")
+
+        def __init__(self, con, path: str, owner: str, fence: int):
+            self._con = con
+            self._path = path
+            self._owner = owner
+            self.fence = fence
+
+        def validate(self) -> None:
+            con = self._con
+            con.execute("BEGIN IMMEDIATE")
+            try:
+                cur = con.execute(
+                    "SELECT fence FROM lock_fences WHERE path = ?", (self._path,)
+                ).fetchone()
+                row = con.execute(
+                    "SELECT owner FROM locks WHERE path = ?", (self._path,)
+                ).fetchone()
+                ok = (
+                    cur is not None
+                    and cur[0] == self.fence
+                    and row is not None
+                    and row[0] == self._owner
+                )
+                if ok:
+                    # lease renewal: a holder that just proved it still
+                    # owns the newest fence is live by definition
+                    con.execute(
+                        "UPDATE locks SET acquired_at = ? WHERE path = ? AND owner = ?",
+                        (time.time(), self._path, self._owner),
+                    )
+            finally:
+                con.execute("COMMIT")
+            if not ok:
+                raise StaleFenceError(
+                    f"fence {self.fence} on {self._path!r} is stale (endpoint now "
+                    f"at {cur[0] if cur else None}): a thief acquired mid-hold — "
+                    "the protected write was REJECTED before it was issued"
+                )
 
     @contextmanager
     def __call__(self, path: str):
@@ -541,6 +597,7 @@ class EndpointMutex:
         con = self._connect()
         try:
             deadline = time.monotonic() + self.timeout_s
+            fence = None
             while True:
                 try:
                     con.execute("BEGIN IMMEDIATE")
@@ -548,21 +605,31 @@ class EndpointMutex:
                         "SELECT owner, acquired_at FROM locks WHERE path = ?",
                         (canon,),
                     ).fetchone()
-                    if row is None:
+                    now = time.time()
+                    if row is None or now - row[1] > _log.LOCK_STEAL_SECONDS:
+                        # insert, or steal a crashed holder's row —
+                        # either way the fence advances atomically with
+                        # the ownership change
                         con.execute(
-                            "INSERT INTO locks VALUES (?, ?, ?)",
-                            (canon, owner, time.time()),
+                            "INSERT INTO lock_fences VALUES (?, 1)"
+                            " ON CONFLICT(path) DO UPDATE SET fence = fence + 1",
+                            (canon,),
                         )
-                        con.execute("COMMIT")
-                        break
-                    if time.time() - row[1] > _log.LOCK_STEAL_SECONDS:
-                        # crashed holder: steal, conditionally on the row
-                        # still being the one we read (owner match)
-                        con.execute(
-                            "UPDATE locks SET owner = ?, acquired_at = ?"
-                            " WHERE path = ? AND owner = ?",
-                            (owner, time.time(), canon, row[0]),
-                        )
+                        fence = con.execute(
+                            "SELECT fence FROM lock_fences WHERE path = ?",
+                            (canon,),
+                        ).fetchone()[0]
+                        if row is None:
+                            con.execute(
+                                "INSERT INTO locks VALUES (?, ?, ?)",
+                                (canon, owner, now),
+                            )
+                        else:
+                            con.execute(
+                                "UPDATE locks SET owner = ?, acquired_at = ?"
+                                " WHERE path = ? AND owner = ?",
+                                (owner, now, canon, row[0]),
+                            )
                         con.execute("COMMIT")
                         break
                     con.execute("COMMIT")
@@ -576,12 +643,37 @@ class EndpointMutex:
                         f"timed out waiting for endpoint lock on {canon!r}"
                     )
                 time.sleep(0.005)
+            body_exc: BaseException | None = None
             try:
-                yield
+                yield self._SqlFenceHandle(con, canon, owner, fence)
+            except BaseException as e:
+                body_exc = e
+                raise
             finally:
-                con.execute(
-                    "DELETE FROM locks WHERE path = ? AND owner = ?", (canon, owner)
-                )
+                con.execute("BEGIN IMMEDIATE")
+                try:
+                    con.execute(
+                        "DELETE FROM locks WHERE path = ? AND owner = ?",
+                        (canon, owner),
+                    )
+                    cur = con.execute(
+                        "SELECT fence FROM lock_fences WHERE path = ?", (canon,)
+                    ).fetchone()
+                finally:
+                    con.execute("COMMIT")
+                # backstop, same rule as HttpCasMutex: skip when the
+                # body already reported the steal at write time
+                if (
+                    cur is not None
+                    and cur[0] > fence
+                    and not isinstance(body_exc, LockStolenError)
+                ):
+                    raise LockStolenError(
+                        f"lock on {canon!r} was stolen mid-hold (fence {fence} -> "
+                        f"{cur[0]}): this writer stalled past LOCK_STEAL_SECONDS "
+                        "and its protected operation may have overlapped the "
+                        "thief's — treat the outcome as unknown and re-plan"
+                    )
         finally:
             con.close()
 

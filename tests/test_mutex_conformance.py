@@ -369,11 +369,11 @@ def test_release_tolerates_dead_endpoint(tmp_path):
             p.wait(timeout=10)
 
 
-# ---- clause 4e (fencing at WRITE, http-cas only): stalled holder's
-# commit is REJECTED, not merely flagged (r16, VERDICT item 1)
+# ---- clause 4e (fencing at WRITE, both lease backends): stalled
+# holder's commit is REJECTED, not merely flagged (r16, VERDICT item 1)
 
 
-def _stalled_fenced_writer(endpoint, target, held_evt, resume_evt, out_path):
+def _stalled_fenced_writer(spec, target, held_evt, resume_evt, out_path):
     """Victim: acquire through ArbitratedFileIO's fence-checked path,
     stall past the TTL INSIDE the hold (the GC-pause shape: after
     acquire, before the protected write), then attempt the write."""
@@ -382,14 +382,13 @@ def _stalled_fenced_writer(endpoint, target, held_evt, resume_evt, out_path):
     from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
     from local_datalakehouse_phase2_spark.lakehouse.fs import (
         ArbitratedFileIO,
-        HttpCasMutex,
         LocalFileIO,
         LockStolenError,
         StaleFenceError,
     )
 
     lh_log.LOCK_STEAL_SECONDS = 0.3
-    inner = HttpCasMutex(endpoint, timeout_s=20.0)
+    inner = _make_mutex(spec, timeout_s=20.0)
 
     @contextmanager
     def stalling_mutex(path):
@@ -411,42 +410,41 @@ def _stalled_fenced_writer(endpoint, target, held_evt, resume_evt, out_path):
         f.write(verdict)
 
 
-def _fenced_thief_commit(endpoint, target, done_evt):
+def _fenced_thief_commit(spec, target, done_evt):
     """Thief: steal the aged hold and commit through the SAME
     fence-checked path, then release cleanly."""
     from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
     from local_datalakehouse_phase2_spark.lakehouse.fs import (
         ArbitratedFileIO,
-        HttpCasMutex,
         LocalFileIO,
     )
 
     lh_log.LOCK_STEAL_SECONDS = 0.3
-    io = ArbitratedFileIO(LocalFileIO(), mutex=HttpCasMutex(endpoint, timeout_s=20.0))
+    io = ArbitratedFileIO(LocalFileIO(), mutex=_make_mutex(spec, timeout_s=20.0))
     assert io.create_exclusive(target, "thief")
     done_evt.set()
 
 
-def test_fenced_write_rejects_stalled_holder(casd_endpoint, tmp_path):
-    """Three processes (victim, thief, casd server): the victim
+def test_fenced_write_rejects_stalled_holder(lease_backend, tmp_path):
+    """Three processes (victim, thief, arbiter endpoint/db): the victim
     acquires, stalls past LOCK_STEAL_SECONDS while holding, the thief
     steals the path and COMMITS; the victim's late write must bounce
     with StaleFenceError BEFORE reaching the medium — the thief's
     bytes stand and the victim learns at the write, not the release.
     This closes the clause-4 lease caveat release-time LockStolenError
-    (clause 4d above) only reports."""
+    (clause 4d above) only reports, on BOTH lease backends."""
     target = str(tmp_path / "res.json")
     held, resume, thief_done = _MP.Event(), _MP.Event(), _MP.Event()
     out = str(tmp_path / "verdict")
     victim = _MP.Process(
         target=_stalled_fenced_writer,
-        args=(casd_endpoint, target, held, resume, out),
+        args=(lease_backend, target, held, resume, out),
     )
     victim.start()
     assert held.wait(10)
     time.sleep(0.4)  # age the victim's holder row past the lowered TTL
     thief = _MP.Process(
-        target=_fenced_thief_commit, args=(casd_endpoint, target, thief_done)
+        target=_fenced_thief_commit, args=(lease_backend, target, thief_done)
     )
     thief.start()
     assert thief_done.wait(10)
@@ -457,17 +455,16 @@ def test_fenced_write_rejects_stalled_holder(casd_endpoint, tmp_path):
     assert open(target).read() == "thief"  # the thief's commit survived
 
 
-def test_fenced_write_passes_live_holder(casd_endpoint, tmp_path):
+def test_fenced_write_passes_live_holder(lease_backend, tmp_path):
     """The fence check must be invisible to the healthy path: a live
     holder's validate renews the lease and the write proceeds."""
     from local_datalakehouse_phase2_spark.lakehouse.fs import (
         ArbitratedFileIO,
-        HttpCasMutex,
         LocalFileIO,
     )
 
     target = str(tmp_path / "ok.json")
-    io = ArbitratedFileIO(LocalFileIO(), mutex=HttpCasMutex(casd_endpoint))
+    io = ArbitratedFileIO(LocalFileIO(), mutex=_make_mutex(lease_backend))
     assert io.create_exclusive(target, "healthy")
     assert open(target).read() == "healthy"
     # second writer loses by O_EXCL, not by fence (its own fence is fresh)
