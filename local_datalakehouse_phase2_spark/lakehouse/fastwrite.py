@@ -24,9 +24,10 @@ everything the engine and the DuckDB second engine read back:
   position deletes planned later against the file stay valid.
 
 `Table._write_files` gates the fast path hard (plain-local path, no
-partition spec, distribution-mode none, no sort order, non-empty,
-under the target file size) and falls back to the Spark writer for
-anything this module returns None for. At 100 TB the path is never
+partition spec, distribution-mode none, no sort order, under the
+target file size) and falls back to the Spark writer for anything
+this module returns None for. Empty frames write ONE empty
+schema-bearing file, matching Spark's FileFormatWriter special case. At 100 TB the path is never
 data-bearing — real data never routes through literal rows — but a
 1000-executor pipeline's per-commit METADATA writes stop paying a
 cluster job each.

@@ -49,6 +49,21 @@ from ..localrows import local_df
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
+
+class _ExactCount:
+    """Metadata-exact row count of a clean (no live deletes) snapshot
+    read, attached to the DataFrame as `_lh_exact_count` — the
+    manifest-count answer Iceberg gives COUNT(*). `paths` is the
+    file set the count rests on; consumers that defer (the lifecycle
+    ledger) must existence-check them so a concurrently expired
+    snapshot fails loudly instead of returning a stale number."""
+
+    __slots__ = ("rows", "paths")
+
+    def __init__(self, rows: int, paths: tuple):
+        self.rows = rows
+        self.paths = paths
+
 PROP_TARGET_FILE_SIZE = "write.target-file-size-bytes"
 PROP_DISTRIBUTION_MODE = "write.distribution-mode"  # none | hash | range
 PROP_HASH_COLUMNS = "write.hash-columns"  # comma list for hash mode
@@ -495,6 +510,8 @@ class LakehouseTable:
                 df = df.withColumn("__file", F.lit(None).cast("string")).withColumn(
                     "__pos", F.lit(None).cast("long")
                 )
+            else:
+                df._lh_exact_count = _ExactCount(0, ())
             return df
 
         # metadata-level scoping: which data files need delete merging?
@@ -561,7 +578,25 @@ class LakehouseTable:
             if eq_by_data:
                 ddf = self._apply_eq_deletes(ddf, data_state, eq_by_data, schema)
             parts.append(ddf.select(*out_cols))
-        return _reduce(DataFrame.unionByName, parts)
+        out = _reduce(DataFrame.unionByName, parts)
+        if (
+            not tagged
+            and not dirty
+            and "://" not in self.table_dir
+            and type(self.io) is LocalFileIO
+        ):
+            # exact-count tag (r16): a clean snapshot read's row count
+            # is the sum of its files' footer-recorded counts — the
+            # quantity Iceberg answers COUNT(*) from manifests with.
+            # _CountLedger's verification counts consume this instead
+            # of running a union-of-aggregates job (the file list rides
+            # along so a concurrently expired snapshot still fails
+            # LOUDLY at resolve, never a silently wrong count).
+            out._lh_exact_count = _ExactCount(
+                sum(fi.row_count for fi in data_state.values()),
+                tuple(abs_paths(sorted(data_state))),
+            )
+        return out
 
     def _apply_eq_deletes(
         self,
@@ -2851,11 +2886,13 @@ class LakehouseTable:
         driver-held rows as ONE pyarrow parquet file, skipping Spark's
         ~200 ms per-write job-scheduling + committer-rename floor
         (fastwrite.py has the fidelity contract). Returns None whenever
-        the write isn't eligible — scan-backed plan, empty frame (the
-        Spark writer's empty-file behavior is observable in the files
-        metadata view and must not change), unsupported type, over the
-        target file size, or a non-local warehouse path — and the
-        caller proceeds with the Spark writer."""
+        the write isn't eligible — scan-backed plan, unsupported type,
+        over the target file size, or a non-local warehouse path — and
+        the caller proceeds with the Spark writer. Empty LocalRelation
+        frames ARE claimed (r16): the output matches the Spark writer's
+        observable empty-frame behavior exactly — one empty
+        schema-bearing parquet file — so the files metadata view is
+        indistinguishable."""
         if "://" in self.table_dir or type(self.io) is not LocalFileIO:
             # the direct os/pyarrow writes below bypass self.io; a
             # custom FileIO wrapping plain local paths (arbitration,
@@ -2903,9 +2940,16 @@ class LakehouseTable:
         except Exception:
             return None
         rows = df.collect()  # LocalTableScanExec.executeCollect — no job
-        if not rows or len(rows) > fastwrite.MAX_ROWS:
+        if len(rows) > fastwrite.MAX_ROWS:
             return None
-        if part_cols is None:
+        if not rows:
+            # Spark's FileFormatWriter special-cases a fully empty frame:
+            # ONE empty schema-bearing file, regardless of repartitioning
+            # (verified against both the scan-empty and local-empty
+            # shapes). Claim it: a delete_where that empties its affected
+            # files commits 0 survivor rows without a Spark job.
+            groups = [(0, rows)]
+        elif part_cols is None:
             groups = [(0, rows)]
         else:
             pids = fastwrite.spark_partition_ids(rows, df.schema, part_cols, n_parts)

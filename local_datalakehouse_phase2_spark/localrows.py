@@ -112,10 +112,26 @@ def local_df(
     longer than 500 fall back."""
     sch = _schema_of(schema)
     rows = list(rows)
-    if not rows or len(rows) > _MAX_ROWS:
+    if len(rows) > _MAX_ROWS:
         return spark.createDataFrame(rows, sch)
     names = [f"`{f.name}`" for f in sch.fields]
     types = [f.dataType for f in sch.fields]
+    if not rows:
+        # empty frame as a LocalRelation too (r16): `createDataFrame([],
+        # sch)` builds a LogicalRDD whose every action runs a 32-task
+        # job over nothing, and the fastwrite gate can't claim it. A
+        # WHERE-false VALUES folds to LocalRelation <empty> at analysis
+        # time — collect is free and an empty commit write takes the
+        # pyarrow path (one empty schema-bearing file, like Spark).
+        casts = ", ".join(
+            f"CAST(IF(true, col{i + 1}, NULL) AS {t.simpleString()}) AS {n}"
+            for i, (n, t) in enumerate(zip(names, types))
+        )
+        dummy = "(" + ", ".join("NULL" for _ in types) + ")"
+        out = spark.sql(f"SELECT {casts} FROM VALUES {dummy} WHERE false")
+        if out.schema != sch:
+            return spark.createDataFrame(rows, sch)
+        return out
     try:
         rendered = []
         for r in rows:

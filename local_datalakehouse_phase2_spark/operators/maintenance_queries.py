@@ -17,6 +17,7 @@ stable enough to pin as constant-VALUES DuckDB oracles.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -38,23 +39,49 @@ from ..localrows import local_df
 
 
 def _nrows(*dfs) -> tuple[int, ...]:
-    """Row counts of several DataFrames in ONE Spark job: union the
-    per-frame COUNT aggregates and collect once — identical values to
-    calling .count() on each. Lifecycle steps verify 2-4 tables per
-    step, and at demo scale per-job launch overhead (~0.15 s on
-    local[32]) dominates the tiny scans, so one job per step instead
-    of one per table roughly halves those entries' wall clock."""
+    """Row counts of several DataFrames in AT MOST one Spark job.
+
+    Clean snapshot reads carry a metadata-exact count
+    (`table._ExactCount` on `_lh_exact_count`: the sum of footer-
+    recorded per-file counts, Iceberg's manifest COUNT(*) answer) —
+    those are existence-checked (a concurrently expired snapshot must
+    fail LOUDLY, never return a stale number; same contract the
+    deferred Spark job enforced by hitting the missing file) and
+    answered without a job. Everything else (derived frames, reads
+    with live deletes) unions its COUNT aggregate into ONE collect —
+    identical values to calling .count() on each."""
     from functools import reduce
 
-    tagged = [
-        d.groupBy().agg(F.count(F.lit(1)).alias("n")).select(F.lit(i).alias("i"), "n")
-        for i, d in enumerate(dfs)
-    ]
-    got = {
-        r["i"]: r["n"]
-        for r in reduce(lambda a, b: a.unionByName(b), tagged).collect()
-    }
-    return tuple(int(got[i]) for i in range(len(dfs)))
+    out: list[int | None] = []
+    jobs: list[tuple[int, object]] = []
+    for i, d in enumerate(dfs):
+        exact = getattr(d, "_lh_exact_count", None)
+        if exact is not None:
+            for p in exact.paths:
+                if not os.path.exists(p):
+                    raise FileNotFoundError(
+                        f"ledger count: pinned snapshot file {p!r} does not "
+                        "exist any more (expired by a concurrent maintenance "
+                        "run?) — the deferred count would be stale"
+                    )
+            out.append(int(exact.rows))
+        else:
+            out.append(None)
+            jobs.append((i, d))
+    if jobs:
+        tagged = [
+            d.groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(i).alias("i"), "n")
+            for i, d in jobs
+        ]
+        got = {
+            r["i"]: r["n"]
+            for r in reduce(lambda a, b: a.unionByName(b), tagged).collect()
+        }
+        for i, _ in jobs:
+            out[i] = int(got[i])
+    return tuple(out)
 
 
 class _Slot:

@@ -117,14 +117,13 @@ def test_fast_path_records_footer_stats(spark, lake, monkeypatch):
     assert fi.stats["s"][:2] == ["a", "z"]
 
 
-def test_scan_backed_and_empty_and_unsupported_fall_back(spark, lake, sf_small, monkeypatch):
+def test_scan_backed_and_unsupported_fall_back(spark, lake, sf_small, monkeypatch):
     calls = _spy(monkeypatch)
     t = lake.create_table("fw.fb", schema="n_nationkey bigint, n_name string")
     nation = spark.read.parquet(f"{sf_small}/nation.parquet").select(
         "n_nationkey", "n_name"
     )
     t.append(nation.filter(F.col("n_nationkey") < 3))  # scan-backed
-    t.append(local_df(spark, [], "n_nationkey bigint, n_name string"))  # empty
     m = lake.create_table("fw.map", schema="m map<string,bigint>")
     mdf = local_df(spark, [({"a": 1},)], "m map<string,bigint>")
     assert (
@@ -134,6 +133,39 @@ def test_scan_backed_and_empty_and_unsupported_fall_back(spark, lake, sf_small, 
     m.append(mdf)  # unsupported column type -> Spark writer
     assert calls == []
     assert lake.read("fw.fb").count() == 3
+
+
+def test_empty_local_append_takes_fast_path_with_spark_shape(spark, lake, monkeypatch):
+    """An EMPTY LocalRelation append is claimed by the fast path (r16)
+    and its observable output matches the Spark writer's empty-frame
+    special case exactly: ONE empty schema-bearing parquet file."""
+    calls = _spy(monkeypatch)
+    t = lake.create_table("fw.empty", schema="k bigint, v string")
+    e = local_df(spark, [], "k bigint, v string")
+    assert (
+        e._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+        == "LocalRelation"
+    )
+    entry = t.append(e)
+    assert len(calls) == 1  # the pyarrow path wrote it
+    assert len(entry.added_files) == 1  # one file, like Spark
+    assert entry.added_files[0].row_count == 0
+    assert lake.read("fw.empty").count() == 0
+    assert lake.read("fw.empty").schema == e.schema  # schema survives
+
+
+def test_delete_all_rows_commits_empty_survivors_via_fast_path(spark, lake, monkeypatch):
+    """delete_where that empties every affected file: the survivors
+    write takes the fast path (zero Spark write jobs) and the table
+    reads back empty with one 0-row file in the state."""
+    calls = _spy(monkeypatch)
+    t = lake.create_table("fw.delall", schema="k bigint, v string")
+    t.append(local_df(spark, [(1, "a"), (2, "b")], "k bigint, v string"))
+    t.delete_where("k >= 0")
+    assert any(calls), "survivors write must take the pyarrow path"
+    state = t.log.state_at()
+    assert [fi.row_count for fi in state.values()] == [0]
+    assert t.read().count() == 0
 
 
 def test_fast_path_respects_table_shaping_properties(spark, lake, monkeypatch):
