@@ -55,9 +55,12 @@ def test_direct_merge_of_managed_catalog_ref_refused(spark, tmp_path):
 def test_endpoint_mutex_steal_from_live_holder(tmp_path, monkeypatch):
     """A thief stealing a stalled-but-alive holder's row must (a) win
     exactly once, (b) survive the stalled holder's eventual release
-    (conditional delete on owner is a no-op), and (c) keep excluding
-    third parties until the THIEF releases."""
+    (conditional delete on owner is a no-op — and since r16's fencing
+    parity, the victim's release raises LockStolenError LOUDLY instead
+    of exiting silently), and (c) keep excluding third parties until
+    the THIEF releases."""
     from local_datalakehouse_phase2_spark.lakehouse import log as _log
+    from local_datalakehouse_phase2_spark.lakehouse.fs import LockStolenError
 
     monkeypatch.setattr(_log, "LOCK_STEAL_SECONDS", 0.2)
     mx = EndpointMutex(str(tmp_path / "locks.db"), timeout_s=5.0)
@@ -68,12 +71,19 @@ def test_endpoint_mutex_steal_from_live_holder(tmp_path, monkeypatch):
     thief_done = threading.Event()
 
     def holder():
-        with mx(path):
-            events.append("holder-in")
-            holder_entered.set()
-            # stall past the steal threshold while STILL alive
-            thief_done.wait(10)
-        events.append("holder-released")
+        try:
+            with mx(path):
+                events.append("holder-in")
+                holder_entered.set()
+                # stall past the steal threshold while STILL alive
+                thief_done.wait(10)
+        except LockStolenError:
+            # r16: the fence verification at release reports the
+            # mid-hold steal to the stalled holder — the loud half of
+            # the clause-4 answer, never a silent normal exit
+            events.append("holder-stolen-detected")
+        else:
+            events.append("holder-released-silently")
 
     def thief():
         holder_entered.wait(5)
@@ -89,10 +99,10 @@ def test_endpoint_mutex_steal_from_live_holder(tmp_path, monkeypatch):
     th.start(), tt.start()
     th.join(15), tt.join(15)
     assert not th.is_alive() and not tt.is_alive()
-    # holder released while the thief held: the conditional delete must
-    # not have freed the thief's row — assert by ordering: the thief's
-    # release comes after the holder's, and a fresh acquire works now
-    assert events.index("holder-released") < events.index("thief-released")
+    # the stalled holder learned loudly; its conditional delete did not
+    # free the thief's row (the thief releases after, cleanly)
+    assert "holder-stolen-detected" in events
+    assert events.index("holder-stolen-detected") < events.index("thief-released")
     with mx(path):
         events.append("third-in")
     assert events[-1] == "third-in"
