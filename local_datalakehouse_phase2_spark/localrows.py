@@ -34,6 +34,14 @@ from pyspark.sql import types as T
 
 _MAX_ROWS = 500
 
+# (session id, schema simpleString) -> the empty-LocalRelation frame.
+# Empty frames are pure values (immutable plan, no data), so one parse
+# per schema per session serves every caller — lifecycle entries build
+# the same empty shapes repeatedly (changelog per-version diffs,
+# delete-all survivors) and the spark.sql parse is a py4j round trip
+# each time otherwise.
+_EMPTY_MEMO: dict = {}
+
 __all__ = ["local_df"]
 
 
@@ -123,6 +131,11 @@ def local_df(
         # WHERE-false VALUES folds to LocalRelation <empty> at analysis
         # time — collect is free and an empty commit write takes the
         # pyarrow path (one empty schema-bearing file, like Spark).
+        # Memoized per (session, schema): empty frames are pure values.
+        key = (id(spark), sch.json())  # json: nullability-exact
+        memo = _EMPTY_MEMO.get(key)
+        if memo is not None:
+            return memo
         casts = ", ".join(
             f"CAST(IF(true, col{i + 1}, NULL) AS {t.simpleString()}) AS {n}"
             for i, (n, t) in enumerate(zip(names, types))
@@ -131,6 +144,9 @@ def local_df(
         out = spark.sql(f"SELECT {casts} FROM VALUES {dummy} WHERE false")
         if out.schema != sch:
             return spark.createDataFrame(rows, sch)
+        while len(_EMPTY_MEMO) >= 256:
+            _EMPTY_MEMO.pop(next(iter(_EMPTY_MEMO)))
+        _EMPTY_MEMO[key] = out
         return out
     try:
         rendered = []
