@@ -836,6 +836,67 @@ class HttpCasMutex:
                 )
 
 
+class FencedLocalFileIO(LocalFileIO):
+    """LocalFileIO whose exclusive-create enforces a fencing token
+    ATOMICALLY with the put — the role S3 conditional writes / DynamoDB
+    condition expressions / etcd txn revisions play for real object
+    stores, demonstrated on the local medium (r16).
+
+    The endpoint-checked mode (`_FenceHandle.validate()` before the
+    write) leaves one residual: a holder that validates, then stalls a
+    SECOND full TTL before its put, can still land bytes after a
+    thief's. A fencing-capable medium closes that too, because the
+    token check happens atomically with the write itself. Here: a
+    sidecar `<fence_dir>/<sha1>.fence` records the highest fence that
+    ever mutated each path, and `create_exclusive_fenced` runs
+    {read sidecar, compare, put, record} under one flock on the
+    sidecar — a lower-fenced late writer gets `StaleFenceError` with
+    the medium untouched, no matter where it stalled.
+
+    `ArbitratedFileIO` calls `create_exclusive_fenced` automatically
+    when the inner IO exposes it and the mutex yielded a fence token;
+    everything else delegates to plain LocalFileIO. Sidecars are
+    zero-byte-ish, sha1-named (never collide with metadata listings),
+    bounded by the number of distinct fenced paths — the FlockMutex
+    lock-file discipline."""
+
+    def __init__(self, fence_dir: str):
+        self.fence_dir = fence_dir
+        os.makedirs(fence_dir, exist_ok=True)
+
+    def _sidecar(self, path: str) -> str:
+        canon = os.path.realpath(path) if "://" not in path else os.path.normpath(path)
+        name = hashlib.sha1(canon.encode("utf-8")).hexdigest() + ".fence"
+        return os.path.join(self.fence_dir, name)
+
+    def create_exclusive_fenced(self, path: str, data: str, fence: int) -> bool:
+        import fcntl
+
+        fd = os.open(self._sidecar(path), os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                raw = os.read(fd, 64)
+                recorded = int(raw) if raw.strip() else 0
+                if fence < recorded:
+                    raise StaleFenceError(
+                        f"fenced put on {path!r} rejected AT THE MEDIUM: write "
+                        f"carries fence {fence} but the path has already been "
+                        f"mutated under fence {recorded} — a thief acquired "
+                        "after this writer; the put was never issued"
+                    )
+                won = super().create_exclusive(path, data)
+                if won and fence > recorded:
+                    os.lseek(fd, 0, os.SEEK_SET)
+                    os.ftruncate(fd, 0)
+                    os.write(fd, str(fence).encode())
+                return won
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+
 class ArbitratedFileIO(FileIO):
     """Route `create_exclusive` through an external mutual-exclusion
     arbiter; delegate everything else to the wrapped FileIO.
@@ -894,6 +955,14 @@ class ArbitratedFileIO(FileIO):
             validate = getattr(handle, "validate", None)
             if self._fence_writes and callable(validate):
                 validate()  # StaleFenceError: write rejected, not issued
+            fence = getattr(handle, "fence", None)
+            fenced_put = getattr(self._inner, "create_exclusive_fenced", None)
+            if self._fence_writes and fence is not None and callable(fenced_put):
+                # fencing-capable MEDIUM (FencedLocalFileIO; real-world:
+                # S3 conditional writes, DynamoDB condition expressions):
+                # the token check is atomic with the put, closing even
+                # the validate->write stall residual
+                return fenced_put(path, data, fence)
             return self._inner.create_exclusive(path, data)
 
     # ---- pure delegation --------------------------------------------

@@ -469,3 +469,111 @@ def test_fenced_write_passes_live_holder(lease_backend, tmp_path):
     assert open(target).read() == "healthy"
     # second writer loses by O_EXCL, not by fence (its own fence is fresh)
     assert io.create_exclusive(target, "late") is False
+
+
+# ---- clause 4f (fencing at the MEDIUM): the validate->put stall
+# residual is closed when the token check is atomic with the write
+
+
+def _validate_then_stall_writer(endpoint, fence_dir, target, stalled_evt, resume_evt, out_path):
+    """Victim: acquire + validate succeed, then stall past the TTL
+    BETWEEN the validate and the put — the one window the endpoint-
+    checked mode cannot close. The fenced medium must bounce the late
+    put anyway."""
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        ArbitratedFileIO,
+        FencedLocalFileIO,
+        HttpCasMutex,
+        StaleFenceError,
+    )
+
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+
+    class StallBeforePut(FencedLocalFileIO):
+        def create_exclusive_fenced(self, path, data, fence):
+            stalled_evt.set()
+            assert resume_evt.wait(20)  # post-validate, pre-put stall
+            return super().create_exclusive_fenced(path, data, fence)
+
+    io = ArbitratedFileIO(
+        StallBeforePut(fence_dir), mutex=HttpCasMutex(endpoint, timeout_s=20.0)
+    )
+    try:
+        won = io.create_exclusive(target, "victim")
+    except StaleFenceError:
+        verdict = "rejected-at-medium"
+    except Exception as e:  # noqa: BLE001 — record whatever surfaced
+        verdict = f"other:{type(e).__name__}"
+    else:
+        verdict = "wrote" if won else "lost-quietly"
+    with open(out_path, "w") as f:
+        f.write(verdict)
+
+
+def _fenced_medium_thief(endpoint, fence_dir, target, done_evt):
+    from local_datalakehouse_phase2_spark.lakehouse import log as lh_log
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        ArbitratedFileIO,
+        FencedLocalFileIO,
+        HttpCasMutex,
+    )
+
+    lh_log.LOCK_STEAL_SECONDS = 0.3
+    io = ArbitratedFileIO(
+        FencedLocalFileIO(fence_dir), mutex=HttpCasMutex(endpoint, timeout_s=20.0)
+    )
+    assert io.create_exclusive(target, "thief")
+    done_evt.set()
+
+
+def test_fenced_medium_rejects_post_validate_stall(casd_endpoint, tmp_path):
+    """The validate->put residual, closed: the victim's validate
+    passes (it is live at that instant), it stalls a full TTL before
+    its put, the thief steals and commits through the fenced medium —
+    and the victim's late put bounces AT the sidecar check, atomic
+    with the write, leaving the thief's bytes untouched."""
+    target = str(tmp_path / "res.json")
+    fence_dir = str(tmp_path / "fences")
+    stalled, resume, thief_done = _MP.Event(), _MP.Event(), _MP.Event()
+    out = str(tmp_path / "verdict")
+    victim = _MP.Process(
+        target=_validate_then_stall_writer,
+        args=(casd_endpoint, fence_dir, target, stalled, resume, out),
+    )
+    victim.start()
+    assert stalled.wait(10)
+    time.sleep(0.4)  # age the holder row past the lowered TTL
+    thief = _MP.Process(
+        target=_fenced_medium_thief, args=(casd_endpoint, fence_dir, target, thief_done)
+    )
+    thief.start()
+    assert thief_done.wait(10)
+    _join(thief)
+    resume.set()
+    _join(victim)
+    assert open(out).read() == "rejected-at-medium"
+    assert open(target).read() == "thief"
+
+
+def test_fenced_medium_token_rules(tmp_path):
+    """Unit rules of the fenced medium: equal/higher fences write,
+    lower fences bounce with the file untouched, and the recorded
+    fence is monotone."""
+    from local_datalakehouse_phase2_spark.lakehouse.fs import (
+        FencedLocalFileIO,
+        StaleFenceError,
+    )
+
+    io = FencedLocalFileIO(str(tmp_path / "fences"))
+    a = str(tmp_path / "a.json")
+    assert io.create_exclusive_fenced(a, "first", 3)
+    # same path again: O_EXCL loses regardless of fence, no error
+    assert io.create_exclusive_fenced(a, "again", 5) is False
+    b = str(tmp_path / "b.json")
+    assert io.create_exclusive_fenced(b, "b1", 2)
+    os.remove(b)
+    with pytest.raises(StaleFenceError):
+        io.create_exclusive_fenced(b, "late", 1)  # below recorded 2
+    assert not os.path.exists(b)  # the put was never issued
+    assert io.create_exclusive_fenced(b, "b2", 2)  # equal: allowed
