@@ -427,7 +427,10 @@ class LocalFileIO(FileIO):
 # successful validate and the write itself) is the standard lease
 # assumption; media with native conditional writes (DynamoDB, S3
 # conditional PUT, etcd txns) shrink it to zero by checking the token
-# atomically with the put. Operational rule for non-fencing backends:
+# atomically with the put — FencedLocalFileIO demonstrates exactly
+# that on the local medium (sidecar fence under flock, conformance
+# clause 4f), and ArbitratedFileIO routes through its fenced put
+# automatically. Operational rule for non-fencing backends:
 # size LOCK_STEAL_SECONDS far above any plausible GC/IO stall, and
 # treat LockStolenError as "my commit may not have survived — re-plan".
 

@@ -145,7 +145,10 @@ def local_df(
         if out.schema != sch:
             return spark.createDataFrame(rows, sch)
         while len(_EMPTY_MEMO) >= 256:
-            _EMPTY_MEMO.pop(next(iter(_EMPTY_MEMO)))
+            try:  # concurrent threads may race the eviction; a missed
+                _EMPTY_MEMO.pop(next(iter(_EMPTY_MEMO)))  # pop is fine
+            except (KeyError, StopIteration):
+                break
         _EMPTY_MEMO[key] = out
         return out
     try:

@@ -195,3 +195,49 @@ def test_future_stamp_frozen_under_checkpoint_still_refuses(spark, tmp_path):
     t.append(local_df(spark, [(7, "v7")], "k bigint, v string"))
     with pytest.raises(MaintenanceError, match="future"):
         remove_orphan_files(t, older_than=time.time() - 86401)
+
+
+def test_subtract_racing_new_checkpoint_leaks_safe(spark, tmp_path):
+    """Seam (r16 hunt): expire_snapshots' subtract_referenced picks the
+    newest checkpoint, but a concurrent write_checkpoint can land a
+    NEWER one (seeded from the unsubtracted set) between that choice
+    and the rewrite. The loser's subtraction then lands on a stale
+    file; the surviving newest checkpoint still protects the deleted
+    paths. Direction matters: that is a disk LEAK (files already gone,
+    paths merely shielded), never a sweepable-while-referenced hole —
+    and full_scan reclaims the protection set."""
+    warehouse = str(tmp_path / "w")
+    _, t = _table_with_versions(spark, warehouse, 3)
+    first_files = set(t.log.state_at().keys())
+    t.overwrite(local_df(spark, [(1, "only")], "k bigint, v string"))
+    cp1 = t.log.write_checkpoint()
+
+    # freeze subtract's view of "newest" at cp1, then land cp2 from a
+    # second writer before the subtraction is applied
+    real_versions = t.log._checkpoint_versions
+    t.log._checkpoint_versions = lambda: [cp1]
+    t.append(local_df(spark, [(2, "more")], "k bigint, v string"))
+    from local_datalakehouse_phase2_spark.lakehouse.log import TransactionLog
+
+    other = TransactionLog(t.log.metadata_dir)
+    cp2 = other.write_checkpoint()
+    assert cp2 > cp1
+    # the racing subtraction rewrites the stale cp1
+    t.log.subtract_referenced(first_files)
+    t.log._checkpoint_versions = real_versions
+
+    # newest checkpoint still carries the (stale) protection: the
+    # fast-path sweep must NOT delete anything still referenced, and
+    # the already-deleted-by-expiry shape is only ever a leak here
+    cp = t.log._read_checkpoint()
+    assert cp["version"] == cp2
+    assert first_files <= set(cp["referenced"])  # leaked protection
+    res = remove_orphan_files(t, older_than=time.time() - 86401)
+    assert res["deleted_files"] == 0
+    # full_scan prunes the stale shield exactly like the crashed-expiry
+    # case (files still on disk and reachable -> they stay; the SET is
+    # recomputed from live state so nothing dangles)
+    res = remove_orphan_files(t, older_than=time.time() - 86401, full_scan=True)
+    assert res["deleted_files"] == 0
+    for rel in first_files:
+        assert os.path.exists(os.path.join(t.table_dir, rel))
