@@ -110,3 +110,41 @@ def test_nrows_matches_individual_counts(spark, sf_oracle):
     r = spark.read.parquet(f"{sf_oracle}/region.parquet")
     got = _nrows(n, r, n.filter(F.col("n_nationkey") < 5))
     assert got == (n.count(), r.count(), 5)
+
+
+def test_clean_snapshot_counts_run_zero_jobs(spark, tmp_path):
+    """r16 plan-gate analog for the ledger: counting clean snapshot
+    reads resolves from the manifest-exact tag — zero Spark jobs in
+    the job group — while a derived frame still pays exactly one."""
+    from local_datalakehouse_phase2_spark.lakehouse import Lakehouse
+    from local_datalakehouse_phase2_spark.localrows import local_df
+    from local_datalakehouse_phase2_spark.operators.maintenance_queries import (
+        _CountLedger,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "w"))
+    lake.create_namespace("lab")
+    t = lake.create_table("lab.t", schema="k bigint, v string")
+    t.append(local_df(spark, [(i, f"v{i}") for i in range(7)], "k bigint, v string"))
+
+    led = _CountLedger()
+    slots = led.counts(t.read(), t.read())
+    sc = spark.sparkContext
+    sc.setJobGroup("ledger-zero-jobs", "clean snapshot counts")
+    try:
+        rows = led.resolve([tuple(slots)])
+    finally:
+        sc.setJobGroup(None, None)
+    assert rows == [(7, 7)]
+    assert list(sc.statusTracker().getJobIdsForGroup("ledger-zero-jobs")) == []
+
+    # a DERIVED frame (filter) loses the tag: one union job, right answer
+    led2 = _CountLedger()
+    (slot,) = led2.counts(t.read().filter("k < 3"))
+    sc.setJobGroup("ledger-one-job", "derived frame count")
+    try:
+        rows = led2.resolve([(slot,)])
+    finally:
+        sc.setJobGroup(None, None)
+    assert rows == [(3,)]
+    assert len(list(sc.statusTracker().getJobIdsForGroup("ledger-one-job"))) >= 1
