@@ -241,3 +241,36 @@ def test_subtract_racing_new_checkpoint_leaks_safe(spark, tmp_path):
     assert res["deleted_files"] == 0
     for rel in first_files:
         assert os.path.exists(os.path.join(t.table_dir, rel))
+
+
+def test_metadata_folds_read_only_the_suffix(spark, tmp_path):
+    """Primitive-level pin of the r16 bounding: a COLD log handle's
+    state_at / properties_at / schema_ddl_at / renames / drops /
+    write_checkpoint-clamp each read only entries above the newest
+    checkpoint, never the full history."""
+    from local_datalakehouse_phase2_spark.lakehouse.log import TransactionLog
+
+    warehouse = str(tmp_path / "w")
+    _, t = _table_with_versions(spark, warehouse, 15)
+    cpv = t.log.write_checkpoint()
+    t.append(local_df(spark, [(99, "z")], "k bigint, v string"))
+
+    rio = PathRecordingIO()
+    cold = TransactionLog(t.log.metadata_dir, io=rio)
+    n_suffix = len([v for v in cold.versions() if v > cpv])
+    assert n_suffix == 1
+
+    for op in (
+        lambda: cold.state_at(),
+        lambda: cold.properties_at(),
+        lambda: cold.schema_ddl_at(),
+        lambda: cold.renames_upto(),
+        lambda: cold.drops_upto(),
+        lambda: cold.write_checkpoint(),
+    ):
+        rio.reads.clear()
+        op()
+        got = len(set(rio.entry_reads()))
+        assert got <= n_suffix, (
+            f"{op}: read {got} entry files for a {n_suffix}-entry suffix"
+        )
