@@ -472,14 +472,45 @@ def _fused_band_pairs(
     # the driver — the sf10 ladder caught it), so combo-only pairs
     # LEFT-join and keep null jaccard, which is the fused contract
     # anyway.
-    ids = (
-        pairs.filter(F.col("c0") == 1)
-        .select(F.col("doc_a").alias("doc_id"))
-        .unionByName(
-            pairs.filter(F.col("c0") == 1).select(F.col("doc_b").alias("doc_id"))
+    if combo_keys:
+        # r16: derive the id set from `buckets`, BEFORE the pair
+        # explode + (doc_a, doc_b) shuffle. Docs in a c0 pair are
+        # exactly the members of multi-member (2..MAX_BUCKET) fam0
+        # buckets, so the set is identical to the pairs-derived form —
+        # but this branch shares the ONE bucket Exchange with the pair
+        # path via AQE stage reuse (guide §2.4), where the
+        # pairs-derived form re-planned the whole corpus pipeline
+        # (scan -> shingle -> signature UDFs -> band explode -> bucket
+        # shuffle) once per annotation probe: the executed
+        # simhash_pairs final plan carried TWO live bucket
+        # ShuffleQueryStages, each with its own ArrowEvalPython pass.
+        # The fam-0 restriction is a WHEN projection, NOT a filter: a
+        # `filter(fam == 0)` pushes through the aggregate below the
+        # exchange (fam is a grouping key) and the two exchanges stop
+        # canonicalizing equal, killing the reuse. Deliberately lazy —
+        # no localCheckpoint: materializing serializes the ids pass
+        # before the main job (A/B'd at sf0.1: simhash_pairs 2.88 ->
+        # 4.34 s median with an eager checkpoint), while the lazy form
+        # lets AQE run every consumer off the same materialized stage.
+        # Under the c0_all mutation every pair counts as c0, so the
+        # id set widens to every family's bucket members to match.
+        member_ids = (
+            F.col("ms.doc_id")
+            if _mutate == "c0_all"
+            else F.when(F.col("fam") == 0, F.col("ms.doc_id")).otherwise(
+                F.array().cast("array<long>")
+            )
         )
-        .distinct()
-    )
+        ids = buckets.select(F.explode(member_ids).alias("doc_id")).distinct()
+    else:
+        ids = (
+            pairs.filter(F.col("c0") == 1)
+            .select(F.col("doc_a").alias("doc_id"))
+            .unionByName(
+                pairs.filter(F.col("c0") == 1).select(F.col("doc_b").alias("doc_id"))
+            )
+            .distinct()
+        )
     ann = base.join(F.broadcast(ids), "doc_id").select(
         "doc_id",
         F.array_distinct("hs").alias("sh"),

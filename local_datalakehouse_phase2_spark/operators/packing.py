@@ -112,7 +112,17 @@ def prefix_sum(
         if partitions > 1
         else []
     )
-    part = df.withColumn("__pid", _bucket_of(F.col(order_col), bounds))
+    # r16: materialize the bucketed frame — phase 2 (totals collect)
+    # and the consumer's phase-3 job each re-evaluated `df` from
+    # scratch (for sequence_packing that is the whole text-split
+    # pipeline twice; for training_data_pipeline the dedup aggregate).
+    # Callers already project `df` down to (order, value) columns, so
+    # the checkpoint is a few narrow longs per row — far cheaper at any
+    # scale than a second full evaluation (guide §5: cut lineage when
+    # an intermediate is genuinely reused).
+    part = df.withColumn(
+        "__pid", _bucket_of(F.col(order_col), bounds)
+    ).localCheckpoint()
     totals = {
         r["__pid"]: r["total"]
         for r in part.groupBy("__pid")
@@ -408,31 +418,61 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.expr(TOKENS).cast("long").alias("n_tokens")
     )
-    # Stage membership as PER-ROW FLAGS over one windowed pass, so all
+    # Stage membership as PER-ROW FLAGS over one deduping pass, so all
     # four funnel counts and the mixed token total come out of a single
     # aggregation job — the earlier per-stage .count() chain re-executed
-    # the dedup window shuffle once per stage (5 actions for 5 numbers).
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    flagged = base.withColumn("rn", F.row_number().over(w)).select(
+    # the dedup shuffle once per stage (5 actions for 5 numbers).
+    #
+    # r16 shape (guide §2.3): the r8 ROW_NUMBER window shuffled one FULL
+    # text row per document with no map-side reduction; grouping by the
+    # md5 fingerprint with MIN(struct(doc_id, ...)) keeps the identical
+    # min-doc_id-per-hash survivor (doc_id is unique, so the struct
+    # comparison never reaches the tie fields) while (a) projecting the
+    # shuffle down to (fp, doc_id, source, n_tokens, n_chars) — the
+    # text column stays in the scan stage — and (b) partially
+    # aggregating map-side. The frame is then localCheckpoint'd: the
+    # funnel aggregate, the prefix-sum totals pass and the final
+    # packing aggregate each re-evaluated the whole dedup pipeline
+    # before (4 corpus passes; now exactly 1).
+    per_fp = (
+        base.select(
+            F.md5("text").alias("fp"),
+            F.length("text").alias("n_chars"),
+            "doc_id",
+            "source",
+            "n_tokens",
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(F.struct("doc_id", "source", "n_tokens", "n_chars")).alias("keep"),
+        )
+        .select(
+            "n_copies",
+            F.col("keep.doc_id").alias("doc_id"),
+            F.col("keep.source").alias("source"),
+            F.col("keep.n_tokens").alias("n_tokens"),
+            F.col("keep.n_chars").alias("n_chars"),
+        )
+    )
+    quality = F.expr(
+        "n_tokens BETWEEN 20 AND 1000 "
+        "AND (n_chars - n_tokens + 1.0) / n_tokens < 12"
+    )
+    flagged = per_fp.select(
         "doc_id",
         "n_tokens",
-        (F.col("rn") == 1).alias("is_dedup"),
-        F.expr(
-            "rn = 1 AND n_tokens BETWEEN 20 AND 1000 "
-            "AND (length(text) - n_tokens + 1.0) / n_tokens < 12"
-        ).alias("is_quality"),
+        "n_copies",
+        quality.alias("is_quality"),
         (
-            F.expr(
-                "rn = 1 AND n_tokens BETWEEN 20 AND 1000 "
-                "AND (length(text) - n_tokens + 1.0) / n_tokens < 12"
-            )
+            quality
             & F.col("source").isin(*[f"src{i}" for i in range(10)])
             & (F.pmod("doc_id", F.lit(1000)) < 600)
         ).alias("is_mixed"),
-    )
+    ).localCheckpoint()
     funnel = flagged.agg(
-        F.count("*").alias("docs_in"),
-        F.count_if("is_dedup").alias("docs_after_dedup"),
+        F.sum("n_copies").alias("docs_in"),
+        F.count("*").alias("docs_after_dedup"),
         F.count_if("is_quality").alias("docs_after_quality"),
         F.count_if("is_mixed").alias("docs_after_mix"),
         F.sum(F.when(F.col("is_mixed"), F.col("n_tokens"))).alias("total_tokens"),

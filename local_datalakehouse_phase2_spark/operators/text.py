@@ -270,11 +270,20 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "p_lang")
         .agg(F.count("*").alias("hits"))
     )
-    w2 = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "p_lang")
+    # argmax per doc as MIN(struct(-hits, p_lang)) — identical pick to
+    # the previous ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hits
+    # DESC, p_lang) = 1 cut (hits is an exact count, so -hits orders
+    # descending; struct comparison breaks ties on p_lang ascending),
+    # but as an aggregate it gets map-side partial aggregation: the
+    # per-doc exchange ships ONE pre-reduced row per doc instead of one
+    # per (doc, profile-lang), and the Sort + WindowGroupLimit pass
+    # disappears (guide §2.3 "aggregate before you shuffle" / §2.4).
+    # Plan: Window+2 Sorts over a 3rd Exchange -> HashAggregate over
+    # the same Exchange count; measured 1.67 s -> see OPTIMIZATION_r16.
     pred = (
-        scores.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "lang", F.col("p_lang").alias("predicted_lang"))
+        scores.groupBy("doc_id", "lang")
+        .agg(F.min(F.struct((-F.col("hits")).alias("nh"), F.col("p_lang"))).alias("top"))
+        .select("doc_id", "lang", F.col("top.p_lang").alias("predicted_lang"))
     )
     return pred.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
 

@@ -363,8 +363,10 @@ def q20_excess_supplier_promotion(spark: SparkSession, sf_dir: str) -> DataFrame
     "(another LATE supplier on the order), both correlated with a non-equi "
     "residual (suppkey <>), the hardest decorrelation in TPC-H. 'Late' := "
     "shipped >60 days after order date on a finalized order (fixture has "
-    "no commit/receipt dates). Both the semi and anti join shuffle only "
-    "(orderkey, suppkey) pairs. The original's status filter applies to "
+    "no commit/receipt dates). r16: both quantifiers decorrelate into "
+    "per-ORDER min/max/count aggregates (see the body), so the shuffles "
+    "carry one pre-reduced row per order instead of raw (orderkey, "
+    "suppkey) pairs through semi/anti joins. The original's status filter applies to "
     "l1's order only; l2/l3 share that orderkey, so folding it into `late` "
     "is equivalent.",
 )
@@ -387,22 +389,43 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name")
     )
-    l1 = late.join(F.broadcast(supp3), late.l_suppkey == F.col("s_suppkey"))
-    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
-    l3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    # r16 rewrite (guide §2.3 "aggregate before you shuffle"): the
+    # EXISTS / NOT EXISTS pair decorrelates into per-ORDER aggregates
+    # instead of semi/anti self-joins that shuffle raw (orderkey,
+    # suppkey) rows with sorts on both sides:
+    #   EXISTS other-supplier      <=> the order has >= 2 distinct
+    #       suppliers (l1's own supplier is on the order, so any
+    #       second distinct one satisfies the <> residual);
+    #   NOT EXISTS other-LATE-supp <=> the order has exactly ONE
+    #       distinct late supplier — necessarily l1's own.
+    # Under "exactly one late supplier" every late row of the order
+    # belongs to that supplier, so numwait's per-order contribution is
+    # the order's late-row COUNT — the count rides the same aggregate,
+    # and `late` is computed ONCE (the semi/anti form re-planned it).
+    # min/max stand in for distinct-count (keys are non-null); both
+    # aggregates shrink map-side, so the shuffles carry one row per
+    # order instead of one per lineitem, and the solo⋈multi join needs
+    # no new exchange (both sides already hash-partitioned by
+    # orderkey). Results identical — same DuckDB oracle, swept green.
+    solo = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("late_supp"),
+            F.max("l_suppkey").alias("late_hi"),
+            F.count("*").alias("n_late"),
+        )
+        .filter(F.col("late_supp") == F.col("late_hi"))
+    )
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("k2"))
+        .agg((F.min("l_suppkey") != F.max("l_suppkey")).alias("is_multi"))
+        .filter(F.col("is_multi"))
+    )
     return (
-        l1.join(
-            l2,
-            (l1.l_orderkey == F.col("k2")) & (l1.l_suppkey != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
+        solo.join(multi, solo.l_orderkey == F.col("k2"))
+        .join(F.broadcast(supp3), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -130,9 +130,14 @@ def test_tpch_extended2_plan_shapes(spark, sf_small):
     # q20: nested INs plan as semi joins
     p20 = plan_string(SPECS["q20_excess_supplier_promotion"].fn(spark, sf_small))
     assert "LeftSemi" in p20 or "Semi" in p20, p20
-    # q21: EXISTS -> semi AND NOT EXISTS -> anti in one plan
-    p21 = plan_string(SPECS["q21_waiting_suppliers"].fn(spark, sf_small))
-    assert ("LeftSemi" in p21 or "Semi" in p21) and ("LeftAnti" in p21 or "Anti" in p21), p21
+    # q21 (r16 shape): EXISTS/NOT EXISTS decorrelate into per-order
+    # aggregates — the plan must carry map-side partial aggregation and
+    # NO semi/anti join shuffling raw (orderkey, suppkey) rows
+    q21 = SPECS["q21_waiting_suppliers"].fn(spark, sf_small)
+    p21 = plan_string(q21)
+    assert has_partial_aggregation(q21), p21
+    assert "LeftSemi" not in p21 and "LeftAnti" not in p21, p21
+    assert has_take_ordered(q21)
     # q12: map-side partial aggregation before the group-by shuffle
     assert has_partial_aggregation(SPECS["q12_priority_shipping"].fn(spark, sf_small))
 
