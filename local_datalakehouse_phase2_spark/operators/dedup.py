@@ -382,14 +382,14 @@ def _fused_band_pairs(
       computes `est_jaccard` at pair formation, so the annotation
       re-read never re-runs the signature UDF (whose ~2 s Python-
       stage warmup was the r14 regression).
-    - `pairs` is localCheckpoint'd for MinHash-ONLY entries: there it
-      is fam0 collisions = O(dupes), and it is re-planned three times
-      otherwise (the broadcast-ids source and both annotation probes
-      re-evaluate the two-explode band-shuffle subtree) — the
-      compact-reused-frame case where a barrier wins, unlike the
-      r12/r13 heavy-single-use traps. Combo entries skip it: their
-      pair frame includes the fam1 birthday term (no O(dupes) bound;
-      materializing it blew the sf10 rung's heap).
+    - r15 localCheckpoint'd `pairs` for MinHash-ONLY entries to stop
+      the annotation branches re-planning the band-shuffle subtree
+      three times; r16 removed both the re-plan AND the barrier: the
+      annotation id set now derives from `buckets` pre-pair-shuffle
+      (same set, see the inline comment below) and AQE stage reuse
+      serves every consumer from the one bucket exchange, which
+      measured faster than the checkpoint in a same-session
+      interleaved A/B and leaves nothing materialized at any sf.
 
     Jaccard over distinct xxhash64 values equals Jaccard over shingle
     strings up to a ~1e-15/pair 64-bit collision — below every other
@@ -448,17 +448,6 @@ def _fused_band_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(*aggs)
     )
-    if not combo_keys:
-        # MinHash-only entries: pairs is fam0 collisions = O(dupes),
-        # so materializing it is bounded at ANY sf and saves the 3x
-        # re-plan of the band-shuffle subtree (ids + both annotation
-        # probes; A/B'd as part of the r15 clawback). Combo entries
-        # must NOT checkpoint here: their pair frame includes the
-        # fam1 birthday term (~100x/decade for 16-bit keys — tens of
-        # millions of rows at 500k docs), and materializing THAT blew
-        # the 8g heap on the sf10 rung when checkpointed blocks
-        # accumulated across a session.
-        pairs = pairs.localCheckpoint()
     # candidate-restricted annotation: the shingle projections
     # evaluate only for the docs the pairs touch — the broadcast
     # semi-join restriction Catalyst can't derive itself (no
@@ -472,45 +461,41 @@ def _fused_band_pairs(
     # the driver — the sf10 ladder caught it), so combo-only pairs
     # LEFT-join and keep null jaccard, which is the fused contract
     # anyway.
-    if combo_keys:
-        # r16: derive the id set from `buckets`, BEFORE the pair
-        # explode + (doc_a, doc_b) shuffle. Docs in a c0 pair are
-        # exactly the members of multi-member (2..MAX_BUCKET) fam0
-        # buckets, so the set is identical to the pairs-derived form —
-        # but this branch shares the ONE bucket Exchange with the pair
-        # path via AQE stage reuse (guide §2.4), where the
-        # pairs-derived form re-planned the whole corpus pipeline
-        # (scan -> shingle -> signature UDFs -> band explode -> bucket
-        # shuffle) once per annotation probe: the executed
-        # simhash_pairs final plan carried TWO live bucket
-        # ShuffleQueryStages, each with its own ArrowEvalPython pass.
-        # The fam-0 restriction is a WHEN projection, NOT a filter: a
-        # `filter(fam == 0)` pushes through the aggregate below the
-        # exchange (fam is a grouping key) and the two exchanges stop
-        # canonicalizing equal, killing the reuse. Deliberately lazy —
-        # no localCheckpoint: materializing serializes the ids pass
-        # before the main job (A/B'd at sf0.1: simhash_pairs 2.88 ->
-        # 4.34 s median with an eager checkpoint), while the lazy form
-        # lets AQE run every consumer off the same materialized stage.
-        # Under the c0_all mutation every pair counts as c0, so the
-        # id set widens to every family's bucket members to match.
-        member_ids = (
-            F.col("ms.doc_id")
-            if _mutate == "c0_all"
-            else F.when(F.col("fam") == 0, F.col("ms.doc_id")).otherwise(
-                F.array().cast("array<long>")
-            )
+    #
+    # r16: the id set derives from `buckets`, BEFORE the pair explode +
+    # (doc_a, doc_b) shuffle. Docs in a c0 pair are exactly the members
+    # of multi-member (2..MAX_BUCKET) fam0 buckets, so the set is
+    # identical to the r15 pairs-derived form — but this branch shares
+    # the ONE bucket Exchange with the pair path via AQE stage reuse
+    # (guide §2.4), where the pairs-derived form re-planned the whole
+    # corpus pipeline (scan -> shingle -> signature UDFs -> band
+    # explode -> bucket shuffle) once per annotation probe: the
+    # executed simhash_pairs final plan carried TWO live bucket
+    # ShuffleQueryStages, each with its own ArrowEvalPython pass. Two
+    # traps, both measured:
+    # - the fam-0 restriction must be a WHEN projection, NOT a filter:
+    #   `filter(fam == 0)` pushes through the aggregate below the
+    #   exchange (fam is a grouping key) and the two exchanges stop
+    #   canonicalizing equal, killing the reuse;
+    # - everything stays LAZY — materializing serializes a pipeline
+    #   pass before the main job (eager ids checkpoint: simhash_pairs
+    #   2.88 -> 4.34 s median; the r15 pairs localCheckpoint on the
+    #   MinHash-only entries, rational when the ids re-planned the
+    #   subtree 3x, measured 2.80/2.08 -> 2.33/1.75 s min-wall
+    #   (minhash/ngram) against this form in a same-session
+    #   interleaved A/B, rows identical). This also deletes the only
+    #   fused-path materialization, so no checkpointed blocks
+    #   accumulate across a session at any sf.
+    # Under the c0_all mutation every pair counts as c0, so the id
+    # set widens to every family's bucket members to match.
+    member_ids = (
+        F.col("ms.doc_id")
+        if _mutate == "c0_all"
+        else F.when(F.col("fam") == 0, F.col("ms.doc_id")).otherwise(
+            F.array().cast("array<long>")
         )
-        ids = buckets.select(F.explode(member_ids).alias("doc_id")).distinct()
-    else:
-        ids = (
-            pairs.filter(F.col("c0") == 1)
-            .select(F.col("doc_a").alias("doc_id"))
-            .unionByName(
-                pairs.filter(F.col("c0") == 1).select(F.col("doc_b").alias("doc_id"))
-            )
-            .distinct()
-        )
+    )
+    ids = buckets.select(F.explode(member_ids).alias("doc_id")).distinct()
     ann = base.join(F.broadcast(ids), "doc_id").select(
         "doc_id",
         F.array_distinct("hs").alias("sh"),

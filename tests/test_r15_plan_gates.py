@@ -23,18 +23,22 @@ from local_datalakehouse_phase2_spark.sources.loaders import parallel_scan
 SPECS = all_specs()
 
 
-def test_fused_want_est_runs_no_udf_after_checkpoint(spark, sf_small):
-    """The minhash entry's POST-checkpoint plan (everything downstream
-    of the materialized pair frame — the annotation re-read and final
-    projection) contains ZERO Python-UDF operators: est_jaccard formed
-    in-bucket from carried sigs, so the r14 regression's second
-    signature-UDF evaluation cannot exist. The one legitimate UDF run
-    sits inside the checkpointed lineage (visible as Scan ExistingRDD)."""
+def test_fused_want_est_runs_udf_in_one_stage(spark, sf_small):
+    """The minhash entry evaluates the signature UDF in exactly ONE
+    runtime pass: est_jaccard forms in-bucket from carried sigs and the
+    annotation id branch reuses the bucket exchange, so the r14
+    regression's second signature-UDF evaluation cannot exist. (r15
+    pinned this via the pairs localCheckpoint — 'zero UDF operators
+    post-checkpoint'; r16 replaced the barrier with AQE stage reuse,
+    so the pin moves to the executed final plan: one live
+    ArrowEvalPython, ids branch served by a ReusedExchange.)"""
     df = SPECS["minhash_lsh_pairs"].fn(spark, sf_small)
-    plan = plan_string(df, mode="simple")
-    assert "Scan ExistingRDD" in plan, plan  # the pairs checkpoint
-    n_udf_ops = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
-    assert n_udf_ops == 0, f"{n_udf_ops} Python-UDF operators after checkpoint:\n{plan}"
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_udf_ops = final.count("ArrowEvalPython") + final.count("BatchEvalPython")
+    assert n_udf_ops == 1, f"{n_udf_ops} live Python-UDF passes:\n{final}"
+    assert "ReusedExchange" in final, final
 
 
 def test_clusters_counts_join_is_not_broadcast(spark, sf_small):
