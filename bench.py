@@ -133,6 +133,11 @@ def main() -> None:
     med = {n: round(statistics.median(ts), 4) for n, ts in samples.items()}
     timings = {n: med[n] for n in names}
     extra = {n: med[n] for n in extra_names}
+    # r17 (VERDICT r16 item 2b), additions-only: host noise on this box
+    # is strictly additive (sustained 1.3-2.7x drift windows), so the
+    # per-query MIN across passes is the robust cross-round statistic;
+    # raw per-pass samples let any later reader recompute their own.
+    mins = {n: round(min(ts), 4) for n, ts in samples.items()}
     print(
         json.dumps(
             {
@@ -150,6 +155,18 @@ def main() -> None:
                 # cross-round-comparable total
                 "queries_extra": extra,
                 "value_extra": round(sum(extra.values()), 4),
+                # noise-robust additions (r17): per-query min across
+                # passes + every raw pass, medians above unchanged
+                "queries_min": {n: mins[n] for n in names},
+                "queries_extra_min": {n: mins[n] for n in extra_names},
+                "value_min": round(sum(mins[n] for n in names), 4),
+                "value_extra_min": round(
+                    sum(mins[n] for n in extra_names), 4
+                ),
+                "samples": {
+                    n: [round(t, 4) for t in ts]
+                    for n, ts in samples.items()
+                },
                 "loadavg_before": load_before,
                 "loadavg_after": loadavg(),
                 "cpus": os.cpu_count(),

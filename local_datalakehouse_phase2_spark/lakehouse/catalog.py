@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from .fs import FileIO, LocalFileIO
 from .log import LogEntry
-from .table import LakehouseTable
+from .table import LakehouseTable, _parse_ddl_cached
 
 _NS_FILE = ".namespace.json"
 
@@ -279,7 +279,7 @@ class Lakehouse:
             props[PROP_PARTITION_SPEC] = partition_by
         schema_ddl = None
         if schema is not None:
-            st = T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+            st = _parse_ddl_cached(schema) if isinstance(schema, str) else schema
             schema_ddl = st.simpleString()
         if props.get("partition.spec"):
             from .partition import parse_spec
@@ -294,7 +294,7 @@ class Lakehouse:
 
             fields = {
                 f.name: f.dataType.simpleString()
-                for f in T._parse_datatype_string(schema_ddl).fields
+                for f in _parse_ddl_cached(schema_ddl).fields
             }
             errors = validate_spec_against_schema(spec, fields)
             if errors:

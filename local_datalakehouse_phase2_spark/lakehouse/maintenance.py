@@ -42,6 +42,7 @@ from .table import (
     POS_DELETE_SCHEMA,
     PROP_GC_ENABLED,
     LakehouseTable,
+    _parse_ddl_cached,
 )
 
 ORPHAN_SAFETY_SECONDS = 24 * 3600  # guide :274
@@ -1548,7 +1549,7 @@ def _incompatible_columns(io, path: str, table_types: dict[str, str]):
         except Exception:
             bad.append((field.name, str(field.type), tt))
             continue
-        if not _adoptable_type(ft, T._parse_datatype_string(tt)):
+        if not _adoptable_type(ft, _parse_ddl_cached(tt)):
             bad.append((field.name, ft.simpleString(), tt))
     return bad
 

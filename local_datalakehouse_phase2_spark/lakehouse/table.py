@@ -47,6 +47,27 @@ from .partition import PROP_PARTITION_SPEC, PROP_PARTITION_SPEC_HISTORY
 from ..localrows import _MAX_ROWS as _LOCAL_VALUES_MAX
 from ..localrows import local_df
 
+# DDL-string -> parsed StructType. `_parse_datatype_string` is a py4j
+# round-trip into the JVM parser; lifecycle entries resolve the SAME
+# table DDL dozens of times per run (profiled: 249 parses / ~0.34 s of
+# py4j wait in one lakehouse_catalog_branch pass). The parse is a pure
+# function of the DDL text and parsed schemas are treated as immutable
+# everywhere in this package, so a process-wide memo is safe across
+# sessions. Bounded so a pathological many-schema workload cannot grow
+# it without limit.
+_DDL_PARSE_CACHE: dict[str, T.StructType] = {}
+_DDL_PARSE_CACHE_MAX = 512
+
+
+def _parse_ddl_cached(ddl: str) -> T.StructType:
+    st = _DDL_PARSE_CACHE.get(ddl)
+    if st is None:
+        st = T._parse_datatype_string(ddl)
+        if len(_DDL_PARSE_CACHE) >= _DDL_PARSE_CACHE_MAX:
+            _DDL_PARSE_CACHE.pop(next(iter(_DDL_PARSE_CACHE)))
+        _DDL_PARSE_CACHE[ddl] = st
+    return st
+
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # Iceberg default; guide :234
 
 
@@ -993,7 +1014,7 @@ class LakehouseTable:
         Checkpoint-aware: survives snapshot expiry of the commit that
         recorded it."""
         ddl = self.log.schema_ddl_at(version)
-        return T._parse_datatype_string(ddl) if ddl else None
+        return _parse_ddl_cached(ddl) if ddl else None
 
     # widening lattices per family (Iceberg's legal type promotions)
     _PROMOTION_RANK = {

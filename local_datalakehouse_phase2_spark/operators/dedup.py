@@ -1307,8 +1307,18 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     iterative-algorithm pattern at scale; GraphX/GraphFrames CC uses
     large-star/small-star for worst-case long paths — same idea,
     fewer rounds on chains, unnecessary for clique-shaped dup graphs)."""
-    sym = edges.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    # localCheckpoint the symmetrized edge list BEFORE the loop: every
+    # iteration's nbr_min join (and the labels init) consumes `sym`, and
+    # AQE stage reuse only dedups WITHIN one action — across the loop's
+    # actions each join re-ran the caller's whole edge pipeline (for
+    # dedup_clusters: signature UDF + band shuffle + annotation joins,
+    # once per iteration; measured 50 jobs/run → 21, wall ~0.5x). The
+    # frame is O(edges) = dup-graph-sized, the bounded-materialization
+    # case where a barrier wins (cf. per_doc above).
+    sym = (
+        edges.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("id"))

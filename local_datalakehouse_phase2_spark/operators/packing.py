@@ -68,7 +68,12 @@ def _bucket_of(col, bounds, lo: int = 0, hi: int | None = None):
 
 
 def prefix_sum(
-    df: DataFrame, order_col: str, value_col: str, out_col: str, partitions: int = 32
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    partitions: int = 32,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed exclusive prefix sum of `value_col` in `order_col`
     (numeric) order — without ever collapsing to one partition.
@@ -119,10 +124,15 @@ def prefix_sum(
     # Callers already project `df` down to (order, value) columns, so
     # the checkpoint is a few narrow longs per row — far cheaper at any
     # scale than a second full evaluation (guide §5: cut lineage when
-    # an intermediate is genuinely reused).
-    part = df.withColumn(
-        "__pid", _bucket_of(F.col(order_col), bounds)
-    ).localCheckpoint()
+    # an intermediate is genuinely reused). Callers whose input is
+    # already a cheap projection of a materialized frame pass
+    # materialize=False and skip the barrier (ADVICE r16: double
+    # checkpoint in training_data_pipeline); correctness never depends
+    # on it — the bucket id is a pure function of the row and the
+    # driver-computed bounds, so phases 2/3 agree on any re-evaluation.
+    part = df.withColumn("__pid", _bucket_of(F.col(order_col), bounds))
+    if materialize:
+        part = part.localCheckpoint()
     totals = {
         r["__pid"]: r["total"]
         for r in part.groupBy("__pid")
@@ -471,7 +481,9 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_mixed"),
     ).localCheckpoint()
     funnel = flagged.agg(
-        F.sum("n_copies").alias("docs_in"),
+        # coalesce (ADVICE r16): COUNT(*)-era behavior on an empty
+        # documents table was 0; SUM over zero rows is NULL
+        F.coalesce(F.sum("n_copies"), F.lit(0)).alias("docs_in"),
         F.count("*").alias("docs_after_dedup"),
         F.count_if("is_quality").alias("docs_after_quality"),
         F.count_if("is_mixed").alias("docs_after_mix"),
@@ -482,6 +494,10 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "start_tok",
+        # input is a narrow filter of the checkpointed `flagged` frame:
+        # re-evaluating it per phase reads local blocks, so a second
+        # eager materialization costs more than it saves (ADVICE r16)
+        materialize=False,
     )
     n_sequences = packed.agg(
         (

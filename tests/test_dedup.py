@@ -119,6 +119,42 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_evaluates_edges_once(spark):
+    """r17 lineage-cut gate: `connected_components` localCheckpoints the
+    symmetrized edge list before the loop, so the caller's edge pipeline
+    is evaluated ONCE — not once per CC action (labels init + every
+    iteration's join + changed-count re-ran the whole dedup_clusters
+    cand subtree pre-r17: signature UDF + band shuffle per iteration,
+    50 jobs/run -> 41). Counted via an accumulator UDF inside the edge
+    frame: Catalyst may evaluate the deterministic UDF once or twice
+    within the single symmetrize action (the union's two branches), so
+    the gate is <= 2 evaluations/row; the uncheckpointed form pays
+    >= 2 actions more (chain needs >= 4 propagation rounds here)."""
+    from pyspark.sql import functions as F
+
+    from local_datalakehouse_phase2_spark.operators.dedup import connected_components
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("bigint")
+    def tick(x):
+        calls.add(1)
+        return x
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "doc_a bigint, doc_b bigint",
+    )
+    edges = base.select(tick("doc_a").alias("doc_a"), "doc_b")
+    got = {r.doc_id: r.cluster for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+    assert calls.value <= 2 * base.count(), (
+        f"edge pipeline evaluated {calls.value} times for {base.count()} "
+        "rows — the pre-loop sym localCheckpoint is gone and every CC "
+        "action re-runs the caller's edge derivation"
+    )
+
+
 def test_exact_jaccard_pairs_matches_bruteforce(spark, sf_small):
     """The deterministic shingle-bucket edge generator must equal the
     all-pairs brute force at the same threshold."""
