@@ -142,6 +142,36 @@ class FileIO(abc.ABC):
         pair-S3-with-a-catalog guidance, which the reference satisfies
         via Nessie, /root/reference/docker-compose.yml:6)."""
 
+    def create_exclusive_guarded(self, path: str, data: str, precondition) -> bool:
+        """`create_exclusive`, gated by `precondition()` — the seam that
+        closes the expiry/stalled-writer slot-reuse race (r17): a commit
+        claiming log version v must verify v is still above the newest
+        checkpoint floor AT WRITE TIME, because snapshot expiry deletes
+        old entry files and frees their names for O_EXCL re-claim; a
+        writer that stalled between choosing v and writing it would
+        otherwise land BELOW the table head, invisible to every
+        checkpoint-anchored fold (a lost commit, observed under load by
+        tests/test_flock_mutex.py's ingest-vs-maintenance stress).
+
+        Base implementation is check-then-create — the strongest a
+        store without an external arbiter can do, and sufficient
+        single-process (expiry and commits in one process serialize on
+        the GIL per bytecode region plus the process-local per-path
+        mutex ArbitratedFileIO defaults to). `ArbitratedFileIO`
+        overrides this to run the precondition INSIDE the per-path
+        mutex hold, where it is atomic against the (also mutex-held)
+        entry removal — airtight across processes."""
+        if not precondition():
+            return False
+        return self.create_exclusive(path, data)
+
+    def remove_arbitrated(self, path: str) -> None:
+        """`remove`, routed through the commit arbiter when one exists
+        (ArbitratedFileIO overrides). Only log-entry deletion needs
+        this — it serializes slot frees against slot claims; data-file
+        deletes stay on the plain `remove` (no name-reuse hazard)."""
+        self.remove(path)
+
     @abc.abstractmethod
     def link_or_copy(self, src: str, dst: str) -> None:
         """Make `dst` hold `src`'s bytes as cheaply as the store allows:
@@ -967,6 +997,32 @@ class ArbitratedFileIO(FileIO):
                 # the validate->write stall residual
                 return fenced_put(path, data, fence)
             return self._inner.create_exclusive(path, data)
+
+    def create_exclusive_guarded(self, path: str, data: str, precondition) -> bool:
+        """Run `precondition()` INSIDE the per-path mutex hold, then the
+        exclusive create under the same hold. Entry removal takes the
+        same mutex (`remove_arbitrated`), so "slot freed by expiry" and
+        "slot claimed by a commit" serialize: a freed slot is always
+        preceded by a visible checkpoint at or above it (expiry
+        checkpoints before dropping), so the commit's floor
+        precondition cannot miss it — the unbounded stall window lived
+        exactly here, between choosing a version and acquiring this
+        mutex (r17 lost-commit fix)."""
+        with self._mutex(path) as handle:
+            validate = getattr(handle, "validate", None)
+            if self._fence_writes and callable(validate):
+                validate()
+            if not precondition():
+                return False
+            fence = getattr(handle, "fence", None)
+            fenced_put = getattr(self._inner, "create_exclusive_fenced", None)
+            if self._fence_writes and fence is not None and callable(fenced_put):
+                return fenced_put(path, data, fence)
+            return self._inner.create_exclusive(path, data)
+
+    def remove_arbitrated(self, path: str) -> None:
+        with self._mutex(path):
+            self._inner.remove(path)
 
     # ---- pure delegation --------------------------------------------
     def makedirs(self, path: str) -> None:

@@ -595,7 +595,28 @@ class TransactionLog:
             raw["added_files"] = [asdict(fi) for fi in entry.added_files]
             raw["removed_files"] = list(entry.removed_files)
             path = os.path.join(self.metadata_dir, f"{version:010d}.json")
-            if self.io.create_exclusive(path, json.dumps(raw, indent=1)):
+
+            def _slot_above_checkpoint_floor(version=version):
+                # Snapshot expiry deletes entry files at or below a
+                # checkpoint it writes FIRST — freeing their names for
+                # O_EXCL re-claim. A writer that chose `version` from a
+                # listing and then stalled (mutex wait, descheduling)
+                # could otherwise win a freed slot and commit BELOW the
+                # table head, where every checkpoint-anchored fold
+                # silently skips it: a lost commit (r17; reproduced by
+                # tests/test_flock_mutex.py ingest-vs-maintenance under
+                # load). Checkpoints are never deleted, so "freed slot"
+                # implies "newest checkpoint >= slot" forever — checking
+                # the floor at write time (inside the arbiter's per-path
+                # hold, which entry removal also takes) makes the claim
+                # safe. In normal operation head claims are always above
+                # the floor, so this never rejects a live head commit.
+                cp = self.latest_checkpoint_version()
+                return cp is None or version > cp
+
+            if self.io.create_exclusive_guarded(
+                path, json.dumps(raw, indent=1), _slot_above_checkpoint_floor
+            ):
                 if branch is not None:
                     self._advance_branch(branch, version)
                 return entry
@@ -922,7 +943,11 @@ class TransactionLog:
             self._entry_cache.pop(v, None)
             p = os.path.join(self.metadata_dir, f"{v:010d}.json")
             if self.io.exists(p):
-                self.io.remove(p)
+                # arbitrated: freeing a slot name must serialize with
+                # commit claims on the same name (see append's
+                # checkpoint-floor precondition — the r17 lost-commit
+                # race closure)
+                self.io.remove_arbitrated(p)
 
     # ---- named refs (branches/tags) ----------------------------------
     # The reference stack gets git-like refs from Nessie (its

@@ -103,3 +103,12 @@ def test_branch_read_equals_merge_publish(spark, ops):
     expected = _rows(t.read(ref="dev"))
     merge_branch(t, "dev")
     assert _rows(t.read()) == expected
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

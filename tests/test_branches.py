@@ -575,3 +575,12 @@ def test_rebase_across_main_equality_delete_keeps_read_merge_agreement(spark, la
     # the merge publishes EXACTLY what the rebased branch read showed
     merge_branch(t, "dev")
     assert _rows(t.read()) == rebased_view
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

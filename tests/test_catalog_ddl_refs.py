@@ -374,3 +374,12 @@ def test_sql_drop_table_respects_tag_pin(spark, tmp_path):
         sql.sql("DROP TABLE lab.base")
     sql.sql("CALL system.drop_tag(name => 'rel')")
     sql.sql("DROP TABLE lab.base")
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -458,3 +458,12 @@ def test_expire_snapshots_preserves_untouched_table_pin(spark, tmp_path):
     lake.drop_branch("etl")
     expire_snapshots(lake.table("lab.t1"), retain_last=1)
     assert _rows(lake, "lab.t1") == {(12, "x")}
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -217,3 +217,12 @@ def test_tag_reads_survive_random_churn(spark, ops):
             # the pin holds after EVERY op, not just at the end
             assert _rows(lake.read("lab.p1", catalog_ref="train")) == want1
             assert _rows(lake.read("lab.p2", catalog_ref="train")) == want2
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

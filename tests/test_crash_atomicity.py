@@ -521,3 +521,12 @@ def test_catalog_rebase_crash_sweep(spark, tmp_path, monkeypatch):
         assert (3, "e1") in _rows(check, "lab.t1")
         assert (3, "e2") in _rows(check, "lab.t2")
     pytest.fail("catalog rebase still crashing after 60 write points")
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -211,3 +211,12 @@ def test_capped_edge_rule_is_live(spark, monkeypatch):
         .collect()
     }
     assert (4, 6) in full - banded, "corpus no longer separates capped vs full-set"
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -148,3 +148,12 @@ def test_compact_on_ref_crash_sweep(spark, tmp_path):
     final = Lakehouse(spark, lake.warehouse_dir).table("lab.t")
     assert _rows(final.read(ref="dev")) == branch_rows
     assert _rows(final.read()) == main_rows
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -581,3 +581,12 @@ def test_delete_file_threshold_forces_lone_file_rewrite(spark, lake):
     )
     assert res2["skipped"] is True
     assert any(fi.content == 1 for fi in t.log.state_at().values())
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

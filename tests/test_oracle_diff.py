@@ -31,3 +31,12 @@ def test_query_matches_oracle(name, spark, con):
         assert df.count() >= 0  # rows-only smoke; semantics tested elsewhere
     else:
         compare(df, con, spec.oracle)
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

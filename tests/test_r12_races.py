@@ -224,3 +224,12 @@ def test_create_cas_main_wins_branch_loses(spark, tmp_path):
     # and the ref record never listed the loser
     with pytest.raises(CatalogRefError, match="does not exist"):
         lake.read("lab.y", catalog_ref="dev")
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

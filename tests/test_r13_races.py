@@ -311,3 +311,12 @@ def test_tag_create_after_drop_skips_vanished_table(spark, tmp_path):
     with pytest.raises((CatalogError, CatalogRefError)):
         lake.read("lab.a", catalog_ref="after")
     assert lake.read("lab.b", catalog_ref="after").count() == 2
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

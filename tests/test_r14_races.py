@@ -305,3 +305,12 @@ def test_ledger_deferred_read_fails_loud_on_cross_process_expire(spark, tmp_path
         led.resolve([(slot,)])
     msg = str(ei.value)
     assert "exist" in msg or "FileNotFound" in msg or "FILE" in msg.upper()
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

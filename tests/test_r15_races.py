@@ -238,3 +238,12 @@ def test_full_lifecycle_through_remote_cas_arbiter(spark, tmp_path, casd_endpoin
     assert txn2.commit()["status"] == "committed"
     assert {tuple(r) for r in t.read().collect()} == {(5, "direct"), (7, "t7")}
     assert lake.table("lab.t2").read().count() == 1
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -20,6 +20,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from local_datalakehouse_phase2_spark.plans.inspect import plan_string
 from local_datalakehouse_phase2_spark.registry import all_specs
 
@@ -50,3 +52,23 @@ def test_lang_id_has_no_per_doc_window(spark, sf_small):
     windows = re.findall(r"\bWindow \(\d+\)", tree)
     # exactly one Window remains: the top-50-per-lang profile cut
     assert len(windows) == 1, tree
+
+
+@pytest.mark.slow
+def test_fused_combo_pipeline_runs_once_sf1(spark):
+    """VERDICT r16 item 8: the fused single-pass win hangs on AQE
+    exchange canonicalization (the WHEN-projection-vs-filter trap), and
+    sf_small cannot prove it where it costs something — run the same
+    executed-plan gate at the sf1 rung. Marked slow (builder-gate /
+    ladder runs); skipped when the generated sf1 fixture is absent
+    (tools/make_sf.py --factor 10)."""
+    import os
+
+    sf1 = "/tmp/spark_graft_sf1"
+    if not os.path.isdir(sf1):
+        pytest.skip("sf1 fixture not generated (tools/make_sf.py)")
+    for name in ("simhash_pairs", "simhash_wide_pairs"):
+        plan = _final_plan(SPECS[name].fn(spark, sf1))
+        n_udf = plan.count("ArrowEvalPython") + plan.count("BatchEvalPython")
+        assert n_udf == 1, f"{name}@sf1: {n_udf} live Python-UDF passes\n{plan}"
+        assert "ReusedExchange" in plan, f"{name}@sf1: ids branch did not reuse\n{plan}"

@@ -228,3 +228,12 @@ def test_fastwrite_append_racing_distribution_mode_change(spark, tmp_path):
     # complete
     t.append(local_df(spark, [(10, "x")], "k bigint, v string"))
     assert t.read().count() == 7
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

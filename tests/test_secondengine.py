@@ -155,3 +155,12 @@ def test_delete_flags_cover_live_content_classes(spark):
                     f"{name}: scenario writes equality deletes but its "
                     "oracle never applies them"
                 )
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow

@@ -362,3 +362,12 @@ def test_pending_txn_snapshot_not_addressable(spark, lake):
     # once committed it IS a main snapshot: addressable, taggable
     assert a.read(version=v).count() == 2
     a.create_tag("ok", at=v)
+
+
+# r17 (VERDICT item 2a): heavy suite — excluded from the default
+# driver-contract run by pytest.ini's `-m "not slow"`; the builder
+# gate runs `pytest -m slow` so coverage is unchanged, only WHERE
+# it runs moved.
+import pytest as _pytest_r17
+
+pytestmark = _pytest_r17.mark.slow
