@@ -1312,7 +1312,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     # AQE stage reuse only dedups WITHIN one action — across the loop's
     # actions each join re-ran the caller's whole edge pipeline (for
     # dedup_clusters: signature UDF + band shuffle + annotation joins,
-    # once per iteration; measured 50 jobs/run → 21, wall ~0.5x). The
+    # once per iteration; measured 50 jobs/run → 41, wall ~0.5x). The
     # frame is O(edges) = dup-graph-sized, the bounded-materialization
     # case where a barrier wins (cf. per_doc above).
     sym = (
@@ -1332,21 +1332,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("lbl").alias("nbr"))
         )
+        # carry the per-vertex changed flag THROUGH the checkpoint (r17):
+        # the convergence check used to be a separate old-vs-new join
+        # action per round; computing `chg` where both labels are
+        # already in hand makes it a plain filter-count over the
+        # checkpointed blocks — one fewer shuffle-join per round.
+        new_lbl = F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl")))
         new_labels = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
                 "id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl"),
+                new_lbl.alias("lbl"),
+                (new_lbl != F.col("lbl")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster"))
